@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy (map-side-combinable, one shuffle on a
+  16-byte digest — never on the raw text).
+- MinHash/LSH: shingle explode → per-doc min over k seeded xxhash64
+  values (one shuffle), band keys → self-join on (band, key) so candidate
+  generation touches only hash-bucket collisions, never the full n².
+- SimHash: 64-bit signature from token-hash bit votes; near-dup candidates
+  via 16-bit band equality + popcount(xor) Hamming filter.
+- n-gram Jaccard: exact pairwise score, but ONLY within blocking keys —
+  the quadratic stays bounded per block. At scale the MinHash path is the
+  default; this is the precise verifier.
+
+Everything is built-in expressions (xxhash64, array ops, bit ops) —
+deterministic across runs and cluster sizes, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from erpl_web_spark.operators.text import tokens_expr
+
+
+def normalized_text_expr(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def exact_dedup_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) texts: digest, multiplicity, keeper id.
+
+    Shuffles on md5 digest (fixed 32 chars), not the document body.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def fingerprint_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document fingerprints: md5 + sha256 of normalized text, plus a
+    64-bit xxhash64 suitable as a shuffle/bucket key."""
+    norm = normalized_text_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.sha2(norm.cast("binary"), 256).alias("fp_sha256"),
+        F.xxhash64(norm).alias("fp_xxh64"),
+    )
+
+
+def shingles_expr(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: array<bigint> of length num_hashes.
+
+    One explode + one groupBy(id); the k seeded hashes per shingle are
+    computed JVM-side (xxhash64 with the seed as first argument).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, shingle_k)).alias("shingle")
+    )
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Candidate pairs come from band-key collisions (self-join on the band
+    hash — the only join, and it is on a bigint key). Candidates are then
+    verified with exact Jaccard over distinct shingle sets, so the output
+    has no false positives; banding parameters control recall.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                    "key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets = df.select(F.col(id_col), shingles_expr(text_col, shingle_k).alias("sh"))
+    verified = (
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within the same block.
+
+    The self-join key is the block — quadratic cost is confined per block,
+    which is the standard way to keep exact pairwise dedup feasible.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], shingles_expr(text_col, shingle_k).alias("sh")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (token-occurrence weighted bit votes)."""
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates via the 4×16-bit band trick (pigeonhole: distance ≤3 ⇒ at
+    least one of 4 bands equal), then popcount(xor) verification — the
+    join key is a 16-bit chunk, never full n².
+    Returns (id_a, id_b, hamming).
+    """
+    sims = simhash_documents(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sims.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")).select(
+        F.col(id_col), F.col("simhash"), F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is carried as an opaque ``binary`` payload plus a typed metadata
+struct — the same shape the reference uses for binary HTTP content
+(src/http_client.cpp:875-900 tags binary bodies instead of decoding
+them). Decoding libraries (PIL/ffmpeg/…) are NOT in this container, so
+the decode kernels are STUBS: ``decode_stub=True`` produces a
+deterministic fake feature vector derived from the bytes; passing
+``decode_stub=False`` raises NotImplementedError where the real library
+call belongs. The Spark-side plumbing — schema, Arrow batching via
+mapInPandas, partition-parallel execution — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_TYPE = StructType(
+    [
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),      # png, wav, mp4, ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META_TYPE),
+    ]
+)
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("byte_len", LongType()),
+        StructField("sha256", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Wrap a text table into the media schema (payload = utf-8 bytes).
+
+    Stands in for real image/audio ingest so the binary-column plumbing is
+    exercised end-to-end on the available test data.
+    """
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.length(text_col).cast("int").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder's feature vector: bytes of
+    the sha256 digest scaled to [0, 1)."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 256.0 for b in digest[:FEATURE_DIM]]
+
+
+def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    Partition-parallel: each Arrow batch is decoded inside the executor
+    with zero driver involvement — the shape a real PIL/ffmpeg kernel
+    would use. With ``decode_stub=False`` this is where the real decode
+    belongs; the container has no media libraries, so it raises.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "Real media decoding requires PIL/ffmpeg, not available in this "
+            "environment. Use decode_stub=True for the deterministic fake."
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "feature": [_fake_feature(p) for p in payloads],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emit one row per sampled
+    frame index based on metadata duration. The frame extraction itself is
+    the stubbed decode; the row fan-out (explode over a JVM-computed
+    sequence — no Python) is the real distributed shape.
+    """
+    n_frames = F.greatest(
+        (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("int"), F.lit(1)
+    )
+    return df.select(
+        "media_id",
+        "meta",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

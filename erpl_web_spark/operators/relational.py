@@ -1,0 +1,118 @@
+"""Relational helper operators the reference inherits from its host engine.
+
+The reference (DataZooDE/erpl-web) delegates joins/windows to DuckDB
+(SURVEY.md §2.F); the ones Spark lacks as single calls are built here as
+compositions of DataFrame ops so Catalyst still owns the physical plan.
+
+Scale notes (100 TB target):
+- ``asof_join`` is the union+window formulation: ONE shuffle on the join
+  key (no range-join explosion, no per-key collect). Equivalent to
+  DuckDB's ASOF JOIN semantics (nearest right.ts <= left.ts per key).
+- ``expand_entity`` reproduces OData ``$expand`` semantics
+  (reference: src/odata_edm.cpp:246-286 builds LIST(STRUCT) columns;
+  README.md:388-395 documents expand == pre-nested left join): a
+  shuffle-aggregated collect_list, NOT a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``right_ts <= left_ts`` within the same ``on`` key(s).
+
+    Implemented as tagged-union + ordered window with ``last(ignorenulls)``:
+    a single shuffle on the key, linear in |left|+|right|. This is the
+    formulation that survives skew/scale, unlike a range join (quadratic per
+    key) or a per-key collect.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+
+    # Tag order: right rows sort BEFORE left rows at equal ts, so a right
+    # row at exactly left_ts is visible to that left row (<= semantics).
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *keys,
+        "__ts",
+        "__side",
+        *left_payload,
+        *[F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+    )
+    out = filled.where(F.col("__side") == 1).select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *left_payload,
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
+def expand_entity(
+    parent: DataFrame,
+    child: DataFrame,
+    on: str | list[str],
+    expand_name: str,
+    child_cols: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """OData ``$expand`` as a Spark plan: parent LEFT JOIN pre-nested child.
+
+    ``expand='Orders'`` on Customers in the reference yields an
+    ``Orders LIST(STRUCT(...))`` column (src/odata_edm.cpp:246-286). Here:
+    child is aggregated per key into a sorted array<struct>, then
+    left-joined; the aggregation is a map-side-combinable shuffle and the
+    join is broadcastable when the nested side is small.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if child_cols is None:
+        child_cols = [c for c in child.columns if c not in keys]
+    struct_col = F.struct(*[F.col(c) for c in child_cols])
+    nested = child.groupBy(*keys).agg(F.collect_list(struct_col).alias(expand_name))
+    if order_col is not None:
+        # sort_array orders struct arrays by fields in order — put the sort
+        # key first so output is deterministic regardless of shuffle order.
+        first = [order_col] + [c for c in child_cols if c != order_col]
+        struct_sorted = F.struct(*[F.col(c) for c in first])
+        nested = child.groupBy(*keys).agg(
+            F.sort_array(F.collect_list(struct_sorted)).alias(expand_name)
+        )
+    return parent.join(nested, on=keys, how="left")
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    per-partition heaps + single driver merge, no full sort at scale."""
+    return df.orderBy(*order_by).limit(k)

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_top_k`` — brute-force baseline: broadcast the probe set,
+  JVM-side dot products (zip_with + aggregate), per-probe top-k via
+  window. Exact; cost |corpus| × |probes|.
+- ``lsh_bucket_candidates`` — the scale path: deterministic random-
+  hyperplane signs (seeded xxhash64, no driver-side RNG state), bucket by
+  sign bits, only compare within buckets. Sub-linear candidate generation
+  for ANN at 100 TB; pair with ``cosine_top_k`` inside buckets.
+
+All arithmetic is double-precision and strictly left-to-right
+(F.aggregate folds sequentially) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def with_vector_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, norm_expr(F.col(vec_col)))
+
+
+def cosine_top_k(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors in ``corpus`` for every probe row.
+
+    The probe side is broadcast (small by construction); the corpus
+    streams through a map-only stage, then a window takes top-k per probe.
+    Returns (probe_id, neighbor_id, cosine, rank).
+    """
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    joined = c.crossJoin(F.broadcast(p))
+    if not include_self:
+        joined = joined.where(F.col("probe_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _planes(spark, num_planes: int, dim: int, seed: int = 42) -> DataFrame:
+    """Deterministic ±1 hyperplane components as a tiny broadcastable table.
+
+    Component sign for (plane p, dim j) = parity of xxhash64(seed, p, j) —
+    reproducible on any cluster with no RNG state to ship.
+    """
+    return (
+        spark.range(num_planes)
+        .withColumnRenamed("id", "plane")
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "dim"))
+        .select(
+            "plane",
+            "dim",
+            (F.xxhash64(F.lit(seed), F.col("plane"), F.col("dim")).bitwiseAND(F.lit(1)) * 2 - 1)
+            .cast("double")
+            .alias("sign"),
+        )
+    )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-bit bucketing).
+
+    posexplode → broadcast-join the tiny plane table → partial-agg sum →
+    sign bits → bucket bigint. One shuffle on (id, plane); vectors in the
+    same bucket are ANN candidates.
+    Returns (id_col, bucket).
+    """
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    comps = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    planes = _planes(spark, num_planes, dim, seed)
+    proj = (
+        comps.join(F.broadcast(planes), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x").cast("double") * F.col("sign")).alias("proj"))
+    )
+    bits = proj.select(
+        F.col(id_col),
+        F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bit"),
+    )
+    return bits.groupBy(id_col).agg(F.sum("bit").cast("long").alias("bucket"))
+
+
+def ann_top_k_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: exact cosine ranking within LSH buckets.
+
+    The self-join key is the bucket id, so cost is Σ bucket² rather than
+    n²; recall is tuned by num_planes (fewer planes → bigger buckets).
+    Returns (probe_id, neighbor_id, cosine, rank).
+    """
+    buckets = lsh_bucket_candidates(df, id_col, vec_col, num_planes, seed)
+    v = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
+    a = v.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"), F.col("bucket")
+    )
+    b = v.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), F.col("bucket"))
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines.
+
+All column expressions are pyspark.sql.functions built-ins (JVM-side,
+whole-stage-codegen) — no Python UDFs in the hot path. Designed to run
+over a 100 TB ``documents`` table: every function is a narrow map (no
+shuffle), so throughput is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small + deterministic (the point is the Spark
+# plumbing, not linguistic accuracy).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "por", "para"],
+}
+
+# BPE-ish tokenizer regex: word pieces, numbers, single punctuation marks.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != "")
+
+
+def token_count_expr(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_token_count_expr(text: Column | str) -> Column:
+    """Token count under a BPE-ish regex (letters / digits / punct marks)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def _in_list(t: Column, words: list[str]) -> Column:
+    # Column.isin isn't usable on higher-order-function lambda variables;
+    # array_contains over a literal array compiles to the same JVM predicate.
+    return F.array_contains(F.array(*[F.lit(w) for w in words]), t)
+
+
+def stopword_count_expr(text: Column | str, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens_expr(text), lambda t: _in_list(t, words)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append length / token / punctuation / digit statistics columns."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    return (
+        df.withColumn("stat_chars", n_chars)
+        .withColumn("stat_tokens", token_count_expr(c))
+        .withColumn("stat_bpe_tokens", bpe_token_count_expr(c))
+        .withColumn(
+            "stat_punct_ratio",
+            F.length(F.regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", ""))
+            / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "stat_digit_ratio",
+            F.length(F.regexp_replace(c, "[^0-9]", "")) / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "stat_avg_token_len",
+            F.aggregate(tokens_expr(c), F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+            / F.greatest(token_count_expr(c), F.lit(1)),
+        )
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic → ``pred_lang`` column.
+
+    Counts per-language stopword hits over whitespace tokens and takes the
+    argmax (ties broken by fixed language order; 'und' = undetermined when
+    no stopwords hit). Pure map — no shuffle.
+    """
+    toks = tokens_expr(F.col(text_col))
+
+    def counter(words: list[str]):
+        # A plain 1-arg lambda: a default-arg lambda has arity 2 and PySpark
+        # would treat it as an (element, index) function.
+        return F.size(F.filter(toks, lambda t: _in_list(t, words)))
+
+    counts = {lang: counter(words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    # Reverse order so earlier languages win ties (en > de > fr > es).
+    for lang in reversed(list(STOPWORDS)):
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality score in [0, 1] + keep/drop flag.
+
+    Components (equal weight): token count in a sane band, mean token
+    length in a sane band, low punctuation ratio, low digit ratio.
+    Mirrors the usual pretraining-corpus quality filters.
+    """
+    d = with_text_stats(df, text_col)
+    tok_ok = (F.col("stat_tokens") >= 5) & (F.col("stat_tokens") <= 100000)
+    len_ok = (F.col("stat_avg_token_len") >= 2.0) & (F.col("stat_avg_token_len") <= 12.0)
+    punct_ok = F.col("stat_punct_ratio") <= 0.2
+    digit_ok = F.col("stat_digit_ratio") <= 0.3
+    score = (
+        tok_ok.cast("int") + len_ok.cast("int") + punct_ok.cast("int") + digit_ok.cast("int")
+    ) / F.lit(4.0)
+    return d.withColumn("quality_score", score).withColumn("quality_keep", score >= 0.75)

@@ -1,0 +1,71 @@
+"""SparkSession helpers tuned for the engine.
+
+Defaults are chosen for the local[32] test harness but the knobs are the
+ones that matter on a real cluster: AQE (runtime re-planning + skew-join
+handling), adaptive shuffle partition coalescing, and Arrow for every
+Python<->JVM boundary. On a 1000-executor cluster only
+``spark.sql.shuffle.partitions`` needs re-tuning (or leave AQE to coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_TUNED_CONF = {
+    # Adaptive query execution: runtime re-plan, skew-join splitting,
+    # shuffle-partition coalescing. Essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDFs / toPandas — the only sane Python boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Naive parquet timestamps (isAdjustedToUTC=false) must read as NTZ so
+    # results are timezone-independent (matches DuckDB's naive TIMESTAMP).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Broadcast joins for small dims; AQE also converts at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Deterministic, DuckDB-comparable timestamp semantics.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) columns (events.ts) read as long nanos;
+    # suite.load converts to microsecond timestamps (matching DuckDB's
+    # truncation of the same files).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tuned_conf() -> dict[str, str]:
+    return dict(_TUNED_CONF)
+
+
+def get_spark(app_name: str = "erpl_web_spark", master: str | None = None) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        if master is None:
+            master = f"local[{cpus}]"
+    builder = builder.master(master)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    for k, v in _TUNED_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-owned session.
+
+    The driver harness owns the SparkSession it passes to ``entry()`` /
+    ``queries()``; we must not restart it, but runtime-mutable confs can
+    still be aligned.
+    """
+    for k, v in _TUNED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep whatever it has
+    return spark

@@ -1,0 +1,64 @@
+"""Oracle-checked query suite.
+
+Every entry pairs a PySpark DataFrame program with an equivalent ANSI-SQL
+string that DuckDB runs on the same parquet tables; the driver compares
+row counts, schemas and order-insensitive value hashes (see
+__spark_entry__.py). Conventions that keep the comparison byte-stable:
+
+- Every computed column is aliased identically on both sides.
+- Float aggregates go through ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS
+  DOUBLE)`` so accumulation is exact and order-independent; per-row double
+  arithmetic (products, differences, divisions) is IEEE-identical across
+  engines and left as-is.
+- Window orderings always include a unique tiebreaker column.
+- Timestamps are naive (parquet isAdjustedToUTC=false -> Spark
+  TIMESTAMP_NTZ, DuckDB TIMESTAMP); interval comparisons are used instead
+  of epoch conversions so results are session-timezone independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check (non-SQL-expressible)
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name, fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) parquet read as long via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to microseconds —
+        # exactly what DuckDB does reading the same file. `div` keeps the
+        # arithmetic in exact integer space (doubles can't hold epoch-nanos).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def all_queries() -> dict[str, Query]:
+    # Import side-effect registers everything.
+    from erpl_web_spark.suite import relational, pipeline  # noqa: F401
+
+    return dict(REGISTRY)

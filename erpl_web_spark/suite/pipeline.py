@@ -1,0 +1,280 @@
+"""Training-data pipeline suite: dedup, similarity, text analysis,
+multimodal — the driver-mandated extensions beyond the reference surface,
+oracle-checked against DuckDB where SQL can express the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erpl_web_spark.operators.dedup import (
+    exact_dedup_report,
+    fingerprint_documents,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from erpl_web_spark.operators.multimodal import decode_media, documents_as_media
+from erpl_web_spark.operators.similarity import ann_top_k_lsh, cosine_top_k
+from erpl_web_spark.operators.text import (
+    STOPWORDS,
+    BPE_TOKEN_RE,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
+from erpl_web_spark.suite import load, register
+
+# DuckDB fragments shared by the text oracles (whitespace tokens of the
+# lowercased text, empty strings removed — mirrors text.tokens_expr).
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_SQL_NORM}) AS digest,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+    headline=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: shuffle on a 16-byte digest, never on document bodies."""
+    return exact_dedup_report(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_SQL_NORM}) AS fp_md5,
+           sha256({_SQL_NORM}) AS fp_sha256
+    FROM documents
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_documents(load(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", "fp_md5", "fp_sha256"
+    )
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(__toks) - 2, 0) + 1), "
+    "i -> array_to_string(__toks[i:i+2], ' ')))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS __toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS sh FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+    """,
+    # Correctness-only: exact pairwise Jaccard is inherently quadratic; the
+    # benchmarked (scale-path) dedup operator is dedup_minhash_lsh.
+    headline=False,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by language — the
+    quadratic cost stays inside blocks. At real scale the MinHash-LSH
+    variant generates candidates; this is the precise verifier."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs with exact Jaccard verify.
+
+    Not SQL-expressible compactly (seeded xxhash64 banding) -> rows-only
+    check; the exact-Jaccard verification step bounds false positives at 0,
+    and dedup_ngram_jaccard oracle-checks the underlying similarity math.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT) AS stat_chars,
+           CAST(len({_SQL_TOKS}) AS INT) AS stat_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS stat_bpe_tokens,
+           CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+             / GREATEST(len({_SQL_TOKS}), 1) AS stat_avg_token_len
+    FROM documents
+    """,
+    headline=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_text_stats(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "stat_chars", "stat_tokens", "stat_bpe_tokens", "stat_avg_token_len"
+    )
+
+
+def _lang_counts_sql() -> tuple[str, str]:
+    counts = []
+    for lang, words in STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        counts.append(
+            f"len(list_filter({_SQL_TOKS}, t -> list_contains([{lit}], t))) AS c_{lang}"
+        )
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in STOPWORDS
+    ) + " END"
+    return ", ".join(counts), case
+
+
+_COUNTS, _CASE = _lang_counts_sql()
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, {_COUNTS} FROM documents
+    ), b AS (
+      SELECT doc_id, c_en, c_de, c_fr, c_es,
+             GREATEST(c_en, c_de, c_fr, c_es) AS best FROM c
+    )
+    SELECT doc_id, {_CASE} AS pred_lang FROM b
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic (argmax, fixed tie order)."""
+    return with_language_id(load(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_SQL_TOKS}) AS toks,
+             CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+               / GREATEST(len({_SQL_TOKS}), 1) AS avg_len,
+             CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS punct_ratio,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) AS digit_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(((toks >= 5 AND toks <= 100000)::INT
+                 + (avg_len >= 2.0 AND avg_len <= 12.0)::INT
+                 + (punct_ratio <= 0.2)::INT
+                 + (digit_ratio <= 0.3)::INT) AS DOUBLE) / 4.0 AS quality_score,
+           (CAST(((toks >= 5 AND toks <= 100000)::INT
+                 + (avg_len >= 2.0 AND avg_len <= 12.0)::INT
+                 + (punct_ratio <= 0.2)::INT
+                 + (digit_ratio <= 0.3)::INT) AS DOUBLE) / 4.0 >= 0.75) AS quality_keep
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score", "quality_keep"
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(CAST(LENGTH(text) AS BIGINT)) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "similarity_cosine_top3",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.emb, c.emb)
+               / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+      FROM v p JOIN v c ON p.vec_id < 100 AND p.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank,
+             cosine
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= 3
+    """,
+    headline=True,
+)
+def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for a 100-probe set: broadcast the
+    probes, stream the corpus (map-only), window per probe."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 100)
+    out = cosine_top_k(emb, probes, "vec_id", "embedding", k=3)
+    return out.select(
+        "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+@register("similarity_ann_lsh", oracle=None)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: exact ranking within random-hyperplane LSH buckets."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_top_k_lsh(emb, "vec_id", "embedding", k=3, num_planes=6)
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: documents wrapped as binary payloads, decoded
+    via Arrow-batched mapInPandas (stubbed kernel, real distribution)."""
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    return decode_media(media).select("media_id", "byte_len", "sha256")

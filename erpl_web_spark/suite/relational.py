@@ -1,0 +1,795 @@
+"""Relational surface conformance suite (SURVEY.md §2.F).
+
+The reference delegates all relational execution to its host engine; our
+host is Spark SQL. Each query here is a DataFrame program whose physical
+plan Catalyst owns (broadcast vs shuffle joins, partial aggregation,
+TakeOrderedAndProject top-k, AQE), with a DuckDB oracle proving the
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erpl_web_spark.operators.relational import asof_join, top_k
+from erpl_web_spark.suite import load, register
+
+
+def dsum(col: Column, prec: int = 18, scale: int = 2) -> Column:
+    """Order-independent float sum: accumulate as decimal, emit double."""
+    return F.sum(col.cast(f"decimal({prec},{scale})")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-shuffle partial-aggregated group-by."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price, scale=4).alias("sum_disc_price"),
+        dsum(charge, scale=6).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_avg_int",
+    oracle="""
+    SELECT event_type,
+           CAST(AVG(user_id) AS DOUBLE) AS avg_user,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_avg_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.avg("user_id").cast("double").alias("avg_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family
+# --------------------------------------------------------------------------
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    l = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join: big fact joins shuffle on keys, dims broadcast."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                    AND o_totalprice > 200000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                        AND o_totalprice > 200000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            F.col("c.n_cust").alias("n_cust"),
+            F.col("s.n_supp").alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_theta_pairs",
+    oracle="""
+    SELECT p1.p_brand AS brand, COUNT(*) AS n_pairs
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+    GROUP BY p1.p_brand
+    """,
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join: equi key (brand) carries the shuffle, the range
+    predicate rides along — never a cartesian product."""
+    p1 = load(spark, sf_dir, "part").alias("p1")
+    p2 = load(spark, sf_dir, "part").alias("p2")
+    return (
+        p1.join(
+            p2,
+            (F.col("p1.p_brand") == F.col("p2.p_brand"))
+            & (F.col("p1.p_size") < F.col("p2.p_size")),
+        )
+        .groupBy(F.col("p1.p_brand").alias("brand"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           MAX(c.ts) AS last_click_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    headline=True,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest click <= purchase ts per user) via the
+    union+window operator — one shuffle, no range-join explosion. The
+    oracle states the same semantics as a (quadratic) range join + MAX."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+    )
+    return out.select("event_id", "user_id", "ts", F.col("click_ts").alias("last_click_ts"))
+
+
+# --------------------------------------------------------------------------
+# Window family
+# --------------------------------------------------------------------------
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+             CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderstatus) AS INT) AS status_rank
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    headline=True,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_dr = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rn).alias("rn"),
+            F.dense_rank().over(w_dr).alias("status_rank"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER w AS delta_prev,
+           LEAD(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "window_moving_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+    FROM events
+    """,
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w3 = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w3).cast("double").alias("mov_sum3"),
+        F.count("*").over(wrun).alias("running_n"),
+    )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events)
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — interval arithmetic keeps it independent
+    of session timezone (NTZ-safe)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap <= F.expr("INTERVAL 30 MINUTES"), 0).otherwise(1).alias("new_session"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / set ops / distinct
+# --------------------------------------------------------------------------
+
+@register(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        25,
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT DISTINCT (set semantics), unlike exceptAll.
+    return c.subtract(s)
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTR(c_name, 1, 9) AS name_prefix,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           TRIM(c_name) AS name_trim,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_repl,
+           (c_mktsegment LIKE '%ING%') AS is_ing,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_num
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("", F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_repl"),
+        F.col("c_mktsegment").like("%ING%").alias("is_ing"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_num"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           STRFTIME(o_orderdate, '%Y-%m') AS order_ym,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_disc,
+           CAST(CEIL(l_extendedprice) AS DOUBLE) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS DOUBLE) AS price_floor,
+           ROUND(l_extendedprice, 1) AS price_round,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS dim,
+           embedding[1] AS first_comp,
+           embedding[64] AS last_comp,
+           CAST(GREATEST(list_max(embedding), 0) AS FLOAT) AS max_pos,
+           embedding[1:4] AS head4
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_comp"),
+        F.element_at("embedding", 64).alias("last_comp"),
+        F.greatest(F.array_max("embedding"), F.lit(0).cast("float")).alias("max_pos"),
+        F.slice("embedding", 1, 4).alias("head4"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           (CAST(json_extract_string(props, '$.k') AS INT) > 50) AS k_high
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("k_val"), (k > 50).alias("k_high"))
+
+
+# --------------------------------------------------------------------------
+# OData-shaped queries (pushdown surface over local tables)
+# --------------------------------------------------------------------------
+
+@register(
+    "odata_select_filter_top",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def odata_select_filter_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's $select/$filter/$top contract (SURVEY.md §2.C) over
+    a local table: Catalyst pushes the filter+projection into the scan."""
+    c = load(spark, sf_dir, "customer")
+    return top_k(
+        c.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000)).select(
+            "c_custkey", "c_name", "c_acctbal"
+        ),
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        20,
+    )
+
+
+@register(
+    "odata_expand_nested",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def odata_expand_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$expand contract (SURVEY.md §2.D4): child rows nested as a sorted
+    array per parent — the aggregation shape behind expand_entity."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "cdc_delta_batch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, MAX(event_id) AS new_token
+    FROM events WHERE event_id > 500
+    GROUP BY event_type
+    """,
+)
+def cdc_delta_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODP-style delta fetch (SURVEY.md §2.I): rows past the stored delta
+    token, plus the next token (max cursor) the subscription would commit."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_id") > 500)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.max("event_id").alias("new_token"))
+    )
