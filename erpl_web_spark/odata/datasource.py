@@ -1,0 +1,266 @@
+"""``spark.read.format("odata")`` — Python Data Source for OData v2/v4.
+
+Maps the reference's scan lifecycle (SURVEY.md §3.1) onto the Spark
+Python Data Source API:
+
+- bind      -> ``ODataDataSource.schema()``: probe + EDMX -> StructType
+               (driver-side, metadata cached per service URL);
+- optimize  -> Catalyst calls ``pushFilters`` (supported predicates
+               become ``$filter``; the residual list is re-applied by
+               Spark — same belt-and-suspenders as the reference host);
+- init      -> ``partitions()``: one partition per page chain by default
+               (server-friendly, reference parity); optional
+               ``parallelism=N`` splits by ``$skip`` ranges when the
+               server reports ``$count`` — a documented improvement over
+               the reference's single-stream scan;
+- execute   -> ``read(partition)``: generator following next-page links,
+               decoding JSON rows to typed tuples (executor-side).
+
+Read options: ``url`` (required), ``select``, ``top``, ``skip``,
+``expand``, ``count``, ``parallelism``, ``secret`` (name in the
+driver-side registry; resolved to auth headers at planning time and
+shipped to executors), ``infer`` = metadata|sample.
+
+Usage::
+
+    spark.dataSource.register(ODataDataSource)
+    df = (spark.read.format("odata")
+          .option("url", "https://host/svc/Customers")
+          .load()
+          .filter("Country = 'Germany'")
+          .select("CustomerID", "CompanyName"))
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from erpl_web_spark.core.http import HttpClient
+from erpl_web_spark.core.secrets import default_registry
+from erpl_web_spark.odata.client import ODataClient
+from erpl_web_spark.odata.edm import EdmModel
+from erpl_web_spark.odata.expand import parse_expand
+from erpl_web_spark.odata.filters import translate_filters
+from erpl_web_spark.odata.json_decode import decode_rows, next_link, total_count
+from erpl_web_spark.odata.query_builder import ODataQueryBuilder
+from erpl_web_spark.core.url import HttpUrl
+
+from pyspark.sql.types import StringType, StructField
+
+
+class ODataDataSource(DataSource):
+    """Entity-set scan as a Spark table (reference: odata_read, A4)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "odata"
+
+    def _auth_headers(self) -> dict[str, str]:
+        # Inline options first (work on any cluster topology) ...
+        auth_type = self.options.get("auth_type")
+        if auth_type == "bearer" or "token" in self.options:
+            return {"Authorization": f"Bearer {self.options.get('token', '')}"}
+        if auth_type == "basic" or "username" in self.options:
+            import base64
+
+            cred = f"{self.options.get('username', '')}:{self.options.get('password', '')}"
+            return {"Authorization": "Basic " + base64.b64encode(cred.encode()).decode()}
+        # ... then the (file-backed) secret registry: by name, else by
+        # URL-scope longest-prefix match.
+        url = self.options.get("url", "")
+        secret_name = self.options.get("secret")
+        if secret_name:
+            s = default_registry.get(secret_name)
+            if s is not None:
+                return s.auth_headers()
+        return default_registry.auth_headers_for_url(url)
+
+    def _client(self) -> ODataClient:
+        return ODataClient(
+            self.options["url"], HttpClient(auth_headers=self._auth_headers())
+        )
+
+    def schema(self) -> StructType:
+        client = self._client()
+        expand_opt = self.options.get("expand")
+        expand = [e.path for e in parse_expand(expand_opt)] if expand_opt else None
+        infer = self.options.get("infer", "metadata")
+        if infer != "sample":
+            try:
+                model = client.get_model()
+                full = model.schema_for_entity_set(client.entity_set_name(), expand=expand)
+                select = self.options.get("select")
+                if select:
+                    keep = [s.strip().split("/")[0] for s in select.split(",")]
+                    fields = [f for f in full.fields if f.name in keep]
+                else:
+                    fields = list(full.fields)
+                # Scan schemas are always nullable: the server may omit any
+                # field and the decoder maps missing/invalid -> NULL
+                # (reference odata_content.cpp:1149-1160).
+                return StructType(
+                    [StructField(f.name, f.dataType, True) for f in fields]
+                )
+            except Exception:
+                pass  # fall through to first-row inference
+        # Sample inference: first data row's keys become string columns
+        # (reference odata_read_functions.cpp:107-121).
+        doc = client.probe()
+        from erpl_web_spark.odata.json_decode import extract_rows_payload
+
+        rows = extract_rows_payload(doc)
+        if not rows:
+            raise RuntimeError(
+                f"cannot infer schema: no metadata and no rows at {self.options['url']}"
+            )
+        first = rows[0]
+        return StructType(
+            [
+                StructField(k, StringType(), True)
+                for k in first
+                if k not in ("__metadata", "__deferred")
+            ]
+        )
+
+    def reader(self, schema: StructType) -> "ODataReader":
+        client = self._client()
+        try:
+            version = client.version
+        except Exception:
+            version = 4
+        return ODataReader(
+            url=self.options["url"],
+            schema=schema,
+            version=version,
+            auth_headers=self._auth_headers(),
+            select=self.options.get("select"),
+            top=_int_opt(self.options, "top"),
+            skip=_int_opt(self.options, "skip"),
+            expand=self.options.get("expand"),
+            count=self.options.get("count", "false").lower() == "true",
+            parallelism=_int_opt(self.options, "parallelism") or 1,
+        )
+
+
+def _int_opt(options, key: str) -> int | None:
+    v = options.get(key)
+    return int(v) if v is not None else None
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, index: int, skip: int | None, top: int | None):
+        self.index = index
+        self.skip = skip
+        self.top = top
+
+
+class ODataReader(DataSourceReader):
+    def __init__(
+        self,
+        url: str,
+        schema: StructType,
+        version: int,
+        auth_headers: dict[str, str],
+        select: str | None,
+        top: int | None,
+        skip: int | None,
+        expand: str | None,
+        count: bool,
+        parallelism: int,
+    ):
+        self._url = url
+        self._schema = schema
+        self._version = version
+        self._auth = auth_headers
+        self._select = [s.strip() for s in select.split(",")] if select else []
+        self._top = top
+        self._skip = skip
+        self._expand = [e.path for e in parse_expand(expand)] if expand else []
+        self._count = count
+        self._parallelism = max(1, parallelism)
+        self._filter_expr: str | None = None
+
+    # -- pushdown ----------------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        expr, _pushed, residual = translate_filters(list(filters), self._version)
+        self._filter_expr = expr
+        return iter(residual)
+
+    # -- partition planning ------------------------------------------------
+
+    def _build_url(self, top: int | None = None, skip: int | None = None, count=False) -> str:
+        # all_columns=[] disables the "skip $select when everything is
+        # selected" rule: an explicit user select option is always sent
+        # (the skip rule targets engine-driven pruning, where the pruned
+        # set routinely equals the full column list).
+        qb = ODataQueryBuilder(
+            base_url=self._url,
+            odata_version=self._version,
+            select=self._select,
+            all_columns=[],
+            filter_expr=self._filter_expr,
+            top=top if top is not None else self._top,
+            skip=skip if skip is not None else self._skip,
+            expand=self._expand,
+            count=count or self._count,
+        )
+        return qb.build()
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if self._parallelism <= 1:
+            return [_PagePartition(0, None, None)]
+        # Range partitioning over $skip when the server reports a total
+        # count — opt-in (can overload servers; off by default).
+        http = HttpClient(auth_headers=self._auth)
+        probe_url = self._build_url(top=0, count=True)
+        try:
+            doc = http.get(probe_url, headers={"Accept": "application/json"}).json()
+            total = total_count(doc)
+        except Exception:
+            total = None
+        if not total:
+            return [_PagePartition(0, None, None)]
+        base_skip = self._skip or 0
+        limit = self._top if self._top is not None else max(total - base_skip, 0)
+        n = min(self._parallelism, max(1, limit))
+        chunk = (limit + n - 1) // n
+        return [
+            _PagePartition(i, base_skip + i * chunk, min(chunk, limit - i * chunk))
+            for i in range(n)
+            if i * chunk < limit
+        ]
+
+    # -- execution (runs on executors) ------------------------------------
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        http = HttpClient(auth_headers=self._auth)
+        url = self._build_url(top=partition.top, skip=partition.skip)
+        remaining = partition.top if partition.top is not None else self._top
+        while url:
+            resp = http.get(url, headers={"Accept": "application/json"})
+            if resp.status >= 400:
+                raise RuntimeError(f"HTTP {resp.status} fetching {url}")
+            doc = resp.json()
+            rows = decode_rows(doc, self._schema)
+            for row in rows:
+                if remaining is not None:
+                    if remaining <= 0:
+                        return
+                    remaining -= 1
+                yield row
+            link = next_link(doc)
+            url = HttpUrl.parse(url).resolve(link).to_string() if link else None
+
+
+def register(spark) -> None:
+    """Register all custom data sources on a SparkSession."""
+    spark.dataSource.register(ODataDataSource)

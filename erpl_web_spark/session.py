@@ -26,6 +26,9 @@ _TUNED_CONF = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     # Broadcast joins for small dims; AQE also converts at runtime.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Python Data Source filter pushdown (our OData connector translates
+    # pushed filters into server-side $filter).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Deterministic, DuckDB-comparable timestamp semantics.
     "spark.sql.session.timeZone": "UTC",
     # Parquet TIMESTAMP(NANOS) columns (events.ts) read as long nanos;

@@ -1,0 +1,78 @@
+from erpl_web_spark.core.http import BINARY_PREFIX, HttpClient, RetryConfig
+
+
+def client(**kw):
+    return HttpClient(retry=RetryConfig(wait_ms=10), **kw)
+
+
+def test_retry_on_429_then_success(fixture_server):
+    c = client()
+    resp = c.get(fixture_server.base_url + "/http/flaky")
+    assert resp.status == 200
+    assert resp.json()["attempts"] == 3  # two 429s then success
+
+
+def test_redirect_chain_followed(fixture_server):
+    c = client()
+    resp = c.get(fixture_server.base_url + "/http/redirect/3")
+    assert resp.status == 200
+    assert resp.json()["path"] == "/http/echo"
+
+
+def test_redirect_limit(fixture_server):
+    c = HttpClient(retry=RetryConfig(wait_ms=10, max_redirects=2))
+    try:
+        c.get(fixture_server.base_url + "/http/redirect/5")
+        assert False, "expected redirect-limit error"
+    except RuntimeError as e:
+        assert "redirect limit" in str(e)
+
+
+def test_cross_origin_redirect_strips_auth(fixture_server):
+    # Request via localhost; server redirects to 127.0.0.1 -> different
+    # origin by hostname -> Authorization must be stripped.
+    port = fixture_server.base_url.rsplit(":", 1)[1]
+    c = client(auth_headers={"Authorization": "Bearer secret"})
+    resp = c.get(f"http://localhost:{port}/http/redirect-cross")
+    assert resp.status == 200
+    headers = resp.json()["headers"]
+    assert "Authorization" not in headers
+
+
+def test_same_origin_redirect_keeps_auth(fixture_server):
+    c = client(auth_headers={"Authorization": "Bearer secret"})
+    resp = c.get(fixture_server.base_url + "/http/redirect/1")
+    assert resp.json()["headers"].get("Authorization") == "Bearer secret"
+
+
+def test_charset_iso_8859_1(fixture_server):
+    resp = client().get(fixture_server.base_url + "/http/latin1")
+    assert resp.text == "Grüße, café"
+
+
+def test_binary_content_base64_prefix(fixture_server):
+    resp = client().get(fixture_server.base_url + "/http/binary")
+    assert resp.text.startswith(BINARY_PREFIX)
+    import base64
+
+    raw = base64.b64decode(resp.text[len(BINARY_PREFIX):])
+    assert raw.startswith(b"\x89PNG")
+
+
+def test_response_cache(fixture_server):
+    c = client(cache_responses=True)
+    url = fixture_server.base_url + "/http/echo?x=1"
+    before = len(fixture_server.state.requests_for("/http/echo"))
+    c.get(url)
+    c.get(url)
+    after = len(fixture_server.state.requests_for("/http/echo"))
+    assert after == before + 1  # second hit served from cache
+
+
+def test_post_roundtrip(fixture_server):
+    resp = client().request(
+        "POST", fixture_server.base_url + "/http/echo",
+        body='{"a": 1}', content_type="application/json",
+    )
+    assert resp.status == 201
+    assert resp.json()["received"] == '{"a": 1}'

@@ -1,0 +1,149 @@
+"""End-to-end Python Data Source tests against the local fixture server.
+
+The flagship slice from SURVEY.md §7.3: probe -> EDMX -> type mapping ->
+pushdown -> pagination -> decoding, with $filter/$select/$top observable
+in the fixture server's request log.
+"""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from erpl_web_spark.odata.datasource import ODataDataSource
+
+    spark.dataSource.register(ODataDataSource)
+    return spark
+
+
+def read_people(registered, fixture_server, **options):
+    reader = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v4/People")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_v4_schema_from_edmx(registered, fixture_server):
+    df = read_people(registered, fixture_server)
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert types["UserName"] == "string"
+    assert types["Age"] == "bigint"
+    assert types["Balance"] == "decimal(19,4)"
+    assert types["Active"] == "boolean"
+    assert types["Joined"] == "timestamp"
+    assert types["Emails"] == "array<string>"
+    assert types["HomeAddress"].startswith("struct<Street:string,City:struct<")
+
+
+def test_v4_full_scan_pagination(registered, fixture_server):
+    df = read_people(registered, fixture_server)
+    rows = df.collect()
+    assert len(rows) == 10  # 10 people, page size 3 -> 4 pages followed
+    byname = {r["UserName"]: r for r in rows}
+    assert byname["user2"]["Age"] == 22
+    assert byname["user2"]["Balance"] == Decimal("102.5000")
+    assert byname["user2"]["Emails"] == ["user2@a.example", "user2@b.example"]
+    assert byname["user2"]["HomeAddress"]["City"]["Name"] == "Rome"
+    assert byname["user2"]["Joined"] == dt.datetime(2023, 3, 15, 10, 30)
+
+
+def test_filter_pushdown_reaches_server(registered, fixture_server):
+    fixture_server.state.log.clear()
+    df = read_people(registered, fixture_server).filter(
+        (F.col("Age") > 24) & (F.col("Active") == True)  # noqa: E712
+    )
+    rows = df.collect()
+    assert {r["UserName"] for r in rows} == {"user6", "user8"}
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert any(
+        "$filter" in r["query"] and "Age gt 24" in r["query"]["$filter"]
+        and "Active eq true" in r["query"]["$filter"]
+        for r in reqs
+    ), f"no pushed $filter seen: {[r['query'] for r in reqs]}"
+
+
+def test_select_option_pushdown(registered, fixture_server):
+    fixture_server.state.log.clear()
+    df = read_people(registered, fixture_server, select="UserName,Age")
+    out = df.select("UserName", "Age").collect()
+    assert len(out) == 10
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert any(r["query"].get("$select") == "UserName,Age" for r in reqs)
+
+
+def test_top_option_limits_rows(registered, fixture_server):
+    df = read_people(registered, fixture_server, top="4")
+    assert df.count() == 4
+
+
+def test_residual_filter_reapplied(registered, fixture_server):
+    # Empty-string equality is NOT pushed (reference skip rule); Spark must
+    # still apply it locally => 0 rows. (Spark also pushes an implicit
+    # IsNotNull, which legitimately becomes 'ne null' — only the
+    # empty-string comparison must stay out of $filter.)
+    fixture_server.state.log.clear()
+    df = read_people(registered, fixture_server).filter(F.col("UserName") == "")
+    assert df.count() == 0
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert all("eq ''" not in r["query"].get("$filter", "") for r in reqs)
+
+
+def test_parallel_partitions_by_skip_range(registered, fixture_server):
+    df = read_people(registered, fixture_server, parallelism="3")
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 10
+    assert len({r["UserName"] for r in rows}) == 10  # no dup/loss across ranges
+
+
+def test_v2_customers_with_legacy_dates(registered, fixture_server):
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v2/Customers")
+        .load()
+    )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {
+        "CustomerID": "string", "CompanyName": "string",
+        "Country": "string", "Founded": "timestamp",
+    }
+    rows = df.collect()
+    assert len(rows) == 8
+    c3 = next(r for r in rows if r["CustomerID"] == "C003")
+    assert "Söhne" in c3["CompanyName"]
+    # /Date(ms)/ decoding, truncated to seconds
+    assert c3["Founded"] == dt.datetime(2001, 9, 12, 1, 46, 40)
+
+
+def test_v2_filter_pushdown(registered, fixture_server):
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v2/Customers")
+        .load()
+        .filter(F.col("Country") == "Germany")
+    )
+    rows = df.collect()
+    assert {r["CustomerID"] for r in rows} == {"C000", "C003", "C005"}
+    reqs = [r for r in fixture_server.state.requests_for("/v2/Customers") if r["query"]]
+    assert any("Country eq 'Germany'" in r["query"].get("$filter", "") for r in reqs)
+
+
+def test_sample_inference_fallback(registered, fixture_server):
+    # Force first-row inference: no metadata use -> all string columns.
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v2/Customers")
+        .option("infer", "sample")
+        .load()
+    )
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+    assert "__metadata" not in df.columns
