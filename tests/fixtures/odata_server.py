@@ -186,10 +186,44 @@ def _apply_filter(rows: list[dict], expr: str) -> list[dict]:
     return out
 
 
+EDMX_ODP = """<?xml version="1.0" encoding="utf-8"?>
+<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+  <edmx:DataServices>
+    <Schema Namespace="ODP" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      <EntityType Name="Fact">
+        <Key><PropertyRef Name="FactID"/></Key>
+        <Property Name="FactID" Type="Edm.Int32" Nullable="false"/>
+        <Property Name="CALMONTH" Type="Edm.String" MaxLength="6"/>
+        <Property Name="Amount" Type="Edm.Decimal" Precision="33" Scale="2"/>
+      </EntityType>
+      <EntityContainer Name="C">
+        <EntitySet Name="Facts" EntityType="ODP.Fact"/>
+      </EntityContainer>
+    </Schema>
+  </edmx:DataServices>
+</edmx:Edmx>
+"""
+
+ODP_INITIAL = [
+    {"FactID": i, "CALMONTH": f"2024{(i % 3) + 1:02d}", "Amount": f"{100 + i}.25"}
+    for i in range(7)
+]
+ODP_DELTAS = {
+    "T1": [{"FactID": 100, "CALMONTH": "202404", "Amount": "999.99"},
+            {"FactID": 101, "CALMONTH": "202404", "Amount": "888.88"}],
+    "T2": [{"FactID": 102, "CALMONTH": "202405", "Amount": "777.77"}],
+    "T3": [],
+}
+ODP_TOKEN_CHAIN = {"T1": "T2", "T2": "T3", "T3": "T3"}
+
+
 class FixtureState:
     def __init__(self) -> None:
         self.log: list[dict] = []
         self.flaky_counts: dict[str, int] = {}
+        # Delta Sharing: tests drop parquet files and register their URLs +
+        # the table's Spark-schema JSON string here.
+        self.delta_tables: dict[str, dict] = {}
 
     def requests_for(self, path_prefix: str) -> list[dict]:
         return [r for r in self.log if r["path"].startswith(path_prefix)]
@@ -279,6 +313,22 @@ def _make_handler(state: FixtureState):
             if route == "/http/notfound":
                 return self._send(404, b"nope", "text/plain")
 
+            # ---- ODP CDC --------------------------------------------------
+            if route == "/odp/$metadata":
+                return self._send(200, EDMX_ODP.encode(), "application/xml")
+            if route == "/odp/Facts":
+                return self._serve_odp(q)
+
+            # ---- Delta Sharing (REST catalog; GET parts) ------------------
+            if route == "/delta/shares":
+                return self._json(200, {"items": [{"name": "share1"}]})
+            if route == "/delta/shares/share1/schemas":
+                return self._json(200, {"items": [{"name": "default"}]})
+            if route == "/delta/shares/share1/schemas/default/tables":
+                return self._json(200, {
+                    "items": [{"name": n} for n in sorted(state.delta_tables)]
+                })
+
             return self._send(404, b"unknown route", "text/plain")
 
         do_HEAD = do_GET
@@ -294,11 +344,61 @@ def _make_handler(state: FixtureState):
             })
             if parts.path == "/http/echo":
                 return self._json(201, {"received": body.decode("utf-8", "replace")})
+            # Delta Sharing query endpoint -> NDJSON (protocol, metaData, files)
+            m = re.match(r"^/delta/shares/share1/schemas/default/tables/(\w+)/query$",
+                         parts.path)
+            if m:
+                t = state.delta_tables.get(m.group(1))
+                if t is None:
+                    return self._send(404, b"no such table", "text/plain")
+                lines = [
+                    json.dumps({"protocol": {"minReaderVersion": 1}}),
+                    json.dumps({"metaData": {"id": "m1", "schemaString": t["schema"],
+                                              "format": {"provider": "parquet"}}}),
+                ]
+                for i, url in enumerate(t["files"]):
+                    lines.append(json.dumps({"file": {"id": f"f{i}", "url": url,
+                                                        "size": 1}}))
+                return self._send(200, "\n".join(lines).encode(),
+                                  "application/x-ndjson")
             return self._send(404, b"unknown route", "text/plain")
 
         do_PUT = do_POST
         do_PATCH = do_POST
         do_DELETE = do_POST
+
+        def _serve_odp(self, q: dict):
+            """ODP emulation: initial load (paged) with track-changes ->
+            delta link on last page; delta fetches advance T1->T2->T3."""
+            token = q.get("!deltatoken") or None
+            # delta-URL style: /odp/Facts?!deltatoken='T1'
+            for k in q:
+                m = re.match(r"^!deltatoken$", k)
+                if m:
+                    token = q[k].strip("'")
+            if token:
+                if token not in ODP_DELTAS:
+                    return self._send(410, b"token expired", "text/plain")
+                nxt = ODP_TOKEN_CHAIN[token]
+                doc = {
+                    "@odata.context": "/odp/$metadata",
+                    "value": ODP_DELTAS[token],
+                    "@odata.deltaLink": f"/odp/Facts?!deltatoken='{nxt}'",
+                }
+                return self._json(200, doc, {"OData-Version": "4.0"})
+            # initial load: page of 4 then rest + deltaLink
+            prefer = self.headers.get("Prefer", "")
+            skip = int(q.get("$skip", 0))
+            page = ODP_INITIAL[skip:skip + 4]
+            doc = {"@odata.context": "/odp/$metadata", "value": page}
+            extra = {"OData-Version": "4.0"}
+            if "track-changes" in prefer or skip > 0:
+                extra["Preference-Applied"] = "odata.track-changes"
+            if skip + 4 < len(ODP_INITIAL):
+                doc["@odata.nextLink"] = f"/odp/Facts?$skip={skip + 4}"
+            else:
+                doc["@odata.deltaLink"] = "/odp/Facts?!deltatoken='T1'"
+            return self._json(200, doc, extra)
 
         # -- OData serving helpers ------------------------------------------
 

@@ -1,0 +1,227 @@
+"""Tests for HTTP table functions, describe/attach, Delta Sharing, ODP CDC."""
+
+import json
+import os
+from decimal import Decimal
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# -- http_* table functions -------------------------------------------------
+
+def test_http_get_single_row(spark, fixture_server):
+    from erpl_web_spark.sources.http_ds import http_get
+
+    df = http_get(spark, fixture_server.base_url + "/http/echo?a=1")
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["method"] == "GET"
+    assert r["status"] == 200
+    assert r["content_type"].startswith("application/json")
+    assert json.loads(r["content"])["query"] == {"a": "1"}
+    assert r["headers"]["Content-Type"].startswith("application/json")
+
+
+def test_http_post_body(spark, fixture_server):
+    from erpl_web_spark.sources.http_ds import http_post
+
+    df = http_post(spark, fixture_server.base_url + "/http/echo", body='{"x": 2}')
+    r = df.collect()[0]
+    assert r["status"] == 201
+    assert json.loads(r["content"])["received"] == '{"x": 2}'
+
+
+def test_http_call_bulk_fanout(spark, fixture_server):
+    from erpl_web_spark.sources.http_ds import http_call
+
+    urls = [(i, f"{fixture_server.base_url}/http/echo?i={i}") for i in range(6)]
+    df = spark.createDataFrame(urls, "id int, url string").repartition(3)
+    out = http_call(df, url_col="url", keep_cols=["id"])
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["status"] == 200
+        assert json.loads(r["content"])["query"]["i"] == str(r["id"])
+
+
+# -- odata_describe / attach ------------------------------------------------
+
+def test_odata_describe_entity_set(spark, fixture_server):
+    from erpl_web_spark.odata.describe import odata_describe
+
+    row = odata_describe(spark, fixture_server.base_url + "/v4/People").collect()[0]
+    assert row["resource_type"] == "entity_set"
+    assert row["entity_set_name"] == "People"
+    assert row["entity_type_name"] == "Fixture.Person"
+    prop_names = [p["name"] for p in row["properties"]]
+    assert "UserName" in prop_names and "Balance" in prop_names
+    nav = [n["name"] for n in row["navigation_properties"]]
+    assert nav == ["Orders"]
+
+
+def test_odata_describe_service_root(spark, fixture_server):
+    from erpl_web_spark.odata.describe import odata_describe
+
+    row = odata_describe(spark, fixture_server.base_url + "/v4/").collect()[0]
+    assert row["resource_type"] == "service_root"
+    sets = {s["name"] for s in row["entity_sets"]}
+    assert sets == {"People", "Orders"}
+
+
+def test_attach_odata_views(spark, fixture_server):
+    from erpl_web_spark.odata.attach import attach_odata, detach_odata
+
+    views = attach_odata(spark, fixture_server.base_url + "/v4", "fx")
+    assert set(views) == {"fx_People", "fx_Orders"}
+    n = spark.sql("SELECT COUNT(*) AS n FROM fx_People WHERE Age > 24").collect()[0]["n"]
+    assert n == 5
+    joined = spark.sql(
+        """SELECT p.UserName, COUNT(o.OrderID) AS n
+           FROM fx_People p JOIN fx_Orders o ON p.UserName = o.UserName
+           GROUP BY p.UserName ORDER BY p.UserName"""
+    ).collect()
+    assert len(joined) == 5  # user0..user4 have orders
+    detach_odata(spark, "fx", views)
+
+
+# -- Delta Sharing ----------------------------------------------------------
+
+@pytest.fixture()
+def delta_table(spark, fixture_server, tmp_path):
+    pdir = tmp_path / "dstab"
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)], "id long, name string, v double"
+    ).repartition(2).write.parquet(str(pdir))
+    files = [
+        "file://" + os.path.join(str(pdir), f)
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    ]
+    schema_json = spark.createDataFrame([], "id long, name string, v double").schema.json()
+    fixture_server.state.delta_tables["tab1"] = {"schema": schema_json, "files": files}
+    yield "tab1"
+    fixture_server.state.delta_tables.clear()
+
+
+def test_delta_share_catalog_and_scan(spark, fixture_server, tmp_path, delta_table):
+    from erpl_web_spark.sources.delta_share import (
+        DeltaShareProfile,
+        delta_share_scan,
+        delta_share_show,
+    )
+
+    profile_path = tmp_path / "profile.json"
+    profile_path.write_text(json.dumps({
+        "shareCredentialsVersion": 1,
+        "endpoint": fixture_server.base_url + "/delta",
+        "bearerToken": "dstok",
+    }))
+    prof = DeltaShareProfile.load(str(profile_path))
+    assert prof.bearer_token == "dstok"
+
+    cat = delta_share_show(spark, prof).collect()
+    assert [(r["share"], r["schema"], r["table"]) for r in cat] == [
+        ("share1", "default", "tab1")
+    ]
+
+    df = delta_share_scan(spark, prof, "share1", "default", "tab1")
+    assert df.schema.simpleString() == "struct<id:bigint,name:string,v:double>"
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # bearer token reached the sharing server
+    auths = {r["headers"].get("Authorization") for r in
+             fixture_server.state.requests_for("/delta/")}
+    assert auths == {"Bearer dstok"}
+
+
+# -- ODP CDC ----------------------------------------------------------------
+
+@pytest.fixture()
+def odp_state(tmp_path):
+    return str(tmp_path / "odp-state")
+
+
+def test_odp_initial_then_delta(spark, fixture_server, odp_state):
+    from erpl_web_spark.sources.odp import odp_read, odp_list_subscriptions
+
+    url = fixture_server.base_url + "/odp/Facts"
+    # 1) initial load: 7 rows over 2 pages, token committed after last page
+    df1 = odp_read(spark, url, state_dir=odp_state)
+    assert df1.count() == 7
+    assert df1.schema.simpleString() == (
+        "struct<FactID:int,CALMONTH:string,Amount:decimal(33,2)>"
+    )
+    subs = odp_list_subscriptions(spark, odp_state).collect()
+    assert len(subs) == 1
+    assert subs[0]["delta_token"] == "T1"
+    assert subs[0]["status"] == "ACTIVE"
+    assert subs[0]["preference_applied"] is True
+
+    # 2) delta fetch: T1 -> 2 changed rows, token advances to T2
+    df2 = odp_read(spark, url, state_dir=odp_state)
+    rows = {r["FactID"]: r["Amount"] for r in df2.collect()}
+    assert rows == {100: Decimal("999.99"), 101: Decimal("888.88")}
+    assert odp_list_subscriptions(spark, odp_state).collect()[0]["delta_token"] == "T2"
+
+    # 3) next delta: T2 -> 1 row -> T3; then empty delta stays at T3
+    assert odp_read(spark, url, state_dir=odp_state).count() == 1
+    assert odp_read(spark, url, state_dir=odp_state).count() == 0
+
+    # audit trail recorded every batch
+    with open(os.path.join(odp_state, "audit.jsonl")) as f:
+        audit = [json.loads(line) for line in f]
+    assert [a["phase"] for a in audit] == [
+        "INITIAL_LOAD", "DELTA_FETCH", "DELTA_FETCH", "DELTA_FETCH"
+    ]
+
+
+def test_odp_expired_token_full_reload(spark, fixture_server, odp_state):
+    from erpl_web_spark.sources.odp import OdpSubscriptionRepository, odp_read
+
+    url = fixture_server.base_url + "/odp/Facts"
+    odp_read(spark, url, state_dir=odp_state)  # initial -> T1
+    # Corrupt the stored token to an expired one -> server 410 -> fallback
+    repo = OdpSubscriptionRepository(odp_state)
+    sub = repo.list_all()[0]
+    sub.delta_link = url + "?!deltatoken='GONE'"
+    repo.save(sub)
+    df = odp_read(spark, url, state_dir=odp_state)
+    assert df.count() == 7  # full reload happened
+    assert repo.list_all()[0].delta_token == "T1"  # fresh chain restarted
+
+
+def test_odp_force_full_load(spark, fixture_server, odp_state):
+    from erpl_web_spark.sources.odp import odp_read
+
+    url = fixture_server.base_url + "/odp/Facts"
+    odp_read(spark, url, state_dir=odp_state)
+    df = odp_read(spark, url, force_full_load=True, state_dir=odp_state)
+    assert df.count() == 7
+
+
+def test_odp_streaming_source(spark, fixture_server, odp_state, tmp_path):
+    from erpl_web_spark.streaming.odp_stream import OdpStreamDataSource
+
+    spark.dataSource.register(OdpStreamDataSource)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("odp")
+        .option("url", fixture_server.base_url + "/odp/Facts")
+        .option("state_dir", odp_state)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() >= 7  # initial load (+ maybe first delta)
