@@ -1,0 +1,73 @@
+"""Dynamics 365 Business Central connectors (reference A23,
+src/business_central_functions.cpp, business_central_client.cpp:17-22).
+
+URL conventions: base
+``https://api.businesscentral.dynamics.com/v2.0/{tenant}/{environment}/api/v2.0``
+with company scoping ``/companies({company_id})/{entity}``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from erpl_web_spark.core.http import HttpClient
+from erpl_web_spark.core.secrets import default_registry
+from erpl_web_spark.odata.client import ODataClient
+from erpl_web_spark.odata.datasource import ODataDataSource
+
+DEFAULT_BC_HOST = "https://api.businesscentral.dynamics.com"
+
+
+def bc_base_url(tenant: str, environment: str = "production",
+                host: str = DEFAULT_BC_HOST) -> str:
+    return f"{host}/v2.0/{tenant}/{environment}/api/v2.0"
+
+
+class BusinessCentralClient:
+    def __init__(self, base_url: str, http: HttpClient | None = None):
+        self.base_url = base_url.rstrip("/")
+        self.http = http or HttpClient(
+            auth_headers=default_registry.auth_headers_for_url(self.base_url)
+        )
+
+    def entity_url(self, entity: str, company_id: str | None = None) -> str:
+        if company_id:
+            return f"{self.base_url}/companies({company_id})/{entity}"
+        return f"{self.base_url}/{entity}"
+
+
+def bc_show_companies(spark: SparkSession, client: BusinessCentralClient) -> DataFrame:
+    resp = client.http.get(client.entity_url("companies"),
+                           headers={"Accept": "application/json"})
+    if resp.status >= 400:
+        raise RuntimeError(f"Business Central HTTP {resp.status}")
+    items = resp.json().get("value", [])
+    rows = [(i.get("id"), i.get("name"), i.get("displayName")) for i in items]
+    return spark.createDataFrame(rows, "id string, name string, display_name string")
+
+
+def bc_show_entities(spark: SparkSession, client: BusinessCentralClient) -> DataFrame:
+    """Entity sets from the service EDMX."""
+    model = ODataClient(client.base_url + "/", client.http).get_model()
+    rows = [(name, es.entity_type) for name, es in sorted(model.entity_sets.items())]
+    return spark.createDataFrame(rows, "name string, entity_type string")
+
+
+def bc_read(
+    spark: SparkSession,
+    client: BusinessCentralClient,
+    entity: str,
+    company_id: str | None = None,
+    expand: str | None = None,
+) -> DataFrame:
+    """Entity scan through the odata data source (v4, full pushdown)."""
+    try:
+        spark.dataSource.register(ODataDataSource)
+    except Exception:
+        pass
+    reader = spark.read.format("odata").option(
+        "url", client.entity_url(entity, company_id)
+    )
+    if expand:
+        reader = reader.option("expand", expand)
+    return reader.load()

@@ -1,0 +1,124 @@
+"""SAP Datasphere connectors (reference A10-A12,
+src/datasphere_catalog.cpp, datasphere_read.cpp, datasphere_client.cpp).
+
+URL conventions (datasphere_client.cpp:65-90, 118):
+- tenant base: ``https://{tenant}.{data_center}.hcs.cloud.sap``
+- catalog:     ``{base}/api/v1/dwc/catalog`` (spaces/assets discovery)
+- relational:  ``{base}/api/v1/dwc/consumption/relational/{space}/{asset}``
+- analytical:  ``{base}/api/v1/dwc/consumption/analytical/{space}/{asset}``
+
+Reads go through the ``odata`` data source (full pushdown); the
+analytical endpoint's metrics+dimensions compile into ``$select``
+(datasphere_read.cpp:289-312) — semantically a server-side
+``groupBy(dimensions).agg(sum(metrics))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from erpl_web_spark.core.http import HttpClient
+from erpl_web_spark.core.secrets import default_registry
+from erpl_web_spark.odata.datasource import ODataDataSource
+
+
+def tenant_base_url(tenant: str, data_center: str = "eu10") -> str:
+    return f"https://{tenant}.{data_center}.hcs.cloud.sap"
+
+
+class DatasphereClient:
+    def __init__(self, base_url: str, http: HttpClient | None = None):
+        self.base_url = base_url.rstrip("/")
+        self.http = http or HttpClient(
+            auth_headers=default_registry.auth_headers_for_url(self.base_url)
+        )
+
+    def catalog_url(self, path: str = "") -> str:
+        return f"{self.base_url}/api/v1/dwc/catalog{path}"
+
+    def relational_url(self, space: str, asset: str) -> str:
+        return f"{self.base_url}/api/v1/dwc/consumption/relational/{space}/{asset}"
+
+    def analytical_url(self, space: str, asset: str) -> str:
+        return f"{self.base_url}/api/v1/dwc/consumption/analytical/{space}/{asset}"
+
+    def get_values(self, url: str) -> list[dict]:
+        resp = self.http.get(url, headers={"Accept": "application/json"})
+        if resp.status >= 400:
+            raise RuntimeError(f"Datasphere HTTP {resp.status} from {url}")
+        doc = resp.json()
+        return doc.get("value", doc if isinstance(doc, list) else [])
+
+
+def datasphere_show_spaces(spark: SparkSession, client: DatasphereClient) -> DataFrame:
+    items = client.get_values(client.catalog_url("/spaces"))
+    rows = [(i.get("name"), i.get("label")) for i in items]
+    return spark.createDataFrame(rows, "name string, label string")
+
+
+def datasphere_show_assets(
+    spark: SparkSession, client: DatasphereClient, space: str | None = None
+) -> DataFrame:
+    path = f"/spaces('{space}')/assets" if space else "/assets"
+    items = client.get_values(client.catalog_url(path))
+    rows = [
+        (i.get("name"), i.get("spaceName"), i.get("assetRelationalMetadataUrl") is not None
+         or bool(i.get("supportsRelationalQueries")),
+         i.get("assetAnalyticalMetadataUrl") is not None
+         or bool(i.get("supportsAnalyticalQueries")))
+        for i in items
+    ]
+    return spark.createDataFrame(
+        rows, "name string, space_name string, relational boolean, analytical boolean"
+    )
+
+
+def datasphere_read_relational(
+    spark: SparkSession,
+    client: DatasphereClient,
+    space: str,
+    asset: str,
+    top: int | None = None,
+    skip: int | None = None,
+    params: dict | None = None,
+) -> DataFrame:
+    """Relational consumption scan via the odata data source (A11)."""
+    try:
+        spark.dataSource.register(ODataDataSource)
+    except Exception:
+        pass
+    url = client.relational_url(space, asset)
+    if params:
+        args = ",".join(f"{k}='{v}'" for k, v in params.items())
+        url = f"{client.base_url}/api/v1/dwc/consumption/relational/{space}/{asset}({args})/Set"
+    reader = spark.read.format("odata").option("url", url)
+    if top is not None:
+        reader = reader.option("top", str(top))
+    if skip is not None:
+        reader = reader.option("skip", str(skip))
+    return reader.load()
+
+
+def datasphere_read_analytical(
+    spark: SparkSession,
+    client: DatasphereClient,
+    space: str,
+    asset: str,
+    metrics: list[str] | None = None,
+    dimensions: list[str] | None = None,
+    top: int | None = None,
+) -> DataFrame:
+    """Analytical consumption: metrics+dimensions -> $select (A12) — the
+    server aggregates; Spark sees the pre-aggregated result."""
+    try:
+        spark.dataSource.register(ODataDataSource)
+    except Exception:
+        pass
+    url = client.analytical_url(space, asset)
+    reader = spark.read.format("odata").option("url", url)
+    select = list(dimensions or []) + list(metrics or [])
+    if select:
+        reader = reader.option("select", ",".join(select))
+    if top is not None:
+        reader = reader.option("top", str(top))
+    return reader.load()

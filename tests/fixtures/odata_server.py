@@ -217,6 +217,41 @@ ODP_DELTAS = {
 ODP_TOKEN_CHAIN = {"T1": "T2", "T2": "T3", "T3": "T3"}
 
 
+GRAPH_USERS = [
+    {"id": f"u{i}", "displayName": f"User {i}", "userPrincipalName": f"u{i}@x.example",
+     "mail": f"u{i}@x.example", "jobTitle": "Eng", "department": "R&D",
+     "accountEnabled": i % 2 == 0}
+    for i in range(5)
+]
+
+GRAPH_LIST_COLUMNS = [
+    {"name": "Title", "displayName": "Title", "text": {}, "required": True},
+    {"name": "Amount", "displayName": "Amount", "number": {}, "required": False},
+    {"name": "Cost", "displayName": "Cost", "currency": {}, "required": False},
+    {"name": "Active", "displayName": "Active", "boolean": {}, "required": False},
+    {"name": "DueDate", "displayName": "Due", "dateTime": {}, "required": False},
+    {"name": "Status", "displayName": "Status", "choice": {}, "required": False},
+]
+
+EXCEL_RANGE_DOC = {
+    "values": [
+        ["Name", "Qty", "Price", "Done", "When"],
+        ["alpha", 1, 9.99, True, "2024-03-01T00:00:00"],
+        ["beta", 2, 19.5, False, "2024-03-02T00:00:00"],
+    ],
+    "valueTypes": [
+        ["String", "String", "String", "String", "String"],
+        ["String", "Double", "Double", "Boolean", "String"],
+        ["String", "Double", "Double", "Boolean", "String"],
+    ],
+    "numberFormat": [
+        ["General", "General", "General", "General", "General"],
+        ["General", "0", "0.00", "General", "yyyy-mm-dd"],
+        ["General", "0", "0.00", "General", "yyyy-mm-dd"],
+    ],
+}
+
+
 class FixtureState:
     def __init__(self) -> None:
         self.log: list[dict] = []
@@ -224,6 +259,23 @@ class FixtureState:
         # Delta Sharing: tests drop parquet files and register their URLs +
         # the table's Spark-schema JSON string here.
         self.delta_tables: dict[str, dict] = {}
+        # SharePoint list items (mutable via create/update/delete).
+        self.sp_items: list[dict] = [
+            {"id": "1", "fields": {"Title": "first", "Amount": 10.5, "Cost": 1.25,
+                                     "Active": True, "DueDate": "2024-05-01T00:00:00Z",
+                                     "Status": "open"}},
+            {"id": "2", "fields": {"Title": "second", "Amount": 20.0, "Cost": 2.5,
+                                     "Active": False, "DueDate": "2024-06-01T00:00:00Z",
+                                     "Status": "done"}},
+        ]
+        self.sp_next_id = 3
+        # Excel rows appended via rows/add; workbook sessions opened/closed.
+        self.excel_appended: list[list] = []
+        self.excel_sessions: list[str] = []
+        # Planner tasks created.
+        self.planner_created: list[dict] = []
+        # OAuth2 tokens issued.
+        self.tokens_issued: list[dict] = []
 
     def requests_for(self, path_prefix: str) -> list[dict]:
         return [r for r in self.log if r["path"].startswith(path_prefix)]
@@ -319,6 +371,127 @@ def _make_handler(state: FixtureState):
             if route == "/odp/Facts":
                 return self._serve_odp(q)
 
+            # ---- Microsoft Graph -----------------------------------------
+            if route == "/graph/users":
+                # two pages via @odata.nextLink
+                skip = int(q.get("$skiptoken", 0))
+                page = GRAPH_USERS[skip:skip + 3]
+                doc = {"value": page}
+                if skip + 3 < len(GRAPH_USERS):
+                    # relative to the Graph base (client prefixes base_url)
+                    doc["@odata.nextLink"] = f"/users?%24skiptoken={skip + 3}"
+                return self._json(200, doc)
+            if route == "/graph/groups":
+                return self._json(200, {"value": [
+                    {"id": "g1", "displayName": "Grp", "description": "d",
+                     "mail": "g@x", "mailEnabled": True, "securityEnabled": False}]})
+            if route == "/graph/devices":
+                return self._json(200, {"value": [
+                    {"id": "d1", "displayName": "Dev", "operatingSystem": "Linux",
+                     "operatingSystemVersion": "6.1", "trustType": "AzureAd",
+                     "accountEnabled": True}]})
+            if route == "/graph/auditLogs/signIns":
+                return self._json(200, {"value": [
+                    {"id": "s1", "userDisplayName": "User 0",
+                     "userPrincipalName": "u0@x.example", "appDisplayName": "App",
+                     "ipAddress": "10.0.0.1",
+                     "createdDateTime": "2024-02-01T12:00:00Z",
+                     "status": {"errorCode": 0}}]})
+            if route == "/graph/sites":
+                return self._json(200, {"value": [
+                    {"id": "s1", "name": "site1", "displayName": "Site 1",
+                     "webUrl": "https://sp/site1",
+                     "createdDateTime": "2024-01-01T00:00:00Z"}]})
+            if route == "/graph/sites/s1/lists":
+                return self._json(200, {"value": [
+                    {"id": "l1", "name": "list1", "displayName": "List 1",
+                     "description": "", "webUrl": "https://sp/site1/l1",
+                     "createdDateTime": "2024-01-01T00:00:00Z",
+                     "lastModifiedDateTime": "2024-01-02T00:00:00Z"}]})
+            if route == "/graph/sites/s1/lists/l1/columns":
+                return self._json(200, {"value": GRAPH_LIST_COLUMNS})
+            if route == "/graph/sites/s1/lists/l1/items":
+                return self._json(200, {"value": state.sp_items})
+            if route == "/graph/me/drive/root/children":
+                return self._json(200, {"value": [
+                    {"id": "f1", "name": "book.xlsx", "webUrl": "https://sp/f1",
+                     "size": 1234, "createdDateTime": "2024-01-01T00:00:00Z",
+                     "lastModifiedDateTime": "2024-01-03T00:00:00Z",
+                     "file": {"mimeType": "application/vnd.ms-excel"}}]})
+            if route == "/graph/me/drive/items/f1/workbook/worksheets":
+                return self._json(200, {"value": [
+                    {"name": "Sheet1", "id": "ws1", "position": 0,
+                     "visibility": "Visible"}]})
+            if route == "/graph/me/drive/items/f1/workbook/tables":
+                return self._json(200, {"value": [
+                    {"name": "T1", "id": "t1", "showHeaders": True,
+                     "showTotals": False}]})
+            if route in ("/graph/me/drive/items/f1/workbook/tables/T1/range",
+                         "/graph/me/drive/items/f1/workbook/worksheets/Sheet1/usedRange"):
+                return self._json(200, EXCEL_RANGE_DOC)
+            if route == "/graph/me/joinedTeams":
+                return self._json(200, {"value": [
+                    {"id": "t1", "displayName": "Team 1", "description": "d"}]})
+            if route == "/graph/teams/t1/channels":
+                return self._json(200, {"value": [
+                    {"id": "c1", "displayName": "General", "description": "",
+                     "membershipType": "standard"}]})
+            if route == "/graph/teams/t1/channels/c1/messages":
+                return self._json(200, {"value": [
+                    {"id": "m1", "from": {"user": {"displayName": "User 0"}},
+                     "createdDateTime": "2024-02-02T09:00:00Z",
+                     "body": {"content": "hello"}}]})
+            if route == "/graph/me/calendars":
+                return self._json(200, {"value": [
+                    {"id": "cal1", "name": "Calendar",
+                     "owner": {"address": "u0@x.example"}, "canEdit": True}]})
+            if route in ("/graph/me/events", "/graph/me/calendarView"):
+                return self._json(200, {"value": [
+                    {"id": "e1", "subject": "Standup",
+                     "start": {"dateTime": "2024-02-05T09:00:00"},
+                     "end": {"dateTime": "2024-02-05T09:15:00"},
+                     "organizer": {"emailAddress": {"address": "u0@x.example"}},
+                     "location": {"displayName": "Room 1"}}]})
+            if route == "/graph/me/mailFolders":
+                return self._json(200, {"value": [
+                    {"id": "inbox", "displayName": "Inbox", "totalItemCount": 2,
+                     "unreadItemCount": 1}]})
+            if route in ("/graph/me/messages", "/graph/me/mailFolders/inbox/messages"):
+                return self._json(200, {"value": [
+                    {"id": "msg1", "subject": "Hi",
+                     "from": {"emailAddress": {"address": "a@x"}},
+                     "receivedDateTime": "2024-02-06T08:00:00Z", "isRead": False,
+                     "bodyPreview": "hello there"}]})
+            if route == "/graph/groups/g1/planner/plans":
+                return self._json(200, {"value": [
+                    {"id": "p1", "title": "Plan 1", "owner": "g1",
+                     "createdDateTime": "2024-01-10T00:00:00Z"}]})
+            if route == "/graph/planner/plans/p1/buckets":
+                return self._json(200, {"value": [
+                    {"id": "b1", "name": "Todo", "planId": "p1", "orderHint": "1"}]})
+            if route == "/graph/planner/plans/p1/tasks":
+                return self._json(200, {"value": [
+                    {"id": "tk1", "title": "Task 1", "bucketId": "b1", "planId": "p1",
+                     "percentComplete": 50, "priority": 5,
+                     "dueDateTime": "2024-03-01T00:00:00Z"}]})
+
+            # ---- Datasphere / Business Central (OData-backed) -------------
+            if route == "/dsp/api/v1/dwc/catalog/spaces":
+                return self._json(200, {"value": [
+                    {"name": "SP1", "label": "Space One"}]})
+            if route == "/dsp/api/v1/dwc/catalog/spaces('SP1')/assets":
+                return self._json(200, {"value": [
+                    {"name": "Orders", "spaceName": "SP1",
+                     "supportsRelationalQueries": True,
+                     "supportsAnalyticalQueries": True}]})
+            if route == "/bc/api/v2.0/companies" and "$format" not in q:
+                return self._json(200, {"value": [
+                    {"id": "c1", "name": "CRONUS", "displayName": "CRONUS Ltd."}]})
+            if (route.startswith(("/dsp/", "/bc/"))) and route.endswith("/$metadata"):
+                return self._send(200, EDMX_V4.encode(), "application/xml")
+            if route.startswith(("/dsp/", "/bc/")) and route.split("/")[-1] == "Orders":
+                return self._serve_v4(route, V4_ORDERS, q)
+
             # ---- Delta Sharing (REST catalog; GET parts) ------------------
             if route == "/delta/shares":
                 return self._json(200, {"items": [{"name": "share1"}]})
@@ -344,6 +517,56 @@ def _make_handler(state: FixtureState):
             })
             if parts.path == "/http/echo":
                 return self._json(201, {"received": body.decode("utf-8", "replace")})
+            # ---- OAuth2 token endpoint -----------------------------------
+            if parts.path == "/token":
+                form = dict(parse_qsl(body.decode()))
+                state.tokens_issued.append(form)
+                grant = form.get("grant_type")
+                if grant == "client_credentials":
+                    tok = f"cc-{len(state.tokens_issued)}"
+                elif grant == "refresh_token":
+                    tok = f"refreshed-{form.get('refresh_token', '')}"
+                elif grant == "authorization_code":
+                    tok = f"code-{form.get('code', '')}"
+                else:
+                    return self._json(400, {"error": "unsupported_grant_type"})
+                return self._json(200, {
+                    "access_token": tok, "token_type": "Bearer",
+                    "expires_in": 3600, "refresh_token": "rt-1",
+                })
+            # ---- Graph mutations -----------------------------------------
+            if parts.path == "/graph/sites/s1/lists/l1/items" and self.command == "POST":
+                doc = json.loads(body)
+                item_id = str(state.sp_next_id)
+                state.sp_next_id += 1
+                state.sp_items.append({"id": item_id, "fields": doc.get("fields", {})})
+                return self._json(201, {"id": item_id})
+            m = re.match(r"^/graph/sites/s1/lists/l1/items/(\w+)/fields$", parts.path)
+            if m and self.command == "PATCH":
+                for it in state.sp_items:
+                    if it["id"] == m.group(1):
+                        it["fields"].update(json.loads(body))
+                        return self._json(200, it["fields"])
+                return self._send(404, b"no item", "text/plain")
+            m = re.match(r"^/graph/sites/s1/lists/l1/items/(\w+)$", parts.path)
+            if m and self.command == "DELETE":
+                state.sp_items = [i for i in state.sp_items if i["id"] != m.group(1)]
+                return self._send(204, b"", "text/plain")
+            if parts.path == "/graph/me/drive/items/f1/workbook/createSession":
+                sid = f"sess-{len(state.excel_sessions) + 1}"
+                state.excel_sessions.append(sid)
+                return self._json(201, {"id": sid})
+            if parts.path == "/graph/me/drive/items/f1/workbook/closeSession":
+                return self._send(204, b"", "text/plain")
+            if parts.path == "/graph/me/drive/items/f1/workbook/tables/T1/rows/add":
+                doc = json.loads(body)
+                state.excel_appended.extend(doc.get("values", []))
+                return self._json(201, {"index": len(state.excel_appended)})
+            if parts.path == "/graph/planner/tasks" and self.command == "POST":
+                doc = json.loads(body)
+                task_id = f"task-{len(state.planner_created) + 1}"
+                state.planner_created.append({**doc, "id": task_id})
+                return self._json(201, {"id": task_id, **doc})
             # Delta Sharing query endpoint -> NDJSON (protocol, metaData, files)
             m = re.match(r"^/delta/shares/share1/schemas/default/tables/(\w+)/query$",
                          parts.path)

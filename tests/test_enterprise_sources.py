@@ -1,0 +1,125 @@
+"""Datasphere, Business Central, Dataverse, SAC, OAuth2 tests."""
+
+import pytest
+
+from erpl_web_spark.core.http import HttpClient
+
+
+def test_datasphere_catalog_and_reads(spark, fixture_server):
+    from erpl_web_spark.sources.datasphere import (
+        DatasphereClient,
+        datasphere_read_analytical,
+        datasphere_read_relational,
+        datasphere_show_assets,
+        datasphere_show_spaces,
+    )
+
+    client = DatasphereClient(fixture_server.base_url + "/dsp", HttpClient())
+    assert datasphere_show_spaces(spark, client).collect()[0]["name"] == "SP1"
+    assets = datasphere_show_assets(spark, client, "SP1").collect()
+    assert assets[0]["name"] == "Orders" and assets[0]["relational"]
+
+    df = datasphere_read_relational(spark, client, "SP1", "Orders", top=5)
+    assert df.count() == 5
+    assert df.schema["Amount"].dataType.simpleString() == "decimal(19,4)"
+
+    fixture_server.state.log.clear()
+    dfa = datasphere_read_analytical(
+        spark, client, "SP1", "Orders",
+        metrics=["Amount"], dimensions=["UserName"],
+    )
+    rows = dfa.collect()
+    assert set(dfa.columns) == {"UserName", "Amount"}
+    assert len(rows) == 12
+    # metrics+dimensions compiled into $select on the wire (A12)
+    reqs = [r for r in fixture_server.state.log if r["query"].get("$select")]
+    assert any(r["query"]["$select"] == "UserName,Amount" for r in reqs)
+
+
+def test_business_central(spark, fixture_server):
+    from erpl_web_spark.sources.business_central import (
+        BusinessCentralClient,
+        bc_read,
+        bc_show_companies,
+        bc_show_entities,
+    )
+
+    client = BusinessCentralClient(fixture_server.base_url + "/bc/api/v2.0", HttpClient())
+    assert bc_show_companies(spark, client).collect()[0]["name"] == "CRONUS"
+    ents = {r["name"] for r in bc_show_entities(spark, client).collect()}
+    assert ents == {"People", "Orders"}
+    df = bc_read(spark, client, "Orders", company_id="c1")
+    assert df.count() == 12  # company-scoped URL served the Orders set
+
+
+def test_dataverse(spark, fixture_server):
+    from erpl_web_spark.sources.dataverse import DataverseClient, crm_read, crm_show_entities
+
+    client = DataverseClient(fixture_server.base_url + "/bc/api/v2.0", HttpClient())
+    assert {r["name"] for r in crm_show_entities(spark, client).collect()} == {
+        "People", "Orders"
+    }
+    assert crm_read(spark, client, "Orders").count() == 12
+
+
+def test_sac_stubs_and_reads(spark, fixture_server):
+    from erpl_web_spark.sources import sac
+
+    assert sac.sac_show_models(spark).count() == 0  # stub parity (README.md:560)
+    assert sac.sac_show_stories(spark).count() == 0
+    assert sac.sac_get_model_info(spark, "m1").count() == 0
+
+
+def test_oauth2_client_credentials_and_refresh(fixture_server, tmp_path):
+    from erpl_web_spark.core.oauth2 import (
+        OAuth2Client,
+        code_challenge_s256,
+        ensure_fresh_token,
+        generate_code_verifier,
+    )
+    from erpl_web_spark.core.secrets import SecretRegistry
+
+    oc = OAuth2Client(fixture_server.base_url + "/token", "cid", "csecret")
+    tok = oc.client_credentials(scope="api.read")
+    assert tok.access_token.startswith("cc-")
+    assert not tok.expired
+    sent = fixture_server.state.tokens_issued[-1]
+    assert sent["grant_type"] == "client_credentials"
+    assert sent["client_secret"] == "csecret"
+
+    tok2 = oc.refresh("rt-0")
+    assert tok2.access_token == "refreshed-rt-0"
+
+    # ensure_fresh_token acquires + persists back into the registry
+    reg = SecretRegistry(persist_path=str(tmp_path / "s.json"))
+    reg.create_secret("ds", "datasphere", scope="https://h/", scope_hint="",)
+    s = ensure_fresh_token(reg, "ds", oc)
+    assert s.values["access_token"].startswith("cc-")
+    assert s.auth_headers()["Authorization"].startswith("Bearer cc-")
+    # second call within expiry -> no new token request
+    n = len(fixture_server.state.tokens_issued)
+    ensure_fresh_token(reg, "ds", oc)
+    assert len(fixture_server.state.tokens_issued) == n
+
+    # PKCE helpers are deterministic S256
+    v = generate_code_verifier()
+    assert 43 <= len(v) <= 128
+    import base64, hashlib
+
+    expected = base64.urlsafe_b64encode(
+        hashlib.sha256(v.encode()).digest()
+    ).decode().rstrip("=")
+    assert code_challenge_s256(v) == expected
+
+
+def test_oauth2_authorization_url():
+    from erpl_web_spark.core.oauth2 import authorization_url
+
+    url = authorization_url(
+        "https://idp/authorize", "cid", "http://localhost:8910/cb",
+        scope="openid", code_challenge="CH", state="st1",
+    )
+    assert url.startswith("https://idp/authorize?")
+    assert "response_type=code" in url
+    assert "code_challenge=CH" in url and "code_challenge_method=S256" in url
+    assert "state=st1" in url

@@ -1,0 +1,139 @@
+"""Microsoft Graph family connector tests against the fixture server."""
+
+import datetime as dt
+
+import pytest
+
+from erpl_web_spark.core.http import HttpClient
+from erpl_web_spark.sources.graph import (
+    GraphClient,
+    excel_table_append,
+    graph_calendar_events,
+    graph_channel_messages,
+    graph_describe_list,
+    graph_devices,
+    graph_excel_range,
+    graph_excel_table_data,
+    graph_excel_tables,
+    graph_excel_worksheets,
+    graph_groups,
+    graph_list_files,
+    graph_list_items,
+    graph_mail_folders,
+    graph_messages,
+    graph_my_teams,
+    graph_planner_buckets,
+    graph_planner_create_task,
+    graph_planner_plans,
+    graph_planner_tasks,
+    graph_show_lists,
+    graph_show_sites,
+    graph_sharepoint_create_item,
+    graph_sharepoint_delete_item,
+    graph_sharepoint_update_item,
+    graph_signin_logs,
+    graph_users,
+)
+
+
+@pytest.fixture()
+def gclient(fixture_server):
+    return GraphClient(fixture_server.base_url + "/graph", HttpClient())
+
+
+def test_users_pagination_merges_pages(spark, gclient, fixture_server):
+    fixture_server.state.log.clear()
+    df = graph_users(spark, gclient)
+    rows = df.collect()
+    assert len(rows) == 5  # 3 + 2 across two pages
+    assert [f.name for f in df.schema.fields] == [
+        "id", "display_name", "user_principal_name", "mail",
+        "job_title", "department", "account_enabled",
+    ]
+    assert rows[0]["display_name"] == "User 0"
+    assert len(fixture_server.state.requests_for("/graph/users")) == 2
+
+
+def test_groups_devices_signins(spark, gclient):
+    assert graph_groups(spark, gclient).collect()[0]["display_name"] == "Grp"
+    assert graph_devices(spark, gclient).collect()[0]["operating_system"] == "Linux"
+    s = graph_signin_logs(spark, gclient).collect()[0]
+    assert s["created_datetime"] == dt.datetime(2024, 2, 1, 12, 0)
+    assert '"errorCode": 0' in s["status"]
+
+
+def test_sharepoint_discovery_and_typed_items(spark, gclient):
+    assert graph_show_sites(spark, gclient).collect()[0]["id"] == "s1"
+    assert graph_show_lists(spark, gclient, "s1").collect()[0]["id"] == "l1"
+    desc = {r["name"]: r["column_type"] for r in
+            graph_describe_list(spark, gclient, "s1", "l1").collect()}
+    assert desc == {
+        "Title": "string", "Amount": "double", "Cost": "double",
+        "Active": "boolean", "DueDate": "timestamp", "Status": "string",
+    }
+    items = graph_list_items(spark, gclient, "s1", "l1")
+    assert items.schema["Amount"].dataType.simpleString() == "double"
+    first = items.orderBy("id").collect()[0]
+    assert first["Title"] == "first"
+    assert first["Amount"] == 10.5
+    assert first["DueDate"] == dt.datetime(2024, 5, 1)
+
+
+def test_sharepoint_write_cycle(spark, gclient, fixture_server):
+    n_before = len(fixture_server.state.sp_items)
+    new_id = graph_sharepoint_create_item(gclient, "s1", "l1",
+                                          {"Title": "third", "Amount": 3.0})
+    assert len(fixture_server.state.sp_items) == n_before + 1
+    graph_sharepoint_update_item(gclient, "s1", "l1", new_id, {"Amount": 4.5})
+    item = next(i for i in fixture_server.state.sp_items if i["id"] == new_id)
+    assert item["fields"]["Amount"] == 4.5
+    graph_sharepoint_delete_item(gclient, "s1", "l1", new_id)
+    assert all(i["id"] != new_id for i in fixture_server.state.sp_items)
+
+
+def test_excel_grid_typing(spark, gclient):
+    assert graph_list_files(spark, gclient).collect()[0]["name"] == "book.xlsx"
+    assert graph_excel_worksheets(spark, gclient, "f1").collect()[0]["name"] == "Sheet1"
+    assert graph_excel_tables(spark, gclient, "f1").collect()[0]["name"] == "T1"
+    df = graph_excel_table_data(spark, gclient, "f1", "T1")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"Name": "string", "Qty": "double", "Price": "double",
+                     "Done": "boolean", "When": "timestamp"}
+    rows = df.orderBy("Name").collect()
+    assert rows[0]["Name"] == "alpha" and rows[0]["Qty"] == 1.0
+    assert rows[0]["When"] == dt.datetime(2024, 3, 1)
+    # usedRange path returns the same grid
+    assert graph_excel_range(spark, gclient, "f1", "Sheet1").count() == 2
+
+
+def test_excel_append_uses_session_batches(gclient, fixture_server):
+    fixture_server.state.excel_appended.clear()
+    n = excel_table_append(gclient, "f1", "T1",
+                           [["r1", 1, 1.0, True, "2024-01-01"]] * 5, batch_size=2)
+    assert n == 5
+    assert len(fixture_server.state.excel_appended) == 5
+    assert len(fixture_server.state.excel_sessions) >= 1  # createSession used
+
+
+def test_teams_outlook(spark, gclient):
+    assert graph_my_teams(spark, gclient).collect()[0]["display_name"] == "Team 1"
+    msg = graph_channel_messages(spark, gclient, "t1", "c1").collect()[0]
+    assert msg["from_user"] == "User 0" and msg["content"] == "hello"
+    ev = graph_calendar_events(spark, gclient).collect()[0]
+    assert ev["subject"] == "Standup"
+    assert ev["start_at"] == dt.datetime(2024, 2, 5, 9, 0)
+    assert graph_mail_folders(spark, gclient).collect()[0]["display_name"] == "Inbox"
+    m = graph_messages(spark, gclient, folder="inbox").collect()[0]
+    assert m["subject"] == "Hi" and m["is_read"] is False
+
+
+def test_planner_and_create_task(spark, gclient, fixture_server):
+    assert graph_planner_plans(spark, gclient, "g1").collect()[0]["title"] == "Plan 1"
+    assert graph_planner_buckets(spark, gclient, "p1").collect()[0]["name"] == "Todo"
+    t = graph_planner_tasks(spark, gclient, "p1").collect()[0]
+    assert t["percent_complete"] == "50"
+    task_id, url = graph_planner_create_task(gclient, "p1", "New task",
+                                             bucket_id="b1")
+    assert task_id.startswith("task-")
+    assert task_id in url
+    assert fixture_server.state.planner_created[-1]["title"] == "New task"
