@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.secrets import default_registry
 from erpl_web_spark.odata.client import ODataClient
-from erpl_web_spark.odata.datasource import ODataDataSource
+from erpl_web_spark.odata.datasource import ensure_registered
 
 
 def attach_odata(
@@ -25,10 +25,7 @@ def attach_odata(
     entity_sets: list[str] | None = None,
 ) -> list[str]:
     """Register ``{name}_{entity_set}`` temp views; returns view names."""
-    try:
-        spark.dataSource.register(ODataDataSource)
-    except Exception:
-        pass  # already registered
+    ensure_registered(spark)
     client = ODataClient(
         url, HttpClient(auth_headers=default_registry.auth_headers_for_url(url))
     )

@@ -261,6 +261,21 @@ class ODataReader(DataSourceReader):
             url = HttpUrl.parse(url).resolve(link).to_string() if link else None
 
 
+def ensure_registered(spark) -> None:
+    """Idempotently register the odata data source and enable the
+    (runtime-settable, default-false) Python filter-pushdown conf —
+    ODataReader implements pushFilters(), and Spark refuses to plan the
+    scan while the conf is off."""
+    try:
+        spark.dataSource.register(ODataDataSource)
+    except Exception:
+        pass  # already registered
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # pinned static conf — reads still fail loudly with Spark's message
+
+
 def register(spark) -> None:
     """Register all custom data sources on a SparkSession."""
-    spark.dataSource.register(ODataDataSource)
+    ensure_registered(spark)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.secrets import default_registry
 from erpl_web_spark.odata.client import ODataClient
-from erpl_web_spark.odata.datasource import ODataDataSource
+from erpl_web_spark.odata.datasource import ensure_registered
 
 DEFAULT_BC_HOST = "https://api.businesscentral.dynamics.com"
 
@@ -61,10 +61,7 @@ def bc_read(
     expand: str | None = None,
 ) -> DataFrame:
     """Entity scan through the odata data source (v4, full pushdown)."""
-    try:
-        spark.dataSource.register(ODataDataSource)
-    except Exception:
-        pass
+    ensure_registered(spark)
     reader = spark.read.format("odata").option(
         "url", client.entity_url(entity, company_id)
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.secrets import default_registry
-from erpl_web_spark.odata.datasource import ODataDataSource
+from erpl_web_spark.odata.datasource import ensure_registered
 
 
 def tenant_base_url(tenant: str, data_center: str = "eu10") -> str:
@@ -83,10 +83,7 @@ def datasphere_read_relational(
     params: dict | None = None,
 ) -> DataFrame:
     """Relational consumption scan via the odata data source (A11)."""
-    try:
-        spark.dataSource.register(ODataDataSource)
-    except Exception:
-        pass
+    ensure_registered(spark)
     url = client.relational_url(space, asset)
     if params:
         args = ",".join(f"{k}='{v}'" for k, v in params.items())
@@ -110,10 +107,7 @@ def datasphere_read_analytical(
 ) -> DataFrame:
     """Analytical consumption: metrics+dimensions -> $select (A12) — the
     server aggregates; Spark sees the pre-aggregated result."""
-    try:
-        spark.dataSource.register(ODataDataSource)
-    except Exception:
-        pass
+    ensure_registered(spark)
     url = client.analytical_url(space, asset)
     reader = spark.read.format("odata").option("url", url)
     select = list(dimensions or []) + list(metrics or [])

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.secrets import default_registry
 from erpl_web_spark.odata.client import ODataClient
-from erpl_web_spark.odata.datasource import ODataDataSource
+from erpl_web_spark.odata.datasource import ensure_registered
 
 
 def dataverse_base_url(org: str, host_suffix: str = "crm.dynamics.com") -> str:
@@ -37,8 +37,5 @@ def crm_describe(spark: SparkSession, client: DataverseClient, entity: str) -> D
 
 
 def crm_read(spark: SparkSession, client: DataverseClient, entity: str) -> DataFrame:
-    try:
-        spark.dataSource.register(ODataDataSource)
-    except Exception:
-        pass
+    ensure_registered(spark)
     return spark.read.format("odata").option("url", f"{client.base_url}/{entity}").load()

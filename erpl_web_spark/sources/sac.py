@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from erpl_web_spark.odata.datasource import ODataDataSource
+from erpl_web_spark.odata.datasource import ensure_registered
 
 
 def sac_base_url(tenant: str, data_center: str = "eu10") -> str:
@@ -39,10 +39,7 @@ def sac_get_story_info(spark: SparkSession, story_id: str) -> DataFrame:
 
 
 def _odata_read(spark: SparkSession, url: str, top=None, skip=None, select=None) -> DataFrame:
-    try:
-        spark.dataSource.register(ODataDataSource)
-    except Exception:
-        pass
+    ensure_registered(spark)
     reader = spark.read.format("odata").option("url", url)
     if top is not None:
         reader = reader.option("top", str(top))

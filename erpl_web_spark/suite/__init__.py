@@ -59,6 +59,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect registers everything.
-    from erpl_web_spark.suite import relational, pipeline  # noqa: F401
+    from erpl_web_spark.suite import relational, relational2, pipeline  # noqa: F401
 
     return dict(REGISTRY)

@@ -1,0 +1,184 @@
+"""Second batch of relational-surface queries: subqueries, conditional
+expressions, HAVING, UNION ALL, pivot, explode, distribution windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erpl_web_spark.suite import load, register
+from erpl_web_spark.suite.relational import dsum
+
+
+@register(
+    "filter_in_case_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                ELSE 'cold' END AS urgency,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+    """,
+)
+def filter_in_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
+        .otherwise("cold")
+    )
+    return o.where(F.col("o_orderstatus").isin("F", "P")).select(
+        "o_orderkey",
+        urgency.alias("urgency"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+    )
+
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: Catalyst plans the inner agg once and broadcasts
+    the scalar — no per-row recomputation."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM __sq_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM __sq_orders)
+        """
+    )
+
+
+@register(
+    "having_groups",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def having_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "union_all_tagged",
+    oracle="""
+    SELECT kind, COUNT(*) AS n, CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier
+    )
+    GROUP BY kind
+    """,
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("bal")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("bal")
+    )
+    return (
+        c.unionAll(s)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"), dsum(F.col("bal")).alias("total"))
+    )
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "explode_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(MEDIAN(l_orderkey) AS DOUBLE) AS median_key,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.median("l_orderkey").cast("double").alias("median_key"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

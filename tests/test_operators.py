@@ -1,0 +1,177 @@
+"""Operator-level correctness tests: as-of join vs brute force, expand
+nesting, MinHash recall vs exact Jaccard, SimHash, cosine vs numpy,
+multimodal decode, catalogs."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_matches_bruteforce(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d"), (3, 8, "e")],
+        "k int, t int, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (2, 1, 300.0), (4, 2, 400.0)],
+        "k int, rt int, val double",
+    )
+    from erpl_web_spark.operators.relational import asof_join
+
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                    right_cols=["rt", "val"])
+    got = {(r["k"], r["t"]): (r["rt"], r["val"]) for r in out.collect()}
+    # brute force expectation: greatest rt <= t per key
+    assert got[(1, 10)] == (10, 100.0)   # equal ts counts
+    assert got[(1, 20)] == (18, 200.0)
+    assert got[(1, 5)] == (None, None)   # nothing at or before 5
+    assert got[(2, 15)] == (1, 300.0)
+    assert got[(3, 8)] == (None, None)   # key with no right rows
+    assert out.count() == left.count()   # left join semantics
+
+
+def test_expand_entity_nested_sorted(spark):
+    parents = spark.createDataFrame([(1, "p1"), (2, "p2"), (3, "p3")], "id int, name string")
+    children = spark.createDataFrame(
+        [(1, 30, "x"), (1, 10, "y"), (2, 20, "z")], "id int, ord int, tag string"
+    )
+    from erpl_web_spark.operators.relational import expand_entity
+
+    out = expand_entity(parents, children, on="id", expand_name="Items",
+                        order_col="ord").orderBy("id").collect()
+    assert [i["ord"] for i in out[0]["Items"]] == [10, 30]  # sorted by order_col
+    assert out[1]["Items"][0]["tag"] == "z"
+    assert out[2]["Items"] is None  # parent with no children
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    # Construct documents with a known near-dup pair + unrelated docs.
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)  # tiny mutation -> high jaccard
+    rows = [(1, base), (2, near)] + [
+        (i, f"totally different content number {i} " + "words unique %d " % i * 20)
+        for i in range(3, 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from erpl_web_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=64, bands=16,
+                              threshold=0.5).collect()
+    assert any(p["id_a"] == 1 and p["id_b"] == 2 for p in pairs)
+    # verification step bounds FPs: every reported pair really has j >= 0.5
+    assert all(p["jaccard"] >= 0.5 for p in pairs)
+    # exact blocked jaccard agrees
+    df2 = df.withColumn("blk", F.lit(1))
+    exact = ngram_jaccard_pairs(df2, "doc_id", "text", ["blk"], threshold=0.5).collect()
+    exact_pairs = {(p["id_a"], p["id_b"]) for p in exact}
+    assert (1, 2) in exact_pairs
+    lsh_pairs = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert lsh_pairs <= exact_pairs  # no false positives vs exact
+
+
+def test_simhash_hamming_near_dups(spark):
+    base = "spark engine query optimizer shuffle partition broadcast join " * 8
+    near = base.replace("shuffle", "shuffles", 1)
+    rows = [(1, base), (2, near), (3, "completely unrelated words " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from erpl_web_spark.operators.dedup import simhash_documents, simhash_near_dup_pairs
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_documents(df, "doc_id", "text").collect()}
+    ham12 = bin(sims[1] ^ sims[2]).count("1")
+    ham13 = bin(sims[1] ^ sims[3]).count("1")
+    assert ham12 < ham13  # near-dup closer than unrelated
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=ham12).collect()
+    assert any(p["id_a"] == 1 and p["id_b"] == 2 for p in pairs)
+
+
+def test_cosine_top_k_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from erpl_web_spark.operators.similarity import cosine_top_k
+
+    probes = df.where(F.col("vec_id") < 3)
+    got = cosine_top_k(df, probes, k=2)
+    by_probe = {}
+    for r in got.collect():
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    v64 = vecs.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    sims = (v64 @ v64.T) / np.outer(norms, norms)
+    for p in range(3):
+        order = [i for i in np.argsort(-sims[p]) if i != p][:2]
+        ours = sorted(by_probe[p])
+        assert [n for _, n, _ in ours] == order
+        for (_, n, c) in ours:
+            assert math.isclose(c, sims[p][n], rel_tol=1e-9)
+
+
+def test_ann_lsh_recall_reasonable(spark):
+    rng = np.random.default_rng(11)
+    # clustered vectors so LSH buckets are meaningful
+    centers = rng.normal(size=(4, 16)) * 5
+    vecs = np.vstack([c + rng.normal(size=(10, 16)) * 0.3 for c in centers]).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from erpl_web_spark.operators.similarity import ann_top_k_lsh
+
+    got = ann_top_k_lsh(df, k=1, num_planes=4)
+    top1 = {r["probe_id"]: r["neighbor_id"] for r in got.collect() if r["rank"] == 1}
+    # exact top-1 via numpy
+    v64 = vecs.astype("float64")
+    sims = (v64 @ v64.T) / np.outer(np.linalg.norm(v64, axis=1), np.linalg.norm(v64, axis=1))
+    np.fill_diagonal(sims, -2)
+    exact_top1 = {i: int(np.argmax(sims[i])) for i in range(len(vecs))}
+    hits = sum(1 for i, n in top1.items() if exact_top1[i] == n)
+    assert len(top1) >= 30          # most vectors got a bucket neighbor
+    assert hits / len(top1) >= 0.8  # high recall within clusters
+
+
+def test_multimodal_decode_stub(spark):
+    from erpl_web_spark.operators.multimodal import (
+        decode_media,
+        documents_as_media,
+        sample_frames,
+    )
+    import hashlib
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "spark")], "doc_id long, text string")
+    media = documents_as_media(df)
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert out[1]["byte_len"] == 11
+    assert out[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert len(out[1]["feature"]) == 8
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decode_stub=False)
+    # frame sampling fans out per duration
+    vid = media.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"), F.lit("fake").alias("format"),
+            F.lit(1).alias("width"), F.lit(1).alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = sample_frames(vid, every_ms=1000)
+    assert frames.where(F.col("media_id") == 1).count() == 3
+
+
+def test_attach_catalogs(spark, fixture_server):
+    from erpl_web_spark.core.http import HttpClient
+    from erpl_web_spark.sources.graph import GraphClient
+    from erpl_web_spark.sources.catalogs import (
+        attach_excel_workbook,
+        attach_sharepoint_lists,
+    )
+
+    g = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    vs = attach_sharepoint_lists(spark, g, "s1", "sp")
+    assert vs == ["sp_list1"]
+    assert spark.sql("SELECT COUNT(*) n FROM sp_list1").collect()[0]["n"] >= 2
+    ve = attach_excel_workbook(spark, g, "f1", "xl")
+    assert ve == ["xl_T1"]
+    assert spark.sql("SELECT SUM(Qty) s FROM xl_T1").collect()[0]["s"] == 3.0
