@@ -255,3 +255,38 @@ def simhash_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    stride: int = 50,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by IVF cell.
+
+    Semantic near-dup (the LLM-pipeline complement to the lexical
+    MinHash/SimHash families): candidate pairs share a nearest-centroid
+    cell (deterministic coarse quantizer, see operators.similarity), then
+    exact cosine >= threshold keeps a pair. Quadratic cost stays inside
+    cells (sum cell_i^2, not n^2); near-dups at high thresholds land in
+    the same cell with high probability. Returns (left_id, right_id,
+    cosine) with left_id < right_id.
+    """
+    from erpl_web_spark.operators.similarity import cosine_expr, ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(df, id_col, vec_col, stride)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"), "cell")
+    b = assigned.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"), "cell")
+    return (
+        a.join(b, "cell")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            cosine_expr(F.col("lv"), F.col("rv")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

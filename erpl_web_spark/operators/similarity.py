@@ -142,3 +142,91 @@ def ann_top_k_lsh(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# -- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------------
+
+def ivf_centroids(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", stride: int = 50
+) -> DataFrame:
+    """Deterministic coarse quantizer: every ``stride``-th vector by id is
+    a centroid (cell id = vector id). Production systems train centroids
+    offline (e.g. pyspark.ml KMeans) — any (cell, centroid_vec) table
+    plugs into ``ivf_assign`` unchanged; the modulo rule keeps the whole
+    pipeline deterministic and oracle-checkable.
+    """
+    return df.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid_vec")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell per vector (cosine; ties -> lowest cell id).
+
+    Broadcast the centroid table, score map-side, then a single partial
+    aggregation (max of (cosine, -cell) struct) — no window sort, so the
+    only shuffle is the groupBy on the vector id.
+    Returns (id_col, vec_col, cell).
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            cosine_expr(F.col(vec_col), F.col("centroid_vec")).alias("cos"),
+            (-F.col("cell")).alias("neg_cell"),
+        ).alias("sc"),
+    )
+    best = scored.groupBy(id_col, vec_col).agg(F.max("sc").alias("best"))
+    return best.select(id_col, vec_col, (-F.col("best.neg_cell")).cast("long").alias("cell"))
+
+
+def ann_top_k_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    stride: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest-centroid cell; each
+    probe searches its ``nprobe`` nearest cells exactly.
+
+    Cost ≈ |corpus|·C map-side (C = #centroids, broadcast) + within-cell
+    exact scoring of |probes|·nprobe·avg_cell — sub-linear in corpus size
+    per probe, vs |corpus|·|probes| brute force. Recall is tuned by
+    nprobe/stride. Returns (probe_id, neighbor_id, cosine, rank).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, stride)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    probe_scored = probes.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col("cell"),
+        cosine_expr(F.col(vec_col), F.col("centroid_vec")).alias("ccos"),
+    )
+    w_cells = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    probe_cells = (
+        probe_scored.withColumn("crank", F.row_number().over(w_cells))
+        .where(F.col("crank") <= nprobe)
+        .select("probe_id", "probe_vec", "cell")
+    )
+
+    c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cell")
+    scored = (
+        probe_cells.join(c, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

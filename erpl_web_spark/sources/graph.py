@@ -436,6 +436,38 @@ def excel_table_append(
     return n
 
 
+def graph_excel_delete_rows(
+    client: GraphClient, file_id: str, table: str, col_index: int, col_value: str
+) -> int:
+    """Delete every table row whose ``col_index`` cell equals ``col_value``
+    (string-compared, like the reference); returns the deleted count (B6;
+    graph_excel_client.cpp:432-536). Runs inside a workbook session and
+    deletes from the highest row index down so indices never shift."""
+    sess = client.request("POST", f"/me/drive/items/{file_id}/workbook/createSession",
+                          {"persistChanges": True})
+    session_id = (sess or {}).get("id", "")
+    base = f"/me/drive/items/{file_id}/workbook/tables/{table}"
+    try:
+        matching: list[int] = []
+        for row in client.get_paged_values(f"{base}/rows"):
+            values = row.get("values") or [[]]
+            cells = values[0] if values else []
+            if col_index >= len(cells):
+                continue
+            cell = cells[col_index]
+            cell_str = f"{float(cell):.6f}" if isinstance(cell, (int, float)) and not isinstance(cell, bool) else str(cell)
+            if cell_str == col_value:
+                matching.append(int(row.get("index", -1)))
+        for idx in sorted(matching, reverse=True):
+            client.request(
+                "POST", f"{base}/rows/itemAt(index={idx})/delete", {"sessionId": session_id}
+            )
+        return len(matching)
+    finally:
+        client.request("POST", f"/me/drive/items/{file_id}/workbook/closeSession",
+                       {"sessionId": session_id})
+
+
 def excel_table_write(df: DataFrame, client_factory, file_id: str, table: str) -> int:
     """``df.write``-style bulk append: collect per partition on executors,
     batch rows/add calls."""

@@ -16,7 +16,8 @@ from erpl_web_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from erpl_web_spark.operators.multimodal import decode_media, documents_as_media
-from erpl_web_spark.operators.similarity import ann_top_k_lsh, cosine_top_k
+from erpl_web_spark.operators.dedup import embedding_near_dup_pairs
+from erpl_web_spark.operators.similarity import ann_top_k_ivf, ann_top_k_lsh, cosine_top_k
 from erpl_web_spark.operators.text import (
     STOPWORDS,
     BPE_TOKEN_RE,
@@ -278,3 +279,89 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     via Arrow-batched mapInPandas (stubbed kernel, real distribution)."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return decode_media(media).select("media_id", "byte_len", "sha256")
+
+
+# DuckDB rendering of the deterministic IVF coarse quantizer shared by
+# similarity_ann_ivf and dedup_embedding: centroid = every 50th vec_id,
+# cell = argmax-cosine centroid (ties -> lowest cell), exactly mirroring
+# operators.similarity.ivf_centroids/ivf_assign.
+_SQL_IVF_ASSIGNED = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cell, emb AS cvec FROM v WHERE vec_id % 50 = 0
+    ), cscored AS (
+      SELECT v.vec_id, v.emb, cent.cell,
+             list_dot_product(v.emb, cvec)
+               / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(cvec, cvec))) AS ccos
+      FROM v CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT vec_id, emb, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=_SQL_IVF_ASSIGNED
+    + """
+    , probe_cells AS (
+      SELECT vec_id AS probe_id, emb AS probe_vec, cell FROM (
+        SELECT vec_id, emb, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS crank
+        FROM cscored WHERE vec_id < 100
+      ) WHERE crank <= 2
+    ), scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.probe_vec, a.emb)
+               / (sqrt(list_dot_product(p.probe_vec, p.probe_vec)) * sqrt(list_dot_product(a.emb, a.emb))) AS cosine
+      FROM probe_cells p JOIN assigned a USING (cell)
+      WHERE p.probe_id <> a.vec_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN for a 100-probe set: deterministic coarse quantizer
+    (every 50th vector), nprobe=2 cells searched exactly per probe. The
+    sub-linear scale path next to the LSH variant; fully oracle-checked
+    because the quantizer is deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 100)
+    out = ann_top_k_ivf(emb, probes, "vec_id", "embedding", k=3, stride=50, nprobe=2)
+    return out.select(
+        "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=_SQL_IVF_ASSIGNED
+    + """
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine_r
+    FROM assigned a JOIN assigned b USING (cell)
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by IVF cell — the semantic
+    complement to the lexical dedup family; quadratic cost stays inside
+    cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35, stride=50)
+    return pairs.select("left_id", "right_id", F.round("cosine", 6).alias("cosine_r"))

@@ -272,6 +272,8 @@ class FixtureState:
         # Excel rows appended via rows/add; workbook sessions opened/closed.
         self.excel_appended: list[list] = []
         self.excel_sessions: list[str] = []
+        # Excel table rows addressable by index (for delete_rows).
+        self.excel_rows: list[list] = [["a", 1.0], ["b", 2.0], ["a", 3.0]]
         # Planner tasks created.
         self.planner_created: list[dict] = []
         # OAuth2 tokens issued.
@@ -429,6 +431,10 @@ def _make_handler(state: FixtureState):
             if route in ("/graph/me/drive/items/f1/workbook/tables/T1/range",
                          "/graph/me/drive/items/f1/workbook/worksheets/Sheet1/usedRange"):
                 return self._json(200, EXCEL_RANGE_DOC)
+            if route == "/graph/me/drive/items/f1/workbook/tables/T1/rows":
+                return self._json(200, {"value": [
+                    {"index": i, "values": [row]}
+                    for i, row in enumerate(state.excel_rows)]})
             if route == "/graph/me/joinedTeams":
                 return self._json(200, {"value": [
                     {"id": "t1", "displayName": "Team 1", "description": "d"}]})
@@ -491,6 +497,33 @@ def _make_handler(state: FixtureState):
                 return self._send(200, EDMX_V4.encode(), "application/xml")
             if route.startswith(("/dsp/", "/bc/")) and route.split("/")[-1] == "Orders":
                 return self._serve_v4(route, V4_ORDERS, q)
+
+            # ---- SAP Gateway catalogs (sap_catalog.py) --------------------
+            if route == "/sap/sap/opu/odata/iwfnd/catalogservice;v=2/ServiceCollection":
+                services = [
+                    {"ID": "ZSVC_ORDERS", "Description": "Orders service",
+                     "ServiceUrl": "https://sap/sap/opu/odata/sap/ZSVC_ORDERS",
+                     "EntitySets": {"results": [
+                         {"ID": "EntityOfOrders", "Description": "Orders extractor"},
+                         {"ID": "FactsOfSales", "Description": "Sales facts"},
+                         {"ID": "PlainSet", "Description": "not ODP"}]}},
+                    {"ID": "ZSVC_PLAIN", "Title": "Plain service",
+                     "ServiceUrl": "https://sap/sap/opu/odata/sap/ZSVC_PLAIN",
+                     "EntitySets": {"results": [
+                         {"ID": "Things", "Description": "no odp here"}]}},
+                ]
+                if "$expand" not in q:
+                    services = [
+                        {k: v for k, v in s.items() if k != "EntitySets"}
+                        for s in services
+                    ]
+                return self._json(200, {"d": {"results": services}})
+            if route == ("/sap/sap/opu/odata4/iwfnd/config/default/iwfnd/"
+                         "catalog/0002/ServiceGroups"):
+                return self._json(200, {"value": [
+                    {"GroupId": "ZGRP", "DefaultSystem": {"Services": [
+                        {"ServiceId": "ZSVC_V4_TRAVEL", "Description": "Travel v4",
+                         "ServiceUrl": "https://sap/sap/opu/odata4/sap/ztravel"}]}}]})
 
             # ---- Delta Sharing (REST catalog; GET parts) ------------------
             if route == "/delta/shares":
@@ -557,6 +590,16 @@ def _make_handler(state: FixtureState):
                 state.excel_sessions.append(sid)
                 return self._json(201, {"id": sid})
             if parts.path == "/graph/me/drive/items/f1/workbook/closeSession":
+                return self._send(204, b"", "text/plain")
+            m = re.match(
+                r"^/graph/me/drive/items/f1/workbook/tables/T1/rows/itemAt\(index=(\d+)\)/delete$",
+                parts.path,
+            )
+            if m and self.command == "POST":
+                idx = int(m.group(1))
+                if idx >= len(state.excel_rows):
+                    return self._send(404, b"no row", "text/plain")
+                state.excel_rows.pop(idx)
                 return self._send(204, b"", "text/plain")
             if parts.path == "/graph/me/drive/items/f1/workbook/tables/T1/rows/add":
                 doc = json.loads(body)

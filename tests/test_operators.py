@@ -175,3 +175,51 @@ def test_attach_catalogs(spark, fixture_server):
     ve = attach_excel_workbook(spark, g, "f1", "xl")
     assert ve == ["xl_T1"]
     assert spark.sql("SELECT SUM(Qty) s FROM xl_T1").collect()[0]["s"] == 3.0
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    from erpl_web_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    # 2-D toy: vectors near (1,0) vs (0,1); centroids at ids 0 and 50.
+    rows = [
+        (0, [1.0, 0.0]), (50, [0.0, 1.0]),
+        (7, [0.9, 0.1]), (8, [0.1, 0.9]), (9, [0.7, 0.69]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(df, stride=50)
+    assert {r["cell"] for r in cents.collect()} == {0, 50}
+    got = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    assert got[7] == 0 and got[8] == 50
+    assert got[0] == 0 and got[50] == 50   # centroids map to themselves
+    assert got[9] == 0                      # tie-ish case resolves deterministically
+
+
+def test_ann_ivf_matches_bruteforce_within_probed_cells(spark):
+    from erpl_web_spark.operators.similarity import ann_top_k_ivf, cosine_top_k
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.where(F.col("vec_id") < 5)
+    # nprobe == number of cells -> IVF degenerates to exact search.
+    approx = ann_top_k_ivf(df, probes, k=3, stride=40, nprobe=3)
+    exact = cosine_top_k(df, probes, k=3)
+    a = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    e = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert a == e
+
+
+def test_embedding_near_dup_pairs(spark):
+    from erpl_web_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (50, [0.5, 0.5, 0.0]),      # centroid (stride 50 -> cells {0, 50})
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, stride=50).collect()
+    assert [(r["left_id"], r["right_id"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["cosine"] > 0.99
