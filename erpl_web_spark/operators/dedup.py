@@ -76,12 +76,15 @@ def minhash_signatures(
     One explode + one groupBy(id); the k seeded hashes per shingle are
     computed JVM-side (xxhash64 with the seed as first argument).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, shingle_k)).alias("shingle")
-    )
+    # Hash each shingle string ONCE (before explode), then derive the k
+    # seeded hashes by re-hashing the fixed-width base hash — 64 long
+    # hashes are far cheaper than 64 variable-length string hashes, and
+    # the exploded/shuffled column is a bigint, not the shingle text.
+    base = F.transform(shingles_expr(text_col, shingle_k), lambda s: F.xxhash64(s))
+    sh = df.select(F.col(id_col), F.explode(base).alias("h"))
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -274,19 +277,25 @@ def embedding_near_dup_pairs(
     the same cell with high probability. Returns (left_id, right_id,
     cosine) with left_id < right_id.
     """
-    from erpl_web_spark.operators.similarity import cosine_expr, ivf_assign, ivf_centroids
+    from erpl_web_spark.operators.similarity import dot_expr, ivf_assign, ivf_centroids
 
     cents = ivf_centroids(df, id_col, vec_col, stride)
     assigned = ivf_assign(df, cents, id_col, vec_col)
-    a = assigned.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"), "cell")
-    b = assigned.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"), "cell")
+    a = assigned.select(
+        F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"),
+        F.col("nrm").alias("ln"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"),
+        F.col("nrm").alias("rn"), "cell",
+    )
     return (
         a.join(b, "cell")
         .where(F.col("left_id") < F.col("right_id"))
         .select(
             "left_id",
             "right_id",
-            cosine_expr(F.col("lv"), F.col("rv")).alias("cosine"),
+            (dot_expr(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -49,15 +49,25 @@ def cosine_top_k(
     streams through a map-only stage, then a window takes top-k per probe.
     Returns (probe_id, neighbor_id, cosine, rank).
     """
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    # Norms are computed once per row on each side (not once per pair —
+    # that would triple the per-pair flops); the pair stage is dot/(na*nb).
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        norm_expr(F.col(vec_col)).alias("pnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("cnorm"),
+    )
     joined = c.crossJoin(F.broadcast(p))
     if not include_self:
         joined = joined.where(F.col("probe_id") != F.col("neighbor_id"))
     scored = joined.select(
         "probe_id",
         "neighbor_id",
-        cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"),
+        (dot_expr(F.col("probe_vec"), F.col("vec")) / (F.col("pnorm") * F.col("cnorm"))).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -130,15 +140,26 @@ def ann_top_k_lsh(
     Returns (probe_id, neighbor_id, cosine, rank).
     """
     buckets = lsh_bucket_candidates(df, id_col, vec_col, num_planes, seed)
-    v = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
-    a = v.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"), F.col("bucket")
+    v = (
+        df.select(F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("nrm"))
+        .join(buckets, id_col)
     )
-    b = v.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), F.col("bucket"))
+    a = v.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"),
+        F.col("nrm").alias("pnorm"), F.col("bucket"),
+    )
+    b = v.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"),
+        F.col("nrm").alias("cnorm"), F.col("bucket"),
+    )
     scored = (
         a.join(b, "bucket")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (dot_expr(F.col("probe_vec"), F.col("vec")) / (F.col("pnorm") * F.col("cnorm"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -170,19 +191,33 @@ def ivf_assign(
 
     Broadcast the centroid table, score map-side, then a single partial
     aggregation (max of (cosine, -cell) struct) — no window sort, so the
-    only shuffle is the groupBy on the vector id.
-    Returns (id_col, vec_col, cell).
+    only shuffle is the groupBy on the vector id. Row and centroid norms
+    are each computed once, not per (vector, centroid) pair.
+    Returns (id_col, vec_col, nrm, cell).
     """
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.struct(
-            cosine_expr(F.col(vec_col), F.col("centroid_vec")).alias("cos"),
-            (-F.col("cell")).alias("neg_cell"),
-        ).alias("sc"),
+    cents = centroids.select(
+        "cell", "centroid_vec", norm_expr(F.col("centroid_vec")).alias("centroid_nrm")
     )
-    best = scored.groupBy(id_col, vec_col).agg(F.max("sc").alias("best"))
-    return best.select(id_col, vec_col, (-F.col("best.neg_cell")).cast("long").alias("cell"))
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("nrm"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("nrm"),
+            F.struct(
+                (
+                    dot_expr(F.col(vec_col), F.col("centroid_vec"))
+                    / (F.col("nrm") * F.col("centroid_nrm"))
+                ).alias("cos"),
+                (-F.col("cell")).alias("neg_cell"),
+            ).alias("sc"),
+        )
+    )
+    best = scored.groupBy(id_col, vec_col, "nrm").agg(F.max("sc").alias("best"))
+    return best.select(
+        id_col, vec_col, "nrm", (-F.col("best.neg_cell")).cast("long").alias("cell")
+    )
 
 
 def ann_top_k_ivf(
@@ -205,27 +240,39 @@ def ann_top_k_ivf(
     cents = ivf_centroids(corpus, id_col, vec_col, stride)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
-    probe_scored = probes.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("probe_vec"),
-        F.col("cell"),
-        cosine_expr(F.col(vec_col), F.col("centroid_vec")).alias("ccos"),
+    probe_scored = (
+        probes.select(F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("pnorm"))
+        .crossJoin(F.broadcast(cents.select(
+            "cell", "centroid_vec", norm_expr(F.col("centroid_vec")).alias("centroid_nrm"))))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            F.col("pnorm"),
+            F.col("cell"),
+            (
+                dot_expr(F.col(vec_col), F.col("centroid_vec"))
+                / (F.col("pnorm") * F.col("centroid_nrm"))
+            ).alias("ccos"),
+        )
     )
     w_cells = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
     probe_cells = (
         probe_scored.withColumn("crank", F.row_number().over(w_cells))
         .where(F.col("crank") <= nprobe)
-        .select("probe_id", "probe_vec", "cell")
+        .select("probe_id", "probe_vec", "pnorm", "cell")
     )
 
-    c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cell")
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"),
+        F.col("nrm").alias("cnorm"), "cell",
+    )
     scored = (
         probe_cells.join(c, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            cosine_expr(F.col("probe_vec"), F.col("vec")).alias("cosine"),
+            (dot_expr(F.col("probe_vec"), F.col("vec")) / (F.col("pnorm") * F.col("cnorm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())

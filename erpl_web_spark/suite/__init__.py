@@ -43,11 +43,21 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> DataFrame:
+    """Read one driver table. ``spread=True`` rebalances a too-coarse scan
+    up to the session's default parallelism — the test parquet is a single
+    row-group per table, which would otherwise serialize CPU-heavy per-row
+    work (shingling, hashing, vector math) into one task. On real data
+    (many files/row-groups) the scan already has enough splits and this is
+    a no-op; results are partitioning-independent either way."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) parquet read as long via
         # spark.sql.legacy.parquet.nanosAsLong; truncate to microseconds —

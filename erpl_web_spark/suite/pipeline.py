@@ -59,7 +59,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint_documents(load(spark, sf_dir, "documents"), "doc_id", "text").select(
+    return fingerprint_documents(load(spark, sf_dir, "documents", spread=True), "doc_id", "text").select(
         "doc_id", "fp_md5", "fp_sha256"
     )
 
@@ -95,7 +95,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs, blocked by language — the
     quadratic cost stays inside blocks. At real scale the MinHash-LSH
     variant generates candidates; this is the precise verifier."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
     )
@@ -109,14 +109,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; the exact-Jaccard verification step bounds false positives at 0,
     and dedup_ngram_jaccard oracle-checks the underlying similarity math.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
 
 
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -134,7 +134,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = with_text_stats(load(spark, sf_dir, "documents"))
+    d = with_text_stats(load(spark, sf_dir, "documents", spread=True))
     return d.select(
         "doc_id", "stat_chars", "stat_tokens", "stat_bpe_tokens", "stat_avg_token_len"
     )
@@ -170,7 +170,7 @@ _COUNTS, _CASE = _lang_counts_sql()
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language heuristic (argmax, fixed tie order)."""
-    return with_language_id(load(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+    return with_language_id(load(spark, sf_dir, "documents", spread=True)).select("doc_id", "pred_lang")
 
 
 @register(
@@ -200,7 +200,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_quality_score(load(spark, sf_dir, "documents")).select(
+    return with_quality_score(load(spark, sf_dir, "documents", spread=True)).select(
         "doc_id", "quality_score", "quality_keep"
     )
 
@@ -215,7 +215,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text").cast("bigint")).alias("total_chars"),
@@ -250,7 +250,7 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-3 for a 100-probe set: broadcast the
     probes, stream the corpus (map-only), window per probe."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     probes = emb.where(F.col("vec_id") < 100)
     out = cosine_top_k(emb, probes, "vec_id", "embedding", k=3)
     return out.select(
@@ -261,7 +261,7 @@ def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_ann_lsh", oracle=None)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: exact ranking within random-hyperplane LSH buckets."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     return ann_top_k_lsh(emb, "vec_id", "embedding", k=3, num_planes=6)
 
 
@@ -277,7 +277,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: documents wrapped as binary payloads, decoded
     via Arrow-batched mapInPandas (stubbed kernel, real distribution)."""
-    media = documents_as_media(load(spark, sf_dir, "documents"))
+    media = documents_as_media(load(spark, sf_dir, "documents", spread=True))
     return decode_media(media).select("media_id", "byte_len", "sha256")
 
 
@@ -337,7 +337,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 50th vector), nprobe=2 cells searched exactly per probe. The
     sub-linear scale path next to the LSH variant; fully oracle-checked
     because the quantizer is deterministic."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     probes = emb.where(F.col("vec_id") < 100)
     out = ann_top_k_ivf(emb, probes, "vec_id", "embedding", k=3, stride=50, nprobe=2)
     return out.select(
@@ -362,6 +362,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by IVF cell — the semantic
     complement to the lexical dedup family; quadratic cost stays inside
     cells."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35, stride=50)
     return pairs.select("left_id", "right_id", F.round("cosine", 6).alias("cosine_r"))

@@ -40,8 +40,10 @@ def dsum(col: Column, prec: int = 18, scale: int = 2) -> Column:
     headline=True,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: single-shuffle partial-aggregated group-by."""
-    l = load(spark, sf_dir, "lineitem")
+    """TPC-H Q1 shape: single-shuffle partial-aggregated group-by. The
+    scan is rebalanced when the file layout under-splits (decimal
+    accumulation is CPU-bound; results are order-independent)."""
+    l = load(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
