@@ -138,7 +138,17 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sets = df.select(F.col(id_col), shingles_expr(text_col, shingle_k).alias("sh"))
+    # Shingle sets are only needed for candidate ids (candidates << corpus
+    # after banding); a semi-join prunes the corpus before the expensive
+    # re-shingling instead of materializing sets for every document twice.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), shingles_expr(text_col, shingle_k).alias("sh")
+    )
     verified = (
         cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -1,0 +1,159 @@
+"""Event-time streaming operators: watermarked windowed aggregation,
+session windows, and a custom stateful operator.
+
+The reference has no continuous streaming (SURVEY.md §2.I: ODP CDC is its
+only incremental surface — wrapped as a streaming source in
+``odp_stream``). These operators supply the streaming half a large-scale
+pipeline needs on top: late-data-tolerant rollups over event streams.
+All are thin, declarative compositions — Spark's incremental planner owns
+state store layout, watermark GC, and exactly-once sink semantics.
+
+Each builder takes a *streaming* DataFrame (``spark.readStream...``) and
+returns the transformed streaming DataFrame for ``writeStream``; the same
+expression works on a batch DataFrame, which is how the tests pin
+semantics (batch run == availableNow streaming run over the same files).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` differs) windowed counts with
+    an event-time watermark bounding state for late data.
+
+    Output: key cols + window_start, window_end, n_events, n_users.
+    """
+    keys = keys or []
+    win = F.window(F.col(ts_col), window, slide or window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *[F.col(k) for k in keys])
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-key session windows (gap-based) via the built-in
+    ``session_window`` — state closes ``gap`` past the watermark.
+
+    Output: key, session_start, session_end, n_events.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def running_totals(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count + latest event, maintained across micro-batches.
+
+    The shape the built-ins can't express: arbitrary per-key state carried
+    forward indefinitely (here a counter + last-seen record; the same
+    skeleton hosts dedup caches, CDC merge state, enrichment accumulators).
+    State is partitioned by key — executors each hold their shard.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        n, last_ts, last_type = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            n += len(pdf)
+            last_ts = pdf[ts_col].iloc[-1].to_pydatetime()
+            last_type = str(pdf[type_col].iloc[-1])
+        state.update((n, last_ts, last_type))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key_tuple[0]],
+                "n_events": [n],
+                "last_ts": [last_ts],
+                "last_event_type": [last_type],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
