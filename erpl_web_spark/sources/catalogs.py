@@ -82,6 +82,27 @@ def attach_business_central(
     return views
 
 
+def attach_sac(
+    spark: SparkSession, base_url: str | None, name: str
+) -> list[str]:
+    """One lazy planning-data view per discovered SAC model (G5).
+
+    The reference registers the catalog but its model discovery is a stub
+    returning empty (sac_catalog.cpp; README.md:560) — so, faithfully,
+    this attaches zero views until discovery is implemented; any rows a
+    future sac_show_models returns become ``{name}_{model_id}`` views.
+    """
+    from erpl_web_spark.sources.sac import sac_read_planning_data, sac_show_models
+
+    views = []
+    for row in sac_show_models(spark, base_url).collect():
+        df = sac_read_planning_data(spark, base_url, row["model_id"])
+        view = f"{name}_{row['model_id']}"
+        df.createOrReplaceTempView(view)
+        views.append(view)
+    return views
+
+
 def attach_delta_share(
     spark: SparkSession, profile: str | DeltaShareProfile, name: str
 ) -> list[str]:
