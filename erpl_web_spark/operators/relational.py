@@ -116,3 +116,37 @@ def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     """Global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject —
     per-partition heaps + single driver merge, no full sort at scale."""
     return df.orderBy(*order_by).limit(k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with key salting for heavy-hitter skew.
+
+    AQE's skew-join split handles most skew at runtime; salting is the
+    explicit fallback when one key dominates so badly that a single
+    shuffle partition would still spill (or when AQE is unavailable).
+    The big/skewed side gets a deterministic salt in [0, salt) derived
+    from hashing its non-key columns (falling back to the key when there
+    are none), so one hot key fans out across ``salt`` reducers; the
+    smaller side is replicated ``salt`` times via a broadcast-joined
+    salt-id table — the standard replicate-the-small-side construction.
+    Output columns/rows equal the plain ``left.join(right, on, how)``.
+
+    Supported ``how``: inner / left (the directions where only the right
+    side is replicated; for right/full, swap the arguments).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'; swap sides otherwise")
+    keys = [on] if isinstance(on, str) else list(on)
+    non_key = [c for c in left.columns if c not in keys] or keys
+    l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt)).cast("int")
+    salted_left = left.withColumn("__salt", l_salt)
+    salt_ids = left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+    salted_right = right.crossJoin(F.broadcast(salt_ids))
+    out = salted_left.join(salted_right, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -182,3 +182,25 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (explicit heavy-hitter skew handling): output is
+    row-identical to the plain join — which is exactly what the oracle
+    checks — while the hot keys fan out over 8 salt buckets."""
+    from erpl_web_spark.operators.relational import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(o, c, "o_custkey", "inner", salt=8).select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    )

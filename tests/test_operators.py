@@ -223,3 +223,40 @@ def test_embedding_near_dup_pairs(spark):
     pairs = embedding_near_dup_pairs(df, threshold=0.99, stride=50).collect()
     assert [(r["left_id"], r["right_id"]) for r in pairs] == [(0, 1)]
     assert pairs[0]["cosine"] > 0.99
+
+
+def test_salted_join_matches_plain_join(spark):
+    from erpl_web_spark.operators.relational import salted_join
+
+    # 10k rows all sharing ONE hot key + a long tail.
+    left = spark.range(10_000).selectExpr(
+        "CASE WHEN id < 9000 THEN 1 ELSE id END AS k", "id AS payload"
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (9500, "cold"), (42, "unmatched-left")], "k long, tag string"
+    )
+    plain = left.join(right, "k", "inner")
+    salted = salted_join(left, right, "k", "inner", salt=8)
+    assert salted.count() == plain.count() == 9001
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
+    # left join keeps unmatched rows exactly once
+    lp = left.join(right, "k", "left")
+    ls = salted_join(left, right, "k", "left", salt=8)
+    assert ls.count() == lp.count() == 10_000
+    assert ls.exceptAll(lp).count() == 0
+    # salt spreads the hot key across partitions: distinct salts > 1
+    from pyspark.sql import functions as F
+    n_salts = (
+        left.withColumn("s", F.pmod(F.xxhash64("payload"), F.lit(8)))
+        .where("k = 1").select("s").distinct().count()
+    )
+    assert n_salts == 8
+
+
+def test_salted_join_rejects_right_how(spark):
+    from erpl_web_spark.operators.relational import salted_join
+    import pytest as _pt
+    left = spark.range(3).selectExpr("id AS k")
+    with _pt.raises(ValueError):
+        salted_join(left, left, "k", how="right")
