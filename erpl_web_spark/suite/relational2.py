@@ -204,3 +204,72 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(o, c, "o_custkey", "inner", salt=8).select(
         "o_orderkey", "o_custkey", "c_name", "o_totalprice"
     )
+
+
+@register(
+    "events_window_rollup",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+           time_bucket(INTERVAL 6 HOURS, ts) + INTERVAL 6 HOURS AS window_end,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def events_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming.windows.windowed_counts (same 6-hour
+    tumbling buckets Spark's window() produces) with exact user counts so
+    DuckDB's time_bucket can oracle it."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderstatus AS st, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey,
+           list_sort(list(st)) AS statuses,
+           CAST(list_sum(list(n)) AS BIGINT) AS total_orders,
+           CAST(COALESCE(MAX(CASE WHEN st = 'F' THEN n END), 0) AS BIGINT) AS n_f,
+           MAX(CASE WHEN st = 'O' THEN TRUE ELSE FALSE END) AS has_open
+    FROM g GROUP BY o_custkey
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed processing (map_from_entries / map_keys / map_values /
+    element_at / map_contains_key) with array/scalar outputs so the
+    oracle comparison stays engine-neutral: per-customer status->count
+    map, queried for totals and per-status lookups."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").count()
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "count")))
+        ).alias("st_map")
+    )
+    return m.select(
+        "o_custkey",
+        F.sort_array(F.map_keys("st_map")).alias("statuses"),
+        F.aggregate(F.map_values("st_map"), F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("total_orders"),
+        F.coalesce(F.element_at("st_map", F.lit("F")), F.lit(0)).cast("long").alias("n_f"),
+        F.map_contains_key("st_map", F.lit("O")).alias("has_open"),
+    )
