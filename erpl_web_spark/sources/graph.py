@@ -656,3 +656,36 @@ def graph_planner_create_task(
     doc = client.request("POST", "/planner/tasks", body)
     task_id = doc.get("id", "")
     return task_id, f"{client.base_url}/planner/tasks/{task_id}"
+
+
+def planner_create_tasks(
+    df: DataFrame, client_factory, plan_id: str,
+    title_col: str = "title", bucket_col: str | None = None,
+) -> "DataFrame":
+    """Bulk task creation from a DataFrame — the reference's LATERAL-join
+    bulk-write idiom (README.md:753-780) as a distributed map: one POST
+    per row on the executors, one (title, task_id, task_url) result row
+    back per input row (so failures are attributable, not silent).
+    ``client_factory`` must close over serializable config only.
+    """
+    import pandas as pd
+
+    spark_cols = [title_col] + ([bucket_col] if bucket_col else [])
+    src = df.select(*spark_cols)
+
+    def create(batches):
+        client = client_factory()
+        for pdf in batches:
+            ids, urls = [], []
+            for _, row in pdf.iterrows():
+                task_id, url = graph_planner_create_task(
+                    client, plan_id, str(row[title_col]),
+                    bucket_id=str(row[bucket_col]) if bucket_col else None,
+                )
+                ids.append(task_id)
+                urls.append(url)
+            out = pd.DataFrame({"title": pdf[title_col].astype(str),
+                                "task_id": ids, "task_url": urls})
+            yield out
+
+    return src.mapInPandas(create, "title string, task_id string, task_url string")

@@ -137,3 +137,21 @@ def test_planner_and_create_task(spark, gclient, fixture_server):
     assert task_id.startswith("task-")
     assert task_id in url
     assert fixture_server.state.planner_created[-1]["title"] == "New task"
+
+
+def test_planner_bulk_create(spark, fixture_server):
+    from erpl_web_spark.sources.graph import planner_create_tasks
+    from erpl_web_spark.core.http import HttpClient
+    from erpl_web_spark.sources.graph import GraphClient
+
+    base = fixture_server.base_url + "/graph"
+    before = len(fixture_server.state.planner_created)
+    df = spark.createDataFrame([("t-%d" % i,) for i in range(7)], "title string")
+    out = planner_create_tasks(
+        df.repartition(3), lambda: GraphClient(base, HttpClient()), "p1"
+    ).collect()
+    assert len(out) == 7
+    assert all(r["task_id"].startswith("task-") for r in out)
+    assert all(r["task_id"] in r["task_url"] for r in out)
+    created = fixture_server.state.planner_created[before:]
+    assert sorted(c["title"] for c in created) == sorted(r["title"] for r in out)
