@@ -117,3 +117,32 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         tok_ok.cast("int") + len_ok.cast("int") + punct_ok.cast("int") + digit_ok.cast("int")
     ) / F.lit(4.0)
     return d.withColumn("quality_score", score).withColumn("quality_keep", score >= 0.75)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Each row lands in exactly one split based on
+    ``pmod(xxhash64(seed, id), 10_000)`` against cumulative weight
+    boundaries — stable across runs, cluster sizes, and re-partitioning
+    (the property random splits lack), and adding rows never reassigns
+    existing ones. Weights are normalized; order of dict insertion fixes
+    boundary order.
+    """
+    total = sum(weights.values())
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * 10_000
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out, expr)

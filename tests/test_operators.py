@@ -260,3 +260,27 @@ def test_salted_join_rejects_right_how(spark):
     left = spark.range(3).selectExpr("id AS k")
     with _pt.raises(ValueError):
         salted_join(left, left, "k", how="right")
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from erpl_web_spark.operators.text import hash_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, "doc_id", w)
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # deterministic across runs and partitioning
+    b = hash_split(df.repartition(13), "doc_id", w)
+    assert a.join(b.withColumnRenamed("split", "s2"), "doc_id") \
+            .where("split <> s2").count() == 0
+    # adding rows never reassigns existing ones
+    c = hash_split(spark.range(40_000).withColumnRenamed("id", "doc_id"), "doc_id", w)
+    assert a.join(c.withColumnRenamed("split", "s2"), "doc_id") \
+            .where("split <> s2").count() == 0
+    # different seed -> different assignment (sanity that seed matters)
+    d = hash_split(df, "doc_id", w, seed=7)
+    assert a.join(d.withColumnRenamed("split", "s2"), "doc_id") \
+            .where("split <> s2").count() > 0
