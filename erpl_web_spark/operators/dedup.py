@@ -112,27 +112,25 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    band_structs = F.array(
+    # One 64-bit key per band: the band index is hashed IN (first arg), so
+    # a single bigint equality replaces the (band, key) composite — a
+    # slimmer shuffle key and a simpler join.
+    band_keys = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                    "key"
-                ),
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
             )
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -273,3 +273,55 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("st_map", F.lit("F")), F.lit(0)).cast("long").alias("n_f"),
         F.map_contains_key("st_map", F.lit("O")).alias("has_open"),
     )
+
+
+@register(
+    "regex_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           regexp_extract(text, '([A-Za-z]{6,})', 1) AS first_long_word,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+           CAST(regexp_matches(text, '(?i)data') AS BOOLEAN) AS mentions_data
+    FROM documents
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract_all/extract/replace/match — same regex
+    dialect (RE2-compatible subset) evaluates identically in both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+        F.regexp_extract("text", "([A-Za-z]{6,})", 1).alias("first_long_word"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
+        F.col("text").rlike("(?i)data").alias("mentions_data"),
+    )
+
+
+@register(
+    "struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           struct_extract({'custkey': o_custkey, 'price': o_totalprice}, 'custkey') AS info_custkey,
+           struct_extract({'custkey': o_custkey, 'price': o_totalprice}, 'price') AS info_price,
+           struct_extract(struct_pack(a := o_orderkey, b := o_custkey), 'a') + 1 AS nested_calc
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction + field access, projected back to scalars so
+    the cross-engine compare never sees engine-specific struct rendering
+    (Spark Rows are tuple-like; DuckDB structs are dicts)."""
+    o = load(spark, sf_dir, "orders")
+    info = F.struct(
+        F.col("o_custkey").alias("custkey"), F.col("o_totalprice").alias("price")
+    )
+    packed = F.struct(F.col("o_orderkey").alias("a"), F.col("o_custkey").alias("b"))
+    return o.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        info.getField("custkey").alias("info_custkey"),
+        info.getField("price").alias("info_price"),
+        (packed.getField("a") + 1).alias("nested_calc"),
+    )
