@@ -325,3 +325,48 @@ def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         info.getField("price").alias("info_price"),
         (packed.getField("a") + 1).alias("nested_calc"),
     )
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface (Catalyst decorrelates
+    to a left-semi join) — the one suite entry exercising spark.sql()
+    end-to-end rather than the DataFrame API."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM sq_orders o
+        WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """)
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont, both linear interpolation over the sorted set)."""
+    l = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(price, F.lit(0.25)).alias("p25"),
+        F.percentile(price, F.lit(0.5)).alias("p50"),
+        F.percentile(price, F.lit(0.75)).alias("p75"),
+    )
