@@ -365,3 +365,35 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", spread=True)
     pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35, stride=50)
     return pairs.select("left_id", "right_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+_PII_SQL = r"""
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN_LIKE]', 'g'),
+      '\+?\d[\d\s()-]{7,}\d', '[PHONE]', 'g')
+"""
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT doc_id, {_PII_SQL} AS redacted,
+           CAST(len(string_split({_PII_SQL}, '[EMAIL]')) - 1
+              + len(string_split({_PII_SQL}, '[IPV4]')) - 1
+              + len(string_split({_PII_SQL}, '[PHONE]')) - 1
+              + len(string_split({_PII_SQL}, '[SSN_LIKE]')) - 1 AS INT) AS redacted_n_hits
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/IPs/phone-like runs/SSN shapes) as a
+    map-only JVM regex chain; same RE dialect evaluates in DuckDB."""
+    from erpl_web_spark.operators.text import redact_pii
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return redact_pii(d, "text").select("doc_id", "redacted", "redacted_n_hits")

@@ -284,3 +284,21 @@ def test_hash_split_deterministic_and_proportional(spark):
     d = hash_split(df, "doc_id", w, seed=7)
     assert a.join(d.withColumnRenamed("split", "s2"), "doc_id") \
             .where("split <> s2").count() > 0
+
+
+def test_redact_pii(spark):
+    from erpl_web_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567"),
+        (2, "server 192.168.0.1 ssn 123-45-6789"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    assert "[EMAIL]" in got[1]["redacted"] and "[PHONE]" in got[1]["redacted"]
+    assert "jo.doe" not in got[1]["redacted"] and "555" not in got[1]["redacted"]
+    assert got[1]["redacted_n_hits"] == 2
+    assert "[IPV4]" in got[2]["redacted"] and "[SSN_LIKE]" in got[2]["redacted"]
+    assert got[2]["redacted_n_hits"] == 2
+    assert got[3]["redacted"] == rows[2][1] and got[3]["redacted_n_hits"] == 0
