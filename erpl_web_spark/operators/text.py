@@ -181,3 +181,22 @@ def redact_pii(
     for kind in pats:
         hits = hits + F.size(F.split(red, F.lit(f"\\[{kind.upper()}\\]"))) - 1
     return df.withColumn(out, red).withColumn(f"{out}_n_hits", hits.cast("int"))
+
+
+def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    ``rep_top_word_ratio`` (most frequent token's share of all tokens) and
+    ``rep_distinct_token_ratio`` (vocabulary richness). High top-word
+    share / low distinct share flags boilerplate and degenerate text.
+
+    One shuffle on (id, token-hash); per-doc aggregation is
+    map-side-combinable. Documents with zero tokens (empty/whitespace
+    text) produce no output row — left-join back to the source if a row
+    per document is required.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
+    return per_tok.groupBy(id_col).agg(
+        (F.max("n") / F.sum("n")).alias("rep_top_word_ratio"),
+        (F.count("*") / F.sum("n")).alias("rep_distinct_token_ratio"),
+    )

@@ -397,3 +397,25 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     return redact_pii(d, "text").select("doc_id", "redacted", "redacted_n_hits")
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS rep_top_word_ratio,
+           CAST(COUNT(*) AS DOUBLE) / SUM(n) AS rep_distinct_token_ratio
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-token share and vocabulary
+    richness per document."""
+    from erpl_web_spark.operators.text import with_repetition_stats
+
+    return with_repetition_stats(load(spark, sf_dir, "documents", spread=True))

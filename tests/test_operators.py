@@ -302,3 +302,17 @@ def test_redact_pii(spark):
     assert "[IPV4]" in got[2]["redacted"] and "[SSN_LIKE]" in got[2]["redacted"]
     assert got[2]["redacted_n_hits"] == 2
     assert got[3]["redacted"] == rows[2][1] and got[3]["redacted_n_hits"] == 0
+
+
+def test_repetition_stats(spark):
+    from erpl_web_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here are different")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert got[1]["rep_top_word_ratio"] == 1.0       # degenerate repetition
+    assert got[1]["rep_distinct_token_ratio"] == 0.25
+    assert got[2]["rep_top_word_ratio"] == 0.2       # perfectly diverse
+    assert got[2]["rep_distinct_token_ratio"] == 1.0
