@@ -59,17 +59,23 @@ def _to_bool(v: Any):
     return None
 
 
-def _to_int(v: Any):
+def _to_int(v: Any, bits: int = 64):
+    """Lenient int decode; values outside the target type's range become
+    NULL (PERMISSIVE), matching the reference's range-checked deserializers
+    (odata_content.cpp:210-458 TryCast paths)."""
     try:
         if isinstance(v, bool):
-            return int(v)
-        if isinstance(v, (int, float)):
-            return int(v)
-        if isinstance(v, str) and v.strip():
-            return int(float(v)) if ("." in v or "e" in v.lower()) else int(v)
+            out = int(v)
+        elif isinstance(v, (int, float)):
+            out = int(v)
+        elif isinstance(v, str) and v.strip():
+            out = int(float(v)) if ("." in v or "e" in v.lower()) else int(v)
+        else:
+            return None
     except (ValueError, OverflowError):
         return None
-    return None
+    bound = 1 << (bits - 1)
+    return out if -bound <= out < bound else None
 
 
 def _to_float(v: Any):
@@ -99,7 +105,7 @@ def _to_timestamp(v: Any):
             # v2 legacy format: ms since epoch (+offset ignored, truncated
             # to whole seconds like the reference).
             secs = int(m.group(1)) // 1000
-            return dt.datetime.fromtimestamp(secs, dt.timezone.utc).replace(tzinfo=None)
+            return _epoch_secs(secs)
         try:
             s = v.strip().replace("Z", "+00:00")
             parsed = dt.datetime.fromisoformat(s)
@@ -109,8 +115,16 @@ def _to_timestamp(v: Any):
         except ValueError:
             return None
     if isinstance(v, (int, float)) and not isinstance(v, bool):
-        return dt.datetime.fromtimestamp(int(v), dt.timezone.utc).replace(tzinfo=None)
+        return _epoch_secs(int(v))
     return None
+
+
+def _epoch_secs(secs: int):
+    try:
+        return dt.datetime.fromtimestamp(secs, dt.timezone.utc).replace(tzinfo=None)
+    except (OverflowError, OSError, ValueError):
+        # outside datetime's representable range -> NULL (PERMISSIVE)
+        return None
 
 
 def _to_date(v: Any):
@@ -148,7 +162,8 @@ def decode_value(v: Any, data_type: DataType):
     if isinstance(data_type, BooleanType):
         return _to_bool(v)
     if isinstance(data_type, (ByteType, ShortType, IntegerType, LongType)):
-        return _to_int(v)
+        bits = {ByteType: 8, ShortType: 16, IntegerType: 32, LongType: 64}
+        return _to_int(v, bits[type(data_type)])
     if isinstance(data_type, (FloatType, DoubleType)):
         return _to_float(v)
     if isinstance(data_type, DecimalType):
