@@ -277,3 +277,28 @@ def ann_top_k_ivf(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# -- Class prototypes --------------------------------------------------------
+
+def embedding_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector (class prototype), one output row per
+    (label, dimension): ``idx`` is 1-based, ``centroid_val`` the mean of
+    that dimension, ``n_vecs`` the class size.
+
+    posexplode + groupBy(label, idx) is the scale path: partial
+    aggregation combines map-side, the shuffle carries only
+    labels x dims keys (not vectors), and no executor ever holds more
+    than one (label, dim) accumulator pair. Elements are quantized to
+    1e-8 integer units before summing, so the mean is exact,
+    order-independent, and identical in any engine (float->decimal cast
+    rounding differs across engines; round(double) half-away does not).
+    """
+    ex = df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v"))
+    units = F.round(F.col("v").cast("double") * F.lit(1e8)).cast("long")
+    return ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("idx")).agg(
+        (F.sum(units).cast("double") / F.lit(1e8) / F.count("*")).alias("centroid_val"),
+        F.count("*").alias("n_vecs"),
+    )

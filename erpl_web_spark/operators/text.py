@@ -125,18 +125,27 @@ def hash_split(
     weights: dict[str, float],
     seed: int = 42,
     out: str = "split",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/val/test assignment by id hash.
 
-    Each row lands in exactly one split based on
-    ``pmod(xxhash64(seed, id), 10_000)`` against cumulative weight
-    boundaries — stable across runs, cluster sizes, and re-partitioning
-    (the property random splits lack), and adding rows never reassigns
-    existing ones. Weights are normalized; order of dict insertion fixes
-    boundary order.
+    Each row lands in exactly one split based on a hash bucket
+    ``h(seed, id) % 10_000`` against cumulative weight boundaries —
+    stable across runs, cluster sizes, and re-partitioning (the property
+    random splits lack), and adding rows never reassigns existing ones.
+    Weights are normalized; order of dict insertion fixes boundary order.
+
+    ``method='xxhash64'`` (default) is the fast JVM-codegen path;
+    ``method='md5'`` derives the bucket from the first 8 hex chars of
+    ``md5(f"{seed}:{id}")`` — slower, but reproducible in any engine
+    with md5 (the cross-engine-verifiable contract).
     """
     total = sum(weights.values())
-    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(10_000))
+    if method == "md5":
+        digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        bucket = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % 10_000
+    else:
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(10_000))
     expr = None
     acc = 0.0
     names = list(weights)

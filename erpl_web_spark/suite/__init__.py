@@ -69,6 +69,6 @@ def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> 
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect registers everything.
-    from erpl_web_spark.suite import relational, relational2, pipeline  # noqa: F401
+    from erpl_web_spark.suite import relational, relational2, relational3, pipeline  # noqa: F401
 
     return dict(REGISTRY)

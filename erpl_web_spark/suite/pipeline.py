@@ -419,3 +419,52 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erpl_web_spark.operators.text import with_repetition_stats
 
     return with_repetition_stats(load(spark, sf_dir, "documents", spread=True))
+
+
+@register(
+    "pipeline_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM b GROUP BY split
+    """,
+)
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split sizes via the md5 bucket rule —
+    the cross-engine-verifiable twin of hash_split's xxhash64 fast path.
+    Split assignment is a narrow per-row transform (no shuffle); only the
+    3-row count summary aggregates."""
+    from erpl_web_spark.operators.text import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    split = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, method="md5"
+    )
+    return split.groupBy("split").agg(F.count("*").alias("n"))
+
+
+@register(
+    "embedding_centroid",
+    oracle="""
+    SELECT label, idx,
+           CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 100000000) AS BIGINT)) AS DOUBLE)
+             / CAST(100000000 AS DOUBLE) / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS idx,
+                 unnest(embedding) AS v
+          FROM embeddings)
+    GROUP BY label, idx
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class prototype vectors (mean embedding per label), emitted as
+    (label, dim, value) rows so the cross-engine compare sees scalars."""
+    from erpl_web_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(load(spark, sf_dir, "embeddings", spread=True))

@@ -1,0 +1,307 @@
+"""Third batch of relational-surface queries: classic TPC-H shapes adapted
+to the driver's synthetic schema (q06/q13/q14/q17/q18/q22), the q02-style
+min-join-back idiom, unpivot, and bounded-error approximate distinct.
+
+Same conventions as suite/relational.py: decimal accumulation for float
+sums, identical aliases on both sides, double arithmetic kept
+IEEE-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from erpl_web_spark.suite import load, register
+from erpl_web_spark.suite.relational import dsum
+
+
+@register(
+    "q06_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+)
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + scalar
+    aggregate. The whole WHERE clause reaches the parquet scan as
+    PushedFilters — at 100 TB this is the difference between reading a
+    year's partitions and reading everything."""
+    l = load(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.where(f).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count then a second aggregation over
+    the counts (customers bucketed by how many orders they placed).
+    First agg shuffles on c_custkey; second input is one row per
+    customer, so the re-shuffle is tiny."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(100 AS DOUBLE) * promo_rev / total_rev AS promo_pct,
+           promo_rev, total_rev
+    FROM (
+      SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                   AS DECIMAL(18,4))) AS DOUBLE) AS promo_rev,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+    )
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a fact-dim join,
+    emitting a ratio. part is broadcast — no shuffle of lineitem."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    sums = joined.agg(
+        dsum(promo, scale=4).alias("promo_rev"),
+        dsum(rev, scale=4).alias("total_rev"),
+    )
+    return sums.select(
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+        "promo_rev",
+        "total_rev",
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pa ON pa.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: compare each row against its group's average
+    (decorrelated to an aggregate + self-join). The per-part average is
+    small (one row per part) so it broadcasts; the brand filter prunes
+    before the join. avg is computed as exact-decimal sum / count so both
+    engines do the same single double division."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty")
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).join(
+        F.broadcast(pa), F.col("l_partkey") == F.col("pk")
+    )
+    return j.where(F.col("l_quantity") < 0.5 * F.col("avg_qty")).agg(
+        (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_small"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery = aggregate →
+    semi-join → re-aggregate. The hot-order keyset is small, so the
+    semi-join broadcasts instead of shuffling lineitem twice."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    hot = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .where(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    o_hot = o.join(
+        F.broadcast(hot), o.o_orderkey == hot.l_orderkey, "left_semi"
+    )
+    j = c.join(o_hot, c.c_custkey == o_hot.o_custkey).join(
+        l, o_hot.o_orderkey == l.l_orderkey
+    )
+    return j.groupBy("c_name", "o_orderkey", "o_totalprice").agg(
+        dsum(F.col("l_quantity")).alias("total_qty")
+    )
+
+
+@register(
+    "q22_idle_cohorts",
+    oracle="""
+    SELECT SUBSTRING(c_name, 18, 1) AS cohort,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderstatus = 'F' AND o.o_totalprice > 50000
+      )
+    GROUP BY cohort
+    """,
+)
+def q22_idle_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join
+    + substring cohort aggregation. The threshold is a 1-row broadcast;
+    the anti-join side is filtered before joining."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        (dsum(F.col("c_acctbal")) / F.count("*")).alias("thr")
+    )
+    big_f = o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000)
+    ).select("o_custkey")
+    idle = c.join(big_f, c.c_custkey == big_f.o_custkey, "left_anti")
+    rich_idle = idle.crossJoin(F.broadcast(thr)).where(
+        F.col("c_acctbal") > F.col("thr")
+    )
+    return rich_idle.groupBy(
+        F.substring("c_name", 18, 1).alias("cohort")
+    ).agg(
+        F.count("*").alias("n_cust"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey AS pk, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, m.min_price, MIN(l.l_suppkey) AS best_supp
+    FROM lineitem l
+    JOIN m ON l.l_partkey = m.pk AND l.l_extendedprice = m.min_price
+    GROUP BY l.l_partkey, m.min_price
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 idiom: min-per-group then join back on (group, min) to
+    recover the full row, with MIN over ties for determinism. One
+    aggregate + one broadcast join — no window sort over the fact
+    table."""
+    l = load(spark, sf_dir, "lineitem")
+    m = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    j = l.join(
+        F.broadcast(m),
+        (l.l_partkey == m.pk) & (l.l_extendedprice == m.min_price),
+    )
+    return j.groupBy("l_partkey", "min_price").agg(
+        F.min("l_suppkey").alias("best_supp")
+    )
+
+
+@register(
+    "unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+    """,
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt). Spark's unpivot is a zero-shuffle
+    narrow transform; the oracle states the same contract as UNION ALL."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct with a verifiable contract: the query
+    emits whether the sketch estimate lands within 10% of the exact
+    count (rsd=0.01, so the bound holds with enormous margin — and
+    deterministically, HLL++ has no randomness). At 100 TB the sketch is
+    mergeable map-side state instead of a distinct shuffle."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_approx"),
+    )
+    ok = (
+        F.abs(F.col("n_approx") - F.col("n_exact"))
+        / F.col("n_exact").cast("double")
+        <= 0.1
+    )
+    return agg.select("o_orderpriority", "n_exact", ok.alias("approx_ok"))
