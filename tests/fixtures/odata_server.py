@@ -550,6 +550,44 @@ def _make_handler(state: FixtureState):
             })
             if parts.path == "/http/echo":
                 return self._json(201, {"received": body.decode("utf-8", "replace")})
+            # ---- GraphQL endpoint ----------------------------------------
+            if parts.path == "/graphql":
+                doc = json.loads(body or b"{}")
+                q = doc.get("query", "")
+                variables = doc.get("variables") or {}
+                if "boom" in q:
+                    return self._json(200, {"errors": [{"message": "boom"}]})
+                products = [
+                    {
+                        "id": i,
+                        "name": f"widget-{i}",
+                        "price": round(1.5 * i, 2),
+                        "inStock": i % 3 != 0,
+                        "tags": [f"t{i % 2}", f"t{i % 5}"],
+                        "vendor": {"name": f"vendor-{i % 4}", "rating": i % 5},
+                    }
+                    for i in range(25)
+                ]
+                if "allProducts" in q:
+                    return self._json(200, {"data": {"allProducts": products}})
+                if "products" in q:
+                    first = int(variables.get("first") or 10)
+                    after = variables.get("after")
+                    start = int(after) + 1 if after is not None else 0
+                    page = products[start : start + first]
+                    edges = [
+                        {"node": p, "cursor": str(start + j)}
+                        for j, p in enumerate(page)
+                    ]
+                    end = start + len(page) - 1
+                    return self._json(200, {"data": {"products": {
+                        "edges": edges,
+                        "pageInfo": {
+                            "hasNextPage": end < len(products) - 1,
+                            "endCursor": str(end) if edges else None,
+                        },
+                    }}})
+                return self._json(200, {"data": {}})
             # ---- OAuth2 token endpoint -----------------------------------
             if parts.path == "/token":
                 form = dict(parse_qsl(body.decode()))
