@@ -45,83 +45,16 @@ import json
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import (
-    ArrayType,
-    BooleanType,
-    DataType,
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StructType
 
 from erpl_web_spark.core.http import HttpClient
+from erpl_web_spark.core.infer import infer_struct as _infer_struct
 from erpl_web_spark.core.secrets import default_registry
 from erpl_web_spark.odata.json_decode import decode_value
 
 
 class GraphQLError(RuntimeError):
     """Server returned a GraphQL ``errors`` array."""
-
-
-# -- schema inference --------------------------------------------------------
-
-def _infer_type(v) -> DataType:
-    if isinstance(v, bool):
-        return BooleanType()
-    if isinstance(v, int):
-        return LongType()
-    if isinstance(v, float):
-        return DoubleType()
-    if isinstance(v, dict):
-        return _infer_struct([v])
-    if isinstance(v, list):
-        elem = next((x for x in v if x is not None), None)
-        return ArrayType(_infer_type(elem) if elem is not None else StringType(), True)
-    return StringType()
-
-
-def _merge_types(a: DataType, b: DataType) -> DataType:
-    if a == b:
-        return a
-    nums = (LongType(), DoubleType())
-    if a in nums and b in nums:
-        return DoubleType()
-    if isinstance(a, StructType) and isinstance(b, StructType):
-        names = list(dict.fromkeys([f.name for f in a.fields] + [f.name for f in b.fields]))
-        af = {f.name: f.dataType for f in a.fields}
-        bf = {f.name: f.dataType for f in b.fields}
-        return StructType(
-            [
-                StructField(
-                    n,
-                    _merge_types(af.get(n, bf.get(n)), bf.get(n, af.get(n))),
-                    True,
-                )
-                for n in names
-            ]
-        )
-    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
-        return ArrayType(_merge_types(a.elementType, b.elementType), True)
-    return StringType()
-
-
-def _infer_struct(rows: list[dict]) -> StructType:
-    """Typed schema from sample objects: field order = first appearance,
-    null-only fields -> string, type conflicts widen (long+double ->
-    double, else string)."""
-    order: list[str] = []
-    types: dict[str, DataType] = {}
-    for r in rows:
-        for k, v in r.items():
-            if k not in order:
-                order.append(k)
-            if v is None:
-                continue
-            t = _infer_type(v)
-            types[k] = _merge_types(types[k], t) if k in types else t
-    return StructType([StructField(k, types.get(k, StringType()), True) for k in order])
 
 
 # -- client ------------------------------------------------------------------

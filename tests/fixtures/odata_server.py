@@ -314,6 +314,45 @@ def _make_handler(state: FixtureState):
             })
             route = parts.path
 
+            # ---- generic REST pagination ---------------------------------
+            # 23 items {item_id, name, score}; four pagination dialects.
+            if route.startswith("/rest/"):
+                items = [
+                    {"item_id": i, "name": f"item-{i}", "score": round(0.5 * i, 2)}
+                    for i in range(23)
+                ]
+                if route == "/rest/offset-items":
+                    limit = int(q.get("limit", 10))
+                    offset = int(q.get("offset", 0))
+                    return self._json(200, {
+                        "total": len(items),
+                        "items": items[offset : offset + limit],
+                    })
+                if route == "/rest/page-items":
+                    page = int(q.get("page", 1))
+                    limit = int(q.get("limit", 10))
+                    start = (page - 1) * limit
+                    return self._json(200, {"items": items[start : start + limit]})
+                if route == "/rest/cursor-items":
+                    limit = int(q.get("limit", 10))
+                    start = int(q.get("cursor", 0))
+                    page = items[start : start + limit]
+                    nxt = start + limit if start + limit < len(items) else None
+                    return self._json(200, {
+                        "data": {"items": page, "next_cursor": nxt},
+                    })
+                if route == "/rest/link-items":
+                    page = int(q.get("page", 1))
+                    limit = 10
+                    start = (page - 1) * limit
+                    hdrs = {}
+                    if start + limit < len(items):
+                        hdrs["Link"] = (
+                            f'</rest/link-items?page={page + 1}>; rel="next"'
+                        )
+                    return self._json(200, items[start : start + limit], hdrs)
+                return self._send(404, b"unknown rest route", "text/plain")
+
             # ---- OData v4 -------------------------------------------------
             if route == "/v4/$metadata":
                 return self._send(200, EDMX_V4.encode(), "application/xml")
