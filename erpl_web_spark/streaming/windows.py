@@ -157,3 +157,56 @@ def running_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins, and the
+    key cache self-expires once the watermark passes — bounded state, the
+    property a plain ``dropDuplicates`` on an unbounded stream lacks.
+    The streaming twin of the batch ``operators.dedup`` family (an
+    at-most-once filter for replayed/overlapping source reads, e.g. ODP
+    delta fetches after a token-expiry full reload)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval: pairs
+    (l, r) with the same key where ``l_ts <= r_ts <= l_ts + within``
+    (e.g. click -> purchase attribution). Watermarks on BOTH sides plus
+    the interval condition let Spark GC join state; without them a
+    stream-stream join buffers forever. The same expression runs on
+    batch DataFrames (watermarks are no-ops there), which is how tests
+    pin semantics.
+
+    Output: key, l_ts, l_type, r_ts, r_type.
+    """
+    l = left.select(
+        F.col(key),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop("r_key")

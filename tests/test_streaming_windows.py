@@ -31,7 +31,7 @@ def _run_stream(spark, events_dir, builder, name):
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if name != "rt" else "update")
+        .outputMode({"rt": "update", "dd": "append", "ssj": "append"}.get(name, "complete"))
         .trigger(availableNow=True)
         .start()
     )
@@ -93,3 +93,37 @@ def test_running_totals_stateful(spark, events_dir):
     for u in sample:
         assert final[u]["n_events"] == expect[u]["n"]
         assert final[u]["last_ts"] == expect[u]["m"]
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    from erpl_web_spark.streaming.windows import stream_dedup
+
+    # duplicate every file once -> each event_id appears (at least) twice
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(events_dir)
+    base.union(base).repartition(4).write.mode("overwrite").parquet(dup_dir)
+    got = _run_stream(
+        spark, dup_dir, lambda s: stream_dedup(s, watermark="10 minutes"), "dd"
+    )
+    n_distinct = base.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    from erpl_web_spark.streaming.windows import stream_interval_join
+
+    def build(s):
+        return stream_interval_join(
+            s.where("event_type = 'click'"),
+            s.where("event_type = 'purchase'"),
+            within="30 minutes",
+        )
+
+    got = _run_stream(spark, events_dir, build, "ssj")
+    b = spark.read.parquet(events_dir)
+    batch = build(b)
+    assert got.count() == batch.count() > 0
+    # every pair respects the interval contract
+    bad = got.where("r_ts < l_ts OR r_ts > l_ts + INTERVAL 30 MINUTES").count()
+    assert bad == 0
