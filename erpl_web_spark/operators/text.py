@@ -209,3 +209,44 @@ def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str =
         (F.max("n") / F.sum("n")).alias("rep_top_word_ratio"),
         (F.count("*") / F.sum("n")).alias("rep_distinct_token_ratio"),
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget: int = 2048,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in deterministic
+    order and cut at fixed token-budget boundaries. Each document gets the
+    pack (training sequence) it starts in and its token offset there.
+
+    Packing is per ``group_col`` (shard/source): the running token total
+    is a window cumsum partitioned by group, so groups pack in parallel
+    and order within a group is the deterministic ``id_col`` sort — the
+    distributed version of the single-writer concat loop. At 100 TB the
+    group is the unit of parallelism (pick shards ~executor-sized);
+    no driver materialization anywhere.
+
+    Output: id, group, n_tokens, pack_id (0-based within group),
+    pack_offset (token position inside the pack).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tokens = token_count_expr(F.col("text"))
+    return (
+        df.select(F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            (F.col("cum_before") / budget).cast("long").alias("pack_id"),
+            (F.col("cum_before") % budget).alias("pack_offset"),
+        )
+    )

@@ -468,3 +468,27 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erpl_web_spark.operators.similarity import embedding_centroids
 
     return embedding_centroids(load(spark, sf_dir, "embeddings", spread=True))
+
+
+@register(
+    "pipeline_pack_documents",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id,
+           cum_before % 2048 AS pack_offset
+    FROM (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             COALESCE(SUM(CAST(len({_SQL_TOKS}) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM documents
+    )
+    """,
+)
+def pipeline_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing (2048-token
+    budget, packed per source shard)."""
+    from erpl_web_spark.operators.text import pack_documents
+
+    return pack_documents(load(spark, sf_dir, "documents"), budget=2048)
