@@ -61,21 +61,33 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def documents_as_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_type: str = "image",
+) -> DataFrame:
     """Wrap a text table into the media schema (payload = utf-8 bytes).
 
-    Stands in for real image/audio ingest so the binary-column plumbing is
-    exercised end-to-end on the available test data.
+    Stands in for real image/audio/video ingest so the binary-column
+    plumbing is exercised end-to-end on the available test data. As
+    ``media_type='video'`` the fake duration is 10 ms per byte, giving
+    frame sampling something deterministic to fan out over.
     """
+    duration = (
+        (F.length(text_col) * 10).cast("long")
+        if media_type == "video"
+        else F.lit(None).cast("long")
+    )
     return df.select(
         F.col(id_col).alias("media_id"),
         F.col(text_col).cast("binary").alias("payload"),
         F.struct(
-            F.lit("image").alias("media_type"),
+            F.lit(media_type).alias("media_type"),
             F.lit("fake").alias("format"),
             F.length(text_col).cast("int").alias("width"),
             F.lit(1).alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            duration.alias("duration_ms"),
         ).alias("meta"),
     )
 

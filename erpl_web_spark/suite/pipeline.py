@@ -492,3 +492,30 @@ def pipeline_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erpl_web_spark.operators.text import pack_documents
 
     return pack_documents(load(spark, sf_dir, "documents"), budget=2048)
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT media_id, frame_idx, CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms
+    FROM (
+      SELECT doc_id AS media_id,
+             CAST(unnest(range(0, GREATEST(
+               CAST(FLOOR(LENGTH(text) * 10 / 1000.0) AS INT), 1))) AS INT) AS frame_idx
+      FROM documents
+    )
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (1 frame/sec over the fake 10ms-per-
+    byte duration): explode over a JVM-computed sequence — the real
+    distributed shape of a frame extractor, with the decode kernel
+    stubbed (no media libs in this environment)."""
+    from erpl_web_spark.operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(
+        load(spark, sf_dir, "documents"), media_type="video"
+    )
+    return sample_frames(media, every_ms=1000).select(
+        "media_id", "frame_idx", (F.col("frame_idx") * 1000).cast("long").alias("frame_ts_ms")
+    )
