@@ -519,3 +519,39 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000).select(
         "media_id", "frame_idx", (F.col("frame_idx") * 1000).cast("long").alias("frame_ts_ms")
     )
+
+
+_CHUNKS_ORACLE = f"""
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx, chunk_text,
+           CAST(CASE WHEN chunk_text = '' THEN 0
+                ELSE len(string_split(chunk_text, ' ')) END AS INT) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest(range(1, nch + 1)) AS ci,
+             unnest(list_transform(range(1, nch + 1),
+               c -> array_to_string(toks[(c-1)*32+1:c*32], ' '))) AS chunk_text
+      FROM (
+        SELECT doc_id, toks,
+               greatest((len(toks) + 31) // 32, 1) AS nch
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      )
+    )
+    """
+
+
+@register("udtf_chunk_tokens", oracle=_CHUNKS_ORACLE)
+def udtf_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY 2.F): context-window chunking via
+    LATERAL chunk_tokens(text, 32). The Python-worker path — its codegen
+    twin is q:chunk_tokens_native with byte-identical output."""
+    from erpl_web_spark.functions.udtfs import chunk_tokens
+
+    return chunk_tokens(load(spark, sf_dir, "documents"))
+
+
+@register("chunk_tokens_native", oracle=_CHUNKS_ORACLE)
+def chunk_tokens_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen-path twin of udtf_chunk_tokens (explode over chunk array)."""
+    from erpl_web_spark.functions.udtfs import chunk_tokens_native
+
+    return chunk_tokens_native(load(spark, sf_dir, "documents"))
