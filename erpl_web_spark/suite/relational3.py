@@ -305,3 +305,63 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= 0.1
     )
     return agg.select("o_orderpriority", "n_exact", ok.alias("approx_ok"))
+
+
+@register(
+    "bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 4096 AS b_or,
+           xor(o_orderkey, 85) AS b_xor,
+           CAST(o_orderkey << 2 AS BIGINT) AS b_shl,
+           CAST(o_orderkey >> 3 AS BIGINT) AS b_shr,
+           CAST(bit_count(o_orderkey) AS INT) AS b_pop
+    FROM orders
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (and/or/xor/shifts/popcount) — the primitives the
+    SimHash and banding operators build on."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(85)).alias("b_xor"),
+        F.shiftleft(k, 2).cast("long").alias("b_shl"),
+        F.shiftright(k, 3).cast("long").alias("b_shr"),
+        F.bit_count(k).alias("b_pop"),
+    )
+
+
+@register(
+    "interval_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow
+    FROM orders
+    """,
+)
+def interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: add/sub days, add months, month/quarter
+    boundaries, ISO weekday."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus_30d"),
+        F.date_sub(d, 7).alias("minus_7d"),
+        F.add_months(d, 2).alias("plus_2m"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("quarter_start"),
+        F.quarter(d).alias("qtr"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+    )
