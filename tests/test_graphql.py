@@ -93,3 +93,23 @@ def test_graphql_datasource_cursor_pages(spark, fixture_server):
     # wire log shows the cursor loop hit the server page by page
     gql_posts = [r for r in fixture_server.state.log if r["path"] == "/graphql"]
     assert len(gql_posts) >= 4  # ceil(25/7) pages (+ schema probe)
+
+
+def test_graphql_secret_auth_reaches_wire(spark, fixture_server, secrets_file):
+    from erpl_web_spark.core.secrets import SecretRegistry
+
+    reg = SecretRegistry(persist_path=secrets_file)
+    reg.create_secret(
+        "gql-fx", "http_bearer", scope=fixture_server.base_url + "/graphql",
+        token="gql-tok",
+    )
+    fixture_server.state.log.clear()
+    url = fixture_server.base_url + "/graphql"
+    df = graphql_read(spark, url, PLAIN_QUERY, data_path="allProducts")
+    assert df.count() == 25
+    auths = {
+        r["headers"].get("Authorization")
+        for r in fixture_server.state.log
+        if r["path"] == "/graphql"
+    }
+    assert auths == {"Bearer gql-tok"}

@@ -78,3 +78,28 @@ def test_rest_link_header(spark, fixture_server):
         data_path="",
     )
     assert _ids(df) == list(range(23))
+
+
+def test_rest_secret_auth_reaches_wire(spark, fixture_server, secrets_file):
+    from erpl_web_spark.core.secrets import SecretRegistry
+
+    reg = SecretRegistry(persist_path=secrets_file)
+    reg.create_secret(
+        "rest-fx", "http_bearer", scope=fixture_server.base_url + "/rest/",
+        token="rest-tok",
+    )
+    fixture_server.state.log.clear()
+    df = rest_read(
+        spark,
+        fixture_server.base_url + "/rest/offset-items",
+        paginate="offset",
+        data_path="items",
+        page_size=50,
+    )
+    assert df.count() == 23
+    auths = {
+        r["headers"].get("Authorization")
+        for r in fixture_server.state.log
+        if r["path"] == "/rest/offset-items"
+    }
+    assert auths == {"Bearer rest-tok"}
