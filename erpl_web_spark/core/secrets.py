@@ -130,3 +130,23 @@ default_registry = SecretRegistry(
         "ERPL_WEB_SECRETS_FILE", os.path.join("~", ".erpl_web_spark", "secrets.json")
     )
 )
+
+
+def auth_headers_from_options(options) -> dict[str, str]:
+    """Resolve connector auth from read options, shared by the
+    OData/GraphQL/REST data sources: inline ``auth_type``/``token``/
+    ``username``+``password`` first (work on any cluster topology), then
+    the file-backed registry — by ``secret`` name, else by URL-scope
+    longest-prefix match."""
+    auth_type = options.get("auth_type")
+    if auth_type == "bearer" or "token" in options:
+        return {"Authorization": f"Bearer {options.get('token', '')}"}
+    if auth_type == "basic" or "username" in options:
+        cred = f"{options.get('username', '')}:{options.get('password', '')}"
+        return {"Authorization": "Basic " + base64.b64encode(cred.encode()).decode()}
+    secret_name = options.get("secret")
+    if secret_name:
+        s = default_registry.get(secret_name)
+        if s is not None:
+            return s.auth_headers()
+    return default_registry.auth_headers_for_url(options.get("url", ""))

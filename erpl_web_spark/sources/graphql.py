@@ -49,7 +49,7 @@ from pyspark.sql.types import StructType
 
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.infer import infer_struct as _infer_struct
-from erpl_web_spark.core.secrets import default_registry
+from erpl_web_spark.core.secrets import auth_headers_from_options as _auth_headers
 from erpl_web_spark.odata.json_decode import decode_value
 
 
@@ -96,6 +96,8 @@ class GraphQLClient:
     def fetch_rows(self, query: str, variables: dict | None, data_path: str) -> list[dict]:
         """One non-paginated request -> list of row objects."""
         data = _walk(self.execute(query, variables), f"data.{data_path}")
+        if data is None:  # nullable field: explicit JSON null -> no rows
+            return []
         if isinstance(data, dict):
             data = [data]
         return [r for r in data if isinstance(r, dict)]
@@ -117,31 +119,21 @@ class GraphQLClient:
             vs[size_var] = page_size
             vs[cursor_var] = cursor
             conn = _walk(self.execute(query, vs), f"data.{data_path}")
+            if conn is None:  # nullable connection field
+                return
             edges = conn.get("edges", [])
             yield [e["node"] for e in edges if isinstance(e.get("node"), dict)]
             info = conn.get("pageInfo", {})
             if not info.get("hasNextPage") or not edges:
                 return
             cursor = info.get("endCursor")
+            if not cursor:
+                # non-compliant server: hasNextPage without a cursor would
+                # refetch page one forever
+                return
 
 
 # -- data source -------------------------------------------------------------
-
-def _auth_headers(options) -> dict[str, str]:
-    auth_type = options.get("auth_type")
-    if auth_type == "bearer" or "token" in options:
-        return {"Authorization": f"Bearer {options.get('token', '')}"}
-    if auth_type == "basic" or "username" in options:
-        import base64
-
-        cred = f"{options.get('username', '')}:{options.get('password', '')}"
-        return {"Authorization": "Basic " + base64.b64encode(cred.encode()).decode()}
-    secret_name = options.get("secret")
-    if secret_name:
-        s = default_registry.get(secret_name)
-        if s is not None:
-            return s.auth_headers()
-    return default_registry.auth_headers_for_url(options.get("url", ""))
 
 
 class GraphQLDataSource(DataSource):

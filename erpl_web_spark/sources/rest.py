@@ -42,7 +42,7 @@ from pyspark.sql.types import StructType
 
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.infer import infer_struct
-from erpl_web_spark.core.secrets import default_registry
+from erpl_web_spark.core.secrets import auth_headers_from_options as _auth_headers
 from erpl_web_spark.core.url import HttpUrl
 from erpl_web_spark.odata.json_decode import decode_value
 
@@ -75,21 +75,6 @@ def _with_params(url: str, params: dict) -> str:
     return u.with_query_params(merged).to_string()
 
 
-def _auth_headers(options) -> dict[str, str]:
-    auth_type = options.get("auth_type")
-    if auth_type == "bearer" or "token" in options:
-        return {"Authorization": f"Bearer {options.get('token', '')}"}
-    if auth_type == "basic" or "username" in options:
-        import base64
-
-        cred = f"{options.get('username', '')}:{options.get('password', '')}"
-        return {"Authorization": "Basic " + base64.b64encode(cred.encode()).decode()}
-    secret_name = options.get("secret")
-    if secret_name:
-        s = default_registry.get(secret_name)
-        if s is not None:
-            return s.auth_headers()
-    return default_registry.auth_headers_for_url(options.get("url", ""))
 
 
 class RestPager:

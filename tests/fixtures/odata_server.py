@@ -607,6 +607,15 @@ def _make_handler(state: FixtureState):
                     }
                     for i in range(25)
                 ]
+                if "maybeProducts" in q:
+                    # spec-compliant nullable field: requested, resolved null
+                    return self._json(200, {"data": {"maybeProducts": None}})
+                if "brokenProducts" in q:
+                    # non-compliant paging: claims more pages, gives no cursor
+                    return self._json(200, {"data": {"brokenProducts": {
+                        "edges": [{"node": p, "cursor": None} for p in products[:5]],
+                        "pageInfo": {"hasNextPage": True, "endCursor": None},
+                    }}})
                 if "allProducts" in q:
                     return self._json(200, {"data": {"allProducts": products}})
                 if "products" in q:

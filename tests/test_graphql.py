@@ -113,3 +113,37 @@ def test_graphql_secret_auth_reaches_wire(spark, fixture_server, secrets_file):
         if r["path"] == "/graphql"
     }
     assert auths == {"Bearer gql-tok"}
+
+
+def test_graphql_nullable_field_yields_empty(spark, fixture_server):
+    """A requested-but-null field (GraphQL spec for nullable resolvers)
+    is zero rows, not a crash; a genuinely missing path still errors."""
+    url = fixture_server.base_url + "/graphql"
+    df = (
+        spark.read.format("graphql")
+        .option("url", url)
+        .option("query", "query { maybeProducts { id } }")
+        .option("data_path", "maybeProducts")
+        .schema("id BIGINT")
+        .load()
+    )
+    assert df.count() == 0
+    client = GraphQLClient(url)
+    with pytest.raises(GraphQLError, match="not found"):
+        client.fetch_rows("query { doesNotExist { id } }", None, "doesNotExist")
+
+
+def test_graphql_broken_cursor_terminates(fixture_server):
+    """hasNextPage=true with a null endCursor must not loop forever."""
+    url = fixture_server.base_url + "/graphql"
+    client = GraphQLClient(url)
+    q = """
+    query($first: Int, $after: String) {
+      brokenProducts(first: $first, after: $after) {
+        edges { node { id } cursor }
+        pageInfo { hasNextPage endCursor }
+      }
+    }
+    """
+    pages = list(client.fetch_connection_pages(q, {}, "brokenProducts", page_size=5))
+    assert [len(p) for p in pages] == [5]
