@@ -365,3 +365,35 @@ def interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).alias("qtr"),
         (F.weekday(d) + 1).cast("int").alias("iso_dow"),
     )
+
+
+@register(
+    "string_distance_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_brand) AS INT) AS lev_name_brand,
+           CAST(levenshtein(p_type, p_brand) AS INT) AS lev_type_brand,
+           split_part(p_name, ' ', 2) AS name_word2,
+           translate(p_type, 'EOC', 'eoc') AS type_xlate,
+           lpad(p_brand, 12, '*') AS brand_lpad,
+           rpad(p_type, 12, '.') AS type_rpad,
+           reverse(p_name) AS name_rev
+    FROM part
+    """,
+)
+def string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance and string-shaping surface (levenshtein, split_part,
+    translate, pad, reverse) — the scalar primitives under fuzzy matching
+    and entity resolution. All JVM-codegen built-ins; at 100 TB this is a
+    single narrow projection stage with no shuffle."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("lev_name_brand"),
+        F.levenshtein("p_type", "p_brand").alias("lev_type_brand"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("name_word2"),
+        F.translate("p_type", "EOC", "eoc").alias("type_xlate"),
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_type", 12, ".").alias("type_rpad"),
+        F.reverse("p_name").alias("name_rev"),
+    )
