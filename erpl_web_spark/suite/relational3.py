@@ -397,3 +397,32 @@ def string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad("p_type", 12, ".").alias("type_rpad"),
         F.reverse("p_name").alias("name_rev"),
     )
+
+
+@register(
+    "codec_funcs",
+    oracle="""
+    SELECT p_partkey,
+           base64(CAST(p_name AS BLOB)) AS name_b64,
+           hex(p_name) AS name_hex,
+           CAST(unhex(hex(p_name)) AS VARCHAR) AS name_roundtrip,
+           CAST(from_base64(base64(CAST(p_name AS BLOB))) AS VARCHAR) AS name_b64_rt,
+           format('{}#{:03d}', p_brand, p_size) AS brand_size_fmt
+    FROM part
+    """,
+)
+def codec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface (base64/hex round-trips, printf formatting) —
+    the reference emits `BINARY_CONTENT_BASE64:`-prefixed payloads
+    (src/http_client.cpp charset path), so codec parity matters for any
+    downstream decode."""
+    p = load(spark, sf_dir, "part")
+    name_bin = F.col("p_name").cast("binary")
+    return p.select(
+        "p_partkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.hex(name_bin).alias("name_hex"),
+        F.unhex(F.hex(name_bin)).cast("string").alias("name_roundtrip"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("name_b64_rt"),
+        F.format_string("%s#%03d", F.col("p_brand"), F.col("p_size")).alias("brand_size_fmt"),
+    )
