@@ -426,3 +426,35 @@ def codec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unbase64(F.base64(name_bin)).cast("string").alias("name_b64_rt"),
         F.format_string("%s#%03d", F.col("p_brand"), F.col("p_size")).alias("brand_size_fmt"),
     )
+
+
+@register(
+    "null_safe_funcs",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INT) AS brand_as_int,
+           TRY_CAST(split_part(p_brand, '#', 2) AS INT) AS brand_num,
+           CAST(greatest(p_size, 25) AS INT) AS size_floor25,
+           CAST(least(p_size, 25) AS INT) AS size_cap25,
+           nullif(p_size, 11) AS size_not11,
+           ifnull(nullif(p_size, 11), -1) AS size_not11_filled,
+           (p_size IS NOT DISTINCT FROM 11) AS is_exactly_11
+    FROM part
+    """,
+)
+def null_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts and null-propagation surface: TRY_CAST (malformed
+    input -> NULL, never a failed 100 TB job), greatest/least, nullif/
+    ifnull, null-safe equality."""
+    p = load(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).try_cast("int").alias("brand_num"),
+        F.greatest(sz, F.lit(25)).cast("int").alias("size_floor25"),
+        F.least(sz, F.lit(25)).cast("int").alias("size_cap25"),
+        F.nullif(sz, F.lit(11)).alias("size_not11"),
+        F.ifnull(F.nullif(sz, F.lit(11)), F.lit(-1)).alias("size_not11_filled"),
+        sz.eqNullSafe(F.lit(11)).alias("is_exactly_11"),
+    )
