@@ -458,3 +458,29 @@ def null_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ifnull(F.nullif(sz, F.lit(11)), F.lit(-1)).alias("size_not11_filled"),
         sz.eqNullSafe(F.lit(11)).alias("is_exactly_11"),
     )
+
+
+@register(
+    "sequence_funcs",
+    oracle="""
+    SELECT p_partkey,
+           generate_series(1, least(p_size, 5)) AS seq,
+           list_reverse(generate_series(1, least(p_size, 5))) AS seq_rev,
+           CAST(len(generate_series(1, least(p_size, 5))) AS INT) AS seq_len,
+           generate_series(1, least(p_size, 5))[2] AS second_elem
+    FROM part
+    """,
+)
+def sequence_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazily generated integer sequences (Spark `sequence` ≡ DuckDB
+    `generate_series`) — the building block for calendar spines and
+    explode-free range fan-outs."""
+    p = load(spark, sf_dir, "part")
+    seq = F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5))).cast("array<bigint>")
+    return p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        F.reverse(seq).alias("seq_rev"),
+        F.size(seq).alias("seq_len"),
+        F.try_element_at(seq, F.lit(2)).alias("second_elem"),
+    )
