@@ -700,19 +700,27 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding[1] AS first_comp,
            embedding[64] AS last_comp,
            CAST(GREATEST(list_max(embedding), 0) AS FLOAT) AS max_pos,
-           embedding[1:4] AS head4
+           embedding[2] AS head_2,
+           embedding[3] AS head_3,
+           embedding[4] AS head_4
     FROM embeddings
     """,
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface (size/element_at/array_max/slice). Outputs are kept
+    scalar (the slice is projected to per-position columns) because the
+    driver's canonicalizer cannot hash ARRAY cells."""
     e = load(spark, sf_dir, "embeddings")
+    head4 = F.slice("embedding", 1, 4)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_comp"),
         F.element_at("embedding", 64).alias("last_comp"),
         F.greatest(F.array_max("embedding"), F.lit(0).cast("float")).alias("max_pos"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.element_at(head4, 2).alias("head_2"),
+        F.element_at(head4, 3).alias("head_3"),
+        F.element_at(head4, 4).alias("head_4"),
     )
 
 
@@ -762,7 +770,7 @@ def odata_select_filter_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     "odata_expand_nested",
     oracle="""
     SELECT o_custkey AS c_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
+           array_to_string(list_sort(list(o_orderkey)), '|') AS order_keys,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -770,10 +778,17 @@ def odata_select_filter_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def odata_expand_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$expand contract (SURVEY.md §2.D4): child rows nested as a sorted
-    array per parent — the aggregation shape behind expand_entity."""
+    array per parent — the aggregation shape behind expand_entity. The
+    array is serialized '|'-joined so the driver canonicalizer can hash
+    it (ARRAY cells are unhashable in its pandas sort)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+            ),
+        ).alias("order_keys"),
         F.count("*").alias("n_orders"),
     )
 

@@ -246,7 +246,7 @@ def events_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     )
     SELECT o_custkey,
-           list_sort(list(st)) AS statuses,
+           array_to_string(list_sort(list(st)), '|') AS statuses,
            CAST(list_sum(list(n)) AS BIGINT) AS total_orders,
            CAST(COALESCE(MAX(CASE WHEN st = 'F' THEN n END), 0) AS BIGINT) AS n_f,
            MAX(CASE WHEN st = 'O' THEN TRUE ELSE FALSE END) AS has_open
@@ -255,9 +255,10 @@ def events_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-typed processing (map_from_entries / map_keys / map_values /
-    element_at / map_contains_key) with array/scalar outputs so the
-    oracle comparison stays engine-neutral: per-customer status->count
-    map, queried for totals and per-status lookups."""
+    element_at / map_contains_key) with scalar/string outputs so the
+    oracle comparison stays engine-neutral (the key list is '|'-joined —
+    the driver canonicalizer cannot hash ARRAY cells): per-customer
+    status->count map, queried for totals and per-status lookups."""
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey", "o_orderstatus").count()
     m = per.groupBy("o_custkey").agg(
@@ -267,7 +268,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "o_custkey",
-        F.sort_array(F.map_keys("st_map")).alias("statuses"),
+        F.concat_ws("|", F.sort_array(F.map_keys("st_map"))).alias("statuses"),
         F.aggregate(F.map_values("st_map"), F.lit(0).cast("long"), lambda a, x: a + x)
         .alias("total_orders"),
         F.coalesce(F.element_at("st_map", F.lit("F")), F.lit(0)).cast("long").alias("n_f"),

@@ -464,8 +464,8 @@ def null_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_funcs",
     oracle="""
     SELECT p_partkey,
-           generate_series(1, least(p_size, 5)) AS seq,
-           list_reverse(generate_series(1, least(p_size, 5))) AS seq_rev,
+           array_to_string(generate_series(1, least(p_size, 5)), '|') AS seq,
+           array_to_string(list_reverse(generate_series(1, least(p_size, 5))), '|') AS seq_rev,
            CAST(len(generate_series(1, least(p_size, 5))) AS INT) AS seq_len,
            generate_series(1, least(p_size, 5))[2] AS second_elem
     FROM part
@@ -474,13 +474,15 @@ def null_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazily generated integer sequences (Spark `sequence` ≡ DuckDB
     `generate_series`) — the building block for calendar spines and
-    explode-free range fan-outs."""
+    explode-free range fan-outs. Sequences are '|'-serialized because
+    the driver canonicalizer cannot hash ARRAY cells."""
     p = load(spark, sf_dir, "part")
     seq = F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(5))).cast("array<bigint>")
+    as_str = lambda c: F.concat_ws("|", F.transform(c, lambda x: x.cast("string")))
     return p.select(
         "p_partkey",
-        seq.alias("seq"),
-        F.reverse(seq).alias("seq_rev"),
+        as_str(seq).alias("seq"),
+        as_str(F.reverse(seq)).alias("seq_rev"),
         F.size(seq).alias("seq_len"),
         F.try_element_at(seq, F.lit(2)).alias("second_elem"),
     )
