@@ -37,6 +37,17 @@ class Secret:
         return {}
 
 
+def _scope_matches(url: str, prefix: str) -> bool:
+    """True when ``prefix`` matches ``url`` up to a URL component
+    boundary — the char after the prefix must be '/', '?', '#' or
+    end-of-string (or the prefix itself ends with '/')."""
+    if not url.startswith(prefix):
+        return False
+    if len(url) == len(prefix) or prefix.endswith("/"):
+        return True
+    return url[len(prefix)] in "/?#"
+
+
 class SecretRegistry:
     """In-memory registry, optionally file-backed.
 
@@ -108,7 +119,11 @@ class SecretRegistry:
         return self._secrets.get(name)
 
     def lookup_for_url(self, url: str, type: str | None = None) -> Secret | None:
-        """Longest-prefix scope match (reference http_client.cpp:351-387)."""
+        """Longest-prefix scope match (reference http_client.cpp:351-387).
+
+        The prefix must end at a URL component boundary: scope
+        'https://host.com' must NOT match 'https://host.com.evil.net/x'
+        (auth headers would leak to an unrelated host)."""
         self._refresh()
         best: Secret | None = None
         best_len = -1
@@ -116,7 +131,7 @@ class SecretRegistry:
             if type is not None and s.type != type:
                 continue
             for prefix in s.scope:
-                if url.startswith(prefix) and len(prefix) > best_len:
+                if _scope_matches(url, prefix) and len(prefix) > best_len:
                     best, best_len = s, len(prefix)
         return best
 

@@ -136,6 +136,13 @@ class ODataDataSource(DataSource):
             version = client.version
         except Exception:
             version = 4
+        # Entity-set key columns stabilize $skip range partitioning:
+        # OData guarantees no ordering across independent requests, so
+        # parallel $skip windows without $orderby can duplicate/miss rows.
+        try:
+            order_keys = client.get_model().key_for_entity_set(client.entity_set_name())
+        except Exception:
+            order_keys = []
         return ODataReader(
             url=self.options["url"],
             schema=schema,
@@ -147,6 +154,7 @@ class ODataDataSource(DataSource):
             expand=self.options.get("expand"),
             count=self.options.get("count", "false").lower() == "true",
             parallelism=_int_opt(self.options, "parallelism") or 1,
+            order_keys=order_keys,
         )
 
 
@@ -175,8 +183,18 @@ class ODataReader(DataSourceReader):
         expand: str | None,
         count: bool,
         parallelism: int,
+        order_keys: list[str] | None = None,
     ):
-        self._url = url
+        # A user-supplied $filter in the base URL is folded into the
+        # generated $filter (AND-combined with pushed predicates) instead
+        # of riding along on the URL: merge_query_params never overwrites
+        # a user $filter, so leaving it in place would silently DROP the
+        # pushed predicates — which Spark has already removed from the
+        # plan — applying them nowhere.
+        base = HttpUrl.parse(url)
+        params = base.query_params()
+        self._user_filter = params.pop("$filter", None)
+        self._url = base.with_query_params(params).to_string() if self._user_filter else url
         self._schema = schema
         self._version = version
         self._auth = auth_headers
@@ -186,6 +204,7 @@ class ODataReader(DataSourceReader):
         self._expand = [e.path for e in parse_expand(expand)] if expand else []
         self._count = count
         self._parallelism = max(1, parallelism)
+        self._order_keys = order_keys or []
         self._filter_expr: str | None = None
 
     # -- pushdown ----------------------------------------------------------
@@ -197,21 +216,32 @@ class ODataReader(DataSourceReader):
 
     # -- partition planning ------------------------------------------------
 
-    def _build_url(self, top: int | None = None, skip: int | None = None, count=False) -> str:
+    def _build_url(
+        self,
+        top: int | None = None,
+        skip: int | None = None,
+        count=False,
+        ordered=False,
+    ) -> str:
         # all_columns=[] disables the "skip $select when everything is
         # selected" rule: an explicit user select option is always sent
         # (the skip rule targets engine-driven pruning, where the pruned
         # set routinely equals the full column list).
+        if self._user_filter and self._filter_expr:
+            filter_expr = f"({self._user_filter}) and ({self._filter_expr})"
+        else:
+            filter_expr = self._user_filter or self._filter_expr
         qb = ODataQueryBuilder(
             base_url=self._url,
             odata_version=self._version,
             select=self._select,
             all_columns=[],
-            filter_expr=self._filter_expr,
+            filter_expr=filter_expr,
             top=top if top is not None else self._top,
             skip=skip if skip is not None else self._skip,
             expand=self._expand,
             count=count or self._count,
+            orderby=self._order_keys if ordered else [],
         )
         return qb.build()
 
@@ -243,7 +273,11 @@ class ODataReader(DataSourceReader):
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         http = HttpClient(auth_headers=self._auth)
-        url = self._build_url(top=partition.top, skip=partition.skip)
+        # Range partitions (skip is set) get $orderby on the entity-set
+        # key: OData gives no stable order across independent requests,
+        # so unordered parallel $skip windows could duplicate/miss rows.
+        ordered = partition.skip is not None and bool(self._order_keys)
+        url = self._build_url(top=partition.top, skip=partition.skip, ordered=ordered)
         remaining = partition.top if partition.top is not None else self._top
         while url:
             resp = http.get(url, headers={"Accept": "application/json"})

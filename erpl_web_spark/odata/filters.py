@@ -87,6 +87,11 @@ def _translate_one(f: Filter, odata_version: int) -> str | None:
     """One filter -> OData expression, or None if not pushable."""
     t = type(f)
     if t in _OPS:
+        if f.value is None:
+            # Spark's `col = null` / `col > null` match NOTHING (null
+            # semantics), but OData `col eq null` matches null rows —
+            # leave residual so Spark keeps its own semantics.
+            return None
         lit = _literal(f.value, odata_version)
         if lit is None:
             return None
@@ -98,12 +103,17 @@ def _translate_one(f: Filter, odata_version: int) -> str | None:
     if t is In:
         parts = []
         for v in f.value:  # In.value is the tuple of candidates
+            if v is None:
+                # A null candidate never matches under Spark's IN (null
+                # comparison yields null -> row filtered); pushing
+                # `col eq null` would wrongly admit null rows. Skip it.
+                continue
             lit = _literal(v, odata_version)
             if lit is None:
                 return None
             parts.append(f"{_column(f.attribute)} eq {lit}")
         if not parts:
-            return None
+            return None  # residual: Spark's IN(list-of-nulls) keeps no rows
         return "(" + " or ".join(parts) + ")"
     if t is StringStartsWith:
         lit = _literal(f.value, odata_version)
@@ -126,10 +136,18 @@ def _translate_one(f: Filter, odata_version: int) -> str | None:
         inner = f.child
         it = type(inner)
         if it in _NEGATED_OPS:
+            if inner.value is None:
+                return None  # Spark NOT(col = null) keeps no rows; residual
             lit = _literal(inner.value, odata_version)
             if lit is None:
                 return None
-            return f"{_column(inner.attribute)} {_NEGATED_OPS[it]} {lit}"
+            col = _column(inner.attribute)
+            # Guard against OData's null semantics diverging from Spark's:
+            # `null ne 'v'` is TRUE in OData v4 (null equals only itself)
+            # while Spark's NOT(col = v) filters null rows out. Since
+            # pushed filters are not re-applied by Spark, AND an explicit
+            # null exclusion onto every negated comparison.
+            return f"({col} {_NEGATED_OPS[it]} {lit} and {col} ne null)"
         if it is IsNull:
             return f"{_column(inner.attribute)} ne null"
         if it is IsNotNull:

@@ -33,6 +33,10 @@ class ODataQueryBuilder:
     expand: list[str] = field(default_factory=list)
     count: bool = False
     input_params: dict[str, str] = field(default_factory=dict)
+    # Internal stabilizer for $skip range partitioning (not user ORDER BY
+    # pushdown — that's deliberately absent, reference parity :657-660):
+    # parallel $skip windows are only consistent under a total order.
+    orderby: list[str] = field(default_factory=list)
 
     def _effective_select(self) -> list[str]:
         if not self.select:
@@ -74,6 +78,8 @@ class ODataQueryBuilder:
             generated["$skip"] = str(self.skip)
         if self.expand:
             generated["$expand"] = ",".join(self.expand)
+        if self.orderby:
+            generated["$orderby"] = ",".join(self.orderby)
         if self.count:
             if self.odata_version == 2:
                 generated["$inlinecount"] = "allpages"

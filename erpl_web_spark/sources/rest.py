@@ -113,6 +113,7 @@ class RestPager:
         lp = self.o.get("limit_param", "limit")
         op = self.o.get("offset_param", "offset")
         fetched = 0
+        effective = None  # server's observed page cap (may be < page_size)
         for i in range(self.max_pages):
             want = self.page_size
             if limit is not None:
@@ -125,19 +126,28 @@ class RestPager:
                 return
             yield rows
             fetched += len(rows)
-            if len(rows) < want:
+            # A page shorter than requested is only terminal if it is
+            # also shorter than the server's effective cap: servers that
+            # cap page size below the requested limit return "short"
+            # FULL pages, and stopping there would silently truncate.
+            if effective is None:
+                effective = len(rows)
+            if len(rows) < min(want, effective):
                 return
 
     def _number_pages(self) -> Iterator[list[dict]]:
         pp = self.o.get("page_param", "page")
         lp = self.o.get("limit_param", "limit")
+        effective = None  # server's observed page cap (may be < page_size)
         for page in range(1, self.max_pages + 1):
             url = _with_params(self.url, {pp: page, lp: self.page_size})
             rows = _rows_at(self._get(url).json(), self.data_path)
             if not rows:
                 return
             yield rows
-            if len(rows) < self.page_size:
+            if effective is None:
+                effective = len(rows)
+            if len(rows) < min(self.page_size, effective):
                 return
 
     def _cursor_pages(self) -> Iterator[list[dict]]:

@@ -157,7 +157,8 @@ def _parse_literal(s: str):
 
 def _apply_filter(rows: list[dict], expr: str) -> list[dict]:
     """Evaluate 'Col op lit [and Col op lit ...]' — the subset tests use."""
-    clauses = [c.strip() for c in expr.split(" and ")]
+    # strip per-clause parens: '(A le 27) and (B gt 2)' / '(A ne 1 and A ne null)'
+    clauses = [c.strip().strip("()").strip() for c in expr.split(" and ")]
     out = rows
     for clause in clauses:
         m = _FILTER_RE.match(clause)
@@ -326,6 +327,14 @@ def _make_handler(state: FixtureState):
                     offset = int(q.get("offset", 0))
                     return self._json(200, {
                         "total": len(items),
+                        "items": items[offset : offset + limit],
+                    })
+                if route == "/rest/capped-items":
+                    # Server caps page size at 5 regardless of the
+                    # requested limit — "short" pages are FULL pages.
+                    limit = min(int(q.get("limit", 10)), 5)
+                    offset = int(q.get("offset", 0))
+                    return self._json(200, {
                         "items": items[offset : offset + limit],
                     })
                 if route == "/rest/page-items":

@@ -11,6 +11,21 @@ def test_longest_prefix_scope_match():
     assert reg.lookup_for_url("https://elsewhere/") is None
 
 
+def test_scope_match_requires_component_boundary():
+    """Scope 'https://host.com' must not leak auth to
+    'https://host.com.evil.net/...' — the prefix has to end at a URL
+    component boundary."""
+    reg = SecretRegistry()
+    reg.create_secret("h", "http_bearer", scope="https://host.com", token="t")
+    assert reg.lookup_for_url("https://host.com").name == "h"
+    assert reg.lookup_for_url("https://host.com/api").name == "h"
+    assert reg.lookup_for_url("https://host.com?x=1").name == "h"
+    assert reg.lookup_for_url("https://host.com.evil.net/x") is None
+    reg.create_secret("p", "http_bearer", scope="https://h/api", token="t2")
+    assert reg.lookup_for_url("https://h/apiv2/x") is None
+    assert reg.lookup_for_url("https://h/api/v2").name == "p"
+
+
 def test_basic_auth_header():
     reg = SecretRegistry()
     reg.create_secret("b", "http_basic", scope="http://h/", username="u", password="p")

@@ -70,6 +70,30 @@ def test_filter_pushdown_reaches_server(registered, fixture_server):
     ), f"no pushed $filter seen: {[r['query'] for r in reqs]}"
 
 
+def test_user_filter_and_combined_with_pushed(registered, fixture_server):
+    """A $filter already on the user URL must AND-combine with pushed
+    predicates — not silently drop them (merge_query_params never
+    overwrites a user $filter, and Spark has removed pushed predicates
+    from its plan, so dropping would apply them nowhere)."""
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v4/People?$filter=Age%20le%2027")
+        .load()
+        .filter(F.col("Age") > 24)
+    )
+    rows = df.collect()
+    assert {r["UserName"] for r in rows} == {"user5", "user6", "user7"}
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert any(
+        "$filter" in r["query"]
+        and "Age le 27" in r["query"]["$filter"]
+        and "Age gt 24" in r["query"]["$filter"]
+        and " and " in r["query"]["$filter"]
+        for r in reqs
+    ), f"combined $filter not seen: {[r['query'] for r in reqs]}"
+
+
 def test_select_option_pushdown(registered, fixture_server):
     fixture_server.state.log.clear()
     df = read_people(registered, fixture_server, select="UserName,Age")
@@ -97,11 +121,19 @@ def test_residual_filter_reapplied(registered, fixture_server):
 
 
 def test_parallel_partitions_by_skip_range(registered, fixture_server):
+    fixture_server.state.log.clear()
     df = read_people(registered, fixture_server, parallelism="3")
     assert df.rdd.getNumPartitions() == 3
     rows = df.collect()
     assert len(rows) == 10
     assert len({r["UserName"] for r in rows}) == 10  # no dup/loss across ranges
+    # Each $skip range request must carry $orderby on the entity-set key:
+    # OData guarantees no stable order across independent requests.
+    ranged = [
+        r for r in fixture_server.state.requests_for("/v4/People")
+        if r["query"] and "$skip" in r["query"]
+    ]
+    assert ranged and all(r["query"].get("$orderby") == "UserName" for r in ranged)
 
 
 def test_v2_customers_with_legacy_dates(registered, fixture_server):

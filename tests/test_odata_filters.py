@@ -70,9 +70,29 @@ def test_in_becomes_or_chain():
 
 
 def test_not_negates_comparisons():
-    assert t1(Not(EqualTo(("A",), 1)))[0] == "A ne 1"
-    assert t1(Not(LessThan(("A",), 1)))[0] == "A ge 1"
+    # Negated comparisons carry an explicit null exclusion: OData v4
+    # evaluates `null ne 1` as TRUE while Spark's NOT(col = 1) drops
+    # null rows, and pushed filters are not re-applied engine-side.
+    assert t1(Not(EqualTo(("A",), 1)))[0] == "(A ne 1 and A ne null)"
+    assert t1(Not(LessThan(("A",), 1)))[0] == "(A ge 1 and A ne null)"
     assert t1(Not(IsNull(("A",))))[0] == "A ne null"
+
+
+def test_null_value_comparisons_stay_residual():
+    # Spark `col = null` / NOT(col = null) match nothing; OData
+    # `col eq null` matches null rows. Must not be pushed.
+    for f in (EqualTo(("A",), None), GreaterThan(("A",), None),
+              Not(EqualTo(("A",), None))):
+        expr, pushed, residual = translate_filters([f], 4)
+        assert expr is None and pushed == [] and len(residual) == 1
+
+
+def test_in_skips_null_candidates():
+    expr, pushed, _ = translate_filters([In(("C",), ("a", None, "b"))], 4)
+    assert expr == "(C eq 'a' or C eq 'b')" and len(pushed) == 1
+    # all-null candidate list -> residual (Spark's IN keeps no rows)
+    expr, pushed, residual = translate_filters([In(("C",), (None,))], 4)
+    assert expr is None and pushed == [] and len(residual) == 1
 
 
 def test_string_functions_by_version():

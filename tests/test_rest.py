@@ -25,6 +25,20 @@ def test_rest_offset_single_stream(spark, fixture_server):
     assert isinstance(df.schema["score"].dataType, DoubleType)
 
 
+def test_rest_offset_server_capped_page_size(spark, fixture_server):
+    """A server that caps page size below the requested limit returns
+    'short' full pages; the scan must continue to an empty page instead
+    of silently truncating after the first short page."""
+    df = rest_read(
+        spark,
+        fixture_server.base_url + "/rest/capped-items",
+        paginate="offset",
+        data_path="items",
+        page_size=20,  # server caps at 5
+    )
+    assert _ids(df) == list(range(23))
+
+
 def test_rest_offset_parallel_partitions(spark, fixture_server):
     df = rest_read(
         spark,
