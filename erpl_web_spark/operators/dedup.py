@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from erpl_web_spark.operators.text import tokens_expr
 
@@ -64,24 +65,28 @@ def shingles_expr(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 64,
-    shingle_k: int = 3,
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: array<bigint> of length num_hashes.
+    """(id, hs: array<bigint>) — each distinct shingle hashed once.
 
-    One explode + one groupBy(id); the k seeded hashes per shingle are
-    computed JVM-side (xxhash64 with the seed as first argument).
+    The expensive pass (tokenize → k-gram → concat → hash) happens here
+    and ONLY here; both the signature stage and the exact-Jaccard verify
+    stage run on the 64-bit hashes, never re-reading the text.
     """
-    # Hash each shingle string ONCE (before explode), then derive the k
-    # seeded hashes by re-hashing the fixed-width base hash — 64 long
-    # hashes are far cheaper than 64 variable-length string hashes, and
-    # the exploded/shuffled column is a bigint, not the shingle text.
     base = F.transform(shingles_expr(text_col, shingle_k), lambda s: F.xxhash64(s))
-    sh = df.select(F.col(id_col), F.explode(base).alias("h"))
+    return df.select(F.col(id_col), F.array_distinct(base).alias("hs"))
+
+
+def _signatures_from_hashes(hashed: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """MinHash signatures from pre-hashed shingles: explode + k min-aggs.
+
+    The k seeded hashes per shingle are derived by re-hashing the
+    fixed-width base hash (seed as first xxhash64 argument) — 64 long
+    hashes are far cheaper than 64 variable-length string hashes, and
+    the exploded/shuffled column is a bigint, not the shingle text.
+    """
+    sh = hashed.select(F.col(id_col), F.explode("hs").alias("h"))
     mins = sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
@@ -90,6 +95,19 @@ def minhash_signatures(
     )
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: array<bigint> of length num_hashes."""
+    return _signatures_from_hashes(
+        hashed_shingles(df, id_col, text_col, shingle_k), id_col, num_hashes
     )
 
 
@@ -106,12 +124,23 @@ def minhash_lsh_pairs(
 
     Candidate pairs come from band-key collisions (self-join on the band
     hash — the only join, and it is on a bigint key). Candidates are then
-    verified with exact Jaccard over distinct shingle sets, so the output
-    has no false positives; banding parameters control recall.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    verified with exact Jaccard over the distinct 64-bit shingle-hash
+    sets (identical to string-shingle Jaccard up to a ~2^-64 collision
+    probability), so the output has no false positives; banding
+    parameters control recall. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Documents are tokenized/shingled exactly ONCE: the (id, shingle-hash)
+    table is persisted (memory-and-disk — strictly smaller than the raw
+    text it replaces) and feeds both the signature stage and the verify
+    stage; the banded table is also persisted because the candidate
+    self-join reads it from both sides. Without these, Spark re-runs the
+    whole shingling pipeline four times (both join sides × both stages).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    hashed = hashed_shingles(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
     # One 64-bit key per band: the band index is hashed IN (first arg), so
     # a single bigint equality replaces the (band, key) composite — a
     # slimmer shuffle key and a simpler join.
@@ -124,7 +153,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -136,26 +167,24 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    # Shingle sets are only needed for candidate ids (candidates << corpus
-    # after banding); a semi-join prunes the corpus before the expensive
-    # re-shingling instead of materializing sets for every document twice.
+    # Shingle-hash sets are only needed for candidate ids (candidates <<
+    # corpus after banding); a semi-join prunes the persisted hash table —
+    # no document is ever re-shingled.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), shingles_expr(text_col, shingle_k).alias("sh")
-    )
+    sets = hashed.join(cand_ids, id_col, "left_semi")
     verified = (
-        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
