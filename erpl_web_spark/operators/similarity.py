@@ -99,6 +99,7 @@ def lsh_bucket_candidates(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit bucketing).
 
@@ -106,9 +107,20 @@ def lsh_bucket_candidates(
     sign bits → bucket bigint. One shuffle on (id, plane); vectors in the
     same bucket are ANN candidates.
     Returns (id_col, bucket).
+
+    ``dim`` (vector width) is taken from the argument when given —
+    deriving it from the data would trigger a driver-side Spark job at
+    plan-build time (and fail on empty input). The fallback probes one
+    row and exists for interactive use only.
     """
     spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        first = df.select(vec_col).head(1)
+        if not first:
+            raise ValueError(
+                f"cannot infer vector dim from empty input; pass dim= explicitly"
+            )
+        dim = len(first[0][0])
     comps = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
     planes = _planes(spark, num_planes, dim, seed)
     proj = (
@@ -132,14 +144,16 @@ def ann_top_k_lsh(
     k: int = 5,
     num_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: exact cosine ranking within LSH buckets.
 
     The self-join key is the bucket id, so cost is Σ bucket² rather than
     n²; recall is tuned by num_planes (fewer planes → bigger buckets).
+    Pass ``dim`` (vector width) to keep plan building job-free.
     Returns (probe_id, neighbor_id, cosine, rank).
     """
-    buckets = lsh_bucket_candidates(df, id_col, vec_col, num_planes, seed)
+    buckets = lsh_bucket_candidates(df, id_col, vec_col, num_planes, seed, dim=dim)
     v = (
         df.select(F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("nrm"))
         .join(buckets, id_col)

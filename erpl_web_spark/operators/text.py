@@ -216,6 +216,7 @@ def pack_documents(
     id_col: str = "doc_id",
     group_col: str = "source",
     budget: int = 2048,
+    text_col: str = "text",
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in deterministic
     order and cut at fixed token-budget boundaries. Each document gets the
@@ -238,7 +239,7 @@ def pack_documents(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_tokens = token_count_expr(F.col("text"))
+    n_tokens = token_count_expr(F.col(text_col))
     return (
         df.select(F.col(id_col), F.col(group_col), n_tokens.alias("n_tokens"))
         .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))

@@ -262,7 +262,7 @@ def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: exact ranking within random-hyperplane LSH buckets."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    return ann_top_k_lsh(emb, "vec_id", "embedding", k=3, num_planes=6)
+    return ann_top_k_lsh(emb, "vec_id", "embedding", k=3, num_planes=6, dim=64)
 
 
 @register(

@@ -316,3 +316,42 @@ def test_repetition_stats(spark):
     assert got[1]["rep_distinct_token_ratio"] == 0.25
     assert got[2]["rep_top_word_ratio"] == 0.2       # perfectly diverse
     assert got[2]["rep_distinct_token_ratio"] == 1.0
+
+
+def test_lsh_bucket_plan_build_is_job_free(spark):
+    """Building the bucket plan with dim= must not trigger a Spark job
+    (the old code probed .first() at plan time), and must work on empty
+    input."""
+    from erpl_web_spark.operators.similarity import lsh_bucket_candidates
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup()
+    buckets = lsh_bucket_candidates(df, dim=8)  # plan only — no action yet
+    assert tracker.getJobIdsForGroup() == before
+    assert buckets.count() == 6
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert lsh_bucket_candidates(empty, dim=8).count() == 0
+
+
+def test_pack_documents_custom_text_col(spark):
+    from erpl_web_spark.operators.text import pack_documents
+
+    rows = [
+        (1, "s1", "one two three"),          # 3 tokens
+        (2, "s1", "four five"),              # 2 tokens
+        (3, "s1", "six seven eight nine"),   # 4 tokens
+        (4, "s2", "a b"),                    # separate group packs alone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, body string")
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(
+            df, id_col="doc_id", group_col="src", budget=4, text_col="body"
+        ).collect()
+    }
+    assert out[1]["pack_id"] == 0 and out[1]["pack_offset"] == 0
+    assert out[2]["pack_id"] == 0 and out[2]["pack_offset"] == 3
+    assert out[3]["pack_id"] == 1 and out[3]["pack_offset"] == 1  # cum 5 -> pack 1
+    assert out[4]["pack_id"] == 0 and out[4]["pack_offset"] == 0
