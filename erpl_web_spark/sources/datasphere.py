@@ -73,6 +73,77 @@ def datasphere_show_assets(
     )
 
 
+def datasphere_describe_space(
+    spark: SparkSession, client: DatasphereClient, space_id: str
+) -> DataFrame:
+    """Describe one space (reference datasphere_catalog.cpp:1026-1070,
+    CreateDatasphereDescribeSpaceFunction :1665): the catalog API has no
+    individual-resource access, so the spaces collection is queried with
+    ``$filter=name eq '{space_id}'``. SpaceEntityV1 schema: (name, label).
+    """
+    url = client.catalog_url("/spaces") + f"?$filter=name eq '{space_id}'"
+    items = client.get_values(url)
+    rows = [(i.get("name"), i.get("label")) for i in items]
+    return spark.createDataFrame(rows, "name string, label string")
+
+
+_ASSET_DESCRIBE_SCHEMA = (
+    "name string, space_name string, label string, "
+    "asset_relational_metadata_url string, asset_relational_data_url string, "
+    "asset_analytical_metadata_url string, asset_analytical_data_url string, "
+    "supports_analytical_queries string, odata_context string, "
+    "relational_schema string, analytical_schema string, "
+    "has_relational_access string, has_analytical_access string, "
+    "asset_type string, odata_metadata_etag string"
+)
+
+
+def datasphere_describe_asset(
+    spark: SparkSession, client: DatasphereClient, space_id: str, asset_id: str
+) -> DataFrame:
+    """Describe one asset (reference datasphere_catalog.cpp:1074-1140,
+    CreateDatasphereDescribeAssetFunction :1674): assets collection
+    filtered with ``name eq '{asset_id}' and spaceName eq '{space_id}'``
+    (datasphere_client.cpp:166-171). AssetEntityV1: the reference's 15
+    describe columns; the relational/analytical schema payloads are
+    emitted as JSON strings (the reference unnests analyticalSchema into
+    a struct — JSON keeps the same information engine-neutral).
+    """
+    import json
+
+    url = (
+        client.catalog_url("/assets")
+        + f"?$filter=name eq '{asset_id}' and spaceName eq '{space_id}'"
+    )
+    items = client.get_values(url)
+
+    def _s(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, sort_keys=True)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    rows = [
+        tuple(
+            _s(i.get(k))
+            for k in (
+                "name", "spaceName", "label",
+                "assetRelationalMetadataUrl", "assetRelationalDataUrl",
+                "assetAnalyticalMetadataUrl", "assetAnalyticalDataUrl",
+                "supportsAnalyticalQueries", "@odata.context",
+                "relationalSchema", "analyticalSchema",
+                "hasRelationalAccess", "hasAnalyticalAccess",
+                "assetType", "@odata.metadataEtag",
+            )
+        )
+        for i in items
+    ]
+    return spark.createDataFrame(rows, _ASSET_DESCRIBE_SCHEMA)
+
+
 def datasphere_read_relational(
     spark: SparkSession,
     client: DatasphereClient,

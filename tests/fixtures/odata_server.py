@@ -531,13 +531,28 @@ def _make_handler(state: FixtureState):
 
             # ---- Datasphere / Business Central (OData-backed) -------------
             if route == "/dsp/api/v1/dwc/catalog/spaces":
-                return self._json(200, {"value": [
-                    {"name": "SP1", "label": "Space One"}]})
-            if route == "/dsp/api/v1/dwc/catalog/spaces('SP1')/assets":
-                return self._json(200, {"value": [
+                spaces = [{"name": "SP1", "label": "Space One"}]
+                if "$filter" in q:
+                    spaces = _apply_filter(spaces, q["$filter"])
+                return self._json(200, {"value": spaces})
+            if route in ("/dsp/api/v1/dwc/catalog/spaces('SP1')/assets",
+                         "/dsp/api/v1/dwc/catalog/assets"):
+                dsp_assets = [
                     {"name": "Orders", "spaceName": "SP1",
                      "supportsRelationalQueries": True,
-                     "supportsAnalyticalQueries": True}]})
+                     "supportsAnalyticalQueries": True,
+                     "label": "Orders view",
+                     "assetRelationalMetadataUrl": "/dsp/rel/$metadata",
+                     "assetRelationalDataUrl": "/dsp/rel/Orders",
+                     "assetAnalyticalMetadataUrl": "/dsp/ana/$metadata",
+                     "assetAnalyticalDataUrl": "/dsp/ana/Orders",
+                     "assetType": "View",
+                     "analyticalSchema": {"measures": ["Amount"],
+                                          "dimensions": ["UserName"]}},
+                ]
+                if "$filter" in q:
+                    dsp_assets = _apply_filter(dsp_assets, q["$filter"])
+                return self._json(200, {"value": dsp_assets})
             if route == "/bc/api/v2.0/companies" and "$format" not in q:
                 return self._json(200, {"value": [
                     {"id": "c1", "name": "CRONUS", "displayName": "CRONUS Ltd."}]})

@@ -36,6 +36,31 @@ def test_datasphere_catalog_and_reads(spark, fixture_server):
     assert any(r["query"]["$select"] == "UserName,Amount" for r in reqs)
 
 
+def test_datasphere_describe_space_and_asset(spark, fixture_server):
+    from erpl_web_spark.sources.datasphere import (
+        DatasphereClient,
+        datasphere_describe_asset,
+        datasphere_describe_space,
+    )
+
+    client = DatasphereClient(fixture_server.base_url + "/dsp", HttpClient())
+    sp = datasphere_describe_space(spark, client, "SP1").collect()
+    assert len(sp) == 1 and sp[0]["name"] == "SP1" and sp[0]["label"] == "Space One"
+    assert datasphere_describe_space(spark, client, "NOPE").count() == 0
+
+    rows = datasphere_describe_asset(spark, client, "SP1", "Orders").collect()
+    assert len(rows) == 1
+    a = rows[0]
+    assert a["name"] == "Orders" and a["space_name"] == "SP1"
+    assert a["label"] == "Orders view" and a["asset_type"] == "View"
+    assert a["asset_relational_data_url"] == "/dsp/rel/Orders"
+    assert a["supports_analytical_queries"] == "true"
+    assert '"measures": ["Amount"]' in a["analytical_schema"]
+    # filter actually reached the catalog endpoint (individual-resource
+    # access is impossible; the reference filters the collection)
+    assert datasphere_describe_asset(spark, client, "SP1", "Nope").count() == 0
+
+
 def test_business_central(spark, fixture_server):
     from erpl_web_spark.sources.business_central import (
         BusinessCentralClient,
