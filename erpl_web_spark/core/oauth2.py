@@ -6,10 +6,12 @@ Implemented:
   registry (reference persists into the DuckDB secret,
   oauth2_flow_v2.cpp:198+);
 - PKCE helpers (code_verifier/challenge, S256) and the authorization-URL
-  builder for the interactive authorization-code flow. The local
-  callback server + browser launch of the reference is intentionally
-  out of scope for a headless engine — callers supply the redeemed
-  ``code`` to ``exchange_code``.
+  builder for the interactive authorization-code flow;
+- the interactive authorization-code flow end-to-end: a one-shot
+  localhost redirect catcher (reference oauth2_server.cpp:33-200) plus
+  the orchestration that opens the browser, waits for the code,
+  validates state, and redeems it with the stored PKCE verifier
+  (reference oauth2_flow_v2.cpp:54-120).
 """
 
 from __future__ import annotations
@@ -17,9 +19,12 @@ from __future__ import annotations
 import base64
 import hashlib
 import secrets as pysecrets
+import threading
 import time
 from dataclasses import dataclass
-from urllib.parse import urlencode
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Callable
+from urllib.parse import parse_qsl, urlencode, urlsplit
 
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.secrets import Secret, SecretRegistry
@@ -127,6 +132,127 @@ class OAuth2Client:
         if self.client_secret:
             form["client_secret"] = self.client_secret
         return self._token_request(form)
+
+
+_SUCCESS_HTML = (
+    "<!DOCTYPE html><html><body><h1>Authorization successful</h1>"
+    "<p>You can close this window and return to the application.</p>"
+    "</body></html>"
+)
+_ERROR_HTML = (
+    "<!DOCTYPE html><html><body><h1>Authorization failed</h1>"
+    "<p>{error}: {description}</p></body></html>"
+)
+
+
+class OAuth2CallbackServer:
+    """One-shot loopback redirect catcher for the interactive
+    authorization-code flow (reference oauth2_server.cpp:33-200:
+    StartAndWaitForCode / WaitForCallback).
+
+    Binds 127.0.0.1 (ephemeral port by default), waits for the IdP
+    redirect, validates ``state`` (CSRF guard), answers the browser with
+    a small HTML page, and hands the authorization code back. An
+    ``error`` callback or a state mismatch raises.
+    """
+
+    def __init__(self, port: int = 0, host: str = "127.0.0.1"):
+        self._result: dict = {}
+        outer = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                params = dict(parse_qsl(urlsplit(self.path).query))
+                outer._result = params
+                if "code" in params and params.get("state") == outer._expected_state:
+                    body, status = _SUCCESS_HTML, 200
+                else:
+                    body, status = (
+                        _ERROR_HTML.format(
+                            error=params.get("error", "invalid_callback"),
+                            description=params.get(
+                                "error_description", "missing code or bad state"
+                            ),
+                        ),
+                        400,
+                    )
+                data = body.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self._server = HTTPServer((host, port), _Handler)
+        self._expected_state: str | None = None
+
+    @property
+    def redirect_uri(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}/callback"
+
+    def wait_for_code(self, expected_state: str, timeout: float = 180.0) -> str:
+        """Serve until the redirect arrives (or timeout); return the code."""
+        self._expected_state = expected_state
+        self._server.timeout = timeout
+        deadline = time.time() + timeout
+        try:
+            while not self._result:
+                if time.time() >= deadline:
+                    raise TimeoutError("timed out waiting for OAuth2 redirect")
+                self._server.handle_request()
+        finally:
+            self._server.server_close()
+        if "error" in self._result:
+            raise RuntimeError(
+                "OAuth2 authorization failed: "
+                f"{self._result['error']}: {self._result.get('error_description', '')}"
+            )
+        if "code" not in self._result:
+            raise RuntimeError("OAuth2 redirect carried no authorization code")
+        if self._result.get("state") != expected_state:
+            raise RuntimeError("OAuth2 state mismatch (possible CSRF) — code rejected")
+        return self._result["code"]
+
+
+def authorization_code_flow(
+    client: OAuth2Client,
+    authorize_endpoint: str,
+    scope: str = "",
+    port: int = 0,
+    open_url: Callable[[str], object] | None = None,
+    timeout: float = 180.0,
+) -> TokenResponse:
+    """Interactive authorization-code + PKCE flow, end-to-end (reference
+    oauth2_flow_v2.cpp:54-120 ExecuteFlow): generate verifier/challenge/
+    state, open the browser at the authorization URL, catch the loopback
+    redirect, validate state, redeem the code with the stored verifier.
+
+    ``open_url`` defaults to ``webbrowser.open``; tests inject a fake
+    browser that follows the redirect programmatically.
+    """
+    verifier = generate_code_verifier()
+    state = pysecrets.token_urlsafe(16)
+    server = OAuth2CallbackServer(port=port)
+    url = authorization_url(
+        authorize_endpoint,
+        client.client_id,
+        server.redirect_uri,
+        scope=scope,
+        code_challenge=code_challenge_s256(verifier),
+        state=state,
+    )
+    if open_url is None:  # pragma: no cover - interactive only
+        import webbrowser
+
+        open_url = webbrowser.open
+    # The opener must not block the wait loop (a real browser doesn't).
+    threading.Thread(target=open_url, args=(url,), daemon=True).start()
+    code = server.wait_for_code(state, timeout=timeout)
+    return client.exchange_code(code, server.redirect_uri, code_verifier=verifier)
 
 
 def ensure_fresh_token(

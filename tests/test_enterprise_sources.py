@@ -148,3 +148,85 @@ def test_oauth2_authorization_url():
     assert "response_type=code" in url
     assert "code_challenge=CH" in url and "code_challenge_method=S256" in url
     assert "state=st1" in url
+
+
+def test_oauth2_interactive_auth_code_flow(fixture_server):
+    """Full interactive flow against the fixture IdP, no browser: the
+    injected opener follows the redirect programmatically (reference
+    oauth2_flow_v2.cpp ExecuteFlow + oauth2_server.cpp loopback)."""
+    import hashlib
+    import base64
+    import urllib.request
+    from urllib.parse import parse_qsl, urlsplit
+
+    from erpl_web_spark.core.oauth2 import OAuth2Client, authorization_code_flow
+
+    oc = OAuth2Client(fixture_server.base_url + "/token", "cid", "csecret")
+    seen = {}
+
+    def fake_browser(url):
+        qs = dict(parse_qsl(urlsplit(url).query))
+        seen.update(qs)
+        # "login succeeds": IdP redirects back with a code + echoed state
+        urllib.request.urlopen(
+            f"{qs['redirect_uri']}?code=AC123&state={qs['state']}", timeout=10
+        )
+
+    tok = authorization_code_flow(
+        oc,
+        authorize_endpoint="https://idp.example/authorize",
+        scope="api.read",
+        open_url=fake_browser,
+        timeout=15,
+    )
+    assert tok.access_token == "code-AC123"
+    # the exchange sent the PKCE verifier matching the challenge from the
+    # authorization URL
+    form = fixture_server.state.tokens_issued[-1]
+    assert form["grant_type"] == "authorization_code"
+    assert form["code"] == "AC123"
+    digest = hashlib.sha256(form["code_verifier"].encode()).digest()
+    assert base64.urlsafe_b64encode(digest).decode().rstrip("=") == seen["code_challenge"]
+    assert form["redirect_uri"] == seen["redirect_uri"]
+
+
+def test_oauth2_flow_rejects_state_mismatch_and_error(fixture_server):
+    import urllib.error
+    import urllib.request
+    from urllib.parse import parse_qsl, urlsplit
+
+    import pytest
+
+    from erpl_web_spark.core.oauth2 import OAuth2Client, authorization_code_flow
+
+    oc = OAuth2Client(fixture_server.base_url + "/token", "cid")
+
+    def evil_browser(url):
+        qs = dict(parse_qsl(urlsplit(url).query))
+        try:
+            urllib.request.urlopen(
+                f"{qs['redirect_uri']}?code=AC1&state=WRONG", timeout=10
+            )
+        except urllib.error.HTTPError:
+            pass  # server answers 400 — expected
+
+    with pytest.raises(RuntimeError, match="state mismatch"):
+        authorization_code_flow(
+            oc, "https://idp.example/authorize", open_url=evil_browser, timeout=15
+        )
+
+    def denying_browser(url):
+        qs = dict(parse_qsl(urlsplit(url).query))
+        try:
+            urllib.request.urlopen(
+                f"{qs['redirect_uri']}?error=access_denied"
+                f"&error_description=user+said+no&state={qs['state']}",
+                timeout=10,
+            )
+        except urllib.error.HTTPError:
+            pass
+
+    with pytest.raises(RuntimeError, match="access_denied"):
+        authorization_code_flow(
+            oc, "https://idp.example/authorize", open_url=denying_browser, timeout=15
+        )
