@@ -69,6 +69,12 @@ def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> 
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect registers everything.
-    from erpl_web_spark.suite import relational, relational2, relational3, pipeline  # noqa: F401
+    from erpl_web_spark.suite import (  # noqa: F401
+        pipeline,
+        relational,
+        relational2,
+        relational3,
+        relational4,
+    )
 
     return dict(REGISTRY)
