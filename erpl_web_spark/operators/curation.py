@@ -1,0 +1,134 @@
+"""Corpus-curation operators for training-data pipelines: per-group
+caps, benchmark-contamination detection, stratified sampling.
+
+These are the selection/cleaning steps a C4/RefinedWeb-style pipeline
+runs after dedup (operators.dedup) and quality scoring (operators.text):
+
+- ``cap_per_group``: keep at most N documents per group (domain, source,
+  site) in a deterministic order — the standard guard against a single
+  domain dominating the corpus. One window per group partition; no
+  global sort.
+- ``contamination_report``: per-document n-gram containment against a
+  benchmark/eval set — the decontamination step that keeps test data out
+  of training corpora. Shingles hash to 64-bit keys once per side; the
+  only join is hash-equality against the (much smaller) distinct
+  benchmark shingle set, so cost is corpus-shingles x matches, never
+  corpus x benchmark.
+- ``stratified_sample``: deterministic per-stratum hash sampling
+  (md5/xxhash64 bucket rule shared with text.hash_split) — downsample
+  overrepresented languages/sources reproducibly: re-runs, cluster
+  resizes, and repartitioning never change the sample.
+
+Design for 100 TB: no Python UDFs, no driver materialization; shuffles
+key on group values or 64-bit shingle hashes, never document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from erpl_web_spark.operators.dedup import hashed_shingles
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column | str],
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, by deterministic order.
+
+    Spark plans the rank filter as WindowGroupLimit: each partition
+    keeps a bounded top-n heap per group before the full window sort —
+    at scale the shuffle carries at most n rows per group per map task.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document containment of benchmark n-grams:
+    |doc-shingles ∩ benchmark-shingles| / |doc-shingles|.
+
+    Both sides shingle-hash once (64-bit xxhash64, see
+    dedup.hashed_shingles); the benchmark collapses to its distinct
+    shingle-hash set, which is typically small enough for a broadcast
+    hash join. Containment (not Jaccard) is the decontamination metric:
+    a short eval question fully embedded in a long training document
+    still scores 1.0. Returns (id_col, n_shingles, n_matched,
+    contamination) for every document with at least one shingle.
+    """
+    doc_sh = hashed_shingles(df, id_col, text_col, shingle_k).select(
+        F.col(id_col), F.explode("hs").alias("h")
+    )
+    bench_sh = (
+        hashed_shingles(benchmark, id_col, text_col, shingle_k)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    matched = doc_sh.join(F.broadcast(bench_sh), "h", "left_semi")
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = matched.groupBy(id_col).agg(F.count("*").alias("n_matched"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by id-hash bucket.
+
+    A row survives iff ``h(seed, id) % 10_000 < fraction * 10_000`` for
+    its stratum — the same bucket rule as text.hash_split, so samples
+    are stable across runs/cluster sizes and nest monotonically
+    (a 10% sample is a subset of the 20% sample). ``method='md5'`` is
+    the cross-engine-reproducible path; 'xxhash64' the JVM-codegen fast
+    path. Strata missing from ``fractions`` get ``default_fraction``.
+    Map-only: no shuffle, no Python.
+    """
+    if method == "md5":
+        digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        bucket = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % 10_000
+    else:
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(10_000))
+    threshold = None
+    for name, frac in fractions.items():
+        t = F.lit(int(round(frac * 10_000)))
+        threshold = (
+            F.when(F.col(strata_col) == name, t)
+            if threshold is None
+            else threshold.when(F.col(strata_col) == name, t)
+        )
+    thr = (
+        F.lit(int(round(default_fraction * 10_000)))
+        if threshold is None
+        else threshold.otherwise(int(round(default_fraction * 10_000)))
+    )
+    return df.where(bucket < thr)

@@ -555,3 +555,92 @@ def chunk_tokens_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erpl_web_spark.functions.udtfs import chunk_tokens_native
 
     return chunk_tokens_native(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Corpus curation (operators/curation.py): per-group caps, benchmark
+# decontamination, stratified sampling
+# --------------------------------------------------------------------------
+
+@register(
+    "curation_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def curation_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (C4/RefinedWeb guard against one domain dominating
+    the corpus): keep the first 30 docs per source by id. Plans as
+    WindowGroupLimit — a bounded per-group heap before the window sort."""
+    from erpl_web_spark.operators.curation import cap_per_group
+
+    d = load(spark, sf_dir, "documents")
+    return cap_per_group(d, "source", [F.col("doc_id")], 30).select("doc_id", "source")
+
+
+@register(
+    "curation_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES.replace("__toks", "toks")} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0),
+    doc AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 20 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM doc GROUP BY doc_id),
+    hit AS (SELECT d.doc_id, COUNT(*) AS n_matched
+            FROM doc d JOIN bench b ON d.g = b.g GROUP BY d.doc_id)
+    SELECT t.doc_id, n_shingles,
+           COALESCE(n_matched, 0) AS n_matched,
+           CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+             AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    WHERE CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.8
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram
+    containment against the 'benchmark' set (every 20th doc, standing in
+    for an eval suite) is >= 0.8. The benchmark collapses to a distinct
+    broadcast shingle-hash set; the oracle computes the same containment
+    on string shingles (64-bit hash collisions are ~2^-64)."""
+    from erpl_web_spark.operators.curation import contamination_report
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return contamination_report(train, bench, "doc_id", "text", 3).where(
+        F.col("contamination") >= 0.8
+    )
+
+
+@register(
+    "curation_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END
+    GROUP BY lang
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (keep 50% of 'en', 10% of
+    everything else) via the cross-engine md5 bucket rule — the
+    rebalancing step that tames overrepresented strata. Map-only."""
+    from erpl_web_spark.operators.curation import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "lang", {"en": 0.5}, "doc_id", default_fraction=0.1, method="md5"
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n"))

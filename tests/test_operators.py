@@ -355,3 +355,46 @@ def test_pack_documents_custom_text_col(spark):
     assert out[2]["pack_id"] == 0 and out[2]["pack_offset"] == 3
     assert out[3]["pack_id"] == 1 and out[3]["pack_offset"] == 1  # cum 5 -> pack 1
     assert out[4]["pack_id"] == 0 and out[4]["pack_offset"] == 0
+
+
+def test_cap_per_group_and_stratified_sample(spark):
+    from erpl_web_spark.operators.curation import cap_per_group, stratified_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "g%d" % (i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    capped = cap_per_group(df, "g", [F.col("id")], 3)
+    got = sorted((r["g"], r["id"]) for r in capped.collect())
+    assert got == [("g0", 0), ("g0", 2), ("g0", 4), ("g1", 1), ("g1", 3), ("g1", 5)]
+    # WindowGroupLimit in the plan (bounded per-group heap before the sort)
+    assert "WindowGroupLimit" in capped._jdf.queryExecution().executedPlan().toString()
+
+    # deterministic + monotone nesting: 20% sample is a subset of 50%
+    big = spark.createDataFrame([(i, "en") for i in range(2000)], "id long, s string")
+    s20 = {r["id"] for r in stratified_sample(big, "s", {"en": 0.2}, "id").collect()}
+    s50 = {r["id"] for r in stratified_sample(big, "s", {"en": 0.5}, "id").collect()}
+    assert s20 <= s50
+    assert 0.15 < len(s20) / 2000 < 0.25 and 0.45 < len(s50) / 2000 < 0.55
+    # unknown stratum -> default_fraction
+    assert stratified_sample(big, "s", {"xx": 1.0}, "id").count() == 0
+
+
+def test_contamination_report(spark):
+    from erpl_web_spark.operators.curation import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # fully contained
+            (2, "a completely different sentence with novel words here"),
+            (3, "prefix words then the quick brown fox appears again"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_report(docs, bench).collect()}
+    assert got[1]["contamination"] == 1.0
+    assert got[2]["contamination"] == 0.0
+    assert 0.0 < got[3]["contamination"] < 1.0
+    assert got[3]["n_matched"] == 2  # 'the quick brown', 'quick brown fox'
