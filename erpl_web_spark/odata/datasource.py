@@ -19,7 +19,11 @@ Python Data Source API:
 Read options: ``url`` (required), ``select``, ``top``, ``skip``,
 ``expand``, ``count``, ``parallelism``, ``secret`` (name in the
 driver-side registry; resolved to auth headers at planning time and
-shipped to executors), ``infer`` = metadata|sample.
+shipped to executors), ``infer`` = metadata|sample, and server-side
+aggregation via ``groupby`` + ``aggregate`` (compiled to OData v4
+``$apply=groupby((dims),aggregate(...))``) or a raw ``apply`` string —
+beyond-reference pushdown: the server aggregates, Spark never sees the
+raw entity set.
 
 Usage::
 
@@ -88,8 +92,45 @@ class ODataDataSource(DataSource):
             self.options["url"], HttpClient(auth_headers=self._auth_headers())
         )
 
+    def _apply_expr(self) -> str | None:
+        """OData v4 ``$apply`` (server-side aggregation — beyond the
+        reference's pushdown surface): raw via option ``apply``, or built
+        from ``groupby`` (comma-separated dims) + ``aggregate``
+        (e.g. "Balance with sum as TotalBalance", comma-separated)."""
+        if "apply" in self.options:
+            return self.options["apply"]
+        if "groupby" in self.options:
+            dims = ",".join(d.strip() for d in self.options["groupby"].split(","))
+            agg = self.options.get("aggregate")
+            if agg:
+                return f"groupby(({dims}),aggregate({agg}))"
+            return f"groupby(({dims}))"
+        if "aggregate" in self.options:
+            return f"aggregate({self.options['aggregate']})"
+        return None
+
     def schema(self) -> StructType:
         client = self._client()
+        apply_expr = self._apply_expr()
+        if apply_expr:
+            # Aggregate aliases don't exist in the EDMX — infer typed
+            # columns from the first page of the APPLIED result.
+            from erpl_web_spark.core.infer import infer_struct
+            from erpl_web_spark.odata.json_decode import extract_rows_payload
+
+            url = ODataQueryBuilder(
+                base_url=self.options["url"],
+                odata_version=4,
+                apply=apply_expr,
+            ).build()
+            http = HttpClient(auth_headers=self._auth_headers())
+            doc = http.get(url, headers={"Accept": "application/json"}).json()
+            rows = extract_rows_payload(doc)
+            if not rows:
+                raise RuntimeError(f"cannot infer $apply schema: no rows at {url}")
+            return infer_struct(
+                [{k: v for k, v in r.items() if not k.startswith("@")} for r in rows]
+            )
         expand_opt = self.options.get("expand")
         expand = [e.path for e in parse_expand(expand_opt)] if expand_opt else None
         infer = self.options.get("infer", "metadata")
@@ -155,6 +196,7 @@ class ODataDataSource(DataSource):
             count=self.options.get("count", "false").lower() == "true",
             parallelism=_int_opt(self.options, "parallelism") or 1,
             order_keys=order_keys,
+            apply=self._apply_expr(),
         )
 
 
@@ -184,6 +226,7 @@ class ODataReader(DataSourceReader):
         count: bool,
         parallelism: int,
         order_keys: list[str] | None = None,
+        apply: str | None = None,
     ):
         # A user-supplied $filter in the base URL is folded into the
         # generated $filter (AND-combined with pushed predicates) instead
@@ -205,11 +248,17 @@ class ODataReader(DataSourceReader):
         self._count = count
         self._parallelism = max(1, parallelism)
         self._order_keys = order_keys or []
+        self._apply = apply
         self._filter_expr: str | None = None
 
     # -- pushdown ----------------------------------------------------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        if self._apply:
+            # Filters reference the aggregated output, not entity-set
+            # columns — $filter evaluates pre-$apply, so pushing would be
+            # wrong. Spark applies everything post-aggregation.
+            return iter(filters)
         expr, _pushed, residual = translate_filters(list(filters), self._version)
         self._filter_expr = expr
         return iter(residual)
@@ -242,6 +291,7 @@ class ODataReader(DataSourceReader):
             expand=self._expand,
             count=count or self._count,
             orderby=self._order_keys if ordered else [],
+            apply=self._apply,
         )
         return qb.build()
 

@@ -37,6 +37,9 @@ class ODataQueryBuilder:
     # pushdown — that's deliberately absent, reference parity :657-660):
     # parallel $skip windows are only consistent under a total order.
     orderby: list[str] = field(default_factory=list)
+    # OData v4 $apply (server-side groupby/aggregate) — beyond-reference
+    # aggregation pushdown; mutually exclusive with $select.
+    apply: str | None = None
 
     def _effective_select(self) -> list[str]:
         if not self.select:
@@ -67,7 +70,9 @@ class ODataQueryBuilder:
             url.path = f"{head}({args})/{set_name}" if head else f"/({args})/{set_name}"
 
         generated: dict[str, str] = {}
-        sel = self._effective_select()
+        if self.apply:
+            generated["$apply"] = self.apply
+        sel = self._effective_select() if not self.apply else []
         if sel:
             generated["$select"] = ",".join(sel)
         if self.filter_expr:

@@ -187,6 +187,47 @@ def _apply_filter(rows: list[dict], expr: str) -> list[dict]:
     return out
 
 
+_APPLY_RE = re.compile(
+    r"^groupby\(\(([^)]*)\)(?:,aggregate\((.*)\))?\)$"
+)
+_AGG_RE = re.compile(r"^(\w+) with (sum|min|max|average|countdistinct) as (\w+)$")
+
+
+def _apply_apply(rows: list[dict], expr: str) -> list[dict]:
+    """Evaluate the $apply subset the tests use:
+    groupby((d1,d2),aggregate(Src with sum as Alias[, ...]))."""
+    m = _APPLY_RE.match(expr.strip())
+    if not m:
+        return rows
+    dims = [d.strip() for d in m.group(1).split(",") if d.strip()]
+    aggs = []
+    if m.group(2):
+        for part in m.group(2).split(","):
+            am = _AGG_RE.match(part.strip())
+            if am:
+                aggs.append((am.group(1), am.group(2), am.group(3)))
+    groups: dict[tuple, list[dict]] = {}
+    for r in rows:
+        groups.setdefault(tuple(r.get(d) for d in dims), []).append(r)
+    out = []
+    for key, members in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        row = dict(zip(dims, key))
+        for src, fn, alias in aggs:
+            vals = [r[src] for r in members if r.get(src) is not None]
+            if fn == "sum":
+                row[alias] = sum(vals)
+            elif fn == "min":
+                row[alias] = min(vals)
+            elif fn == "max":
+                row[alias] = max(vals)
+            elif fn == "average":
+                row[alias] = sum(vals) / len(vals) if vals else None
+            elif fn == "countdistinct":
+                row[alias] = len(set(vals))
+        out.append(row)
+    return out
+
+
 EDMX_ODP = """<?xml version="1.0" encoding="utf-8"?>
 <edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
   <edmx:DataServices>
@@ -782,6 +823,8 @@ def _make_handler(state: FixtureState):
             rows = list(data)
             if "$filter" in q:
                 rows = _apply_filter(rows, q["$filter"])
+            if "$apply" in q:
+                rows = _apply_apply(rows, q["$apply"])
             total = len(rows)
             skip = int(q.get("$skip", 0))
             rows = rows[skip:]

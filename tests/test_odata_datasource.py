@@ -136,6 +136,53 @@ def test_parallel_partitions_by_skip_range(registered, fixture_server):
     assert ranged and all(r["query"].get("$orderby") == "UserName" for r in ranged)
 
 
+def test_apply_aggregation_pushdown(registered, fixture_server):
+    """Server-side aggregation via $apply (beyond-reference pushdown):
+    groupby+aggregate options compile to
+    $apply=groupby((dims),aggregate(...)); the server aggregates and
+    Spark never sees the raw entity set. Schema is inferred (typed) from
+    the applied first page."""
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v4/People")
+        .option("groupby", "Segment")
+        .option("aggregate", "Age with sum as TotalAge, Score with max as MaxScore")
+        .load()
+    )
+    rows = {r["Segment"]: r for r in df.collect()}
+    assert set(rows) == {"Retail", "Wholesale"}
+    assert rows["Retail"]["TotalAge"] == 120 and rows["Wholesale"]["TotalAge"] == 125
+    assert rows["Retail"]["MaxScore"] == 4.0 and rows["Wholesale"]["MaxScore"] == 4.5
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"Segment": "string", "TotalAge": "bigint", "MaxScore": "double"}
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert any(
+        r["query"].get("$apply")
+        == "groupby((Segment),aggregate(Age with sum as TotalAge, Score with max as MaxScore))"
+        for r in reqs
+    ), f"$apply not on the wire: {[r['query'] for r in reqs]}"
+
+
+def test_apply_filters_stay_residual(registered, fixture_server):
+    """With $apply active, Spark filters reference aggregate output
+    columns — they must NOT be pushed as $filter (which evaluates
+    pre-aggregation); Spark applies them post-aggregation."""
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v4/People")
+        .option("groupby", "Segment")
+        .option("aggregate", "Age with sum as TotalAge")
+        .load()
+        .filter(F.col("TotalAge") > 121)
+    )
+    rows = df.collect()
+    assert [r["Segment"] for r in rows] == ["Wholesale"]
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert not any("$filter" in r["query"] for r in reqs)
+
+
 def test_v2_customers_with_legacy_dates(registered, fixture_server):
     df = (
         registered.read.format("odata")
