@@ -8,7 +8,11 @@ driver materialization). Every headline query runs once untimed first
 (hot-run methodology): the warmup pass pays JVM startup and per-plan
 whole-stage-codegen JIT, so the timed pass reflects steady-state engine
 throughput — the quantity that matters at 100 TB, where compile time
-amortizes to zero but per-row cost does not.
+amortizes to zero but per-row cost does not. The timed pass runs
+$SPARK_GRAFT_BENCH_REPS times (default 2) and reports the per-query
+minimum — the standard estimator for steady-state cost under external
+machine noise (observed ±40% on a shared host; the minimum converges to
+the true cost, the mean to the noise).
 """
 
 from __future__ import annotations
@@ -43,11 +47,16 @@ def main() -> None:
     for q in queries.values():
         force(q.fn(spark, sf_dir))
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
-        t0 = time.perf_counter()
-        force(q.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(q.fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
