@@ -152,10 +152,21 @@ def _translate_one(f: Filter, odata_version: int) -> str | None:
             return f"{_column(inner.attribute)} ne null"
         if it is IsNotNull:
             return f"{_column(inner.attribute)} eq null"
+        if not hasattr(inner, "attribute"):
+            return None  # Not(Not(...)) etc. — residual
+        if it is In and any(v is None for v in inner.value):
+            # The positive-context rule "null candidates never match" does
+            # not survive negation: NOT(x IN (a, null)) is null (drop) for
+            # every non-matching x in Spark, but `not (x eq a)` keeps it.
+            return None
         sub = _translate_one(inner, odata_version)
         if sub is None:
             return None
-        return f"not ({sub})"
+        # Same null guard as the negated comparisons: OData's 2-valued
+        # `null eq 'a'` is false, so `not (...)` would KEEP null rows,
+        # while Spark's 3-valued NOT drops them.
+        col = _column(inner.attribute)
+        return f"(not ({sub}) and {col} ne null)"
     return None
 
 

@@ -132,3 +132,184 @@ def test_decode_v2_date_format(ms):
     if out is not None:
         expect = dt.datetime.fromtimestamp((ms // 1000), dt.timezone.utc).replace(tzinfo=None)
         assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# Pushdown soundness under null semantics: for any supported filter and any
+# row set (with NULLs), "rows the server keeps for the pushed expression,
+# evaluated with OData v4 null rules" composed with "Spark re-applying the
+# residual" must equal Spark's own 3-valued filter semantics.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    GreaterThan as _GT,
+    In as _In,
+    IsNotNull as _INN,
+    IsNull as _IN,
+    LessThan as _LT,
+    Not as _Not,
+)
+
+
+def _odata_eval_clause(row, clause: str) -> bool:
+    clause = clause.strip()
+    if clause.startswith("not (") and clause.endswith(")"):
+        return not _odata_eval(row, clause[len("not ("):-1])
+    """OData v4 evaluation of 'Col op lit': eq/ne treat null as a value
+    (null equals only itself, 'null ne v' is TRUE); lt/gt/le/ge with a
+    null operand are false."""
+    import re as _re
+
+    m = _re.match(r"^(\w+) (eq|ne|gt|ge|lt|le) (.+)$", clause)
+    assert m, clause
+    col, op, lit_s = m.groups()
+    lit = None if lit_s == "null" else (
+        lit_s[1:-1].replace("''", "'") if lit_s.startswith("'") else float(lit_s)
+    )
+    v = row.get(col)
+    if op == "eq":
+        return v == lit if lit is not None else v is None
+    if op == "ne":
+        return v != lit if lit is not None else v is not None
+    if v is None or lit is None:
+        return False  # ordering comparisons with null are false
+    return {"gt": v > lit, "ge": v >= lit, "lt": v < lit, "le": v <= lit}[op]
+
+
+def _split_top(expr: str, sep: str) -> list[str]:
+    """Split on a connective at paren depth 0."""
+    parts, depth, cur, i = [], 0, "", 0
+    while i < len(expr):
+        if expr[i] == "(":
+            depth += 1
+        elif expr[i] == ")":
+            depth -= 1
+        if depth == 0 and expr[i : i + len(sep)] == sep:
+            parts.append(cur)
+            cur = ""
+            i += len(sep)
+            continue
+        cur += expr[i]
+        i += 1
+    parts.append(cur)
+    return parts
+
+
+def _wrapped(expr: str) -> bool:
+    """True if the whole expr is one (...) group."""
+    if not (expr.startswith("(") and expr.endswith(")")):
+        return False
+    depth = 0
+    for i, ch in enumerate(expr):
+        depth += ch == "("
+        depth -= ch == ")"
+        if depth == 0:
+            return i == len(expr) - 1
+    return False
+
+
+def _odata_eval(row, expr: str) -> bool:
+    """Recursive evaluation of the expressions our translator emits:
+    and/or trees, paren groups, `not (...)`, comparison clauses."""
+    expr = expr.strip()
+    ands = _split_top(expr, " and ")
+    if len(ands) > 1:
+        return all(_odata_eval(row, p) for p in ands)
+    ors = _split_top(expr, " or ")
+    if len(ors) > 1:
+        return any(_odata_eval(row, p) for p in ors)
+    if _wrapped(expr):
+        return _odata_eval(row, expr[1:-1])
+    return _odata_eval_clause(row, expr)
+
+
+def _spark_semantics(row, f) -> bool:
+    """Spark's 3-valued logic collapsed to keep/drop (NULL -> drop)."""
+    v = row.get(f.attribute[0]) if hasattr(f, "attribute") else None
+    t = type(f)
+    if t is EqualTo:
+        return False if (v is None or f.value is None) else v == f.value
+    if t is _GT:
+        return False if (v is None or f.value is None) else v > f.value
+    if t is _LT:
+        return False if (v is None or f.value is None) else v < f.value
+    if t is _IN:
+        return v is None
+    if t is _INN:
+        return v is not None
+    if t is _In:
+        return _in_3vl(v, f.value) is True
+    if t is _Not:
+        inner = f.child
+        iv = row.get(inner.attribute[0])
+        it = type(inner)
+        if it is EqualTo:
+            return False if (iv is None or inner.value is None) else iv != inner.value
+        if it is _GT:
+            return False if (iv is None or inner.value is None) else not (iv > inner.value)
+        if it is _LT:
+            return False if (iv is None or inner.value is None) else not (iv < inner.value)
+        if it is _IN:
+            return iv is not None
+        if it is _INN:
+            return iv is None
+        if it is _In:
+            return _in_3vl(iv, inner.value) is False  # NOT(null) -> drop
+    raise AssertionError(f"unhandled {f}")
+
+
+def _in_3vl(v, cands):
+    """Spark's 3-valued IN: empty list -> false; null operand -> null;
+    match -> true; no match with a null candidate -> null; else false."""
+    if not cands:
+        return False
+    if v is None:
+        return None
+    if any(c is not None and v == c for c in cands):
+        return True
+    if any(c is None for c in cands):
+        return None
+    return False
+
+
+_vals = st.one_of(st.none(), st.floats(min_value=-5, max_value=5, allow_nan=False),
+                  st.sampled_from(["a", "b", "c"]))
+_numbers = st.one_of(st.none(), st.floats(min_value=-5, max_value=5, allow_nan=False))
+
+
+def _filters_strategy():
+    num_f = st.one_of(
+        st.builds(lambda v: EqualTo(("X",), v), _numbers),
+        st.builds(lambda v: _GT(("X",), v), _numbers),
+        st.builds(lambda v: _LT(("X",), v), _numbers),
+        st.just(_IN(("X",))),
+        st.just(_INN(("X",))),
+        st.builds(lambda vs: _In(("X",), tuple(vs)),
+                  st.lists(_numbers, min_size=0, max_size=4)),
+    )
+    return st.one_of(num_f, num_f.map(_Not))
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    rows=st.lists(_numbers, min_size=0, max_size=8),
+    f=_filters_strategy(),
+)
+def test_pushdown_composition_soundness(rows, f):
+    """server-keeps(pushed, OData-null-rules) ∧ spark-keeps(residual)
+    == spark-keeps(original) for every row — i.e. the translation never
+    loses or invents rows, including around NULLs (the ADVICE hazards)."""
+    try:
+        expr, pushed, residual = translate_filters([f], odata_version=4)
+    except Exception as e:  # translator must be total
+        raise AssertionError(f"translate_filters raised {e} for {f}")
+    assert len(pushed) + len(residual) == 1
+    for x in rows:
+        row = {"X": x}
+        want = _spark_semantics(row, f)
+        server_keeps = _odata_eval(row, expr) if expr is not None else True
+        residual_keeps = all(_spark_semantics(row, r) for r in residual)
+        assert (server_keeps and residual_keeps) == want, (
+            f"filter={f} row={row} expr={expr!r} "
+            f"server={server_keeps} residual={residual_keeps} want={want}"
+        )
