@@ -164,7 +164,12 @@ class HttpClient:
                     allow_redirects=False,
                 )
                 status = r.status_code
-            except requests.ConnectionError:
+            except (requests.ConnectionError, requests.Timeout):
+                # Timeout is retried like a connection failure: ReadTimeout
+                # is NOT a ConnectionError subclass, and a hung server
+                # should not burn an executor without the backoff ladder
+                # (reference timeout_http_client.cpp wraps every request
+                # in a deadline for the same reason).
                 if attempt > self.retry.retries:
                     raise
                 self._sleep(attempt)

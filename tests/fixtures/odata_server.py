@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
 
@@ -447,6 +448,12 @@ def _make_handler(state: FixtureState):
                 state.flaky_counts[route] = c
                 if c <= 2:
                     return self._send(429, b"slow down", "text/plain")
+                return self._json(200, {"ok": True, "attempts": c})
+            if route == "/http/slow-once":
+                c = state.flaky_counts.get(route, 0) + 1
+                state.flaky_counts[route] = c
+                if c == 1:
+                    time.sleep(2.0)  # exceeds the test client's read timeout
                 return self._json(200, {"ok": True, "attempts": c})
             if route == "/http/latin1":
                 body = "Grüße, café".encode("iso-8859-1")

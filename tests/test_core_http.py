@@ -12,6 +12,19 @@ def test_retry_on_429_then_success(fixture_server):
     assert resp.json()["attempts"] == 3  # two 429s then success
 
 
+def test_read_timeout_is_retried(fixture_server):
+    """A hung response must hit the same backoff ladder as a connection
+    failure: requests.ReadTimeout is not a ConnectionError subclass, so
+    without the explicit catch the first slow response would kill the
+    scan (reference timeout_http_client.cpp deadlines every request)."""
+    from erpl_web_spark.core.http import HttpClient, RetryConfig
+
+    c = HttpClient(retry=RetryConfig(wait_ms=10, timeout_s=0.5, retries=2))
+    resp = c.get(fixture_server.base_url + "/http/slow-once")
+    assert resp.status == 200
+    assert resp.json()["attempts"] == 2  # first timed out, second served
+
+
 def test_redirect_chain_followed(fixture_server):
     c = client()
     resp = c.get(fixture_server.base_url + "/http/redirect/3")
