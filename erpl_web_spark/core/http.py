@@ -37,6 +37,44 @@ _BINARY_TYPES = (
 _SENSITIVE_HEADERS = {"authorization", "cookie", "proxy-authorization", "www-authenticate"}
 _KNOWN_CHARSETS = {"utf-8", "iso-8859-1", "iso-8859-15", "windows-1252"}
 
+# Magic-byte signatures (reference pattern_matcher.cpp:11-50): used when
+# the server sends no usable Content-Type — content wins over headers.
+_MAGIC_SIGNATURES = (
+    b"\xff\xd8\xff",            # JPEG
+    b"\x89PNG",                 # PNG
+    b"GIF8",                    # GIF
+    b"BM",                      # BMP
+    b"RIFF",                    # WebP/WAV/AVI
+    b"PK\x03\x04",              # ZIP / Office Open XML
+    b"\x1f\x8b",                # GZIP
+    b"\x28\xb5\x2f\xfd",        # Zstd
+    b"Rar!",                    # RAR
+    b"7z\xbc\xaf\x27\x1c",      # 7z
+    b"%PDF",                    # PDF
+    b"\xd0\xcf\x11\xe0",        # MS Office 97-2003
+    b"\xff\xfb", b"\xff\xfa",   # MP3
+    b"ID3",                     # MP3 with ID3 tag
+    b"\x1a\x45\xdf\xa3",        # WebM/Matroska
+    b"OggS",                    # Ogg
+    b"fLaC",                    # FLAC
+    b"\x7fELF",                 # ELF
+    b"PAR1",                    # Parquet
+)
+
+
+def sniff_binary(raw: bytes) -> bool:
+    """Magic-byte + NUL heuristic for untyped payloads (reference
+    PatternMatcher::IsBinaryContent / MatchesBinarySignature)."""
+    if not raw:
+        return False
+    if any(raw.startswith(m) for m in _MAGIC_SIGNATURES):
+        return True
+    if raw[4:8] == b"ftyp":        # MP4/MOV: signature at offset 4
+        return True
+    if raw[257:262] == b"ustar":   # TAR: signature at offset 257
+        return True
+    return b"\x00" in raw[:1024]   # NUL in the head: not text
+
 
 @dataclass
 class RetryConfig:
@@ -66,6 +104,10 @@ class HttpResponse:
             if cand in _KNOWN_CHARSETS:
                 charset = cand
         if any(ct.startswith(b) for b in _BINARY_TYPES):
+            return BINARY_PREFIX + base64.b64encode(self.raw).decode("ascii")
+        if not ct and sniff_binary(self.raw):
+            # No Content-Type at all: sniff magic bytes so a PNG from a
+            # header-less server doesn't get mojibake'd into "text".
             return BINARY_PREFIX + base64.b64encode(self.raw).decode("ascii")
         return self.raw.decode(charset, errors="replace")
 

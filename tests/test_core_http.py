@@ -89,3 +89,22 @@ def test_post_roundtrip(fixture_server):
     )
     assert resp.status == 201
     assert resp.json()["received"] == '{"a": 1}'
+
+
+def test_untyped_binary_sniffed_by_magic_bytes():
+    """No Content-Type + magic bytes => base64 tag, not mojibake
+    (reference pattern_matcher.cpp signatures; content wins over absent
+    headers). Typed text with high bytes must NOT be sniffed."""
+    from erpl_web_spark.core.http import HttpResponse, sniff_binary
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    r = HttpResponse("GET", 200, "http://h/x", {}, "", png)
+    assert r.text.startswith(BINARY_PREFIX)
+    # declared text stays text even with odd bytes
+    r2 = HttpResponse("GET", 200, "http://h/x", {}, "text/plain", b"Gr\xfc\xdfe")
+    assert not r2.text.startswith(BINARY_PREFIX)
+    assert sniff_binary(b"PAR1" + b"x" * 8)        # parquet
+    assert sniff_binary(b"\x00" * 8)               # NUL head
+    assert sniff_binary(b"\x00\x00\x00 ftypisom")  # MP4 at offset 4
+    assert not sniff_binary(b'{"plain": "json without header"}')
+    assert not sniff_binary(b"")
