@@ -398,3 +398,41 @@ def test_contamination_report(spark):
     assert got[2]["contamination"] == 0.0
     assert 0.0 < got[3]["contamination"] < 1.0
     assert got[3]["n_matched"] == 2  # 'the quick brown', 'quick brown fox'
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key (same bucket count) must plan
+    as SortMergeJoin with NO Exchange on either input — the one-time
+    write cost that deletes the recurring fact-fact shuffle at scale."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.bucket_bench import count_exchanges, join_query
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df, key in (
+            ("tb_orders", orders, "o_orderkey"),
+            ("tb_lineitem", lineitem, "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            df.write.format("parquet").bucketBy(4, key).sortBy(key).mode(
+                "overwrite"
+            ).saveAsTable(name)
+        plain = join_query(spark, orders, lineitem)
+        bucketed = join_query(spark, spark.table("tb_orders"), spark.table("tb_lineitem"))
+        assert plain.collect() == bucketed.collect() or (
+            sorted(map(tuple, plain.collect())) == sorted(map(tuple, bucketed.collect()))
+        )
+        # plain: shuffle both join inputs + the aggregation;
+        # bucketed: only the aggregation exchange survives.
+        assert count_exchanges(plain) == 3
+        assert count_exchanges(bucketed) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        for name in ("tb_orders", "tb_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
