@@ -211,6 +211,34 @@ def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str =
     )
 
 
+def with_token_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gini–Simpson token diversity per document:
+    ``1 - Σ n_t² / N²`` (probability two random tokens differ).
+
+    The quality complement to with_repetition_stats: boilerplate and
+    degenerate repetition drive it toward 0, diverse prose toward 1.
+    Chosen over Shannon entropy deliberately — it is a ratio of EXACT
+    integer sums (Σn², N²), so it is deterministic across engines and
+    cluster sizes, while entropy's transcendental log differs by ulps
+    between libm implementations. One shuffle on (id, token);
+    map-side-combinable aggregation.
+    Returns (id, n_tokens, n_distinct, simpson_diversity).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n") * F.sum("n")).cast("double")
+        ).alias("simpson_diversity"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",

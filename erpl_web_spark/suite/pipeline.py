@@ -644,3 +644,28 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", {"en": 0.5}, "doc_id", default_fraction=0.1, method="md5"
     )
     return kept.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "text_token_diversity",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id, t AS tok, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           1.0 - CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE)
+             AS simpson_diversity
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson token diversity (1 - Σn²/N²): the repetition/quality
+    signal that stays a ratio of exact integer sums, so it is
+    bit-identical across engines (Shannon entropy's log is not)."""
+    from erpl_web_spark.operators.text import with_token_diversity
+
+    return with_token_diversity(load(spark, sf_dir, "documents", spread=True))

@@ -436,3 +436,17 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         for name in ("tb_orders", "tb_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_token_diversity(spark):
+    from erpl_web_spark.operators.text import with_token_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_token_diversity(df).collect()}
+    assert got[1]["simpson_diversity"] == 0.0       # all same token
+    assert got[2]["simpson_diversity"] == 0.75      # 1 - 4/16
+    assert got[3]["simpson_diversity"] == 0.5       # 1 - 8/16
+    assert got[2]["n_distinct"] == 4 and got[2]["n_tokens"] == 4
