@@ -128,6 +128,33 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def detect_media_format_expr(payload) -> F.Column:
+    """Magic-byte media-format detection on a ``binary`` column —
+    pure JVM expression (substring + binary equality, whole-stage
+    codegen), no Python per row. The column analogue of the HTTP
+    layer's ``sniff_binary`` (reference pattern_matcher.cpp:11-50):
+    trust the bytes, not whatever metadata claims.
+    """
+    c = F.col(payload) if isinstance(payload, str) else payload
+
+    def head(n: int):
+        return F.substring(c, 1, n)
+
+    return (
+        F.when(head(3) == F.lit(b"\xff\xd8\xff"), "jpeg")
+        .when(head(4) == F.lit(b"\x89PNG"), "png")
+        .when(head(4) == F.lit(b"GIF8"), "gif")
+        .when(head(4) == F.lit(b"RIFF"), "riff")  # wav/webp/avi
+        .when(F.substring(c, 5, 4) == F.lit(b"ftyp"), "mp4")
+        .when(head(4) == F.lit(b"OggS"), "ogg")
+        .when(head(4) == F.lit(b"fLaC"), "flac")
+        .when(head(4) == F.lit(b"\x1a\x45\xdf\xa3"), "matroska")
+        .when(head(4) == F.lit(b"%PDF"), "pdf")
+        .when(head(3) == F.lit(b"ID3"), "mp3")
+        .otherwise("unknown")
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emit one row per sampled
     frame index based on metadata duration. The frame extraction itself is

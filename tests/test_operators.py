@@ -450,3 +450,24 @@ def test_token_diversity(spark):
     assert got[2]["simpson_diversity"] == 0.75      # 1 - 4/16
     assert got[3]["simpson_diversity"] == 0.5       # 1 - 8/16
     assert got[2]["n_distinct"] == 4 and got[2]["n_tokens"] == 4
+
+
+def test_detect_media_format_by_magic_bytes(spark):
+    """Format detection is a pure JVM expression over the binary payload
+    (no Python per row) and trusts bytes over claimed metadata."""
+    from erpl_web_spark.operators.multimodal import detect_media_format_expr
+
+    rows = [
+        (1, b"\xff\xd8\xff\xe0" + b"x" * 8),
+        (2, b"\x89PNG\r\n\x1a\n" + b"x" * 8),
+        (3, b"\x00\x00\x00 ftypisom" + b"x" * 8),
+        (4, b"OggS" + b"x" * 8),
+        (5, b"just some text bytes"),
+        (6, b"ID3\x04" + b"x" * 8),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["fmt"]
+        for r in df.select("media_id", detect_media_format_expr("payload").alias("fmt")).collect()
+    }
+    assert got == {1: "jpeg", 2: "png", 3: "mp4", 4: "ogg", 5: "unknown", 6: "mp3"}
