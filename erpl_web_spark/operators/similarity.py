@@ -195,6 +195,39 @@ def ivf_centroids(
     )
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    n_cells: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Trained coarse quantizer: pyspark.ml KMeans over the embedding
+    column, returning the same (cell, centroid_vec) contract that
+    ``ivf_assign`` / ``ann_top_k_ivf`` consume. This is the production
+    path ``ivf_centroids``'s docstring points at: trained cells track
+    the data distribution, so cell sizes are balanced and near neighbors
+    co-locate far more often than under the deterministic modulo rule
+    (higher recall at the same nprobe). Seeded — results are reproducible
+    for a fixed input; unlike the modulo quantizer the output depends on
+    the KMeans implementation, so it is test-verified rather than
+    DuckDB-oracle-checked. Distributed: Spark ML's KMeans is the
+    standard scalable trainer (optionally call on ``df.sample(...)``
+    to train on a fraction at 100 TB).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    vecs = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(vecs)
+    center_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(center_rows, "cell long, centroid_vec array<float>")
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -471,3 +471,30 @@ def test_detect_media_format_by_magic_bytes(spark):
         for r in df.select("media_id", detect_media_format_expr("payload").alias("fmt")).collect()
     }
     assert got == {1: "jpeg", 2: "png", 3: "mp4", 4: "ogg", 5: "unknown", 6: "mp3"}
+
+
+def test_ivf_trained_centroids_improve_on_modulo(spark):
+    """KMeans-trained cells must plug into ivf_assign unchanged and
+    cluster the data better than the modulo quantizer: with clearly
+    clustered vectors, same-cluster vectors land in the same trained
+    cell."""
+    import numpy as np
+
+    from erpl_web_spark.operators.similarity import ivf_assign, ivf_train_centroids
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 10
+    vecs = np.vstack([c + rng.normal(size=(12, 8)) * 0.1 for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = ivf_train_centroids(df, n_cells=4, max_iter=20)
+    assert cents.count() == 4
+    assigned = ivf_assign(df, cents)
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    # every true cluster maps to exactly one trained cell
+    for g in range(4):
+        cells = {cell_of[i] for i in range(g * 12, (g + 1) * 12)}
+        assert len(cells) == 1, f"cluster {g} split across cells {cells}"
+    # and distinct clusters use distinct cells
+    assert len({cell_of[g * 12] for g in range(4)}) == 4
