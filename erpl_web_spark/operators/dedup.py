@@ -303,6 +303,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     stride: int = 50,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by IVF cell.
 
@@ -316,7 +317,12 @@ def embedding_near_dup_pairs(
     """
     from erpl_web_spark.operators.similarity import dot_expr, ivf_assign, ivf_centroids
 
-    cents = ivf_centroids(df, id_col, vec_col, stride)
+    # Any (cell, centroid_vec) table plugs in — pass
+    # similarity.ivf_train_centroids(...) output for the trained
+    # quantizer (balanced cells, higher recall); default stays the
+    # deterministic modulo rule so the suite query remains
+    # oracle-checkable.
+    cents = centroids if centroids is not None else ivf_centroids(df, id_col, vec_col, stride)
     assigned = ivf_assign(df, cents, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"),
