@@ -104,12 +104,20 @@ def http_call(
     extra_headers: dict[str, str] | None = None,
     auth_headers: dict[str, str] | None = None,
     keep_cols: list[str] | None = None,
+    max_rps_per_task: float | None = None,
 ) -> DataFrame:
     """Bulk request fan-out: one HTTP call per input row, executed on the
     executors (the reference's LATERAL-join bulk-write idiom, B1/B2).
 
     Returns the input ``keep_cols`` plus the 6 response columns. One
     HttpClient (keep-alive Session) per Arrow batch; partition-parallel.
+
+    ``max_rps_per_task`` throttles each task to that many requests per
+    second (cluster-wide ceiling = value × number of concurrent tasks;
+    repartition the input to bound that product). Without it, a
+    1000-executor fan-out is a self-inflicted denial of service on the
+    target API — the retry ladder handles the resulting 429s, but
+    pacing beats retrying.
     """
     keep = keep_cols or []
     out_schema = StructType(
@@ -117,12 +125,21 @@ def http_call(
     )
     headers = dict(extra_headers or {})
     auth = dict(auth_headers or {})
+    min_interval = 1.0 / max_rps_per_task if max_rps_per_task else 0.0
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         client = HttpClient(auth_headers=auth)
+        next_slot = 0.0
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                if min_interval:
+                    now = _time.monotonic()
+                    if now < next_slot:
+                        _time.sleep(next_slot - now)
+                    next_slot = max(now, next_slot) + min_interval
                 body = r[body_col] if body_col else None
                 resp = _do_request(
                     client, method, r[url_col], headers, body,

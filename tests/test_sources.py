@@ -47,6 +47,22 @@ def test_http_call_bulk_fanout(spark, fixture_server):
         assert json.loads(r["content"])["query"]["i"] == str(r["id"])
 
 
+def test_http_call_rate_limit_paces_requests(spark, fixture_server):
+    """max_rps_per_task must stretch a single-partition fan-out to at
+    least (n-1)/rps seconds — pacing, not bursting."""
+    import time
+
+    from erpl_web_spark.sources.http_ds import http_call
+
+    urls = [(i, f"{fixture_server.base_url}/http/echo?i={i}") for i in range(6)]
+    df = spark.createDataFrame(urls, "id int, url string").coalesce(1)
+    t0 = time.monotonic()
+    rows = http_call(df, url_col="url", keep_cols=["id"], max_rps_per_task=10).collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == 6 and all(r["status"] == 200 for r in rows)
+    assert elapsed >= 0.5  # 5 inter-request gaps at 10 rps
+
+
 # -- odata_describe / attach ------------------------------------------------
 
 def test_odata_describe_entity_set(spark, fixture_server):
