@@ -241,3 +241,36 @@ def test_odp_streaming_source(spark, fixture_server, odp_state, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out_dir)
     assert got.count() >= 7  # initial load (+ maybe first delta)
+
+
+def test_odp_stream_feeds_streaming_aggregate(spark, fixture_server, odp_state, tmp_path):
+    """CDC-to-rollup composition: the ODP stream source drives a
+    streaming groupBy aggregate in one query — the shape a live
+    SAP-delta -> metric pipeline runs."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.streaming.odp_stream import OdpStreamDataSource
+
+    spark.dataSource.register(OdpStreamDataSource)
+    stream = (
+        spark.readStream.format("odp")
+        .option("url", fixture_server.base_url + "/odp/Facts")
+        .option("state_dir", odp_state)
+        .load()
+    )
+    agg = stream.groupBy("CALMONTH").agg(
+        F.sum(F.col("Amount").cast("double")).alias("amount"),
+        F.count("*").alias("n"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("odp_rollup")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM odp_rollup").collect()
+    assert rows and sum(r["n"] for r in rows) >= 7
+    assert all(r["amount"] is not None for r in rows)
