@@ -180,10 +180,19 @@ class ODataDataSource(DataSource):
         # Entity-set key columns stabilize $skip range partitioning:
         # OData guarantees no ordering across independent requests, so
         # parallel $skip windows without $orderby can duplicate/miss rows.
-        try:
-            order_keys = client.get_model().key_for_entity_set(client.entity_set_name())
-        except Exception:
-            order_keys = []
+        # A user `orderby` option (e.g. "Age desc,UserName") wins — it is
+        # also sent on unpartitioned reads (server-side ORDER BY,
+        # beyond-reference: the reference never pushes ORDER BY).
+        user_orderby = self.options.get("orderby")
+        if user_orderby:
+            order_keys = [s.strip() for s in user_orderby.split(",")]
+        else:
+            try:
+                order_keys = client.get_model().key_for_entity_set(
+                    client.entity_set_name()
+                )
+            except Exception:
+                order_keys = []
         return ODataReader(
             url=self.options["url"],
             schema=schema,
@@ -196,6 +205,7 @@ class ODataDataSource(DataSource):
             count=self.options.get("count", "false").lower() == "true",
             parallelism=_int_opt(self.options, "parallelism") or 1,
             order_keys=order_keys,
+            always_order=bool(user_orderby),
             apply=self._apply_expr(),
         )
 
@@ -226,6 +236,7 @@ class ODataReader(DataSourceReader):
         count: bool,
         parallelism: int,
         order_keys: list[str] | None = None,
+        always_order: bool = False,
         apply: str | None = None,
     ):
         # A user-supplied $filter in the base URL is folded into the
@@ -248,6 +259,7 @@ class ODataReader(DataSourceReader):
         self._count = count
         self._parallelism = max(1, parallelism)
         self._order_keys = order_keys or []
+        self._always_order = always_order
         self._apply = apply
         self._filter_expr: str | None = None
 
@@ -326,7 +338,10 @@ class ODataReader(DataSourceReader):
         # Range partitions (skip is set) get $orderby on the entity-set
         # key: OData gives no stable order across independent requests,
         # so unordered parallel $skip windows could duplicate/miss rows.
-        ordered = partition.skip is not None and bool(self._order_keys)
+        # A user orderby option is sent on every request.
+        ordered = self._always_order or (
+            partition.skip is not None and bool(self._order_keys)
+        )
         url = self._build_url(top=partition.top, skip=partition.skip, ordered=ordered)
         remaining = partition.top if partition.top is not None else self._top
         while url:

@@ -832,6 +832,12 @@ def _make_handler(state: FixtureState):
                 rows = _apply_filter(rows, q["$filter"])
             if "$apply" in q:
                 rows = _apply_apply(rows, q["$apply"])
+            if "$orderby" in q:
+                # first key only — the subset tests use
+                spec = q["$orderby"].split(",")[0].strip().split()
+                col, desc = spec[0], len(spec) > 1 and spec[1].lower() == "desc"
+                rows = sorted(rows, key=lambda r: (r.get(col) is None, r.get(col)),
+                              reverse=desc)
             total = len(rows)
             skip = int(q.get("$skip", 0))
             rows = rows[skip:]

@@ -136,6 +136,23 @@ def test_parallel_partitions_by_skip_range(registered, fixture_server):
     assert ranged and all(r["query"].get("$orderby") == "UserName" for r in ranged)
 
 
+def test_user_orderby_pushed_to_server(registered, fixture_server):
+    """orderby option -> $orderby on every request (beyond-reference:
+    server-side ORDER BY), and rows arrive server-sorted."""
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v4/People")
+        .option("orderby", "Age desc")
+        .option("top", "4")
+        .load()
+    )
+    ages = [r["Age"] for r in df.collect()]
+    assert ages == [29, 28, 27, 26]
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert any(r["query"].get("$orderby") == "Age desc" for r in reqs)
+
+
 def test_apply_aggregation_pushdown(registered, fixture_server):
     """Server-side aggregation via $apply (beyond-reference pushdown):
     groupby+aggregate options compile to
