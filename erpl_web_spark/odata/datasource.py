@@ -17,10 +17,11 @@ Python Data Source API:
                decoding JSON rows to typed tuples (executor-side).
 
 Read options: ``url`` (required), ``select``, ``top``, ``skip``,
-``expand``, ``count``, ``parallelism``, ``secret`` (name in the
-driver-side registry; resolved to auth headers at planning time and
-shipped to executors), ``infer`` = metadata|sample, and server-side
-aggregation via ``groupby`` + ``aggregate`` (compiled to OData v4
+``expand``, ``count``, ``parallelism``, ``orderby`` (server-side ORDER
+BY — beyond-reference), ``secret`` (name in the driver-side registry;
+resolved to auth headers at planning time and shipped to executors),
+``infer`` = metadata|sample, and server-side aggregation via
+``groupby`` + ``aggregate`` (compiled to OData v4
 ``$apply=groupby((dims),aggregate(...))``) or a raw ``apply`` string —
 beyond-reference pushdown: the server aggregates, Spark never sees the
 raw entity set.
