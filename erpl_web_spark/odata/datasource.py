@@ -178,6 +178,12 @@ class ODataDataSource(DataSource):
             version = client.version
         except Exception:
             version = 4
+        if self._apply_expr() and version == 2:
+            raise ValueError(
+                "$apply aggregation pushdown (groupby/aggregate/apply options) "
+                "is OData v4-only; this service speaks v2 — drop the options "
+                "and aggregate in Spark instead"
+            )
         # Entity-set key columns stabilize $skip range partitioning:
         # OData guarantees no ordering across independent requests, so
         # parallel $skip windows without $orderby can duplicate/miss rows.

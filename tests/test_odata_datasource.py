@@ -200,6 +200,21 @@ def test_apply_filters_stay_residual(registered, fixture_server):
     assert not any("$filter" in r["query"] for r in reqs)
 
 
+def test_apply_rejected_on_v2_service(registered, fixture_server):
+    import pytest
+
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v2/Customers")
+        .option("infer", "sample")
+        .option("groupby", "Country")
+        .option("aggregate", "Revenue with sum as Total")
+        .load()
+    )
+    with pytest.raises(Exception, match="v4-only"):
+        df.collect()
+
+
 def test_v2_customers_with_legacy_dates(registered, fixture_server):
     df = (
         registered.read.format("odata")
