@@ -498,3 +498,29 @@ def test_ivf_trained_centroids_improve_on_modulo(spark):
         assert len(cells) == 1, f"cluster {g} split across cells {cells}"
     # and distinct clusters use distinct cells
     assert len({cell_of[g * 12] for g in range(4)}) == 4
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A partition-column predicate must appear as PartitionFilters on
+    the scan (directory-level pruning — the 100-TB read-a-year-not-
+    everything lever)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from pyspark.sql import functions as F
+
+    from tools.prune_bench import parquet_files, partition_filters
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    out = str(tmp_path / "li_parted")
+    li.withColumn("ship_year", F.year("l_shipdate")).write.partitionBy(
+        "ship_year"
+    ).parquet(out)
+    parted = spark.read.parquet(out)
+    q = parted.where(F.col("ship_year") == 1996).agg(F.count("*").alias("n"))
+    q.write.format("noop").mode("overwrite").save()
+    assert "1996" in partition_filters(q)
+    assert parquet_files(out, "ship_year=1996") < parquet_files(out)
+    want = li.where(F.year("l_shipdate") == 1996).count()
+    assert q.collect()[0]["n"] == want
