@@ -27,6 +27,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str] | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach the right row with the
     greatest ``right_ts <= left_ts`` within the same ``on`` key(s).
@@ -35,6 +36,10 @@ def asof_join(
     a single shuffle on the key, linear in |left|+|right|. This is the
     formulation that survives skew/scale, unlike a range join (quadratic per
     key) or a per-key collect.
+
+    ``tolerance`` (an SQL interval body, e.g. ``"1 HOUR"``) bounds how
+    stale a match may be — pandas ``merge_asof(tolerance=...)`` semantics:
+    a right row older than ``left_ts - tolerance`` yields NULLs instead.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
@@ -50,6 +55,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r___match_ts"),
     )
     l = left.select(
         *[F.col(k) for k in keys],
@@ -57,6 +63,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_payload],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___match_ts"),
     )
     unioned = r.unionByName(l)
     w = (
@@ -70,12 +77,18 @@ def asof_join(
         "__side",
         *left_payload,
         *[F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+        F.last(F.col("__r___match_ts"), ignorenulls=True).over(w).alias("__r___match_ts"),
     )
+    if tolerance is None:
+        pick = {c: F.col(f"__r_{c}") for c in right_cols}
+    else:
+        fresh = F.col("__ts") - F.col("__r___match_ts") <= F.expr(f"INTERVAL {tolerance}")
+        pick = {c: F.when(fresh, F.col(f"__r_{c}")) for c in right_cols}
     out = filled.where(F.col("__side") == 1).select(
         *keys,
         F.col("__ts").alias(left_ts),
         *left_payload,
-        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        *[pick[c].alias(c) for c in right_cols],
     )
     return out
 

@@ -524,3 +524,27 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert parquet_files(out, "ship_year=1996") < parquet_files(out)
     want = li.where(F.year("l_shipdate") == 1996).count()
     assert q.collect()[0]["n"] == want
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance bounds match staleness (pandas merge_asof semantics):
+    a right row older than left_ts - tolerance yields NULL."""
+    import datetime as dt
+
+    from erpl_web_spark.operators.relational import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30)), (2, t(10))], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(9), 90.0), (2, t(0), 20.0)], "k int, rts timestamp, px double"
+    )
+    no_tol = {(r["k"], r["lts"].minute): r["px"]
+              for r in asof_join(left, right, "k", "lts", "rts").collect()}
+    assert no_tol == {(1, 10): 90.0, (1, 30): 90.0, (2, 10): 20.0}
+    with_tol = {(r["k"], r["lts"].minute): r["px"]
+                for r in asof_join(left, right, "k", "lts", "rts",
+                                   tolerance="5 MINUTES").collect()}
+    # (1,30) is 21min stale, (2,10) is 10min stale -> NULL; (1,10) is 1min
+    assert with_tol == {(1, 10): 90.0, (1, 30): None, (2, 10): None}
