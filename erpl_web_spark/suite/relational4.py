@@ -408,3 +408,38 @@ def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "pivot_order_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY yr
+    """,
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's relational PIVOT surface (groupBy().pivot(values)): status
+    categories become columns. Fixed value list keeps the plan a single
+    aggregate (no extra distinct-values job) — required at scale, where
+    an unbounded pivot would first scan for the category set."""
+    o = load(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "yr",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+    spend = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        dsum(F.col("o_totalprice")).alias("total_spend")
+    )
+    return counts.join(spend, "yr")
