@@ -44,8 +44,9 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator, Sequence
 
+from pyspark.sql import DataFrame
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import StructType
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
 from erpl_web_spark.core.http import HttpClient
 from erpl_web_spark.core.infer import infer_struct as _infer_struct
@@ -244,3 +245,69 @@ def graphql_read(spark, url: str, query: str, **options):
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()
+
+
+GRAPHQL_CALL_SCHEMA = StructType(
+    [
+        StructField("ok", BooleanType()),
+        StructField("data", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def graphql_call(
+    df: DataFrame,
+    url: str,
+    query: str,
+    variable_cols: list[str],
+    keep_cols: list[str] | None = None,
+    auth_headers: dict[str, str] | None = None,
+    max_rps_per_task: float | None = None,
+) -> DataFrame:
+    """Bulk GraphQL execution (typically mutations): one request per
+    input row, row columns -> operation variables. The write-side
+    complement of ``format("graphql")`` reads, mirroring
+    ``http_ds.http_call`` (the reference's lateral-join bulk idiom):
+    Arrow-batched mapInPandas, one keep-alive client per batch,
+    partition-parallel, optional per-task pacing. A row-level GraphQL
+    error is captured in (ok, error), not raised — one bad record must
+    not kill a 10^9-row write job.
+    """
+    import time as _time
+
+    keep = keep_cols or []
+    out_schema = StructType(
+        [df.schema[c] for c in keep] + list(GRAPHQL_CALL_SCHEMA.fields)
+    )
+    auth = dict(auth_headers or {})
+    min_interval = 1.0 / max_rps_per_task if max_rps_per_task else 0.0
+
+    def run(batches):
+        client = GraphQLClient(url, HttpClient(auth_headers=auth))
+        next_slot = 0.0
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if min_interval:
+                    now = _time.monotonic()
+                    if now < next_slot:
+                        _time.sleep(next_slot - now)
+                    next_slot = max(now, next_slot) + min_interval
+                variables = {c: _py(r[c]) for c in variable_cols}
+                try:
+                    doc = client.execute(query, variables)
+                    res = (True, json.dumps(doc.get("data"), sort_keys=True), None)
+                except Exception as e:  # row-level failure -> row-level error
+                    res = (False, None, str(e)[:500])
+                rows.append(tuple(r[c] for c in keep) + res)
+            import pandas as pd
+
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _py(v):
+    """numpy scalar -> plain Python for JSON encoding."""
+    return v.item() if hasattr(v, "item") else v

@@ -321,6 +321,8 @@ class FixtureState:
         self.planner_created: list[dict] = []
         # OAuth2 tokens issued.
         self.tokens_issued: list[dict] = []
+        # GraphQL mutation side effects
+        self.gql_added: list[dict] = []
 
     def requests_for(self, path_prefix: str) -> list[dict]:
         return [r for r in self.log if r["path"].startswith(path_prefix)]
@@ -679,6 +681,13 @@ def _make_handler(state: FixtureState):
                     }
                     for i in range(25)
                 ]
+                if "addProduct" in q:
+                    if not variables.get("name"):
+                        return self._json(200, {"errors": [
+                            {"message": "name is required"}]})
+                    state.gql_added.append(dict(variables))
+                    return self._json(200, {"data": {"addProduct": {
+                        "id": len(state.gql_added), "name": variables["name"]}}})
                 if "maybeProducts" in q:
                     # spec-compliant nullable field: requested, resolved null
                     return self._json(200, {"data": {"maybeProducts": None}})

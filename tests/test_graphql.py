@@ -147,3 +147,28 @@ def test_graphql_broken_cursor_terminates(fixture_server):
     """
     pages = list(client.fetch_connection_pages(q, {}, "brokenProducts", page_size=5))
     assert [len(p) for p in pages] == [5]
+
+
+def test_graphql_bulk_mutation_call(spark, fixture_server):
+    """graphql_call: one mutation per row, columns as variables, row-level
+    errors captured not raised (the write-side bulk idiom)."""
+    import json as _json
+
+    from erpl_web_spark.sources.graphql import graphql_call
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "rid int, name string"
+    )
+    out = graphql_call(
+        df.coalesce(1),
+        fixture_server.base_url + "/graphql",
+        "mutation addProduct($name: String!) { addProduct(name: $name) { id name } }",
+        variable_cols=["name"],
+        keep_cols=["rid"],
+    ).collect()
+    by_rid = {r["rid"]: r for r in out}
+    assert by_rid[1]["ok"] and by_rid[2]["ok"]
+    assert _json.loads(by_rid[1]["data"])["addProduct"]["name"] == "alpha"
+    assert not by_rid[3]["ok"] and "required" in by_rid[3]["error"]
+    # server really recorded the two successful writes
+    assert [v["name"] for v in fixture_server.state.gql_added] == ["alpha", "beta"]
