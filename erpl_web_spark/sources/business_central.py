@@ -53,6 +53,37 @@ def bc_show_entities(spark: SparkSession, client: BusinessCentralClient) -> Data
     return spark.createDataFrame(rows, "name string, entity_type string")
 
 
+def bc_describe(
+    spark: SparkSession,
+    client: BusinessCentralClient,
+    entity: str,
+    company_id: str | None = None,
+) -> DataFrame:
+    """Schema of a BC entity: one row per property (reference A23,
+    business_central_functions.cpp:146-256 — columns property_name,
+    property_type, nullable, is_key). Metadata is resolved at the
+    service root; ``company_id`` is accepted for API symmetry with
+    bc_read, matching the reference's optional ``company`` parameter.
+    """
+    model = ODataClient(client.base_url + "/", client.http).get_model()
+    set_name = entity.split("(")[0]
+    es = model.entity_sets.get(set_name)
+    if es is None:
+        raise ValueError(
+            f"Entity '{entity}' not found in Business Central API. "
+            "Use bc_show_entities() to list available entities."
+        )
+    keys = set(model.key_for_entity_set(set_name))
+    rows = [
+        (p.name, p.type, bool(p.nullable), p.name in keys)
+        for p in model._flattened_properties(es.entity_type)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "property_name string, property_type string, nullable boolean, is_key boolean",
+    )
+
+
 def bc_read(
     spark: SparkSession,
     client: BusinessCentralClient,

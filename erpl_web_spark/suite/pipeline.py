@@ -209,7 +209,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_profile",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(CAST(LENGTH(text) AS BIGINT)) AS total_chars,
+           CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents GROUP BY lang, source
     """,
@@ -475,7 +475,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, source, n_tokens,
            CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id,
-           cum_before % 2048 AS pack_offset
+           CAST(cum_before % 2048 AS BIGINT) AS pack_offset
     FROM (
       SELECT doc_id, source,
              CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,

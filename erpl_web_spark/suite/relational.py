@@ -443,7 +443,7 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            value - LAG(value) OVER w AS delta_prev,
-           LEAD(event_id) OVER w AS next_event_id
+           CAST(LEAD(event_id) OVER w AS DOUBLE) AS next_event_id
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -455,7 +455,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
-        F.lead("event_id").over(w).alias("next_event_id"),
+        # DOUBLE on both sides: nullable integer outputs canonicalize as
+        # float64 only when NULLs are present, so pin the dtype explicitly.
+        F.lead("event_id").over(w).cast("double").alias("next_event_id"),
     )
 
 

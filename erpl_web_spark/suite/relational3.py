@@ -432,11 +432,11 @@ def codec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_safe_funcs",
     oracle="""
     SELECT p_partkey,
-           TRY_CAST(p_brand AS INT) AS brand_as_int,
+           CAST(TRY_CAST(p_brand AS INT) AS DOUBLE) AS brand_as_int,
            TRY_CAST(split_part(p_brand, '#', 2) AS INT) AS brand_num,
            CAST(greatest(p_size, 25) AS INT) AS size_floor25,
            CAST(least(p_size, 25) AS INT) AS size_cap25,
-           nullif(p_size, 11) AS size_not11,
+           CAST(nullif(p_size, 11) AS DOUBLE) AS size_not11,
            ifnull(nullif(p_size, 11), -1) AS size_not11_filled,
            (p_size IS NOT DISTINCT FROM 11) AS is_exactly_11
     FROM part
@@ -450,11 +450,13 @@ def null_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = F.col("p_size")
     return p.select(
         "p_partkey",
-        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        # DOUBLE on both sides: nullable int columns flip to float64 in the
+        # pandas canonicalizer only when NULLs are present — pin it.
+        F.col("p_brand").try_cast("int").cast("double").alias("brand_as_int"),
         F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).try_cast("int").alias("brand_num"),
         F.greatest(sz, F.lit(25)).cast("int").alias("size_floor25"),
         F.least(sz, F.lit(25)).cast("int").alias("size_cap25"),
-        F.nullif(sz, F.lit(11)).alias("size_not11"),
+        F.nullif(sz, F.lit(11)).cast("double").alias("size_not11"),
         F.ifnull(F.nullif(sz, F.lit(11)), F.lit(-1)).alias("size_not11_filled"),
         sz.eqNullSafe(F.lit(11)).alias("is_exactly_11"),
     )
@@ -467,7 +469,7 @@ def null_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(generate_series(1, least(p_size, 5)), '|') AS seq,
            array_to_string(list_reverse(generate_series(1, least(p_size, 5))), '|') AS seq_rev,
            CAST(len(generate_series(1, least(p_size, 5))) AS INT) AS seq_len,
-           generate_series(1, least(p_size, 5))[2] AS second_elem
+           CAST(generate_series(1, least(p_size, 5))[2] AS DOUBLE) AS second_elem
     FROM part
     """,
 )
@@ -484,5 +486,5 @@ def sequence_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_str(seq).alias("seq"),
         as_str(F.reverse(seq)).alias("seq_rev"),
         F.size(seq).alias("seq_len"),
-        F.try_element_at(seq, F.lit(2)).alias("second_elem"),
+        F.try_element_at(seq, F.lit(2)).cast("double").alias("second_elem"),
     )

@@ -77,6 +77,26 @@ def test_business_central(spark, fixture_server):
     assert df.count() == 12  # company-scoped URL served the Orders set
 
 
+def test_bc_describe(spark, fixture_server):
+    from erpl_web_spark.sources.business_central import (
+        BusinessCentralClient,
+        bc_describe,
+    )
+
+    client = BusinessCentralClient(fixture_server.base_url + "/bc/api/v2.0", HttpClient())
+    rows = {r["property_name"]: r for r in bc_describe(spark, client, "Orders").collect()}
+    assert set(rows) == {"OrderID", "UserName", "Amount", "Placed"}
+    assert rows["OrderID"]["property_type"] == "Edm.Int32"
+    assert rows["OrderID"]["is_key"] and not rows["OrderID"]["nullable"]
+    assert rows["Amount"]["property_type"] == "Edm.Decimal"
+    assert not rows["Amount"]["is_key"] and rows["Amount"]["nullable"]
+    # company_id accepted for bc_read symmetry; metadata is service-rooted
+    assert bc_describe(spark, client, "Orders", company_id="c1").count() == 4
+
+    with pytest.raises(ValueError, match="bc_show_entities"):
+        bc_describe(spark, client, "NoSuchSet")
+
+
 def test_dataverse(spark, fixture_server):
     from erpl_web_spark.sources.dataverse import DataverseClient, crm_read, crm_show_entities
 

@@ -1,8 +1,12 @@
 """Local mimic of the driver's correctness gate.
 
 Runs every ``queries()`` entry and its ``oracle_sql()`` DuckDB twin on
-the same parquet tables, then compares row count, column names/types, and
-an order-insensitive value hash. Usage:
+the same parquet tables, then compares row count, column names, pandas
+dtypes, and an order-insensitive value hash. Both sides are fetched as
+pandas DataFrames (Spark ``toPandas()``, DuckDB ``.df()``) to mirror the
+driver's canonicalizer — this is what catches the int64-vs-float64 dtype
+drift class (DuckDB SUM(BIGINT) -> HUGEINT -> float64 while Spark stays
+int64), which Python-object ``collect()`` comparison cannot see. Usage:
 
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -14,10 +18,11 @@ import hashlib
 import math
 import sys
 import time
-from datetime import date, datetime
-from decimal import Decimal
+from datetime import date, datetime, time as dtime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -26,22 +31,40 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+_MIDNIGHT = dtime(0, 0, 0)
+
 
 def canon(v):
-    if v is None:
+    """Render a pandas/numpy cell value to the canonical string form.
+
+    Mirrors the driver's pandas-level canonicalization: numpy scalars
+    render as their Python equivalents, floats via repr (so int64 662
+    -> "662" but float64 662.0 -> "662.0" — the drift we must detect),
+    midnight timestamps as bare dates (Spark DATE columns arrive as
+    ``datetime.date`` objects while DuckDB DATE arrives as midnight
+    ``datetime64`` — both sides normalize to the same rendering).
+    """
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return repr(v)
-    if isinstance(v, Decimal):
-        return repr(float(v))
-    if isinstance(v, (datetime, date)):
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, datetime):
+        if v.time() == _MIDNIGHT and v.tzinfo is None:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -49,17 +72,69 @@ def canon(v):
     if hasattr(v, "asDict"):
         d = v.asDict()
         return "{" + ",".join(f"{k}:{canon(d[k])}" for k in sorted(d)) + "}"
-    return str(v)
+    # Decimal and anything else numeric-ish that supports float()
+    tname = type(v).__name__
+    if tname == "Decimal":
+        return repr(float(v))
+    s = str(v)
+    if s in ("NaT",):
+        return "NULL"
+    return s
 
 
-def value_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def pdf_lines(pdf):
+    """Sorted canonical row renderings of a pandas DataFrame (columns
+    sorted by name, to mirror the driver's compare)."""
+    cols = sorted(pdf.columns)
+    arr = pdf[cols].to_numpy(dtype=object)
+    return sorted("|".join(canon(x) for x in row) for row in arr)
+
+
+def value_hash(lines):
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+def spark_kind(dt) -> str | None:
+    """Numeric 'kind' of a Spark schema type: 'i' integral, 'f' float.
+
+    Decimal/date/string/etc. return None (no drift hazard — decimals
+    canonicalize via float on both sides already)."""
+    name = type(dt).__name__
+    if name in ("ByteType", "ShortType", "IntegerType", "LongType"):
+        return "i"
+    if name in ("FloatType", "DoubleType"):
+        return "f"
+    return None
+
+
+def dtype_kind(dtype) -> str | None:
+    if dtype.kind in ("i", "u"):
+        return "i"
+    if dtype.kind == "f":
+        return "f"
+    return None
+
+
+def dtype_drift(sdf_schema, spdf, dpdf):
+    """Columns where Spark's *declared* type is integral but the oracle
+    canonicalizes as float64 (or vice versa). Uses the declared Spark
+    type, not the pandas one, so runtime NULLs (which flip Spark's
+    toPandas to float64 too) cannot mask the hazard."""
+    problems = []
+    dk = {c: dtype_kind(dpdf[c].dtype) for c in dpdf.columns}
+    for field in sdf_schema.fields:
+        sk = spark_kind(field.dataType)
+        ok = dk.get(field.name)
+        if sk and ok and sk != ok:
+            problems.append(
+                f"dtype drift {field.name}: spark={field.dataType.simpleString()}"
+                f" oracle-pandas={dpdf[field.name].dtype}"
+            )
+    return problems
 
 
 def main():
@@ -85,42 +160,32 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"ok*   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+            )
         else:
-            sh = value_hash(srows, scols)
-            dh = value_hash(drows, dcols)
-            if sh != dh:
+            problems.extend(dtype_drift(sdf.schema, spdf, dpdf))
+            so, do = pdf_lines(spdf), pdf_lines(dpdf)
+            if value_hash(so) != value_hash(do):
                 problems.append("value-hash mismatch")
-                # show first differing canonical row for debugging
-                so = sorted(
-                    "|".join(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i]))
-                    for r in srows
-                )
-                do = sorted(
-                    "|".join(canon(r[i]) for i in sorted(range(len(dcols)), key=lambda i: dcols[i]))
-                    for r in drows
-                )
                 for a, b in zip(so, do):
                     if a != b:
                         problems.append(f"  spark : {a[:200]}")
@@ -132,7 +197,7 @@ def main():
             for p in problems[1:]:
                 print(p)
         else:
-            print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ok    {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     sys.exit(1 if failures else 0)
