@@ -56,13 +56,17 @@ def fingerprint_documents(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def shingles_expr(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of the normalized text."""
+def grams_expr(text: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles of the normalized text (with duplicates)."""
     toks = tokens_expr(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(grams)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def shingles_expr(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text."""
+    return F.array_distinct(grams_expr(text, k))
 
 
 def hashed_shingles(
@@ -72,9 +76,12 @@ def hashed_shingles(
 
     The expensive pass (tokenize → k-gram → concat → hash) happens here
     and ONLY here; both the signature stage and the exact-Jaccard verify
-    stage run on the 64-bit hashes, never re-reading the text.
+    stage run on the 64-bit hashes, never re-reading the text. Dedup is
+    done once, on the 64-bit hashes (set-identical to string-level
+    distinct up to xxhash64 collisions) — string-array distinct would be
+    a second, more expensive pass over the same data.
     """
-    base = F.transform(shingles_expr(text_col, shingle_k), lambda s: F.xxhash64(s))
+    base = F.transform(grams_expr(text_col, shingle_k), lambda s: F.xxhash64(s))
     return df.select(F.col(id_col), F.array_distinct(base).alias("hs"))
 
 
@@ -119,22 +126,36 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
-    Candidate pairs come from band-key collisions (self-join on the band
-    hash — the only join, and it is on a bigint key). Candidates are then
-    verified with exact Jaccard over the distinct 64-bit shingle-hash
-    sets (identical to string-shingle Jaccard up to a ~2^-64 collision
-    probability), so the output has no false positives; banding
-    parameters control recall. Returns (id_a, id_b, jaccard), id_a < id_b.
+    Candidate pairs come from band-key collisions. Rather than a
+    two-sided self-join on the band hash, the banded table is grouped by
+    band key ONCE (a single shuffle of skinny (bigint, id) rows — never
+    the shingle sets, never the text) and within-bucket ordered pairs are
+    expanded with array expressions. That is the same candidate set as
+    the self-join at half the shuffle volume, and the only stage whose
+    cost grows with corpus size. Candidates are then verified with exact
+    Jaccard over the distinct 64-bit shingle-hash sets (identical to
+    string-shingle Jaccard up to a ~2^-64 collision probability), so the
+    output has no false positives; banding parameters control recall.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
 
     Documents are tokenized/shingled exactly ONCE: the (id, shingle-hash)
     table is persisted (memory-and-disk — strictly smaller than the raw
     text it replaces) and feeds both the signature stage and the verify
-    stage; the banded table is also persisted because the candidate
-    self-join reads it from both sides. Without these, Spark re-runs the
-    whole shingling pipeline four times (both join sides × both stages).
+    stage. The candidate table is persisted because it feeds both verify
+    joins. With ``broadcast_candidates`` (default), the verify stage
+    broadcasts the candidate pairs and streams the persisted hash table
+    through two map-side hash joins — zero additional shuffles. That is
+    the right plan whenever candidates << corpus, which banding at
+    dedup-grade thresholds guarantees for non-degenerate data; pass
+    ``False`` to fall back to shuffle joins when candidate volume is
+    itself cluster-scale. Skew note: a pathologically hot band key (a
+    huge cluster of identical documents) concentrates in one bucket —
+    run exact dedup first (as any production pipeline does); the exact
+    stage removes identical texts and with them every degenerate bucket.
     """
     rows_per_band = num_hashes // bands
     hashed = hashed_shingles(df, id_col, text_col, shingle_k).persist(
@@ -143,7 +164,7 @@ def minhash_lsh_pairs(
     sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
     # One 64-bit key per band: the band index is hashed IN (first arg), so
     # a single bigint equality replaces the (band, key) composite — a
-    # slimmer shuffle key and a simpler join.
+    # slimmer shuffle key and a simpler grouping.
     band_keys = F.array(
         *[
             F.xxhash64(
@@ -153,42 +174,63 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    # Bucketize: sorted-distinct member ids per band key. sort+distinct
+    # canonicalizes collect_list's nondeterministic order so the expanded
+    # pairs are deterministic and strictly id_a < id_b.
+    buckets = (
+        banded.groupBy("band_key")
+        .agg(F.array_distinct(F.array_sort(F.collect_list(F.col(id_col)))).alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Ordered pairs within each bucket; bucket sizes are collision-bounded
+    # so the interpreted lambda touches only actual candidate pairs.
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Shingle-hash sets are only needed for candidate ids (candidates <<
-    # corpus after banding); a semi-join prunes the persisted hash table —
-    # no document is ever re-shingled.
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sets = hashed.join(cand_ids, id_col, "left_semi")
-    verified = (
-        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("hs_a", "hs_b"))
-                / F.size(F.array_union("hs_a", "hs_b"))
-            ).alias("jaccard"),
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    if broadcast_candidates:
+        # Stream the persisted hash table through two broadcast hash
+        # joins: candidates (and candidates+hs_a, strictly smaller than
+        # candidates x max set size) build the hash tables.
+        with_a = ha.join(F.broadcast(cand), "id_a")
+        joined = hb.join(F.broadcast(with_a), "id_b")
+    else:
+        # Cluster-scale candidate volume: semi-join prunes the hash table
+        # to candidate ids, then shuffle joins attach both sets.
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
-        .where(F.col("jaccard") >= threshold)
-    )
+        sets = hashed.join(cand_ids, id_col, "left_semi")
+        with_a = cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+        )
+        joined = with_a.join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b"
+        )
+    verified = joined.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            / F.size(F.array_union("hs_a", "hs_b"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
     return verified
 
 
