@@ -83,6 +83,14 @@ class RetryConfig:
     backoff: float = 4.0
     timeout_s: float = 30.0
     max_redirects: int = 10
+    # A read timeout means the request MAY have been delivered and
+    # processed — retrying a non-idempotent method (POST mutation, OAuth
+    # code exchange) can double-execute it. Timeouts therefore retry only
+    # for idempotent methods unless the caller opts in.
+    retry_non_idempotent: bool = False
+
+
+_IDEMPOTENT_METHODS = {"GET", "HEAD", "OPTIONS"}
 
 
 @dataclass
@@ -206,13 +214,25 @@ class HttpClient:
                     allow_redirects=False,
                 )
                 status = r.status_code
-            except (requests.ConnectionError, requests.Timeout):
-                # Timeout is retried like a connection failure: ReadTimeout
-                # is NOT a ConnectionError subclass, and a hung server
-                # should not burn an executor without the backoff ladder
-                # (reference timeout_http_client.cpp wraps every request
-                # in a deadline for the same reason).
+            except requests.ConnectTimeout:
+                # The connection never opened — nothing was delivered, so
+                # every method is safe to retry with the backoff ladder.
                 if attempt > self.retry.retries:
+                    raise
+                self._sleep(attempt)
+                continue
+            except (requests.ConnectionError, requests.Timeout):
+                # A read timeout (or mid-flight connection drop) means the
+                # server may already have processed the request; retrying
+                # a mutation would duplicate its side effects. Retry only
+                # idempotent methods (reference timeout_http_client.cpp
+                # wraps requests in a deadline for the hung-server case),
+                # unless the caller opted in via retry_non_idempotent.
+                retryable = (
+                    method.upper() in _IDEMPOTENT_METHODS
+                    or self.retry.retry_non_idempotent
+                )
+                if not retryable or attempt > self.retry.retries:
                     raise
                 self._sleep(attempt)
                 continue

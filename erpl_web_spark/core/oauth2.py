@@ -165,7 +165,20 @@ class OAuth2CallbackServer:
                 pass
 
             def do_GET(self):
-                params = dict(parse_qsl(urlsplit(self.path).query))
+                parts = urlsplit(self.path)
+                if parts.path != "/callback":
+                    # Stray GETs (browser prefetch, /favicon.ico, port
+                    # scanners) must not be mistaken for the IdP redirect
+                    # — answering 404 and continuing to wait keeps the
+                    # one-shot flow alive for the real callback.
+                    data = b"not found"
+                    self.send_response(404)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                params = dict(parse_qsl(parts.query))
                 outer._result = params
                 if "code" in params and params.get("state") == outer._expected_state:
                     body, status = _SUCCESS_HTML, 200

@@ -119,16 +119,25 @@ class ODataDataSource(DataSource):
             from erpl_web_spark.core.infer import infer_struct
             from erpl_web_spark.odata.json_decode import extract_rows_payload
 
+            # $top bounds the probe: only a page of the aggregated result
+            # is needed for inference, not the full first page.
             url = ODataQueryBuilder(
                 base_url=self.options["url"],
                 odata_version=4,
                 apply=apply_expr,
+                top=32,
             ).build()
             http = HttpClient(auth_headers=self._auth_headers())
             doc = http.get(url, headers={"Accept": "application/json"}).json()
             rows = extract_rows_payload(doc)
             if not rows:
-                raise RuntimeError(f"cannot infer $apply schema: no rows at {url}")
+                # A valid-but-empty aggregation cannot be type-inferred;
+                # Spark only calls schema() when the user supplied none.
+                raise RuntimeError(
+                    f"cannot infer $apply schema: no rows at {url}; pass an "
+                    "explicit schema (.schema(ddl)) to read an empty "
+                    "aggregation as an empty DataFrame"
+                )
             return infer_struct(
                 [{k: v for k, v in r.items() if not k.startswith("@")} for r in rows]
             )
@@ -193,6 +202,11 @@ class ODataDataSource(DataSource):
         user_orderby = self.options.get("orderby")
         if user_orderby:
             order_keys = [s.strip() for s in user_orderby.split(",")]
+        elif self._apply_expr():
+            # Post-$apply results don't have the entity-set key columns —
+            # an $orderby on them would be rejected by the server. (A user
+            # orderby above is kept: $orderby evaluates after $apply.)
+            order_keys = []
         else:
             try:
                 order_keys = client.get_model().key_for_entity_set(
@@ -315,7 +329,10 @@ class ODataReader(DataSourceReader):
         return qb.build()
 
     def partitions(self) -> Sequence[InputPartition]:
-        if self._parallelism <= 1:
+        if self._parallelism <= 1 or self._apply:
+            # Aggregated ($apply) results are small by construction; a
+            # $count probe + $skip windows against them would paginate a
+            # different (grouped) rowset than the probe counted.
             return [_PagePartition(0, None, None)]
         # Range partitioning over $skip when the server reports a total
         # count — opt-in (can overload servers; off by default).

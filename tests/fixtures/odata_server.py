@@ -663,6 +663,14 @@ def _make_handler(state: FixtureState):
             })
             if parts.path == "/http/echo":
                 return self._json(201, {"received": body.decode("utf-8", "replace")})
+            if parts.path.startswith("/http/slow-once-post/"):
+                # hangs past the client read timeout on first call per key;
+                # the trailing key isolates counters between tests
+                c = state.flaky_counts.get(parts.path, 0) + 1
+                state.flaky_counts[parts.path] = c
+                if c == 1:
+                    time.sleep(2.0)
+                return self._json(200, {"ok": True, "attempts": c})
             # ---- GraphQL endpoint ----------------------------------------
             if parts.path == "/graphql":
                 doc = json.loads(body or b"{}")

@@ -25,6 +25,37 @@ def test_read_timeout_is_retried(fixture_server):
     assert resp.json()["attempts"] == 2  # first timed out, second served
 
 
+def test_post_read_timeout_not_retried(fixture_server):
+    """A read timeout on a POST may mean the server already processed the
+    mutation — retrying would duplicate side effects (bulk graphql_call
+    mutations, OAuth one-time code exchange). Default: raise instead."""
+    import pytest
+    import requests
+
+    c = HttpClient(retry=RetryConfig(wait_ms=10, timeout_s=0.5, retries=2))
+    with pytest.raises(requests.Timeout):
+        c.request(
+            "POST",
+            fixture_server.base_url + "/http/slow-once-post/default",
+            body=b"{}",
+            content_type="application/json",
+        )
+
+
+def test_post_read_timeout_retried_with_opt_in(fixture_server):
+    c = HttpClient(
+        retry=RetryConfig(wait_ms=10, timeout_s=0.5, retries=2, retry_non_idempotent=True)
+    )
+    resp = c.request(
+        "POST",
+        fixture_server.base_url + "/http/slow-once-post/optin",
+        body=b"{}",
+        content_type="application/json",
+    )
+    assert resp.status == 200
+    assert resp.json()["attempts"] == 2
+
+
 def test_redirect_chain_followed(fixture_server):
     c = client()
     resp = c.get(fixture_server.base_url + "/http/redirect/3")

@@ -210,6 +210,35 @@ def test_oauth2_interactive_auth_code_flow(fixture_server):
     assert form["redirect_uri"] == seen["redirect_uri"]
 
 
+def test_oauth2_callback_ignores_stray_requests(fixture_server):
+    """A prefetch/scanner GET with query params on another path must not
+    be mistaken for the IdP redirect — the server answers 404 and keeps
+    waiting, so the real /callback still completes the flow."""
+    import urllib.error
+    import urllib.request
+    from urllib.parse import parse_qsl, urlsplit
+
+    from erpl_web_spark.core.oauth2 import OAuth2Client, authorization_code_flow
+
+    oc = OAuth2Client(fixture_server.base_url + "/token", "cid", "csecret")
+
+    def noisy_browser(url):
+        qs = dict(parse_qsl(urlsplit(url).query))
+        base = qs["redirect_uri"].rsplit("/callback", 1)[0]
+        try:
+            urllib.request.urlopen(f"{base}/favicon.ico?v=1", timeout=10)
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        urllib.request.urlopen(
+            f"{qs['redirect_uri']}?code=AC77&state={qs['state']}", timeout=10
+        )
+
+    tok = authorization_code_flow(
+        oc, "https://idp.example/authorize", open_url=noisy_browser, timeout=15
+    )
+    assert tok.access_token == "code-AC77"
+
+
 def test_oauth2_flow_rejects_state_mismatch_and_error(fixture_server):
     import urllib.error
     import urllib.request

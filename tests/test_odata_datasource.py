@@ -200,6 +200,46 @@ def test_apply_filters_stay_residual(registered, fixture_server):
     assert not any("$filter" in r["query"] for r in reqs)
 
 
+def test_apply_single_partition_and_bounded_probe(registered, fixture_server):
+    """$apply reads must plan ONE partition even with parallelism>1: a
+    $count probe + $skip windows would paginate the grouped rowset the
+    probe never counted, and entity-key $orderby columns don't exist
+    post-aggregation. The schema probe is also $top-bounded."""
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v4/People")
+        .option("parallelism", "4")
+        .option("groupby", "Segment")
+        .option("aggregate", "Age with sum as TotalAge")
+        .load()
+    )
+    assert {r["Segment"] for r in df.collect()} == {"Retail", "Wholesale"}
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert not any(r["query"].get("$count") == "true" for r in reqs)
+    assert not any("$orderby" in r["query"] for r in reqs)
+    assert not any("$skip" in r["query"] for r in reqs)
+    # schema probe carried $top
+    assert any(
+        "$apply" in r["query"] and r["query"].get("$top") == "32" for r in reqs
+    ), f"unbounded schema probe: {[r['query'] for r in reqs]}"
+
+
+def test_apply_empty_aggregation_with_explicit_schema(registered, fixture_server):
+    """A valid-but-empty aggregation (filter matches nothing) must load
+    as an empty DataFrame when the user supplies the schema — Spark then
+    never calls the inference probe that would raise."""
+    df = (
+        registered.read.format("odata")
+        .schema("Segment string, TotalAge bigint")
+        .option("url", fixture_server.base_url + "/v4/People?$filter=Age gt 999")
+        .option("groupby", "Segment")
+        .option("aggregate", "Age with sum as TotalAge")
+        .load()
+    )
+    assert df.collect() == []
+
+
 def test_apply_rejected_on_v2_service(registered, fixture_server):
     import pytest
 
