@@ -9,7 +9,12 @@ Reproduces the reference's per-type deserializers (odata_content.cpp:
 - arrays recurse per element (:726); objects build structs matching the
   target fields (:778);
 - missing fields -> NULL (:1149-1152); deserialization errors -> NULL,
-  never a row failure (:1155-1160) — PERMISSIVE-mode semantics.
+  never a row failure (:1155-1160) — PERMISSIVE-mode semantics;
+- booleans are a documented strict SUPERSET of the reference matrix:
+  the reference accepts only true/false, "true", "1", "0" (and errors on
+  "false" and numerics, odata_content.cpp:195-207); we additionally
+  accept "false" and 0/1 numerics, never remapping a reference-accepted
+  value.
 
 Payload row extraction handles both v4 (``value`` array) and v2
 (``d.results`` / ``d``) shapes (odata_content.cpp:1122-1168), and the
@@ -65,7 +70,9 @@ def _to_int(v: Any, bits: int = 64):
     (odata_content.cpp:210-458 TryCast paths)."""
     try:
         if isinstance(v, bool):
-            out = int(v)
+            # reference int deserializers have no bool branch — a JSON
+            # bool for an int column is a type error -> NULL (PERMISSIVE)
+            return None
         elif isinstance(v, (int, float)):
             out = int(v)
         elif isinstance(v, str) and v.strip():
@@ -103,8 +110,10 @@ def _to_timestamp(v: Any):
         m = _V2_DATE_RE.fullmatch(v.strip())
         if m:
             # v2 legacy format: ms since epoch (+offset ignored, truncated
-            # to whole seconds like the reference).
-            secs = int(m.group(1)) // 1000
+            # to whole seconds like the reference — C++ integer division
+            # truncates toward zero, so pre-epoch values round UP).
+            ms = int(m.group(1))
+            secs = -((-ms) // 1000) if ms < 0 else ms // 1000
             return _epoch_secs(secs)
         try:
             s = v.strip().replace("Z", "+00:00")
@@ -128,6 +137,14 @@ def _epoch_secs(secs: int):
 
 
 def _to_date(v: Any):
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        # Numeric JSON for an Edm.Date column is DAYS since epoch
+        # (odata_content.cpp:612-620 date_t(days)), not seconds; reals
+        # truncate toward zero like static_cast<int64_t>.
+        try:
+            return dt.date(1970, 1, 1) + dt.timedelta(days=int(v))
+        except (OverflowError, ValueError):
+            return None
     ts = _to_timestamp(v)
     if ts is not None:
         return ts.date()

@@ -769,6 +769,43 @@ def odata_select_filter_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "odata_apply_groupby",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum,
+           MAX(c_custkey) AS max_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def odata_apply_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$apply aggregation pushdown end-to-end (SURVEY.md §2.C13,
+    beyond-reference): a loopback OData v4 service over customer.parquet
+    computes groupby((c_mktsegment),aggregate(...)) SERVER-side; the
+    engine sends the compiled $apply, single-partition-plans the read,
+    and type-decodes the aggregated page. The DuckDB oracle aggregates
+    the same parquet — hash equality proves the whole pushdown path.
+    Integer measures keep the oracle exact (no float-sum order drift)."""
+    from erpl_web_spark.odata.datasource import ensure_registered
+    from erpl_web_spark.suite.odata_local import ensure_server
+
+    ensure_registered(spark)
+    url = ensure_server(sf_dir, table="customer", entity="Customers")
+    return (
+        spark.read.format("odata")
+        .option("url", url)
+        .option("groupby", "c_mktsegment")
+        .option(
+            "aggregate",
+            "c_nationkey with sum as nation_sum, c_custkey with max as max_cust, "
+            "$count as n_rows",
+        )
+        .load()
+    )
+
+
+@register(
     "odata_expand_nested",
     oracle="""
     SELECT o_custkey AS c_custkey,

@@ -124,14 +124,136 @@ def test_decode_value_lenient_total(value, data_type):
 
 
 @settings(max_examples=100, deadline=None)
-@given(ms=st.integers(min_value=-62135596800000, max_value=253402300799000))
-def test_decode_v2_date_format(ms):
-    """OData v2 /Date(ms)/ decodes to the epoch timestamp truncated to
-    whole seconds (reference odata_content.cpp:666-677)."""
-    out = decode_value(f"/Date({ms})/", TimestampType())
+@given(
+    ms=st.integers(min_value=-62135596800000, max_value=253402300799000),
+    offset=st.one_of(
+        st.none(),
+        st.tuples(st.sampled_from("+-"), st.integers(0, 14), st.sampled_from([0, 30, 45])),
+    ),
+)
+def test_decode_v2_date_format(ms, offset):
+    """OData v2 /Date(ms±HHMM)/ decodes to the epoch timestamp truncated
+    to whole seconds toward zero (C++ integer division,
+    odata_content.cpp:666-677); a zone-offset suffix is ignored like the
+    reference, which parses only the leading ms digits."""
+    suffix = f"{offset[0]}{offset[1]:02d}{offset[2]:02d}" if offset else ""
+    out = decode_value(f"/Date({ms}{suffix})/", TimestampType())
     if out is not None:
-        expect = dt.datetime.fromtimestamp((ms // 1000), dt.timezone.utc).replace(tzinfo=None)
+        secs = -((-ms) // 1000) if ms < 0 else ms // 1000
+        expect = dt.datetime.fromtimestamp(secs, dt.timezone.utc).replace(tzinfo=None)
         assert out == expect
+        if offset:
+            assert out == decode_value(f"/Date({ms})/", TimestampType())
+
+
+# ---------------------------------------------------------------------------
+# Lenient-cast matrix (reference odata_content.cpp:122-183 dispatch + the
+# per-type deserializers): for EVERY declared EDM-mapped Spark type and any
+# JSON shape, decode is total, typed-or-NULL, and accepts the string
+# rendering of every native value it accepts.
+# ---------------------------------------------------------------------------
+
+from decimal import Decimal as _Dec  # noqa: E402
+
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType as _Arr,
+    BinaryType as _Bin,
+    ByteType as _I8,
+    DateType as _Date,
+    FloatType as _F32,
+    ShortType as _I16,
+    StructField as _SF,
+    StructType as _Struct,
+)
+
+ALL_TYPES = [
+    BooleanType(), _I8(), _I16(), IntegerType(), LongType(),
+    _F32(), DoubleType(), DecimalType(18, 4), StringType(),
+    TimestampType(), _Date(), _Bin(),
+    _Arr(LongType()), _Struct([_SF("a", LongType()), _SF("b", StringType())]),
+]
+
+_PY_TYPE = {
+    BooleanType: bool, _I8: int, _I16: int, IntegerType: int, LongType: int,
+    _F32: float, DoubleType: float, DecimalType: _Dec, StringType: str,
+    TimestampType: dt.datetime, _Date: dt.date, _Bin: bytes,
+    _Arr: list, _Struct: tuple,
+}
+
+
+@settings(max_examples=500, deadline=None)
+@given(value=json_values, data_type=st.sampled_from(ALL_TYPES))
+def test_decode_matrix_total_and_typed(value, data_type):
+    """Any (declared type x JSON shape) combination decodes to the
+    declared type's Python value or None — never an exception, never a
+    mistyped value (which would corrupt Spark's internal rows)."""
+    out = decode_value(value, data_type)
+    if out is None:
+        return
+    expected = _PY_TYPE[type(data_type)]
+    assert isinstance(out, expected), f"{data_type}: {value!r} -> {out!r}"
+    if isinstance(data_type, BooleanType):
+        assert not isinstance(out, int) or isinstance(out, bool)
+    if isinstance(data_type, (_I8, _I16, IntegerType, LongType)):
+        bits = {_I8: 8, _I16: 16, IntegerType: 32, LongType: 64}[type(data_type)]
+        assert -(1 << (bits - 1)) <= out < (1 << (bits - 1))
+    if isinstance(data_type, _Arr):
+        assert all(x is None or isinstance(x, int) for x in out)
+    if isinstance(data_type, _Struct):
+        a, b = out
+        assert a is None or isinstance(a, int)
+        assert b is None or isinstance(b, str)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    value=st.one_of(
+        st.integers(min_value=-(2**70), max_value=2**70),
+        st.floats(allow_nan=False, allow_infinity=False),
+    ),
+    data_type=st.sampled_from(
+        [_I8(), _I16(), IntegerType(), LongType(), _F32(), DoubleType(), DecimalType(18, 4)]
+    ),
+)
+def test_decode_string_or_native_equivalence(value, data_type):
+    """Every numeric deserializer accepts the string rendering of a
+    native value and returns the same result (reference: each
+    DeserializeJson* has a yyjson_is_str branch driving the same cast),
+    with out-of-range values -> NULL on both paths. (Booleans are
+    covered by unit tests: the decoder is a documented strict superset
+    of the reference's quirky matrix there — the reference accepts
+    'true'/'1'/'0' but errors on 'false' and numerics.)"""
+    rendered = repr(value)
+    native = decode_value(value, data_type)
+    via_str = decode_value(rendered, data_type)
+    if isinstance(native, float) or isinstance(via_str, float):
+        if native is not None and via_str is not None:
+            assert via_str == native or (math.isnan(via_str) and math.isnan(native))
+        # float repr round-trips exactly in Python, so both sides agree
+        # on None-ness too
+        assert (native is None) == (via_str is None)
+    else:
+        assert via_str == native
+
+
+@settings(max_examples=200, deadline=None)
+@given(secs=st.floats(min_value=-62135596800.0, max_value=253402300799.0))
+def test_decode_epoch_real_timestamp(secs):
+    """Real-number epoch seconds truncate toward zero to whole seconds
+    (odata_content.cpp:685-688 static_cast<int64_t>)."""
+    out = decode_value(secs, TimestampType())
+    if out is not None:
+        expect = dt.datetime.fromtimestamp(int(secs), dt.timezone.utc).replace(tzinfo=None)
+        assert out == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(days=st.integers(min_value=-719162, max_value=2932896))
+def test_decode_numeric_date_is_epoch_days(days):
+    """Numeric JSON for an Edm.Date column is days since epoch
+    (odata_content.cpp:612-620), not seconds."""
+    out = decode_value(days, _Date())
+    assert out == dt.date(1970, 1, 1) + dt.timedelta(days=days)
 
 
 # ---------------------------------------------------------------------------
