@@ -61,6 +61,21 @@ def test_excel_delete_rows_numeric_compare(fixture_server):
     assert state.excel_rows == [["a", 1.0], ["a", 3.0]]
 
 
+def test_excel_delete_rows_descending_under_index_shift(fixture_server):
+    """Every delete shifts all higher row indices down by one (the
+    fixture pops from a real list, like the Graph API): a run of
+    ADJACENT matches is the worst case, where ascending deletion would
+    remove wrong rows and then overrun. Descending deletion (the
+    reference's motivation, graph_excel_client.cpp:432-536) leaves
+    exactly the non-matching rows."""
+    client = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    state = fixture_server.state
+    state.excel_rows = [["a", 1.0], ["a", 2.0], ["a", 3.0], ["b", 4.0], ["a", 5.0]]
+    n = graph_excel_delete_rows(client, "f1", "T1", 0, "a")
+    assert n == 4
+    assert state.excel_rows == [["b", 4.0]]
+
+
 def test_excel_delete_rows_no_match(fixture_server):
     client = GraphClient(fixture_server.base_url + "/graph", HttpClient())
     state = fixture_server.state
