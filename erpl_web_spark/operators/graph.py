@@ -1,0 +1,132 @@
+"""Distributed connected components over an edge list.
+
+Turns pairwise near-duplicate output (MinHash/SimHash/Jaccard pairs from
+``operators.dedup``) into document *clusters*: each node gets the
+minimum id reachable from it, so one representative per duplicate group
+can be kept and the rest dropped — the step between "found 10^9 near-dup
+pairs" and "deduplicated the corpus".
+
+Algorithm: min-label propagation with pointer jumping (the Pregel /
+hash-to-min family — see Rastogi et al., "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds", ICDE'13). Every round each node
+takes the minimum label among itself and its neighbors, then
+short-circuits through its label's own label (L(u) := L(L(u))); the
+doubling step collapses long chains in O(log n) rounds instead of
+O(diameter). Design for 100 TB:
+
+- No driver-side graph state: rounds are DataFrame joins/aggregations
+  over (node, label) longs; the driver holds a loop counter and a
+  one-long convergence metric per round.
+- The edge list is read once, symmetrized, and persisted; each round
+  shuffles only two-long rows keyed by node id — document bodies never
+  enter the graph stage.
+- Convergence is an explicit changed-label count (one bounded action
+  per round, O(log n) rounds) — the same bounded-iteration posture as
+  the IVF KMeans trainer in ``operators.similarity``.
+
+The reference has no graph surface (SURVEY.md §2.F: relational ops are
+delegated to the host); this is part of the driver-mandated
+training-data-pipeline extension alongside ``operators.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component labels for every node appearing in ``edges``.
+
+    Returns (id, component) where component is the minimum node id
+    reachable from id (ids must be integral and non-null). Isolated
+    nodes don't appear — they have no edges; callers union them back
+    with component = id if the full corpus matters.
+
+    Invariant maintained by both steps: L(u) is always the id of some
+    node in u's component with L(u) <= u, and labels only decrease —
+    so the fixpoint (no label changed, checked each round) is exactly
+    "every label is its component's minimum".
+    """
+    sym = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col(src) != F.col(dst))
+    )
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # localCheckpoint (not persist) each round: it truncates the logical
+    # lineage, keeping analysis/optimization cost CONSTANT per round —
+    # persisted-but-unpersistable lineage grows exponentially across
+    # iterative self-joins and OOMs the driver long before the data does.
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.col("u")).alias("comp"))
+        .select(F.col("u").alias("id"), "comp")
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # 1. Propagate: each node takes min(own label, neighbors' labels).
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        # 2. Pointer jump: L(u) := L(L(u)) — collapses label chains so
+        # convergence is logarithmic, not diameter-bounded.
+        tgt = prop.select(F.col("id").alias("t_id"), F.col("comp").alias("t_comp"))
+        jumped = (
+            prop.join(tgt, prop["comp"] == tgt["t_id"], "left")
+            .select(
+                prop["id"],
+                F.least(F.col("comp"), F.coalesce(F.col("t_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(
+                labels.select(F.col("id").alias("o_id"), F.col("comp").alias("o_comp")),
+                jumped["id"] == F.col("o_id"),
+            )
+            .where(F.col("comp") != F.col("o_comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def component_summary(labels: DataFrame) -> DataFrame:
+    """Cluster roll-up: (component, n_members, member_min, member_max).
+
+    The keep-one-representative dedup decision is then a filter
+    ``id != component`` (drop) or ``id == component`` (keep)."""
+    return labels.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.min("id").alias("member_min"),
+        F.max("id").alias("member_max"),
+    )

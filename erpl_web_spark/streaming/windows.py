@@ -26,8 +26,20 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
+
+
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Spark watermarks require TIMESTAMP (instant semantics); naive
+    parquet timestamps (isAdjustedToUTC=false, e.g. the driver's
+    events.ts micros) arrive as TIMESTAMP_NTZ. The engine session pins
+    spark.sql.session.timeZone=UTC, so casting relabels the same wall
+    clock deterministically; non-NTZ inputs pass through untouched."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    return df
 
 
 def windowed_counts(
@@ -44,6 +56,7 @@ def windowed_counts(
     Output: key cols + window_start, window_end, n_events, n_users.
     """
     keys = keys or []
+    events = _with_event_time(events, ts_col)
     win = F.window(F.col(ts_col), window, slide or window)
     return (
         events.withWatermark(ts_col, watermark)
@@ -74,6 +87,7 @@ def session_windows(
 
     Output: key, session_start, session_end, n_events.
     """
+    events = _with_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key))
@@ -150,6 +164,7 @@ def running_totals(
         if timeout_ms is not None
         else GroupStateTimeout.NoTimeout
     )
+    events = _with_event_time(events, ts_col)
     return events.groupBy(key).applyInPandasWithState(
         update,
         outputStructType=RUNNING_TOTALS_SCHEMA,
@@ -171,9 +186,9 @@ def stream_dedup(
     The streaming twin of the batch ``operators.dedup`` family (an
     at-most-once filter for replayed/overlapping source reads, e.g. ODP
     delta fetches after a token-expiry full reload)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        id_cols or ["event_id"]
-    )
+    return _with_event_time(events, ts_col).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(id_cols or ["event_id"])
 
 
 def stream_interval_join(
@@ -194,12 +209,12 @@ def stream_interval_join(
 
     Output: key, l_ts, l_type, r_ts, r_type.
     """
-    l = left.select(
+    l = _with_event_time(left, ts_col).select(
         F.col(key),
         F.col(ts_col).alias("l_ts"),
         F.col("event_type").alias("l_type"),
     ).withWatermark("l_ts", watermark)
-    r = right.select(
+    r = _with_event_time(right, ts_col).select(
         F.col(key).alias("r_key"),
         F.col(ts_col).alias("r_ts"),
         F.col("event_type").alias("r_type"),

@@ -75,6 +75,7 @@ def all_queries() -> dict[str, Query]:
         relational2,
         relational3,
         relational4,
+        relational5,
     )
 
     return dict(REGISTRY)

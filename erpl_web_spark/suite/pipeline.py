@@ -669,3 +669,72 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erpl_web_spark.operators.text import with_token_diversity
 
     return with_token_diversity(load(spark, sf_dir, "documents", spread=True))
+
+
+_SQL_JACCARD_EDGES = f"""
+    toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS __toks FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS sh FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+    ), cc_edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM cc_edges
+      UNION
+      SELECT e.v, r.comp FROM reach r JOIN cc_edges e ON e.u = r.id
+    ), components AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_EDGES}
+    SELECT id, component FROM components
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> document clusters: connected components (min
+    reachable doc_id) over the exact 3-gram-Jaccard edge set, so each
+    duplicate group keeps one representative. The oracle walks the same
+    edges with a recursive CTE; the engine side is the O(log n)-round
+    label-propagation operator (operators.graph) — per-round state is
+    (long, long) rows, document bodies never enter the graph stage."""
+    from erpl_web_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+    return connected_components(pairs, "id_a", "id_b")
+
+
+@register(
+    "dedup_cluster_summary",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_EDGES}
+    SELECT component, COUNT(*) AS n_members,
+           MIN(id) AS member_min, MAX(id) AS member_max
+    FROM components GROUP BY component
+    """,
+)
+def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster roll-up over dedup_cluster_components: group sizes and id
+    ranges — the table a curation pass filters against (keep
+    id == component, drop the rest)."""
+    from erpl_web_spark.operators.graph import component_summary, connected_components
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+    return component_summary(connected_components(pairs, "id_a", "id_b"))

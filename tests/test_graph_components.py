@@ -1,0 +1,78 @@
+"""Connected-components operator pinned against a pure-Python union-find
+on deterministic random graphs, plus adversarial shapes (long chains,
+which require the pointer-jumping rounds to converge within max_iter)."""
+
+import random
+
+from erpl_web_spark.operators.graph import component_summary, connected_components
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    touched = {u for e in edges for u in e}
+    for x in touched:
+        comp[x] = find(x)
+    # normalize: component label = min member
+    groups = {}
+    for x, r in comp.items():
+        groups.setdefault(find(r), []).append(x)
+    out = {}
+    for members in groups.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(df, "src", "dst")
+    return {r["id"]: r["component"] for r in got.collect()}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _spark_components(spark, edges) == _union_find(300, edges)
+
+
+def test_long_chain_converges(spark):
+    # Path graph 0-1-2-...-40: worst case for plain propagation
+    # (diameter 40); pointer jumping must close it within max_iter=25.
+    edges = [(i, i + 1) for i in range(40)]
+    got = _spark_components(spark, edges)
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_two_cliques_and_bridge(spark):
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    got = _spark_components(spark, a + b)
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[i] for i in range(10, 15)} == {10}
+    # bridging edge merges the components
+    got2 = _spark_components(spark, a + b + [(4, 10)])
+    assert set(got2.values()) == {0}
+
+
+def test_component_summary(spark):
+    edges = [(1, 2), (2, 3), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    summary = {
+        r["component"]: (r["n_members"], r["member_min"], r["member_max"])
+        for r in component_summary(connected_components(df, "src", "dst")).collect()
+    }
+    assert summary == {1: (3, 1, 3), 7: (2, 7, 8)}
