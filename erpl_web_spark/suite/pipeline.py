@@ -738,3 +738,59 @@ def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
     )
     return component_summary(connected_components(pairs, "id_a", "id_b"))
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, xd,
+             list_max(list_transform(xd, v -> abs(v))) / 127.0 AS scale
+      FROM x
+    ), q AS (
+      SELECT vec_id, xd, scale,
+             CASE WHEN scale > 0 THEN list_transform(
+               xd, v -> CAST(greatest(least(round(v / scale), 127), -127) AS BIGINT))
+             ELSE list_transform(xd, v -> CAST(0 AS BIGINT)) END AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           list_max(list_transform(range(1, len(xd) + 1),
+                                   i -> abs(xd[i] - qv[i] * scale))) AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus, projected to
+    per-vector scalars (the driver canonicalizer can't hash arrays):
+    scale, sum/min/max of the int8 code, and the worst per-element
+    reconstruction error — which also proves |err| <= scale/2 everywhere.
+    Map-only; the quantized corpus is the 4x-smaller ANN shortlist
+    input (operators.similarity.quantize_int8)."""
+    from erpl_web_spark.operators.similarity import quantize_int8
+
+    q = quantize_int8(load(spark, sf_dir, "embeddings", spread=True))
+    qsum = F.aggregate(
+        F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q"),
+            lambda x, qq: F.abs(x.cast("double") - qq.cast("double") * F.col("scale")),
+        )
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        qsum.alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        err.alias("max_abs_err"),
+    )
