@@ -80,41 +80,44 @@ _SUPPLY_SQL = """
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each size-15 part, the EUROPE supplier(s) with
     the minimum unit cost. The correlated MIN subquery decorrelates to a
-    per-part aggregate joined back on equality (the q15 idiom, here
-    correlated on the join key). Dims broadcast; the supply relation
-    shuffles once on its own grouping key; MIN over doubles needs no
-    decimal detour (no accumulation, so it is order-exact)."""
-    eu = (
-        _supply(spark, sf_dir)
-        .join(
-            F.broadcast(
-                load(spark, sf_dir, "supplier")
-                .join(
-                    F.broadcast(load(spark, sf_dir, "nation")),
-                    F.col("s_nationkey") == F.col("n_nationkey"),
-                )
-                .join(
-                    F.broadcast(
-                        load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-                    ),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                )
-                .select("s_suppkey", "s_acctbal", "s_name", "n_name")
-            ),
-            F.col("ps_suppkey") == F.col("s_suppkey"),
-        )
-        .select("ps_partkey", "ps_unit_cost", "s_acctbal", "s_name", "n_name")
-    )
-    min_cost = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_unit_cost").alias("mc_cost")
-    )
+    window min over ONE supply pipeline (a join-back against a second
+    aggregate would scan and aggregate lineitem twice — Spark shares no
+    common subplans); the part filter pushes below the supply aggregation
+    as a broadcast semi-join because the per-part MIN is independent
+    across parts. Dims broadcast; MIN over doubles needs no decimal
+    detour (no accumulation, so it is order-exact)."""
+    from pyspark.sql import Window
+
     p = load(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    l = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    supply = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_unit_cost"))
+    eu = supply.join(
+        F.broadcast(
+            load(spark, sf_dir, "supplier")
+            .join(
+                F.broadcast(load(spark, sf_dir, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(
+                    load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("ps_partkey")
     best = (
-        eu.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_unit_cost") == F.col("mc_cost")),
-        )
+        eu.withColumn("mc_cost", F.min("ps_unit_cost").over(w))
+        .where(F.col("ps_unit_cost") == F.col("mc_cost"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
