@@ -794,3 +794,71 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q").cast("long").alias("q_max"),
         err.alias("max_abs_err"),
     )
+
+
+@register(
+    "similarity_ann_ivf_int8",
+    oracle=_SQL_IVF_ASSIGNED
+    + """
+    , qasg AS (
+      SELECT vec_id, emb, cell,
+             CASE WHEN scale > 0 THEN list_transform(
+               emb, v -> CAST(greatest(least(round(v / scale), 127), -127) AS DOUBLE))
+             ELSE list_transform(emb, v -> 0.0) END AS qv
+      FROM (
+        SELECT vec_id, emb, cell,
+               list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
+        FROM assigned
+      )
+    ), probe_cells AS (
+      SELECT vec_id AS probe_id, emb AS probe_vec, cell FROM (
+        SELECT vec_id, emb, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS crank
+        FROM cscored WHERE vec_id < 100
+      ) WHERE crank <= 2
+    ), stage1 AS (
+      SELECT p.probe_id, p.probe_vec, a.vec_id AS neighbor_id, a.emb,
+             list_dot_product(p.probe_vec, a.qv)
+               / (sqrt(list_dot_product(p.probe_vec, p.probe_vec))
+                  * sqrt(list_dot_product(a.qv, a.qv))) AS qcos
+      FROM probe_cells p JOIN qasg a USING (cell)
+      WHERE p.probe_id <> a.vec_id
+    ), short AS (
+      SELECT probe_id, probe_vec, neighbor_id, emb FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY qcos DESC, neighbor_id) AS srank
+        FROM stage1
+      ) WHERE srank <= 10
+    ), reranked AS (
+      SELECT probe_id, neighbor_id,
+             list_dot_product(probe_vec, emb)
+               / (sqrt(list_dot_product(probe_vec, probe_vec))
+                  * sqrt(list_dot_product(emb, emb))) AS cosine
+      FROM short
+    )
+    SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cosine, 6) AS cosine_r
+    FROM (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM reranked
+    ) WHERE rank <= 3
+    """,
+)
+def similarity_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF ANN: int8 shortlist (asymmetric scoring — the
+    per-vector scale cancels, so stage 1 runs on codes 4x smaller than
+    float32), full-precision re-rank of the top-10 shortlist. Same
+    deterministic quantizer as similarity_ann_ivf, so fully value-hash
+    oracle-checked including the quantized stage-1 ordering."""
+    from erpl_web_spark.operators.similarity import ann_top_k_ivf_rerank
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.where(F.col("vec_id") < 100)
+    out = ann_top_k_ivf_rerank(
+        emb, probes, "vec_id", "embedding", k=3, stride=50, nprobe=2, shortlist=10
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )

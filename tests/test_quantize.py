@@ -66,3 +66,20 @@ def test_dequantized_cosine_tracks_exact(vecs, spark):
     # int8 on 32 dims: cosine error well under 0.02 — tight enough for a
     # shortlist that full-precision re-ranking then corrects.
     assert worst < 0.02, worst
+
+
+def test_ivf_int8_rerank_recall(spark):
+    """Two-stage (int8 shortlist -> float re-rank) vs plain IVF on the
+    driver embeddings: identical cell search, so any divergence comes
+    from int8 rounding at the shortlist boundary — recall@3 should stay
+    near 1."""
+    from erpl_web_spark.operators.similarity import ann_top_k_ivf, ann_top_k_ivf_rerank
+    from erpl_web_spark.suite import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.where(F.col("vec_id") < 50)
+    exact = ann_top_k_ivf(emb, probes, k=3, stride=50, nprobe=2)
+    two_stage = ann_top_k_ivf_rerank(emb, probes, k=3, stride=50, nprobe=2, shortlist=10)
+    a = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    b = {(r["probe_id"], r["neighbor_id"]) for r in two_stage.collect()}
+    assert len(a & b) / len(a) >= 0.95, (len(a & b), len(a))
