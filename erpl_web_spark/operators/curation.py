@@ -132,3 +132,29 @@ def stratified_sample(
         else threshold.otherwise(int(round(default_fraction * 10_000)))
     )
     return df.where(bucket < thr)
+
+
+def seeded_shuffle_key(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    method: str = "xxhash64",
+    out: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic pseudo-random global ordering for training epochs:
+    ``shuffle_key = h(seed, id)``. Materialize the epoch order with
+    ``repartitionByRange(out).sortWithinPartitions(out)`` — a scalable
+    distributed sort (range exchange + local sort), never a global
+    single-partition window. A new seed per epoch reshuffles; the order
+    is stable across runs, cluster sizes, and input partitioning, which
+    a ``rand()``-based shuffle cannot guarantee.
+
+    ``method='xxhash64'`` is the JVM-codegen fast path; ``'md5'`` is the
+    engine-portable contract (same convention as ``text.hash_split``).
+    """
+    if method == "md5":
+        digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        key = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    else:
+        key = F.xxhash64(F.lit(seed), F.col(id_col))
+    return df.withColumn(out, key)

@@ -862,3 +862,107 @@ def similarity_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
     )
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_EDGES},
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_SQL_NORM})
+    ),
+    near_drop AS (
+      SELECT id AS doc_id FROM components WHERE id <> component
+    ),
+    quality AS (
+      SELECT doc_id,
+             ((len({_SQL_TOKS}) >= 5 AND len({_SQL_TOKS}) <= 100000)::INT
+              + (CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+                   / GREATEST(len({_SQL_TOKS}), 1) >= 2.0
+                 AND CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+                   / GREATEST(len({_SQL_TOKS}), 1) <= 12.0)::INT
+              + (CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) <= 0.2)::INT
+              + (CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) <= 0.3)::INT) >= 3 AS keep
+      FROM documents
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(LENGTH(d.text) AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(len({_SQL_TOKS.replace('text', 'd.text')}) AS BIGINT)) AS BIGINT)
+             AS total_tokens
+    FROM documents d
+    JOIN exact_keep ek ON d.doc_id = ek.doc_id
+    JOIN quality q ON d.doc_id = q.doc_id AND q.keep
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    GROUP BY d.lang
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, composed from the suite's own
+    operators: exact dedup keepers (min doc_id per digest) -> near-dup
+    cluster representatives (connected components over the exact-Jaccard
+    edges; drop id != component) -> quality gate (>= 3 of 4 heuristics)
+    -> per-language corpus stats. Every stage is one of the
+    independently oracle-checked operators; this entry proves they
+    compose. Shuffle posture: digests and (long, long) cluster labels
+    shuffle, never document bodies; the final stats are one partial agg."""
+    from erpl_web_spark.operators.graph import connected_components
+    from erpl_web_spark.operators.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    keepers = (
+        exact_dedup_report(docs, "doc_id", "text")
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+    near_drop = (
+        connected_components(pairs, "id_a", "id_b")
+        .where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = (
+        with_quality_score(docs)
+        .where(F.col("quality_keep"))
+        .join(keepers, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+        F.sum(F.size(tokens_expr(F.col("text"))).cast("bigint")).alias("total_tokens"),
+    )
+
+
+@register(
+    "pipeline_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 25
+    """,
+)
+def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic epoch shuffle: the head of the seed-7 order
+    (md5 engine-portable contract; xxhash64 is the production fast
+    path). TakeOrderedAndProject keeps the top-25 probe scalable; a full
+    epoch materializes via repartitionByRange + sortWithinPartitions —
+    a distributed range sort, never a one-partition window."""
+    from erpl_web_spark.operators.curation import seeded_shuffle_key
+
+    d = seeded_shuffle_key(
+        load(spark, sf_dir, "documents"), "doc_id", seed=7, method="md5"
+    )
+    from erpl_web_spark.suite.relational import top_k
+
+    return top_k(
+        d.select("doc_id", "shuffle_key"),
+        [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        25,
+    )
