@@ -2,6 +2,7 @@
 on deterministic random graphs, plus adversarial shapes (long chains,
 which require the pointer-jumping rounds to converge within max_iter)."""
 
+import pytest
 import random
 
 from erpl_web_spark.operators.graph import component_summary, connected_components
@@ -42,11 +43,14 @@ def _spark_components(spark, edges):
     return {r["id"]: r["component"] for r in got.collect()}
 
 
-def test_random_graph_matches_union_find(spark):
-    rng = random.Random(7)
-    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+@pytest.mark.parametrize("seed,n,m", [(7, 300, 220), (13, 120, 40), (99, 50, 200)])
+def test_random_graph_matches_union_find(spark, seed, n, m):
+    # sparse (many small components), very sparse, and dense (one giant
+    # component) regimes
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
     edges = [e for e in edges if e[0] != e[1]]
-    assert _spark_components(spark, edges) == _union_find(300, edges)
+    assert _spark_components(spark, edges) == _union_find(n, edges)
 
 
 def test_long_chain_converges(spark):

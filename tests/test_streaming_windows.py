@@ -127,3 +127,37 @@ def test_stream_interval_join_matches_batch(spark, events_dir):
     # every pair respects the interval contract
     bad = got.where("r_ts < l_ts OR r_ts > l_ts + INTERVAL 30 MINUTES").count()
     assert bad == 0
+
+
+def test_document_pipeline_operators_run_on_streams(spark, sf_dir, tmp_path_factory):
+    """The per-row pipeline operators (quality scoring, hash split,
+    seeded shuffle keys) are pure expressions, so the same code runs
+    unchanged on a document *stream* — micro-batch output must equal the
+    batch run over the same files."""
+    from erpl_web_spark.operators.curation import seeded_shuffle_key
+    from erpl_web_spark.operators.text import hash_split, with_quality_score
+    from erpl_web_spark.suite import load
+
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    load(spark, sf_dir, "documents").repartition(3).write.mode("overwrite").parquet(path)
+
+    def build(df):
+        scored = with_quality_score(df).where("quality_keep")
+        split = hash_split(scored, "doc_id", {"train": 0.8, "val": 0.2}, method="md5")
+        return seeded_shuffle_key(split, "doc_id", seed=3, method="md5").select(
+            "doc_id", "split", "shuffle_key"
+        )
+
+    schema = spark.read.parquet(path).schema
+    q = (
+        build(spark.readStream.schema(schema).parquet(path))
+        .writeStream.format("memory")
+        .queryName("docpipe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("docpipe").collect()}
+    want = {tuple(r) for r in build(spark.read.parquet(path)).collect()}
+    assert got == want and len(got) > 0
