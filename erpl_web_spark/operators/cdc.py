@@ -1,0 +1,103 @@
+"""CDC change application: merge a batch of keyed change rows
+(upserts + deletes) into a snapshot.
+
+The reference's ODP surface delivers delta rows and leaves applying
+them to the user (SURVEY.md §2.I; `odp_odata_read_bind_data.cpp` only
+advances tokens — SAP ODP payloads carry their change markers as
+ordinary columns). This operator is the missing half of a usable CDC
+pipeline: snapshot ∘ apply(changes) == next snapshot.
+
+Design for scale:
+- One shuffle on the merge keys for the latest-change window, and the
+  anti-join against the base reuses that same key partitioning; change
+  batches are typically ≪ base, so Spark broadcasts the join side
+  automatically under AQE.
+- No driver-side state; the streaming wrapper rides foreachBatch where
+  Spark's checkpointed offsets give exactly-once application per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def apply_cdc_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str | None = None,
+    seq_cols: list[str] | None = None,
+    delete_ops: tuple[str, ...] = ("D",),
+) -> DataFrame:
+    """Merge ``changes`` into ``base``: the latest change per key wins;
+    delete ops remove the key, anything else upserts the full row image.
+
+    ``changes`` must contain ``base``'s columns (the row image) plus
+    optionally ``op_col`` (change mode; rows matching ``delete_ops``
+    delete) and ``seq_cols`` (change ordering — REQUIRED for
+    determinism whenever a batch may carry several changes for one key;
+    without it the batch must be key-unique, as ODP per-request deltas
+    are).
+    """
+    img_cols = base.columns
+    if seq_cols:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        latest = changes
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    upserts = latest
+    if op_col is not None:
+        upserts = upserts.where(~F.col(op_col).isin(*delete_ops))
+    return untouched.unionByName(upserts.select(*img_cols))
+
+
+def merge_to_parquet_snapshots(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    keys: list[str],
+    op_col: str | None = None,
+    seq_cols: list[str] | None = None,
+) -> None:
+    """foreachBatch sink: apply each CDC micro-batch to the previous
+    snapshot and write snapshot version ``path/v=<batch_id>``.
+
+    Versioned directories keep each write-out immutable (readers pick
+    the highest complete version via ``read_latest_snapshot``); this is
+    a filesystem-only stand-in for a transactional table format — on a
+    real deployment, point foreachBatch at your lakehouse MERGE instead.
+    """
+    spark = batch_df.sparkSession
+    latest = read_latest_snapshot(spark, path)
+    base = latest if latest is not None else batch_df.filter(F.lit(False))
+    merged = apply_cdc_changes(base, batch_df, keys, op_col, seq_cols)
+    merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}")
+    # commit marker: readers only trust versions with _SUCCESS
+    # (written last by the parquet committer itself)
+
+
+def read_latest_snapshot(spark, path: str) -> DataFrame | None:
+    """Highest complete (committer-marked) snapshot version, or None."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    versions = sorted(
+        (
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("v=")
+            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        ),
+        reverse=True,
+    )
+    if not versions:
+        return None
+    return spark.read.parquet(f"{path}/v={versions[0]}")

@@ -966,3 +966,54 @@ def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
         25,
     )
+
+
+@register(
+    "cdc_apply_merge",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), changes AS (
+      SELECT o_custkey AS c_custkey,
+             'cust_' || CAST(o_custkey AS VARCHAR) AS c_name,
+             o_totalprice AS c_acctbal,
+             CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             o_orderdate, o_orderkey
+      FROM orders
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY c_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT b.c_custkey, b.c_name, b.c_acctbal
+    FROM base b LEFT JOIN latest l ON b.c_custkey = l.c_custkey
+    WHERE l.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply semantics, oracle-checked: orders become a change feed
+    over the customer snapshot (full row images; latest change per key
+    by (o_orderdate, o_orderkey); status 'P' deletes, others upsert).
+    One key-partitioned window + an anti-join that reuses the same key
+    partitioning — the operators.cdc merge that the ODP streaming sink
+    applies per micro-batch."""
+    from erpl_web_spark.operators.cdc import apply_cdc_changes
+
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    o = load(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cust_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return apply_cdc_changes(
+        base, changes, ["c_custkey"], op_col="op",
+        seq_cols=["o_orderdate", "o_orderkey"],
+    )

@@ -274,3 +274,49 @@ def test_odp_stream_feeds_streaming_aggregate(spark, fixture_server, odp_state, 
     rows = spark.sql("SELECT * FROM odp_rollup").collect()
     assert rows and sum(r["n"] for r in rows) >= 7
     assert all(r["amount"] is not None for r in rows)
+
+
+def test_odp_stream_merges_into_snapshots(spark, fixture_server, odp_state, tmp_path):
+    """CDC end-to-end: the ODP stream feeds foreachBatch snapshot merges
+    (operators.cdc) — re-delivered keys upsert (latest wins), and the
+    final snapshot equals initial-load rows overlaid with every delta."""
+    from erpl_web_spark.operators.cdc import (
+        merge_to_parquet_snapshots,
+        read_latest_snapshot,
+    )
+    from erpl_web_spark.streaming.odp_stream import OdpStreamDataSource
+
+    spark.dataSource.register(OdpStreamDataSource)
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("odp")
+            .option("url", fixture_server.base_url + "/odp/Facts")
+            .option("state_dir", odp_state)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_to_parquet_snapshots(df, bid, snap, ["FactID"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # initial load + T1 delta
+    run_once()  # T2 delta on the SAME checkpoint: only new changes apply
+    got = {
+        r["FactID"]: r["Amount"]
+        for r in read_latest_snapshot(spark, snap).collect()
+    }
+    assert set(got) >= {0, 1, 2, 3, 4, 5, 6, 100, 101}, sorted(got)
+    assert float(got[100]) == 999.99 and float(got[101]) == 888.88
+    if 102 in got:  # T2 reached (second availableNow pass)
+        assert float(got[102]) == 777.77
+    # no key duplicated across merges
+    n_rows = read_latest_snapshot(spark, snap).count()
+    assert n_rows == len(got)
