@@ -592,6 +592,42 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except_all",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(year(o_orderdate) AS INT) AS yr FROM orders
+    EXCEPT ALL
+    SELECT 'F' AS status, CAST(1996 AS INT) AS yr FROM range(5000)
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: per-row multiplicity subtraction (Spark
+    exceptAll), vs set_except's distinct semantics."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"), F.year("o_orderdate").alias("yr")
+    )
+    probe = spark.range(5000).select(F.lit("F").alias("status"), F.lit(1996).alias("yr"))
+    return o.exceptAll(probe)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(year(o_orderdate) AS INT) AS yr FROM orders
+    INTERSECT ALL
+    SELECT 'F' AS status, CAST(1996 AS INT) AS yr FROM range(5000)
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: min-of-multiplicities semantics (Spark
+    intersectAll)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"), F.year("o_orderdate").alias("yr")
+    )
+    probe = spark.range(5000).select(F.lit("F").alias("status"), F.lit(1996).alias("yr"))
+    return o.intersectAll(probe)
+
+
+@register(
     "distinct_projection",
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
 )
