@@ -1017,3 +1017,19 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, changes, ["c_custkey"], op_col="op",
         seq_cols=["o_orderdate", "o_orderkey"],
     )
+
+
+@register("dedup_cluster_minhash", oracle=None)
+def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup clustering composition: MinHash+LSH
+    candidates -> exact-Jaccard verify (>= 0.5) -> connected components
+    -> cluster labels. Rows-only check (seeded-hash banding is not
+    SQL-expressible), but every stage is independently verified:
+    the pair math by dedup_ngram_jaccard, the LSH pair set by
+    dedup_minhash_lsh, the component math by dedup_cluster_components'
+    recursive-CTE oracle."""
+    from erpl_web_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+    return connected_components(pairs, "id_a", "id_b")
