@@ -57,11 +57,21 @@ def fingerprint_documents(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def grams_expr(text: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingles of the normalized text (with duplicates)."""
+    """Word k-gram shingles of the normalized text (with duplicates).
+
+    Empty (not descending!) index range for texts shorter than k tokens:
+    ``sequence(1, 0)`` counts DOWN in Spark, which would emit two bogus
+    shingles at invalid slice offsets — guard explicitly.
+    """
     toks = tokens_expr(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_expr(text: Column | str, k: int = 3) -> Column:

@@ -279,3 +279,72 @@ def pack_documents(
             (F.col("cum_before") % budget).alias("pack_offset"),
         )
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Word k-grams occurring in >= ``min_docs`` distinct documents —
+    the C4/RefinedWeb-style repeated-ngram boilerplate signal (headers,
+    footers, templates repeat verbatim across a crawl; organic text
+    almost never repeats a 5-gram).
+
+    Returns (gram, n_docs). Per-doc shingles are deduplicated before
+    the count, so n_docs is a true document frequency. The groupBy
+    shuffles gram strings directly for oracle comparability; at corpus
+    scale, group on xxhash64(gram) and keep ``min(gram)`` as the
+    exemplar so the shuffle carries 8-byte keys.
+    """
+    from erpl_web_spark.operators.dedup import grams_expr
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams_expr(F.col(text_col), k))).alias("gram"),
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def with_boilerplate_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate contamination: the fraction of the
+    doc's distinct k-grams that are corpus-level boilerplate
+    (document frequency >= ``min_docs``).
+
+    One shuffle keyed on gram (a window count — the explode subtree is
+    never computed twice) and one on the doc id for the roll-up.
+    Returns (id, n_grams, n_boiler, boiler_ratio).
+    """
+    from pyspark.sql.window import Window
+
+    from erpl_web_spark.operators.dedup import grams_expr
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams_expr(F.col(text_col), k))).alias("gram"),
+    )
+    w = Window.partitionBy("gram")
+    tagged = ex.withColumn("df_count", F.count("*").over(w))
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df_count") >= min_docs).cast("bigint")).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )

@@ -1033,3 +1033,58 @@ def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
     return connected_components(pairs, "id_a", "id_b")
+
+
+_SQL_GRAMS5 = (
+    "list_transform(range(1, greatest(len(__toks) - 4, 0) + 1), "
+    "i -> array_to_string(__toks[i:i+4], ' '))"
+)
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS __toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_GRAMS5})) AS gram FROM toks
+    )
+    SELECT gram, COUNT(*) AS n_docs
+    FROM sh GROUP BY gram HAVING COUNT(*) >= 3
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated 5-grams (document frequency >= 3) — the
+    template/boilerplate signal organic text never triggers."""
+    from erpl_web_spark.operators.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        load(spark, sf_dir, "documents", spread=True), "doc_id", "text", k=5, min_docs=3
+    )
+
+
+@register(
+    "text_boilerplate_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS __toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_GRAMS5})) AS gram FROM toks
+    ), tagged AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df_count FROM sh
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM((df_count >= 3)::INT) AS BIGINT) AS n_boiler,
+           CAST(SUM((df_count >= 3)::INT) AS DOUBLE) / COUNT(*) AS boiler_ratio
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate contamination ratio: one gram-keyed
+    window shuffle + one doc-keyed roll-up; the explode subtree is
+    computed once (no self-join)."""
+    from erpl_web_spark.operators.text import with_boilerplate_ratio
+
+    return with_boilerplate_ratio(
+        load(spark, sf_dir, "documents", spread=True), "doc_id", "text", k=5, min_docs=3
+    )

@@ -548,3 +548,36 @@ def test_asof_join_tolerance(spark):
                                    tolerance="5 MINUTES").collect()}
     # (1,30) is 21min stale, (2,10) is 10min stale -> NULL; (1,10) is 1min
     assert with_tol == {(1, 10): 90.0, (1, 30): None, (2, 10): None}
+
+
+def test_grams_expr_short_text_is_empty(spark):
+    """Texts shorter than k tokens produce ZERO shingles — sequence(1,0)
+    counts down in Spark and used to emit bogus slice offsets."""
+    from erpl_web_spark.operators.dedup import grams_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e f")], "id long, text string"
+    )
+    rows = {r["id"]: r["g"] for r in df.select("id", grams_expr("text", 5).alias("g")).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["a b c d e", "b c d e f"]
+
+
+def test_boilerplate_detection(spark):
+    from erpl_web_spark.operators.text import boilerplate_ngrams, with_boilerplate_ratio
+
+    tpl = "all rights reserved contact us today"
+    docs = [
+        (i, f"unique words number {i} follow here {tpl}") for i in range(4)
+    ] + [(10, "completely organic text with no repeats at all whatsoever")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    grams = {r["gram"] for r in boilerplate_ngrams(df, "doc_id", "text", k=5, min_docs=3).collect()}
+    assert "all rights reserved contact us" in grams
+    assert all("unique" not in g for g in grams)
+    ratios = {
+        r["doc_id"]: r["boiler_ratio"]
+        for r in with_boilerplate_ratio(df, "doc_id", "text", k=5, min_docs=3).collect()
+    }
+    assert ratios[10] == 0.0
+    assert all(ratios[i] > 0.2 for i in range(4))
