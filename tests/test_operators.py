@@ -581,3 +581,43 @@ def test_boilerplate_detection(spark):
     }
     assert ratios[10] == 0.0
     assert all(ratios[i] > 0.2 for i in range(4))
+
+
+@pytest.mark.parametrize("seed", [3, 17, 51])
+def test_cdc_merge_fold_property(spark, seed):
+    """apply(apply(base, b1), b2) == apply(base, b1 ++ b2) == dict model,
+    for random change streams with global sequence numbers — the
+    invariant that makes per-micro-batch application safe."""
+    import random as _r
+
+    from erpl_web_spark.operators.cdc import apply_cdc_changes
+
+    rng = _r.Random(seed)
+    base_rows = [(k, f"v{k}", float(k)) for k in range(20)]
+    changes = []
+    for seq in range(60):
+        k = rng.randrange(30)  # some keys not in base (pure inserts)
+        op = "D" if rng.random() < 0.25 else "U"
+        changes.append((k, f"new{seq}", float(seq), op, seq))
+    cut = rng.randrange(1, 59)
+    schema_b = "k long, name string, val double"
+    schema_c = "k long, name string, val double, op string, seq long"
+    base = spark.createDataFrame(base_rows, schema_b)
+    b1 = spark.createDataFrame(changes[:cut], schema_c)
+    b2 = spark.createDataFrame(changes[cut:], schema_c)
+    ball = spark.createDataFrame(changes, schema_c)
+
+    two_step = apply_cdc_changes(
+        apply_cdc_changes(base, b1, ["k"], "op", ["seq"]), b2, ["k"], "op", ["seq"]
+    )
+    one_step = apply_cdc_changes(base, ball, ["k"], "op", ["seq"])
+
+    state = {k: (k, n, v) for k, n, v in base_rows}
+    for k, n, v, op, _seq in changes:  # already in seq order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (k, n, v)
+    want = set(state.values())
+    assert {tuple(r) for r in two_step.collect()} == want
+    assert {tuple(r) for r in one_step.collect()} == want
