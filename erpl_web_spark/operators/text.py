@@ -323,25 +323,37 @@ def with_boilerplate_ratio(
     doc's distinct k-grams that are corpus-level boilerplate
     (document frequency >= ``min_docs``).
 
-    One shuffle keyed on gram (a window count — the explode subtree is
-    never computed twice) and one on the doc id for the roll-up.
+    The doc-frequency side is a groupBy + join (NOT a gram-partitioned
+    window): boilerplate grams are hyper-frequent by definition, and a
+    window would pin each hot gram's rows to one partition with no
+    mitigation — AQE's skew handling splits skewed *join* partitions,
+    so the join formulation is the one that survives a boilerplate-heavy
+    crawl. One gram-keyed aggregate (map-side combined), one skew-safe
+    join, one doc-keyed roll-up.
     Returns (id, n_grams, n_boiler, boiler_ratio).
     """
-    from pyspark.sql.window import Window
-
     from erpl_web_spark.operators.dedup import grams_expr
 
     ex = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams_expr(F.col(text_col), k))).alias("gram"),
     )
-    w = Window.partitionBy("gram")
-    tagged = ex.withColumn("df_count", F.count("*").over(w))
+    boiler = (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("df_count"))
+        .where(F.col("df_count") >= min_docs)
+        .select("gram")
+    )
+    tagged = ex.join(
+        boiler.withColumn("is_boiler", F.lit(1)), "gram", "left"
+    )
     return (
         tagged.groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum((F.col("df_count") >= min_docs).cast("bigint")).alias("n_boiler"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)).cast("bigint")).alias(
+                "n_boiler"
+            ),
         )
         .withColumn(
             "boiler_ratio",
