@@ -885,3 +885,109 @@ def cdc_delta_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"), F.max("event_id").alias("new_token"))
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1,
+           s2.t2, s3.t3,
+           (s2.user_id IS NOT NULL) AS reached_click,
+           (s3.user_id IS NOT NULL) AS reached_purchase
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view -> click -> purchase): each stage is the
+    MIN event time strictly after the previous stage's time — the
+    cascade decorrelates to per-stage aggregates joined on user_id, so
+    every stage is one key-partitioned aggregate over an
+    already-filtered slice (no per-user re-scan, no window over the
+    whole event history). The three stage frames share the user_id
+    partitioning end-to-end."""
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            F.col("t2").isNotNull().alias("reached_click"),
+            F.col("t3").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0) AS INT)
+               AS week_offset
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM a GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen ISO week,
+    distinct-active counts per week offset. First-seen is one user-keyed
+    aggregate; the activity join reuses the same key partitioning and
+    the distinct collapses before the final (cohort, offset) roll-up —
+    both engines truncate weeks to Monday, so buckets align."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7.0
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_active"))
