@@ -169,3 +169,44 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "meta",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def tile_grid(
+    df: DataFrame, tile_w: int = 16, tile_h: int = 16, stride: int | None = None
+) -> DataFrame:
+    """Patch-grid plumbing for image payloads: one row per (tile_x,
+    tile_y) patch position, ceil-covering the metadata width x height
+    (final ragged tiles included — a ViT-style preprocessor pads them).
+
+    Like ``sample_frames`` this is the distributed *shape* of the
+    operation: a 2-D explode over a JVM-computed cross sequence, zero
+    Python per row, with the pixel crop living in the (stubbed) decode
+    kernel. ``stride`` < tile size gives overlapping patches.
+    """
+    sx = stride or tile_w
+    sy = stride or tile_h
+    nx = F.greatest(F.ceil((F.col("meta.width") - tile_w) / sx).cast("int") + 1, F.lit(1))
+    ny = F.greatest(F.ceil((F.col("meta.height") - tile_h) / sy).cast("int") + 1, F.lit(1))
+    return (
+        df.select(
+            "media_id",
+            "meta",
+            F.explode(F.sequence(F.lit(0), nx - 1)).alias("tile_x"),
+            ny.alias("__ny"),
+        )
+        .select(
+            "media_id",
+            "meta",
+            "tile_x",
+            F.explode(F.sequence(F.lit(0), F.col("__ny") - 1)).alias("tile_y"),
+        )
+        .select(
+            "media_id",
+            "tile_x",
+            "tile_y",
+            (F.col("tile_x") * sx).alias("px_x"),
+            (F.col("tile_y") * sy).alias("px_y"),
+            F.least(F.lit(tile_w), F.col("meta.width") - F.col("tile_x") * sx).alias("px_w"),
+            F.least(F.lit(tile_h), F.col("meta.height") - F.col("tile_y") * sy).alias("px_h"),
+        )
+    )

@@ -1088,3 +1088,36 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_boilerplate_ratio(
         load(spark, sf_dir, "documents", spread=True), "doc_id", "text", k=5, min_docs=3
     )
+
+
+@register(
+    "multimodal_tiles",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(LENGTH(text) AS INT) AS w FROM documents
+    ), t AS (
+      SELECT media_id, w,
+             CAST(unnest(range(0, GREATEST(CAST(CEIL((w - 16) / 16.0) AS INT) + 1, 1)))
+               AS INT) AS tile_x
+      FROM m
+    )
+    SELECT media_id, tile_x, CAST(0 AS INT) AS tile_y,
+           CAST(tile_x * 16 AS INT) AS px_x, CAST(0 AS INT) AS px_y,
+           CAST(LEAST(16, w - tile_x * 16) AS INT) AS px_w, CAST(1 AS INT) AS px_h
+    FROM t
+    """,
+)
+def multimodal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid fan-out over the fake image metadata
+    (width = byte length, height = 1): a 2-D explode over JVM-computed
+    sequences — the distributed shape of a tiling preprocessor, decode
+    kernel stubbed as elsewhere."""
+    from erpl_web_spark.operators.multimodal import documents_as_media, tile_grid
+
+    media = documents_as_media(load(spark, sf_dir, "documents"), media_type="image")
+    t = tile_grid(media, tile_w=16, tile_h=16)
+    return t.select(
+        "media_id", "tile_x", "tile_y",
+        F.col("px_x").cast("int"), F.col("px_y").cast("int"),
+        F.col("px_w").cast("int"), F.col("px_h").cast("int"),
+    )

@@ -621,3 +621,26 @@ def test_cdc_merge_fold_property(spark, seed):
     want = set(state.values())
     assert {tuple(r) for r in two_step.collect()} == want
     assert {tuple(r) for r in one_step.collect()} == want
+
+
+def test_tile_grid_overlap_and_ragged_edges(spark):
+    from erpl_web_spark.operators.multimodal import tile_grid
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"), ("image", "fake", 40, 35, None))],
+        "media_id long, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>",
+    )
+    tiles = tile_grid(media, tile_w=16, tile_h=16).collect()
+    # 40px wide -> x offsets 0,16,32 (last ragged w=8); 35px -> y 0,16,32 (h=3)
+    assert {(t["px_x"], t["px_w"]) for t in tiles} == {(0, 16), (16, 16), (32, 8)}
+    assert {(t["px_y"], t["px_h"]) for t in tiles} == {(0, 16), (16, 16), (32, 3)}
+    assert len(tiles) == 9
+    # total tile area covers the image exactly (no gaps/overlap at stride=tile)
+    assert sum(t["px_w"] * t["px_h"] for t in tiles) == 40 * 35
+    # overlapping stride 8: windows 0,8,16,24 — the last one reaches the
+    # right edge exactly (24 + 16 = 40), so no ragged extra window
+    ov = tile_grid(media, tile_w=16, tile_h=16, stride=8).collect()
+    assert {t["px_x"] for t in ov} == {0, 8, 16, 24}
+    assert all(t["px_w"] == 16 for t in ov)
