@@ -158,3 +158,55 @@ def seeded_shuffle_key(
     else:
         key = F.xxhash64(F.lit(seed), F.col(id_col))
     return df.withColumn(out, key)
+
+
+def mixture_upsample(
+    df: DataFrame,
+    strata_col: str,
+    repeats: dict[str, int],
+    default_repeats: int = 1,
+) -> DataFrame:
+    """Training-mixture weighting by integer repetition: each stratum's
+    rows appear ``repeats[stratum]`` times (epoch upsampling — the
+    'wiki x3, web x1' recipe), with ``copy_idx`` distinguishing copies
+    so a downstream seeded shuffle interleaves them deterministically.
+
+    A JVM-side explode over a literal CASE — map-only, no shuffle, no
+    Python; output size is exactly sum(n_s * r_s).
+    """
+    factor = None
+    for name, r in repeats.items():
+        c = F.lit(int(r))
+        factor = F.when(F.col(strata_col) == name, c) if factor is None else factor.when(
+            F.col(strata_col) == name, c
+        )
+    factor = F.lit(default_repeats) if factor is None else factor.otherwise(default_repeats)
+    return df.withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(1), F.greatest(factor, F.lit(0))))
+    ).where(F.col("copy_idx") >= 1)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shards: int,
+    id_col: str,
+    seed: int = 42,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize a training corpus as ``shards`` shard files in seeded
+    pseudo-random order: repartitionByRange on the shuffle key (a
+    distributed range sort — the scalable global ordering) +
+    sortWithinPartitions, so shard i holds the i-th contiguous key range
+    and every shard is internally ordered. Re-running with the same seed
+    reproduces the exact layout; a new seed reshuffles every epoch.
+    """
+    keyed = seeded_shuffle_key(df, id_col, seed=seed)
+    writer = (
+        keyed.repartitionByRange(shards, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -1121,3 +1121,30 @@ def multimodal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px_x").cast("int"), F.col("px_y").cast("int"),
         F.col("px_w").cast("int"), F.col("px_h").cast("int"),
     )
+
+
+@register(
+    "curation_mixture_upsample",
+    oracle="""
+    WITH f AS (
+      SELECT source, CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END AS r,
+             COUNT(*) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n * r AS BIGINT) AS n_rows,
+           CAST(r AS INT) AS n_copies
+    FROM f
+    """,
+)
+def curation_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting by integer repetition (src0 x3, src1 x2, rest
+    x1): the explode is map-only; the summary proves exact output
+    multiplicities per stratum."""
+    from erpl_web_spark.operators.curation import mixture_upsample
+
+    d = load(spark, sf_dir, "documents")
+    up = mixture_upsample(d, "source", {"src0": 3, "src1": 2}, default_repeats=1)
+    return up.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.max("copy_idx").cast("int").alias("n_copies"),
+    )

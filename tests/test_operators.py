@@ -644,3 +644,31 @@ def test_tile_grid_overlap_and_ragged_edges(spark):
     ov = tile_grid(media, tile_w=16, tile_h=16, stride=8).collect()
     assert {t["px_x"] for t in ov} == {0, 8, 16, 24}
     assert all(t["px_w"] == 16 for t in ov)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Sharded export: same seed -> identical layout; shards hold
+    disjoint contiguous key ranges, each internally sorted; row count
+    preserved after the mixture explode."""
+    import glob
+
+    from erpl_web_spark.operators.curation import mixture_upsample, write_training_shards
+    from erpl_web_spark.suite import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text", "source")
+    up = mixture_upsample(d, "source", {"src0": 2})
+    n_in = up.count()
+    out = str(tmp_path / "shards")
+    write_training_shards(up, out, shards=4, id_col="doc_id", seed=9)
+    got = spark.read.parquet(out)
+    assert got.count() == n_in
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        keys = [r["shuffle_key"] for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys)  # internally ordered
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint contiguous ranges
