@@ -101,3 +101,44 @@ def read_latest_snapshot(spark, path: str) -> DataFrame | None:
     if not versions:
         return None
     return spark.read.parquet(f"{path}/v={versions[0]}")
+
+
+def incremental_agg_update(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+    sign_col: str | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a sum/count aggregate table: fold a
+    change slice into the existing snapshot WITHOUT rescanning the
+    fact history — the materialized-view pattern that turns an O(total)
+    refresh into O(delta).
+
+    ``sum_cols`` maps aggregate column -> source expression column in
+    ``changes``; ``sign_col`` (+1 insert / -1 retract) enables deletes
+    and updates-as-retract-plus-insert. Aggregating the (small) delta
+    first, then combining with the snapshot, keeps the shuffle at
+    |delta agg| + |snapshot| rows on the group keys. Groups whose count
+    reaches zero are dropped (full retraction).
+    """
+    sign = F.col(sign_col) if sign_col else F.lit(1)
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign).cast("bigint").alias(count_col),
+        *[
+            F.sum(sign * F.col(src)).alias(dst)
+            for dst, src in sum_cols.items()
+        ],
+    )
+    combined = snapshot.select(*keys, count_col, *sum_cols).unionByName(
+        delta.select(*keys, count_col, *sum_cols)
+    )
+    return (
+        combined.groupBy(*keys)
+        .agg(
+            F.sum(count_col).cast("bigint").alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+        .where(F.col(count_col) > 0)
+    )

@@ -1148,3 +1148,39 @@ def curation_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.max("copy_idx").cast("int").alias("n_copies"),
     )
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, proven against the
+    full recompute: the pre-1997 snapshot aggregate folded together
+    with the 1997+ delta slice (operators.cdc.incremental_agg_update)
+    must value-hash-equal a from-scratch GROUP BY over all orders.
+    Decimal accumulation keeps slice-sum-of-sums exactly equal to the
+    total sum regardless of split point."""
+    from erpl_web_spark.operators.cdc import incremental_agg_update
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    snap = (
+        o.where(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_rows"), F.sum(dec).alias("total_spend"))
+    )
+    delta_rows = o.where(F.col("o_orderdate") >= cut).select(
+        "o_custkey", dec.alias("tp")
+    )
+    upd = incremental_agg_update(
+        snap, delta_rows, ["o_custkey"], {"total_spend": "tp"}
+    )
+    return upd.select(
+        "o_custkey", "n_rows", F.col("total_spend").cast("double").alias("total_spend")
+    )

@@ -991,3 +991,25 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return a.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_active"))
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 5000.0) AS INT), 11) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+    FROM orders GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (5k buckets, top-clamped): engine-portable
+    manual binning — floor-divide + clamp is identical arithmetic in
+    any engine, where width_bucket builtins differ in edge semantics.
+    One map-side-combinable aggregate."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 5000.0).cast("int"), F.lit(11))
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice")).alias("bucket_total"),
+    )

@@ -672,3 +672,27 @@ def test_write_training_shards_layout(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint contiguous ranges
+
+
+def test_incremental_agg_retraction(spark):
+    """Retract-and-insert updates: -1/+1 signed changes adjust sums and
+    counts; fully-retracted groups disappear."""
+    from erpl_web_spark.operators.cdc import incremental_agg_update
+
+    snap = spark.createDataFrame(
+        [(1, 2, 30.0), (2, 1, 10.0)], "k long, n_rows long, total double"
+    )
+    changes = spark.createDataFrame(
+        # k=1: retract a 10.0 row, insert a 25.0 row -> n=2, total=45
+        # k=2: retract its only row -> group dropped
+        # k=3: brand new group
+        [(1, 10.0, -1), (1, 25.0, 1), (2, 10.0, -1), (3, 7.0, 1)],
+        "k long, v double, sign int",
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["total"])
+        for r in incremental_agg_update(
+            snap, changes, ["k"], {"total": "v"}, sign_col="sign"
+        ).collect()
+    }
+    assert got == {1: (2, 45.0), 3: (1, 7.0)}
