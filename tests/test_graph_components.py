@@ -80,3 +80,11 @@ def test_component_summary(spark):
         for r in component_summary(connected_components(df, "src", "dst")).collect()
     }
     assert summary == {1: (3, 1, 3), 7: (2, 7, 8)}
+
+
+def test_hub_star_graph(spark):
+    """A 2000-leaf hub (the worst skew shape a boilerplate dup-cluster
+    produces): converges fast, every node labels to the hub minimum."""
+    edges = [(0, i) for i in range(1, 2001)]
+    got = _spark_components(spark, edges)
+    assert len(got) == 2001 and set(got.values()) == {0}

@@ -696,3 +696,30 @@ def test_incremental_agg_retraction(spark):
         ).collect()
     }
     assert got == {1: (2, 45.0), 3: (1, 7.0)}
+
+
+def _formatted_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q02_scans_lineitem_once(spark):
+    """q02's correlated MIN decorrelates to a window over ONE supply
+    pipeline — a join-back against a second aggregate would scan the
+    fact twice (Spark shares no common subplans). Guard the plan shape."""
+    from erpl_web_spark.suite import all_queries
+
+    df = all_queries()["q02_min_cost_supplier"].fn(spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_boilerplate_ratio_avoids_gram_window(spark):
+    """Doc-frequency tagging must be a join (AQE can split skewed join
+    partitions), never a gram-partitioned Window (it cannot)."""
+    from erpl_web_spark.suite import all_queries
+
+    df = all_queries()["text_boilerplate_ratio"].fn(spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(df)
+    assert "Window" not in plan, plan
