@@ -28,19 +28,26 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with the
-    greatest ``right_ts <= left_ts`` within the same ``on`` key(s).
+    """As-of join: for each left row, attach the matching right row
+    within the same ``on`` key(s) — pandas ``merge_asof`` semantics.
+
+    ``direction='backward'`` (default): greatest ``right_ts <= left_ts``;
+    ``'forward'``: smallest ``right_ts >= left_ts``; ``'nearest'``: the
+    closer of the two (ties -> backward, matching pandas).
 
     Implemented as tagged-union + ordered window with ``last(ignorenulls)``:
-    a single shuffle on the key, linear in |left|+|right|. This is the
-    formulation that survives skew/scale, unlike a range join (quadratic per
-    key) or a per-key collect.
+    a single shuffle on the key, linear in |left|+|right| (nearest adds a
+    second sort over the same partitioning, still one shuffle). This is
+    the formulation that survives skew/scale, unlike a range join
+    (quadratic per key) or a per-key collect.
 
-    ``tolerance`` (an SQL interval body, e.g. ``"1 HOUR"``) bounds how
-    stale a match may be — pandas ``merge_asof(tolerance=...)`` semantics:
-    a right row older than ``left_ts - tolerance`` yields NULLs instead.
+    ``tolerance`` (an SQL interval body, e.g. ``"1 HOUR"``) bounds how far
+    a match may be — a right row outside ``tolerance`` yields NULLs.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -66,24 +73,67 @@ def asof_join(
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___match_ts"),
     )
     unioned = r.unionByName(l)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        *keys,
-        "__ts",
-        "__side",
-        *left_payload,
-        *[F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
-        F.last(F.col("__r___match_ts"), ignorenulls=True).over(w).alias("__r___match_ts"),
-    )
+    sides = {"backward": ["b"], "forward": ["f"], "nearest": ["b", "f"]}[direction]
+    filled_cols = []
+    for d in sides:
+        # At equal ts the right row must sort BEFORE the left row in both
+        # scan directions so <=/>= matches are visible; __side 0 < 1
+        # handles that under asc and desc alike.
+        order = (
+            [F.col("__ts").asc(), F.col("__side").asc()]
+            if d == "b"
+            else [F.col("__ts").desc(), F.col("__side").asc()]
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled_cols += [
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__{d}_{c}")
+            for c in right_cols
+        ]
+        filled_cols.append(
+            F.last(F.col("__r___match_ts"), ignorenulls=True).over(w).alias(f"__{d}_mts")
+        )
+    filled = unioned.select(*keys, "__ts", "__side", *left_payload, *filled_cols)
+
+    def gap(d):
+        return (
+            F.col("__ts") - F.col(f"__{d}_mts")
+            if d == "b"
+            else F.col(f"__{d}_mts") - F.col("__ts")
+        )
+
     if tolerance is None:
-        pick = {c: F.col(f"__r_{c}") for c in right_cols}
+        tol_expr = None
     else:
-        fresh = F.col("__ts") - F.col("__r___match_ts") <= F.expr(f"INTERVAL {tolerance}")
-        pick = {c: F.when(fresh, F.col(f"__r_{c}")) for c in right_cols}
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        ts_type = left.schema[left_ts].dataType
+        if isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
+            tol_expr = F.expr(f"INTERVAL {tolerance}")
+        else:  # numeric event time -> numeric tolerance
+            tol_expr = F.lit(float(tolerance))
+
+    def valid(d):
+        has = F.col(f"__{d}_mts").isNotNull()
+        if tol_expr is None:
+            return has
+        return has & (gap(d) <= tol_expr)
+
+    if direction in ("backward", "forward"):
+        d = sides[0]
+        pick = {c: F.when(valid(d), F.col(f"__{d}_{c}")) for c in right_cols}
+    else:
+        # nearest: the closer valid side wins; ties -> backward (pandas).
+        use_b = valid("b") & (~valid("f") | (gap("b") <= gap("f")))
+        pick = {
+            c: F.when(use_b, F.col(f"__b_{c}")).otherwise(
+                F.when(valid("f"), F.col(f"__f_{c}"))
+            )
+            for c in right_cols
+        }
     out = filled.where(F.col("__side") == 1).select(
         *keys,
         F.col("__ts").alias(left_ts),

@@ -1013,3 +1013,32 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(F.col("o_totalprice")).alias("bucket_total"),
     )
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           MIN(p.ts) AS next_purchase_ts
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts >= c.ts
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (first purchase AT/after each click — time-to-convert):
+    same union+window operator scanning descending, still one shuffle;
+    the oracle states the semantics as a quadratic range join + MIN."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+        right_cols=["p_ts"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("p_ts").alias("next_purchase_ts")
+    )

@@ -723,3 +723,41 @@ def test_boilerplate_ratio_avoids_gram_window(spark):
     df = all_queries()["text_boilerplate_ratio"].fn(spark, "/root/testdata/sf0.001")
     plan = _formatted_plan(df)
     assert "Window" not in plan, plan
+
+
+def test_asof_join_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 17), (1, 30), (2, 5)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 16, "b"), (1, 20, "c"), (2, 50, "z")], "k int, rt int, tag string"
+    )
+    from erpl_web_spark.operators.relational import asof_join
+
+    def run(**kw):
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                        right_cols=["rt", "tag"], **kw)
+        return {(r["k"], r["t"]): (r["rt"], r["tag"]) for r in out.collect()}
+
+    fwd = run(direction="forward")
+    assert fwd[(1, 10)] == (16, "b")   # smallest rt >= 10
+    assert fwd[(1, 17)] == (20, "c")
+    assert fwd[(1, 30)] == (None, None)  # nothing after 30
+    assert fwd[(2, 5)] == (50, "z")
+
+    near = run(direction="nearest")
+    assert near[(1, 10)] == (8, "a")    # |10-8|=2 < |16-10|=6
+    assert near[(1, 17)] == (16, "b")   # 1 < 3
+    assert near[(1, 30)] == (20, "c")
+    assert near[(2, 5)] == (50, "z")    # only forward exists
+
+    # equidistant tie -> backward (pandas semantics): t=18 between 16 and 20
+    tie = spark.createDataFrame([(1, 18)], "k int, t int")
+    out = asof_join(tie, right, on="k", left_ts="t", right_ts="rt",
+                    right_cols=["rt"], direction="nearest").collect()[0]
+    assert out["rt"] == 16
+
+    # tolerance bounds forward matches too (numeric ts -> numeric bound)
+    fwd_tol = run(direction="forward", tolerance="3")
+    assert fwd_tol[(1, 10)] == (None, None)   # nearest forward is 6 away
+    assert fwd_tol[(1, 17)] == (20, "c")      # 3 away, inside bound
