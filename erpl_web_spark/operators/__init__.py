@@ -16,15 +16,33 @@ from erpl_web_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from erpl_web_spark.operators.similarity import (
+    ann_top_k_ivf,
+    ann_top_k_ivf_rerank,
+    ann_top_k_lsh,
     cosine_top_k,
     lsh_bucket_candidates,
+    quantize_int8,
     with_vector_norm,
 )
 from erpl_web_spark.operators.text import (
+    boilerplate_ngrams,
+    hash_split,
+    with_boilerplate_ratio,
     with_text_stats,
     with_language_id,
     with_quality_score,
     token_count_expr,
+)
+from erpl_web_spark.operators.graph import component_summary, connected_components
+from erpl_web_spark.operators.cdc import (
+    apply_cdc_changes,
+    incremental_agg_update,
+    merge_to_parquet_snapshots,
+)
+from erpl_web_spark.operators.curation import (
+    mixture_upsample,
+    seeded_shuffle_key,
+    write_training_shards,
 )
 
 __all__ = [
@@ -38,11 +56,26 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_documents",
     "simhash_near_dup_pairs",
+    "ann_top_k_ivf",
+    "ann_top_k_ivf_rerank",
+    "ann_top_k_lsh",
     "cosine_top_k",
     "lsh_bucket_candidates",
+    "quantize_int8",
     "with_vector_norm",
+    "boilerplate_ngrams",
+    "hash_split",
+    "with_boilerplate_ratio",
     "with_text_stats",
     "with_language_id",
     "with_quality_score",
     "token_count_expr",
+    "component_summary",
+    "connected_components",
+    "apply_cdc_changes",
+    "incremental_agg_update",
+    "merge_to_parquet_snapshots",
+    "mixture_upsample",
+    "seeded_shuffle_key",
+    "write_training_shards",
 ]
