@@ -761,3 +761,48 @@ def test_asof_join_forward_and_nearest(spark):
     fwd_tol = run(direction="forward", tolerance="3")
     assert fwd_tol[(1, 10)] == (None, None)   # nearest forward is 6 away
     assert fwd_tol[(1, 17)] == (20, "c")      # 3 away, inside bound
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, "7"])
+def test_asof_join_matches_pandas_merge_asof(spark, direction, tolerance):
+    """Randomized parity with pandas.merge_asof — the canonical as-of
+    semantics — across all directions, with and without tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 4, 60),
+        "t": rng.integers(0, 100, 60).astype("int64"),
+    }).sort_values("t", kind="stable").reset_index(drop=True)
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 5, 40),
+        "rt": rng.integers(0, 100, 40).astype("int64"),
+        "val": rng.normal(size=40),
+    }).sort_values("rt", kind="stable").reset_index(drop=True)
+    # merge_asof needs unique right keys per (k, rt) for determinism
+    right_pd = right_pd.drop_duplicates(["k", "rt"], keep="first")
+
+    want = pd.merge_asof(
+        left_pd, right_pd, left_on="t", right_on="rt", by="k",
+        direction=direction,
+        tolerance=None if tolerance is None else int(tolerance),
+    )
+
+    from erpl_web_spark.operators.relational import asof_join
+
+    got = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on="k", left_ts="t", right_ts="rt", right_cols=["rt", "val"],
+        direction=direction, tolerance=tolerance,
+    ).toPandas()
+
+    gm = {(r.k, r.t): (r.rt, r.val) for r in got.itertuples()}
+    for r in want.itertuples():
+        g_rt, g_val = gm[(r.k, r.t)]
+        if pd.isna(r.rt):
+            assert pd.isna(g_rt), (r, g_rt)
+        else:
+            assert g_rt == r.rt and abs(g_val - r.val) < 1e-12, (r, g_rt, g_val)
