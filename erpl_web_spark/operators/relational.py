@@ -213,3 +213,30 @@ def salted_join(
     salted_right = right.crossJoin(F.broadcast(salt_ids))
     out = salted_left.join(salted_right, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data profile: (column, n_rows, n_nulls, n_distinct).
+
+    All columns are profiled in ONE aggregation pass over the input (a
+    single scan; count/count-distinct per column as parallel aggregate
+    expressions), then unpivoted driver-side from the 1-row result via
+    a literal stack — no per-column jobs, no second scan. The ingest
+    pre-flight: schema drift, null floods, and key-cardinality
+    anomalies all show up here before a pipeline consumes the table.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+    ).select(
+        "column_name", F.col("__n").alias("n_rows"), "n_nulls", "n_distinct"
+    )

@@ -1042,3 +1042,95 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("p_ts").alias("next_purchase_ts")
     )
+
+
+@register(
+    "events_resample_1h",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+      FROM bounds
+    )
+    SELECT g.user_id, g.slot,
+           MAX(e.ts) AS last_event_ts,
+           COUNT(e.ts) AS n_in_hour
+    FROM grid g LEFT JOIN events e
+      ON e.user_id = g.user_id AND e.event_type = 'purchase'
+     AND e.ts >= g.slot AND e.ts < g.slot + INTERVAL 1 HOUR
+    GROUP BY g.user_id, g.slot
+    """,
+)
+def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to an hourly grid per user (gap-filling):
+    the grid is a JVM sequence explode between each user's hour bounds;
+    per-slot stats come from joining events into their slot by
+    timestamp truncation — an equi-join on (user, hour), NOT a range
+    join, so it shuffles once on the grid key and stays linear. Slots
+    with no events survive with zero counts (the gaps a training
+    pipeline must see)."""
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("slot"),
+    )
+    slotted = e.select(
+        F.col("user_id").alias("e_user"),
+        F.date_trunc("hour", F.col("ts")).alias("e_slot"),
+        "ts",
+    )
+    return (
+        grid.join(
+            slotted,
+            (F.col("user_id") == F.col("e_user")) & (F.col("slot") == F.col("e_slot")),
+            "left",
+        )
+        .groupBy("user_id", "slot")
+        .agg(
+            F.max("ts").alias("last_event_ts"),
+            F.count("ts").alias("n_in_hour"),
+        )
+    )
+
+
+@register(
+    "diag_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM((o_orderkey IS NULL)::INT) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM((o_custkey IS NULL)::INT) AS BIGINT),
+           COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM((o_orderstatus IS NULL)::INT) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+           CAST(SUM((o_orderdate IS NULL)::INT) AS BIGINT),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    """,
+)
+def diag_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in one aggregation pass (operators.relational.
+    profile_columns): null and exact-distinct counts for four orders
+    columns, unpivoted via stack — one scan regardless of column count
+    (the oracle's UNION ALL shape would scan once per column)."""
+    from erpl_web_spark.operators.relational import profile_columns
+
+    return profile_columns(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+    )
