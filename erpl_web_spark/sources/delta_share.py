@@ -125,3 +125,39 @@ def delta_share_show(spark: SparkSession, profile: str | DeltaShareProfile) -> D
             for t in client.list_tables(sh, sc):
                 rows.append((sh, sc, t))
     return spark.createDataFrame(rows, "share string, schema string, table string")
+
+
+def _prof(profile: str | DeltaShareProfile) -> DeltaShareProfile:
+    return profile if isinstance(profile, DeltaShareProfile) else DeltaShareProfile.load(profile)
+
+
+def delta_share_show_shares(
+    spark: SparkSession, profile: str | DeltaShareProfile
+) -> DataFrame:
+    """Reference ``delta_share_show_shares(profile)`` parity
+    (delta_share_client.cpp:283-332): one row per share name."""
+    return spark.createDataFrame(
+        [(s,) for s in DeltaShareClient(_prof(profile)).list_shares()],
+        "share_name string",
+    )
+
+
+def delta_share_show_schemas(
+    spark: SparkSession, profile: str | DeltaShareProfile, share: str
+) -> DataFrame:
+    """Reference ``delta_share_show_schemas(profile, share)`` parity."""
+    return spark.createDataFrame(
+        [(share, s) for s in DeltaShareClient(_prof(profile)).list_schemas(share)],
+        "share_name string, schema_name string",
+    )
+
+
+def delta_share_show_tables(
+    spark: SparkSession, profile: str | DeltaShareProfile, share: str, schema: str
+) -> DataFrame:
+    """Reference ``delta_share_show_tables(profile, share, schema)`` parity."""
+    return spark.createDataFrame(
+        [(share, schema, t)
+         for t in DeltaShareClient(_prof(profile)).list_tables(share, schema)],
+        "share_name string, schema_name string, table_name string",
+    )

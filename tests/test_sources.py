@@ -320,3 +320,26 @@ def test_odp_stream_merges_into_snapshots(spark, fixture_server, odp_state, tmp_
     # no key duplicated across merges
     n_rows = read_latest_snapshot(spark, snap).count()
     assert n_rows == len(got)
+
+
+def test_delta_share_show_functions(spark, fixture_server, tmp_path, delta_table):
+    """Reference-named per-level discovery functions (show_shares /
+    show_schemas / show_tables) against the fixture server."""
+    from erpl_web_spark.sources.delta_share import (
+        DeltaShareProfile,
+        delta_share_show_schemas,
+        delta_share_show_shares,
+        delta_share_show_tables,
+    )
+
+    prof = DeltaShareProfile(
+        endpoint=fixture_server.base_url + "/delta", bearer_token="tok"
+    )
+    shares = [r["share_name"] for r in delta_share_show_shares(spark, prof).collect()]
+    assert shares
+    schemas = delta_share_show_schemas(spark, prof, shares[0]).collect()
+    assert schemas and schemas[0]["share_name"] == shares[0]
+    tables = delta_share_show_tables(
+        spark, prof, shares[0], schemas[0]["schema_name"]
+    ).collect()
+    assert tables and tables[0]["table_name"]
