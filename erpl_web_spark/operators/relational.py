@@ -240,3 +240,46 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     ).select(
         "column_name", F.col("__n").alias("n_rows"), "n_nulls", "n_distinct"
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str], unit_scale: int = 100) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass.
+
+    Values are integerized at ``unit_scale`` (default cents) before the
+    moment sums — Pearson r is invariant to linear scaling, and integer
+    moments stay EXACT in 128-bit decimal in any engine, where decimal
+    products near 38 digits get truncated differently per engine and
+    streaming corr() aggregates (Welford vs naive) round differently.
+    The final (nΣxy - ΣxΣy)/sqrt(...)/sqrt(...) is a fixed sequence of
+    double ops — deterministic and oracle-comparable. One scan,
+    C + C(C+1)/2 parallel aggregate expressions, 1-row result unpivoted
+    via a literal stack.
+    """
+    iu = lambda c: F.round(F.col(c) * unit_scale).cast("decimal(18,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(iu(c)).alias(f"__s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(iu(a) * iu(b)).alias(f"__p_{a}_{b}"))
+    one = df.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("__n").cast("double")
+        sa, sb = F.col(f"__s_{a}").cast("double"), F.col(f"__s_{b}").cast("double")
+        key = f"__p_{a}_{b}" if f"__p_{a}_{b}" in one.columns else f"__p_{b}_{a}"
+        sab = F.col(key).cast("double")
+        saa = F.col(f"__p_{a}_{a}").cast("double")
+        sbb = F.col(f"__p_{b}_{b}").cast("double")
+        return (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    out = one.select(
+        *[corr_expr(a, b).alias(f"{a}__{b}") for a, b in pairs]
+    )
+    stack = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return out.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, pearson_r)"
+    )

@@ -1134,3 +1134,97 @@ def diag_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
     )
+
+
+@register(
+    "interval_join_bucketed",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (purchase within 1h after a click) via time-bucket
+    equi-join: both sides bucket ts to the hour, clicks join buckets
+    h and h+1, and the exact interval predicate filters after. The
+    equi-join on (user, bucket) is hash-partitioned and AQE-splittable —
+    the theta formulation Spark would otherwise pick degenerates to a
+    per-key cross product. Candidate blowup is bounded: each click
+    meets only its two adjacent buckets."""
+    e = load(spark, sf_dir, "events")
+    hour_us = 3_600_000_000  # microseconds per hour, exact integer bucketing
+    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / hour_us).cast("long")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        bucket.alias("b"),
+    )
+    c2 = c.select("click_id", "user_id", "click_ts", F.explode(
+        F.array(F.col("b"), F.col("b") + 1)).alias("jb"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        bucket.alias("jb"),
+    )
+    return (
+        c2.join(p, ["user_id", "jb"])
+        .where(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    )
+
+
+@register(
+    "stat_corr_matrix",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(ROUND(l_quantity * 100) AS DECIMAL(18,0)) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0)) AS p,
+             CAST(ROUND(l_discount * 100) AS DECIMAL(18,0)) AS d
+      FROM lineitem
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) AS s_q,
+             CAST(SUM(p) AS DOUBLE) AS s_p,
+             CAST(SUM(d) AS DOUBLE) AS s_d,
+             CAST(SUM(q * q) AS DOUBLE) AS p_qq,
+             CAST(SUM(p * p) AS DOUBLE) AS p_pp,
+             CAST(SUM(d * d) AS DOUBLE) AS p_dd,
+             CAST(SUM(q * p) AS DOUBLE) AS p_qp,
+             CAST(SUM(q * d) AS DOUBLE) AS p_qd,
+             CAST(SUM(p * d) AS DOUBLE) AS p_pd
+      FROM u
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           (n * p_qp - s_q * s_p) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_pp - s_p * s_p)) AS pearson_r
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           (n * p_qd - s_q * s_d) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_dd - s_d * s_d))
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           (n * p_pd - s_p * s_d) / (sqrt(n * p_pp - s_p * s_p) * sqrt(n * p_dd - s_d * s_d))
+    FROM m
+    """,
+)
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over lineitem numerics in ONE pass.
+    Values integerize to cents first (r is scale-invariant), so every
+    moment sum is exact 128-bit decimal in both engines; see
+    operators.relational.corr_matrix for why engine corr() aggregates
+    are not cross-engine comparable."""
+    from erpl_web_spark.operators.relational import corr_matrix
+
+    return corr_matrix(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
