@@ -1228,3 +1228,67 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
+
+
+@register(
+    "events_value_anomaly",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, value,
+             CAST(ROUND(value * 1000000) AS DECIMAL(19,0)) AS v
+      FROM events
+    ), m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) AS s,
+             CAST(SUM(v * v) AS DOUBLE) AS ss
+      FROM u GROUP BY user_id
+    ), stats AS (
+      SELECT user_id, n,
+             s / n / 1000000.0 AS mean_value,
+             sqrt((n * ss - s * s)) / n / 1000000.0 AS std_value
+      FROM m
+    )
+    SELECT st.user_id, st.n, st.mean_value, st.std_value,
+           CAST(SUM(CASE WHEN abs(u.value - st.mean_value)
+                              > 2.0 * st.std_value THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM u JOIN stats st ON u.user_id = st.user_id
+    GROUP BY st.user_id, st.n, st.mean_value, st.std_value
+    """,
+)
+def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier counts (|value - mean| > 2 sigma): moments come
+    from micro-unit integer sums (exact in both engines; population std
+    via the nΣx²-(Σx)² identity is then fixed double arithmetic, unlike
+    engine stddev aggregates whose streaming updates round differently).
+    Two key-partitioned aggregations sharing the user_id shuffle."""
+    e = load(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1_000_000).cast("decimal(19,0)")
+    m = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    stats = m.select(
+        "user_id",
+        "n",
+        (F.col("s") / F.col("n") / 1e6).alias("mean_value"),
+        (F.sqrt(F.col("n") * F.col("ss") - F.col("s") * F.col("s")) / F.col("n") / 1e6).alias(
+            "std_value"
+        ),
+    )
+    return (
+        e.join(stats, "user_id")
+        .groupBy("user_id", "n", "mean_value", "std_value")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean_value"))
+                    > 2.0 * F.col("std_value"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
