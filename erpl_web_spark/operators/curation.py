@@ -181,9 +181,12 @@ def mixture_upsample(
             F.col(strata_col) == name, c
         )
     factor = F.lit(default_repeats) if factor is None else factor.otherwise(default_repeats)
-    return df.withColumn(
-        "copy_idx", F.explode(F.sequence(F.lit(1), F.greatest(factor, F.lit(0))))
-    ).where(F.col("copy_idx") >= 1)
+    # explicit empty array for repeat factor 0: sequence(1, 0) counts DOWN
+    # in Spark (same hazard as dedup.grams_expr) and would leak one copy
+    seq = F.when(factor >= 1, F.sequence(F.lit(1), factor)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_idx", F.explode(seq))
 
 
 def write_training_shards(

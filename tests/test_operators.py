@@ -806,3 +806,27 @@ def test_asof_join_matches_pandas_merge_asof(spark, direction, tolerance):
             assert pd.isna(g_rt), (r, g_rt)
         else:
             assert g_rt == r.rt and abs(g_val - r.val) < 1e-12, (r, g_rt, g_val)
+
+
+def test_new_operator_edge_cases(spark):
+    """Degenerate inputs: empty edge sets, empty change batches, and
+    zero-repeat strata must degrade gracefully, not throw."""
+    from erpl_web_spark.operators.cdc import apply_cdc_changes
+    from erpl_web_spark.operators.curation import mixture_upsample
+    from erpl_web_spark.operators.graph import connected_components
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty_edges, "src", "dst").count() == 0
+    # self-loops only -> no components (loops are dropped)
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert connected_components(loops, "src", "dst").count() == 0
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    no_changes = spark.createDataFrame([], "k long, v string, op string, seq long")
+    merged = apply_cdc_changes(base, no_changes, ["k"], "op", ["seq"])
+    assert {tuple(r) for r in merged.collect()} == {(1, "a"), (2, "b")}
+
+    d = spark.createDataFrame([(1, "x"), (2, "y")], "id long, source string")
+    up = mixture_upsample(d, "source", {"x": 0, "y": 2})
+    got = sorted((r["id"], r["copy_idx"]) for r in up.collect())
+    assert got == [(2, 1), (2, 2)]  # x dropped entirely, y doubled
