@@ -830,3 +830,24 @@ def test_new_operator_edge_cases(spark):
     up = mixture_upsample(d, "source", {"x": 0, "y": 2})
     got = sorted((r["id"], r["copy_idx"]) for r in up.collect())
     assert got == [(2, 1), (2, 2)]  # x dropped entirely, y doubled
+
+
+def test_corr_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=200)
+    b = 0.7 * a + rng.normal(size=200) * 0.3
+    c = rng.normal(size=200)
+    # two-decimal values (the operator integerizes at cents)
+    rows = [(round(float(x), 2), round(float(y), 2), round(float(z), 2))
+            for x, y, z in zip(a, b, c)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    from erpl_web_spark.operators.relational import corr_matrix
+
+    got = {(r["col_a"], r["col_b"]): r["pearson_r"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    arr = np.array(rows)
+    want = np.corrcoef(arr.T)
+    assert abs(got[("x", "y")] - want[0, 1]) < 1e-9
+    assert abs(got[("x", "z")] - want[0, 2]) < 1e-9
+    assert abs(got[("y", "z")] - want[1, 2]) < 1e-9
+    assert got[("x", "y")] > 0.8  # the planted correlation
