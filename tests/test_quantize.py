@@ -83,3 +83,22 @@ def test_ivf_int8_rerank_recall(spark):
     a = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
     b = {(r["probe_id"], r["neighbor_id"]) for r in two_stage.collect()}
     assert len(a & b) / len(a) >= 0.95, (len(a & b), len(a))
+
+
+def test_quantize_adversarial_values(spark):
+    """Denormals, negatives-at-max, huge magnitudes, and mixed-sign
+    vectors all quantize within clamp bounds and reconstruct within
+    scale/2."""
+    rows = [
+        (1, [5e-324, -5e-324, 0.0, 1e-300]),          # denormal territory
+        (2, [-3.4e38, 3.4e38, 1.0, -1.0]),            # float32 extremes
+        (3, [-1.0, -0.5, -0.25, -0.125]),             # all negative
+        (4, [1e-9, 2e-9, -1e-9, 3e-9]),               # tiny uniform
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_int8(df)
+    for r in q.collect():
+        scale = r["scale"]
+        assert all(-127 <= v <= 127 for v in r["q"])
+        for x, qq in zip(r["embedding"], r["q"]):
+            assert abs(float(x) - qq * scale) <= scale / 2 + 1e-30
