@@ -293,11 +293,17 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM customer GROUP BY 1),
          s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
                FROM supplier GROUP BY 1)
-    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.n_cust, s.n_supp
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           CAST(c.n_cust AS DOUBLE) AS n_cust,
+           CAST(s.n_supp AS DOUBLE) AS n_supp
     FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
     """,
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join count columns are DOUBLE on both sides: they are NULL
+    for unmatched rows at small SFs, and a nullable integral column
+    canonicalizes to float64 only when NULLs happen to occur — the
+    SF-dependent dtype-drift class the strict gate exists to catch."""
     c = (
         load(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -313,8 +319,8 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
         .select(
             F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
-            F.col("c.n_cust").alias("n_cust"),
-            F.col("s.n_supp").alias("n_supp"),
+            F.col("c.n_cust").cast("double").alias("n_cust"),
+            F.col("s.n_supp").cast("double").alias("n_supp"),
         )
     )
 
