@@ -1,0 +1,123 @@
+"""Corpus-curation facade: one call composing the verified operators.
+
+Each stage is independently oracle-checked in the suite
+(dedup_exact / dedup_cluster_components / text_quality /
+pipeline_curate_corpus prove the composition semantics); this module is
+the library front door that strings them together with a config object
+and returns both the curated corpus and a per-stage accounting report —
+the two artifacts every training-data run needs.
+
+Design for 100 TB: every stage is a DataFrame transformation (digests
+and (long, long) labels shuffle, never bodies); stages toggle off
+independently; the report is a handful of counts, computed in one
+action over a cached intermediate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # exact dedup: keep the minimum id per normalized-text digest
+    exact_dedup: bool = True
+    # near-dup clustering: Jaccard threshold over word-3-gram shingles,
+    # blocked by these columns (empty = no blocking); keep one doc per
+    # connected component
+    near_dedup: bool = True
+    near_threshold: float = 0.5
+    block_cols: list[str] = field(default_factory=list)
+    use_minhash: bool = True  # LSH candidates (scale path) vs exact pairs
+    # quality gate (>= 3 of 4 heuristics, operators.text.with_quality_score)
+    quality_gate: bool = True
+    # boilerplate cap: drop docs whose repeated-ngram contamination
+    # exceeds this ratio (None = skip the stage)
+    max_boilerplate_ratio: float | None = None
+
+
+def curate(df: DataFrame, cfg: CurationConfig | None = None) -> tuple[DataFrame, DataFrame]:
+    """Run the curation pipeline; returns (kept_docs, report).
+
+    ``report`` has one row per stage: (stage, n_dropped) plus an
+    ``input``/``output`` row — the accounting that makes a curation run
+    reviewable. Stage order: exact dedup -> near-dup clusters ->
+    quality -> boilerplate.
+    """
+    from erpl_web_spark.operators.dedup import (
+        exact_dedup_report,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from erpl_web_spark.operators.graph import connected_components
+    from erpl_web_spark.operators.text import (
+        with_boilerplate_ratio,
+        with_quality_score,
+    )
+
+    cfg = cfg or CurationConfig()
+    id_col, text_col = cfg.id_col, cfg.text_col
+    counts: list[tuple[str, int]] = []
+    cur = df
+    n = cur.count()
+    counts.append(("input", n))
+
+    if cfg.exact_dedup:
+        keepers = exact_dedup_report(cur, id_col, text_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        cur = cur.join(keepers, id_col, "left_semi")
+        m = cur.count()
+        counts.append(("exact_dedup_dropped", n - m))
+        n = m
+
+    if cfg.near_dedup:
+        if cfg.use_minhash:
+            pairs = minhash_lsh_pairs(
+                cur, id_col, text_col, threshold=cfg.near_threshold
+            )
+        else:
+            pairs = ngram_jaccard_pairs(
+                cur, id_col, text_col,
+                block_cols=cfg.block_cols,
+                threshold=cfg.near_threshold,
+            )
+        drop = (
+            connected_components(pairs, "id_a", "id_b")
+            .where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+        cur = cur.join(drop, id_col, "left_anti")
+        m = cur.count()
+        counts.append(("near_dedup_dropped", n - m))
+        n = m
+
+    if cfg.quality_gate:
+        cur = with_quality_score(cur, text_col=text_col).where(
+            F.col("quality_keep")
+        ).drop("quality_score", "quality_keep")
+        m = cur.count()
+        counts.append(("quality_dropped", n - m))
+        n = m
+
+    if cfg.max_boilerplate_ratio is not None:
+        ratios = with_boilerplate_ratio(cur, id_col, text_col).select(
+            id_col, "boiler_ratio"
+        )
+        cur = (
+            cur.join(ratios, id_col)
+            .where(F.col("boiler_ratio") <= cfg.max_boilerplate_ratio)
+            .drop("boiler_ratio")
+        )
+        m = cur.count()
+        counts.append(("boilerplate_dropped", n - m))
+        n = m
+
+    counts.append(("output", n))
+    report = df.sparkSession.createDataFrame(counts, "stage string, n long")
+    return cur, report

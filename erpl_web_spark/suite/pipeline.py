@@ -1184,3 +1184,32 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upd.select(
         "o_custkey", "n_rows", F.col("total_spend").cast("double").alias("total_spend")
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS freq
+    FROM toks GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 50
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-frequency vocabulary (top-50, ties broken
+    lexically) — the seed table for tokenizer training. Explode ->
+    map-side-combined count -> TakeOrderedAndProject; the shuffle
+    carries (token, partial_count), never documents."""
+    from erpl_web_spark.operators.text import tokens_expr
+    from erpl_web_spark.suite.relational import top_k
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    freq = (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    return top_k(freq, [F.col("freq").desc(), F.col("tok").asc()], 50)

@@ -1,0 +1,49 @@
+"""The curation facade: stage accounting adds up, every stage drops
+what it should, and stages toggle independently."""
+
+from erpl_web_spark.pipeline import CurationConfig, curate
+
+
+def _docs(spark):
+    good = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, good + "one"),
+        (2, good + "one"),          # exact dup of 1 -> dropped by exact stage
+        (3, good.replace("lazy", "sleepy") + "one"),  # near dup of 1
+        (4, "x y z"),               # too short -> quality drop
+        (5, "completely different organic content with many varied words here " * 4),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_full_pipeline(spark):
+    kept, report = curate(
+        _docs(spark),
+        CurationConfig(use_minhash=False, near_threshold=0.5),
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 5}
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["input"] == 5
+    assert rep["exact_dedup_dropped"] == 1       # doc 2
+    assert rep["near_dedup_dropped"] == 1        # doc 3
+    assert rep["quality_dropped"] == 1           # doc 4
+    assert rep["output"] == 2
+    # accounting must add up exactly
+    assert rep["input"] - sum(v for k, v in rep.items() if k.endswith("_dropped")) == rep["output"]
+
+
+def test_curate_stages_toggle(spark):
+    kept, report = curate(
+        _docs(spark),
+        CurationConfig(exact_dedup=False, near_dedup=False, quality_gate=False),
+    )
+    assert kept.count() == 5
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert set(rep) == {"input", "output"}
+
+
+def test_curate_minhash_path(spark):
+    kept, _ = curate(_docs(spark), CurationConfig(use_minhash=True))
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 5 in ids and 2 not in ids
