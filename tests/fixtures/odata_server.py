@@ -267,6 +267,17 @@ GRAPH_USERS = [
     for i in range(5)
 ]
 
+GRAPH_USER_DELTAS = {
+    "G1": [
+        {"id": "u1", "displayName": "User 1 Renamed",
+         "userPrincipalName": "u1@x.example", "mail": "u1@x.example",
+         "jobTitle": "Staff Eng", "department": "R&D", "accountEnabled": False},
+        {"id": "u3", "@removed": {"reason": "deleted"}},
+    ],
+    "G2": [],
+}
+GRAPH_DELTA_CHAIN = {"G1": "G2", "G2": "G2"}
+
 GRAPH_LIST_COLUMNS = [
     {"name": "Title", "displayName": "Title", "text": {}, "required": True},
     {"name": "Amount", "displayName": "Amount", "number": {}, "required": False},
@@ -472,6 +483,24 @@ def _make_handler(state: FixtureState):
                 return self._serve_odp(q)
 
             # ---- Microsoft Graph -----------------------------------------
+            if route == "/graph/users/delta":
+                token = q.get("$deltatoken")
+                if token:
+                    if token not in GRAPH_USER_DELTAS:
+                        return self._send(410, b"token expired", "text/plain")
+                    nxt = GRAPH_DELTA_CHAIN[token]
+                    return self._json(200, {
+                        "value": GRAPH_USER_DELTAS[token],
+                        "@odata.deltaLink": f"/users/delta?%24deltatoken={nxt}",
+                    })
+                skip = int(q.get("$skiptoken", 0))
+                page = GRAPH_USERS[skip:skip + 3]
+                doc = {"value": page}
+                if skip + 3 < len(GRAPH_USERS):
+                    doc["@odata.nextLink"] = f"/users/delta?%24skiptoken={skip + 3}"
+                else:
+                    doc["@odata.deltaLink"] = "/users/delta?%24deltatoken=G1"
+                return self._json(200, doc)
             if route == "/graph/users":
                 # two pages via @odata.nextLink
                 skip = int(q.get("$skiptoken", 0))

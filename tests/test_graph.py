@@ -155,3 +155,35 @@ def test_planner_bulk_create(spark, fixture_server):
     assert all(r["task_id"] in r["task_url"] for r in out)
     created = fixture_server.state.planner_created[before:]
     assert sorted(c["title"] for c in created) == sorted(r["title"] for r in out)
+
+
+def test_graph_users_delta_sync(spark, fixture_server, tmp_path):
+    """Graph /delta CDC: full load -> updates + tombstones -> steady
+    state; composing with apply_cdc_changes maintains the directory."""
+    from erpl_web_spark.core.http import HttpClient
+    from erpl_web_spark.operators.cdc import apply_cdc_changes
+    from erpl_web_spark.sources.graph import GraphClient, graph_users_delta
+
+    g = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    state = str(tmp_path / "gstate")
+
+    # 1) initial load: 5 users over 2 pages, all upserts
+    full = graph_users_delta(spark, g, state)
+    rows = full.collect()
+    assert len(rows) == 5 and all(r["change_op"] == "U" for r in rows)
+
+    # 2) delta: u1 renamed + u3 tombstoned
+    delta = graph_users_delta(spark, g, state)
+    ops = {r["id"]: r["change_op"] for r in delta.collect()}
+    assert ops == {"u1": "U", "u3": "D"}
+
+    # 3) steady state: no changes
+    assert graph_users_delta(spark, g, state).count() == 0
+
+    # 4) snapshot maintenance through the CDC merge
+    snap = apply_cdc_changes(
+        full.drop("change_op"), delta, ["id"], op_col="change_op"
+    )
+    final = {r["id"]: r["display_name"] for r in snap.collect()}
+    assert "u3" not in final and final["u1"] == "User 1 Renamed"
+    assert len(final) == 4
