@@ -691,42 +691,31 @@ def planner_create_tasks(
     return src.mapInPandas(create, "title string, task_id string, task_url string")
 
 
-def graph_users_delta(
-    spark: SparkSession, client: GraphClient, state_dir: str
-) -> DataFrame:
-    """Incremental Entra users via Graph ``/users/delta`` — the Graph
-    family's CDC surface (beyond the reference, which implements delta
-    replication only for SAP ODP; the token mechanics mirror
-    ``sources/odp.py``: walk ``@odata.nextLink`` pages, commit the
-    ``@odata.deltaLink`` only after the last page, expired token ->
-    full reload).
-
-    First call returns the full directory (change_op 'U' per row);
-    subsequent calls return only changes — updated rows as 'U', tombstones
-    (``@removed`` markers) as 'D' with only the id populated. Feed the
-    result straight into ``operators.cdc.apply_cdc_changes`` keyed on id
-    to maintain a directory snapshot.
-    """
+def _delta_sync(
+    client: GraphClient, path: str, state_key: str, state_dir: str
+) -> list[dict]:
+    """Shared Graph /delta token machinery (mirrors sources/odp.py):
+    walk @odata.nextLink pages, commit the @odata.deltaLink only after
+    the last page, 410 on an expired token -> drop state and reload."""
     import json as _json
     import os
 
     os.makedirs(state_dir, exist_ok=True)
-    state_path = os.path.join(state_dir, "graph_users_delta.json")
+    state_path = os.path.join(state_dir, f"{state_key}.json")
     delta_link = None
     if os.path.exists(state_path):
         with open(state_path) as f:
             delta_link = _json.load(f).get("delta_link")
 
-    url = delta_link or (client.base_url + "/users/delta")
+    url = delta_link or (client.base_url + path)
     items: list[dict] = []
     new_delta = None
     pages = 0
     while url:
         resp = client.http.get(url, headers={"Accept": "application/json"})
         if resp.status == 410 and delta_link:
-            # expired token -> automatic full reload (ODP I5 semantics)
             os.remove(state_path)
-            return graph_users_delta(spark, client, state_dir)
+            return _delta_sync(client, path, state_key, state_dir)
         if resp.status >= 400:
             raise RuntimeError(f"Graph delta HTTP {resp.status} from {url}")
         doc = resp.json()
@@ -738,21 +727,53 @@ def graph_users_delta(
         new_delta = doc.get("@odata.deltaLink") or new_delta
         url = client.base_url + nxt if nxt and nxt.startswith("/") else nxt
 
-    rows = []
-    for i in items:
-        removed = "@removed" in i
-        rows.append(
-            (i.get("id"), i.get("displayName"), i.get("userPrincipalName"),
-             i.get("mail"), i.get("jobTitle"), i.get("department"),
-             i.get("accountEnabled"), "D" if removed else "U")
-        )
     if new_delta:
         if new_delta.startswith("/"):
             new_delta = client.base_url + new_delta
         with open(state_path, "w") as f:
             _json.dump({"delta_link": new_delta}, f)
+    return items
 
+
+def graph_users_delta(
+    spark: SparkSession, client: GraphClient, state_dir: str
+) -> DataFrame:
+    """Incremental Entra users via Graph ``/users/delta`` — the Graph
+    family's CDC surface (beyond the reference, which implements delta
+    replication only for SAP ODP).
+
+    First call returns the full directory (change_op 'U' per row);
+    subsequent calls return only changes — updated rows as 'U', tombstones
+    (``@removed`` markers) as 'D' with only the id populated. Feed the
+    result straight into ``operators.cdc.apply_cdc_changes`` keyed on id
+    to maintain a directory snapshot.
+    """
+    items = _delta_sync(client, "/users/delta", "graph_users_delta", state_dir)
+    rows = [
+        (i.get("id"), i.get("displayName"), i.get("userPrincipalName"),
+         i.get("mail"), i.get("jobTitle"), i.get("department"),
+         i.get("accountEnabled"), "D" if "@removed" in i else "U")
+        for i in items
+    ]
     schema = StructType(
         USERS_SCHEMA.fields + [StructField("change_op", StringType())]
+    )
+    return _rows_df(spark, rows, schema)
+
+
+def graph_groups_delta(
+    spark: SparkSession, client: GraphClient, state_dir: str
+) -> DataFrame:
+    """Incremental Entra groups via ``/groups/delta`` — same token
+    machinery and change_op convention as ``graph_users_delta``."""
+    items = _delta_sync(client, "/groups/delta", "graph_groups_delta", state_dir)
+    rows = [
+        (i.get("id"), i.get("displayName"), i.get("description"),
+         i.get("mail"), i.get("mailEnabled"), i.get("securityEnabled"),
+         "D" if "@removed" in i else "U")
+        for i in items
+    ]
+    schema = StructType(
+        GROUPS_SCHEMA.fields + [StructField("change_op", StringType())]
     )
     return _rows_df(spark, rows, schema)

@@ -278,6 +278,15 @@ GRAPH_USER_DELTAS = {
 }
 GRAPH_DELTA_CHAIN = {"G1": "G2", "G2": "G2"}
 
+GRAPH_GROUP_DELTAS = {
+    "H1": [
+        {"id": "g1", "displayName": "Grp Renamed", "description": "d2",
+         "mail": "g@x", "mailEnabled": True, "securityEnabled": True},
+    ],
+    "H2": [],
+}
+GRAPH_GROUP_CHAIN = {"H1": "H2", "H2": "H2"}
+
 GRAPH_LIST_COLUMNS = [
     {"name": "Title", "displayName": "Title", "text": {}, "required": True},
     {"name": "Amount", "displayName": "Amount", "number": {}, "required": False},
@@ -510,6 +519,23 @@ def _make_handler(state: FixtureState):
                     # relative to the Graph base (client prefixes base_url)
                     doc["@odata.nextLink"] = f"/users?%24skiptoken={skip + 3}"
                 return self._json(200, doc)
+            if route == "/graph/groups/delta":
+                token = q.get("$deltatoken")
+                if token:
+                    if token not in GRAPH_GROUP_DELTAS:
+                        return self._send(410, b"token expired", "text/plain")
+                    nxt = GRAPH_GROUP_CHAIN[token]
+                    return self._json(200, {
+                        "value": GRAPH_GROUP_DELTAS[token],
+                        "@odata.deltaLink": f"/groups/delta?%24deltatoken={nxt}",
+                    })
+                return self._json(200, {
+                    "value": [
+                        {"id": "g1", "displayName": "Grp", "description": "d",
+                         "mail": "g@x", "mailEnabled": True,
+                         "securityEnabled": False}],
+                    "@odata.deltaLink": "/groups/delta?%24deltatoken=H1",
+                })
             if route == "/graph/groups":
                 return self._json(200, {"value": [
                     {"id": "g1", "displayName": "Grp", "description": "d",

@@ -187,3 +187,17 @@ def test_graph_users_delta_sync(spark, fixture_server, tmp_path):
     final = {r["id"]: r["display_name"] for r in snap.collect()}
     assert "u3" not in final and final["u1"] == "User 1 Renamed"
     assert len(final) == 4
+
+
+def test_graph_groups_delta_sync(spark, fixture_server, tmp_path):
+    from erpl_web_spark.core.http import HttpClient
+    from erpl_web_spark.sources.graph import GraphClient, graph_groups_delta
+
+    g = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    state = str(tmp_path / "gstate")
+    full = graph_groups_delta(spark, g, state)
+    assert [(r["id"], r["change_op"]) for r in full.collect()] == [("g1", "U")]
+    delta = graph_groups_delta(spark, g, state).collect()
+    assert len(delta) == 1 and delta[0]["display_name"] == "Grp Renamed"
+    assert delta[0]["security_enabled"] is True
+    assert graph_groups_delta(spark, g, state).count() == 0
