@@ -43,7 +43,16 @@ def apply_cdc_changes(
     """
     img_cols = base.columns
     if seq_cols:
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+        # Ties on the sequence columns break deterministically by the
+        # remaining row content (arbitrary but stable across runs and
+        # partitionings — a bare row_number over a tied window is not).
+        tiebreak = [
+            c for c in img_cols if c not in keys and c not in seq_cols
+        ]
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in seq_cols],
+            *[F.col(c).desc_nulls_last() for c in tiebreak],
+        )
         latest = (
             changes.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
