@@ -213,3 +213,56 @@ def write_training_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic token-budget sampling: per stratum, keep documents
+    in seeded-hash order until the cumulative token count reaches the
+    stratum's budget (the 'take 1B tokens of source X' mixture recipe).
+
+    Hash-ordered cumulative sums make the selection stable across runs,
+    cluster sizes, and input partitioning; adding documents to a
+    stratum never evicts earlier-hash selections below budget. The
+    window is per stratum — the stratum is the unit of parallelism
+    (same posture as sequence packing); across strata everything runs
+    in parallel.
+    """
+    from pyspark.sql.window import Window
+
+    keyed = seeded_shuffle_key(df, id_col, seed=seed, method="md5")
+    budget = None
+    for name, b in budgets.items():
+        c = F.lit(int(b))
+        budget = F.when(F.col(strata_col) == name, c) if budget is None else budget.when(
+            F.col(strata_col) == name, c
+        )
+    if default_budget is None:
+        budget = budget.otherwise(F.lit(None)) if budget is not None else F.lit(None)
+    else:
+        budget = (
+            F.lit(int(default_budget))
+            if budget is None
+            else budget.otherwise(int(default_budget))
+        )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = keyed.withColumn("__budget", budget).withColumn(
+        "cum_tokens", F.sum(F.col(token_col).cast("bigint")).over(w)
+    )
+    # keep while the running total INCLUDING this doc stays within budget;
+    # unbudgeted strata (NULL budget) are dropped entirely
+    return (
+        out.where(F.col("cum_tokens") <= F.col("__budget"))
+        .drop("__budget")
+    )

@@ -1213,3 +1213,49 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     return top_k(freq, [F.col("freq").desc(), F.col("tok").asc()], 50)
+
+
+@register(
+    "curation_token_budget",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks,
+             CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS shuffle_key
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY shuffle_key, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 1000 ELSE NULL END
+               AS budget
+      FROM keyed
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(MAX(cum_tokens) AS BIGINT) AS max_cum
+    FROM cum WHERE cum_tokens <= budget
+    GROUP BY source
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling ('take 500 tokens of src0, 1000 of
+    src1'): seeded-hash-ordered cumulative token sums per stratum, kept
+    while within budget — deterministic across runs and partitionings.
+    Summary proves the selection; the window is per stratum (the unit
+    of parallelism, as with sequence packing)."""
+    from erpl_web_spark.operators.curation import token_budget_sample
+    from erpl_web_spark.operators.text import tokens_expr
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(tokens_expr(F.col("text"))).cast("bigint")
+    )
+    kept = token_budget_sample(
+        d, "source", "doc_id", "n_toks", {"src0": 500, "src1": 1000}
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.max("cum_tokens").alias("max_cum"),
+    )

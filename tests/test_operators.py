@@ -851,3 +851,28 @@ def test_corr_matrix_matches_numpy(spark):
     assert abs(got[("x", "z")] - want[0, 2]) < 1e-9
     assert abs(got[("y", "z")] - want[1, 2]) < 1e-9
     assert got[("x", "y")] > 0.8  # the planted correlation
+
+
+def test_token_budget_sample_properties(spark):
+    """Budget is respected exactly, selection is hash-deterministic, and
+    a larger budget strictly extends (never reorders) the selection."""
+    from erpl_web_spark.operators.curation import token_budget_sample
+
+    rows = [(i, "s", 10) for i in range(20)] + [(100 + i, "t", 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_toks long")
+
+    small = token_budget_sample(df, "source", "doc_id", "n_toks", {"s": 55, "t": 21})
+    got = {r["source"]: sorted(x["doc_id"] for x in small.collect() if x["source"] == r["source"])
+           for r in small.select("source").distinct().collect()}
+    # budgets: 55 tokens of 10 each -> 5 docs; 21 of 7 each -> 3 docs
+    assert len(got["s"]) == 5 and len(got["t"]) == 3
+
+    big = token_budget_sample(df, "source", "doc_id", "n_toks", {"s": 105, "t": 70})
+    big_ids = {r["doc_id"] for r in big.collect()}
+    small_ids = {r["doc_id"] for r in small.collect()}
+    assert small_ids <= big_ids          # monotone nesting
+    assert len(big_ids) == 10 + 10       # both fully within budget
+
+    # unbudgeted strata drop entirely
+    only_s = token_budget_sample(df, "source", "doc_id", "n_toks", {"s": 55})
+    assert {r["source"] for r in only_s.collect()} == {"s"}
