@@ -42,6 +42,7 @@ from erpl_web_spark.operators.cdc import (
 from erpl_web_spark.operators.curation import (
     mixture_upsample,
     seeded_shuffle_key,
+    token_budget_sample,
     write_training_shards,
 )
 
@@ -77,5 +78,6 @@ __all__ = [
     "merge_to_parquet_snapshots",
     "mixture_upsample",
     "seeded_shuffle_key",
+    "token_budget_sample",
     "write_training_shards",
 ]

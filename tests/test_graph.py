@@ -201,3 +201,41 @@ def test_graph_groups_delta_sync(spark, fixture_server, tmp_path):
     assert len(delta) == 1 and delta[0]["display_name"] == "Grp Renamed"
     assert delta[0]["security_enabled"] is True
     assert graph_groups_delta(spark, g, state).count() == 0
+
+
+def test_graph_delta_streaming_source(spark, fixture_server, tmp_path):
+    """Graph /delta as a streaming source: the deltaLink is the offset,
+    so the checkpoint alone carries sync state across runs (foreachBatch
+    sink — the memory sink cannot resume from a checkpoint)."""
+    from erpl_web_spark.streaming.graph_delta_stream import GraphDeltaDataSource
+
+    spark.dataSource.register(GraphDeltaDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    batches: list[list] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("graph_delta")
+            .option("base_url", fixture_server.base_url + "/graph")
+            .option("entity", "users")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: batches.append(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {(r["id"], r["change_op"]) for b in batches for r in b}
+    assert {("u0", "U"), ("u4", "U")} <= first and len(first) >= 5
+
+    batches.clear()
+    run_once()  # same checkpoint: only the G1 delta arrives
+    second = {(r["id"], r["change_op"]) for b in batches for r in b}
+    assert ("u3", "D") in second and ("u1", "U") in second
+    assert ("u0", "U") not in second  # no full-reload replay
