@@ -777,3 +777,43 @@ def graph_groups_delta(
         GROUPS_SCHEMA.fields + [StructField("change_op", StringType())]
     )
     return _rows_df(spark, rows, schema)
+
+
+def graph_list_items_delta(
+    spark: SparkSession,
+    client: GraphClient,
+    site_id: str,
+    list_id: str,
+    state_dir: str,
+) -> DataFrame:
+    """Incremental SharePoint list rows via ``/items/delta`` — the third
+    Graph delta surface (users, groups, list items), same token
+    machinery and change_op convention. Columns type from the list's
+    facets exactly as ``graph_list_items``; tombstones carry only the
+    id. Feed ``operators.cdc.apply_cdc_changes`` keyed on id to
+    maintain a list snapshot without re-reading the whole list."""
+    cols = client.get_paged_values(f"/sites/{site_id}/lists/{list_id}/columns")
+    cols = [c for c in cols if not c.get("readOnly") or c.get("name") == "Title"]
+    fields = [StructField("id", StringType(), True)] + [
+        StructField(c["name"], sharepoint_column_type(c), True) for c in cols
+    ]
+    items = _delta_sync(
+        client,
+        f"/sites/{site_id}/lists/{list_id}/items/delta?expand=fields",
+        f"graph_list_items_delta_{site_id}_{list_id}",
+        state_dir,
+    )
+    rows = []
+    for it in items:
+        removed = "@removed" in it
+        f = it.get("fields", {})
+        rows.append(
+            (it.get("id"),)
+            + tuple(
+                None if removed else decode_value(f.get(c["name"]), fl.dataType)
+                for c, fl in zip(cols, fields[1:])
+            )
+            + ("D" if removed else "U",)
+        )
+    schema = StructType(fields + [StructField("change_op", StringType())])
+    return _rows_df(spark, rows, schema)

@@ -565,6 +565,28 @@ def _make_handler(state: FixtureState):
                      "lastModifiedDateTime": "2024-01-02T00:00:00Z"}]})
             if route == "/graph/sites/s1/lists/l1/columns":
                 return self._json(200, {"value": GRAPH_LIST_COLUMNS})
+            if route == "/graph/sites/s1/lists/l1/items/delta":
+                token = q.get("$deltatoken")
+                if token == "L1":
+                    return self._json(200, {
+                        "value": [
+                            {"id": "2", "fields": {"Title": "Row2 edited",
+                                                   "Amount": 99.5}},
+                            {"id": "1", "@removed": {"reason": "deleted"}},
+                        ],
+                        "@odata.deltaLink": "/sites/s1/lists/l1/items/delta?%24deltatoken=L2",
+                    })
+                if token == "L2":
+                    return self._json(200, {
+                        "value": [],
+                        "@odata.deltaLink": "/sites/s1/lists/l1/items/delta?%24deltatoken=L2",
+                    })
+                if token:
+                    return self._send(410, b"token expired", "text/plain")
+                return self._json(200, {
+                    "value": state.sp_items,
+                    "@odata.deltaLink": "/sites/s1/lists/l1/items/delta?%24deltatoken=L1",
+                })
             if route == "/graph/sites/s1/lists/l1/items":
                 return self._json(200, {"value": state.sp_items})
             if route == "/graph/me/drive/root/children":

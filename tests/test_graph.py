@@ -239,3 +239,31 @@ def test_graph_delta_streaming_source(spark, fixture_server, tmp_path):
     second = {(r["id"], r["change_op"]) for b in batches for r in b}
     assert ("u3", "D") in second and ("u1", "U") in second
     assert ("u0", "U") not in second  # no full-reload replay
+
+
+def test_graph_list_items_delta_sync(spark, fixture_server, tmp_path):
+    """SharePoint list-items delta: facet-typed columns, tombstones, and
+    snapshot maintenance through the CDC merge."""
+    from erpl_web_spark.core.http import HttpClient
+    from erpl_web_spark.operators.cdc import apply_cdc_changes
+    from erpl_web_spark.sources.graph import GraphClient, graph_list_items_delta
+
+    g = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    state = str(tmp_path / "lstate")
+
+    full = graph_list_items_delta(spark, g, "s1", "l1", state)
+    rows = full.collect()
+    assert {r["id"] for r in rows} == {"1", "2"}
+    assert all(r["change_op"] == "U" for r in rows)
+    amounts = {r["id"]: r["Amount"] for r in rows}
+    assert amounts == {"1": 10.5, "2": 20.0}  # facet-typed DOUBLE
+
+    delta = graph_list_items_delta(spark, g, "s1", "l1", state)
+    ops = {r["id"]: r["change_op"] for r in delta.collect()}
+    assert ops == {"2": "U", "1": "D"}
+
+    assert graph_list_items_delta(spark, g, "s1", "l1", state).count() == 0
+
+    snap = apply_cdc_changes(full.drop("change_op"), delta, ["id"], op_col="change_op")
+    final = {r["id"]: r["Title"] for r in snap.collect()}
+    assert final == {"2": "Row2 edited"}
