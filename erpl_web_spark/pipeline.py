@@ -9,14 +9,21 @@ the two artifacts every training-data run needs.
 
 Design for 100 TB: every stage is a DataFrame transformation (digests
 and (long, long) labels shuffle, never bodies); stages toggle off
-independently; the report is a handful of counts, computed in one
-action over a cached intermediate.
+independently. Each stage's survivor set is persisted
+(MEMORY_AND_DISK) before its count and the predecessor's cache is
+released, so the per-stage accounting costs ONE materialization per
+stage — the expensive upstream operators (exact dedup, MinHash-LSH,
+connected components) run exactly once regardless of how many stages
+follow them. The final corpus is returned still persisted so the
+caller's first action reads the cache, not the source; callers that
+are done with it should ``unpersist()``.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,13 +48,25 @@ class CurationConfig:
     max_boilerplate_ratio: float | None = None
 
 
-def curate(df: DataFrame, cfg: CurationConfig | None = None) -> tuple[DataFrame, DataFrame]:
+def curate(
+    df: DataFrame,
+    cfg: CurationConfig | None = None,
+    stage_trace: list[tuple[str, DataFrame, str]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline; returns (kept_docs, report).
 
     ``report`` has one row per stage: (stage, n_dropped) plus an
     ``input``/``output`` row — the accounting that makes a curation run
     reviewable. Stage order: exact dedup -> near-dup clusters ->
     quality -> boilerplate.
+
+    Each stage is persisted before counting and the predecessor cache is
+    unpersisted, so stage N+1 reads stage N's cached survivors instead of
+    re-running the whole upstream chain. ``stage_trace``, when provided,
+    collects ``(stage_name, stage_df, optimized_plan)`` per stage, with
+    the plan string captured while the predecessor is still cached, so
+    tests can pin the caching contract (InMemoryRelation in stage-2+
+    plans).
     """
     from erpl_web_spark.operators.dedup import (
         exact_dedup_report,
@@ -63,16 +82,29 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> tuple[DataFrame,
     cfg = cfg or CurationConfig()
     id_col, text_col = cfg.id_col, cfg.text_col
     counts: list[tuple[str, int]] = []
-    cur = df
-    n = cur.count()
+
+    def materialize(name: str, stage_df: DataFrame, prev: DataFrame | None) -> tuple[DataFrame, int]:
+        if stage_trace is not None:
+            # Capture the plan before this stage is itself registered in
+            # the cache manager and before the predecessor is released:
+            # this is the plan the count below executes.
+            plan = stage_df._jdf.queryExecution().optimizedPlan().toString()
+        cached = stage_df.persist(StorageLevel.MEMORY_AND_DISK)
+        m = cached.count()
+        if prev is not None:
+            prev.unpersist()
+        if stage_trace is not None:
+            stage_trace.append((name, cached, plan))
+        return cached, m
+
+    cur, n = materialize("input", df, None)
     counts.append(("input", n))
 
     if cfg.exact_dedup:
         keepers = exact_dedup_report(cur, id_col, text_col).select(
             F.col("keep_id").alias(id_col)
         )
-        cur = cur.join(keepers, id_col, "left_semi")
-        m = cur.count()
+        cur, m = materialize("exact_dedup", cur.join(keepers, id_col, "left_semi"), cur)
         counts.append(("exact_dedup_dropped", n - m))
         n = m
 
@@ -92,16 +124,15 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> tuple[DataFrame,
             .where(F.col("id") != F.col("component"))
             .select(F.col("id").alias(id_col))
         )
-        cur = cur.join(drop, id_col, "left_anti")
-        m = cur.count()
+        cur, m = materialize("near_dedup", cur.join(drop, id_col, "left_anti"), cur)
         counts.append(("near_dedup_dropped", n - m))
         n = m
 
     if cfg.quality_gate:
-        cur = with_quality_score(cur, text_col=text_col).where(
+        gated = with_quality_score(cur, text_col=text_col).where(
             F.col("quality_keep")
         ).drop("quality_score", "quality_keep")
-        m = cur.count()
+        cur, m = materialize("quality", gated, cur)
         counts.append(("quality_dropped", n - m))
         n = m
 
@@ -109,12 +140,12 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> tuple[DataFrame,
         ratios = with_boilerplate_ratio(cur, id_col, text_col).select(
             id_col, "boiler_ratio"
         )
-        cur = (
+        capped = (
             cur.join(ratios, id_col)
             .where(F.col("boiler_ratio") <= cfg.max_boilerplate_ratio)
             .drop("boiler_ratio")
         )
-        m = cur.count()
+        cur, m = materialize("boilerplate", capped, cur)
         counts.append(("boilerplate_dropped", n - m))
         n = m
 

@@ -47,3 +47,31 @@ def test_curate_minhash_path(spark):
     kept, _ = curate(_docs(spark), CurationConfig(use_minhash=True))
     ids = {r["doc_id"] for r in kept.collect()}
     assert 5 in ids and 2 not in ids
+
+
+def test_curate_caches_each_stage(spark):
+    """The accounting contract: every stage after the first must read its
+    predecessor from cache (InMemoryRelation in the optimized plan), the
+    returned corpus stays persisted, and all intermediate caches are
+    released — so the expensive upstream operators run exactly once no
+    matter how many stages follow (VERDICT r3 'What's wrong #1')."""
+    trace = []
+    kept, report = curate(
+        _docs(spark),
+        CurationConfig(use_minhash=False, near_threshold=0.5),
+        stage_trace=trace,
+    )
+    names = [n for n, _, _ in trace]
+    assert names == ["input", "exact_dedup", "near_dedup", "quality"]
+    for name, _, plan in trace[1:]:
+        assert "InMemoryRelation" in plan, (
+            f"stage {name} does not read its predecessor from cache:\n{plan}"
+        )
+    # final stage is the returned corpus and is still persisted
+    assert trace[-1][1] is kept
+    assert kept.storageLevel.useMemory or kept.storageLevel.useDisk
+    # every predecessor cache was released
+    for name, stage_df, _ in trace[:-1]:
+        lvl = stage_df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), f"stage {name} cache leaked"
+    kept.unpersist()
