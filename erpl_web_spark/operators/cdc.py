@@ -82,9 +82,18 @@ def merge_to_parquet_snapshots(
     the highest complete version via ``read_latest_snapshot``); this is
     a filesystem-only stand-in for a transactional table format — on a
     real deployment, point foreachBatch at your lakehouse MERGE instead.
+
+    Replay-safe: the base snapshot is the highest complete version
+    STRICTLY BELOW ``batch_id``. When Spark replays a batch whose write
+    already committed (crash after the parquet commit but before the
+    checkpoint commit), the merge re-derives v=<batch_id> from
+    v=<batch_id - 1> instead of reading the very directory it is about
+    to overwrite — reading v=<batch_id> itself would both break
+    idempotence and make Spark refuse the overwrite ("Cannot overwrite
+    a path that is also being read from"), wedging the stream.
     """
     spark = batch_df.sparkSession
-    latest = read_latest_snapshot(spark, path)
+    latest = read_latest_snapshot(spark, path, before=batch_id)
     base = latest if latest is not None else batch_df.filter(F.lit(False))
     merged = apply_cdc_changes(base, batch_df, keys, op_col, seq_cols)
     merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}")
@@ -92,18 +101,24 @@ def merge_to_parquet_snapshots(
     # (written last by the parquet committer itself)
 
 
-def read_latest_snapshot(spark, path: str) -> DataFrame | None:
-    """Highest complete (committer-marked) snapshot version, or None."""
+def read_latest_snapshot(spark, path: str, before: int | None = None) -> DataFrame | None:
+    """Highest complete (committer-marked) snapshot version, or None.
+
+    ``before`` restricts to versions strictly below the given batch id —
+    the replay-idempotence guard used by ``merge_to_parquet_snapshots``.
+    """
     import os
 
     if not os.path.isdir(path):
         return None
     versions = sorted(
         (
-            int(d.split("=", 1)[1])
+            v
             for d in os.listdir(path)
             if d.startswith("v=")
             and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+            for v in [int(d.split("=", 1)[1])]
+            if before is None or v < before
         ),
         reverse=True,
     )

@@ -623,6 +623,40 @@ def test_cdc_merge_fold_property(spark, seed):
     assert {tuple(r) for r in one_step.collect()} == want
 
 
+def test_cdc_snapshot_merge_replay_idempotent(spark, tmp_path):
+    """Exactly-once re-run safety for the foreachBatch snapshot sink:
+    replaying a batch whose parquet write already committed (crash after
+    the write, before the checkpoint commit) must re-derive the SAME
+    snapshot from the previous version — not read-and-overwrite its own
+    output (which Spark refuses) or double-apply the changes."""
+    from erpl_web_spark.operators.cdc import (
+        merge_to_parquet_snapshots,
+        read_latest_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    schema = "k long, val double, op string, seq long"
+    b0 = spark.createDataFrame(
+        [(1, 1.0, "I", 0), (2, 2.0, "I", 1), (3, 3.0, "I", 2)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(2, 20.0, "U", 3), (3, 0.0, "D", 4), (4, 4.0, "I", 5)], schema
+    )
+    merge_to_parquet_snapshots(b0, 0, snap, ["k"], "op", ["seq"])
+    merge_to_parquet_snapshots(b1, 1, snap, ["k"], "op", ["seq"])
+    want = {(r["k"], r["val"]) for r in read_latest_snapshot(spark, snap).collect()}
+    assert want == {(1, 1.0), (2, 20.0), (4, 4.0)}
+
+    # replay batch 1: v=1 exists and is complete, yet the merge must
+    # base itself on v=0 and produce an identical v=1
+    merge_to_parquet_snapshots(b1, 1, snap, ["k"], "op", ["seq"])
+    got = {(r["k"], r["val"]) for r in read_latest_snapshot(spark, snap).collect()}
+    assert got == want
+    # and the base-selection guard itself: highest version below 1 is 0
+    base = read_latest_snapshot(spark, snap, before=1)
+    assert {r["k"] for r in base.collect()} == {1, 2, 3}
+
+
 def test_tile_grid_overlap_and_ragged_edges(spark):
     from erpl_web_spark.operators.multimodal import tile_grid
     from pyspark.sql import functions as F
