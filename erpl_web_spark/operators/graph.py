@@ -53,6 +53,13 @@ def connected_components(
     node in u's component with L(u) <= u, and labels only decrease —
     so the fixpoint (no label changed, checked each round) is exactly
     "every label is its component's minimum".
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
+    the fixpoint: unconverged labels over-segment components, and a
+    downstream dedup would silently drop the wrong documents. Pointer
+    jumping converges in O(log n) rounds, so the default 25 covers any
+    realistic graph (2^25 nodes of pathological chain); hitting the cap
+    means max_iter was lowered or the input is adversarial — raise it.
     """
     sym = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
@@ -116,6 +123,12 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels would be incorrect (over-segmented). Raise max_iter."
+        )
     sym.unpersist()
     return labels.select("id", F.col("comp").alias("component"))
 

@@ -226,13 +226,18 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     anomalies all show up here before a pipeline consumes the table.
     """
     cols = columns or df.columns
+    # Generated aliases are keyed by column INDEX, not name: name-keyed
+    # aliases collide for names containing the separator (e.g. 'a_b'),
+    # silently selecting the wrong aggregate. Name literals in the stack
+    # are quote-escaped so arbitrary identifiers survive selectExpr.
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+        "'{}', __nn_{}, __nd_{}".format(c.replace("\\", "\\\\").replace("'", "\\'"), i, i)
+        for i, c in enumerate(cols)
     )
     return one.selectExpr(
         "__n",
@@ -255,31 +260,41 @@ def corr_matrix(df: DataFrame, cols: list[str], unit_scale: int = 100) -> DataFr
     C + C(C+1)/2 parallel aggregate expressions, 1-row result unpivoted
     via a literal stack.
     """
+    # Moment aliases are keyed by column INDEX (__p_{i}_{j}, i <= j):
+    # name-keyed aliases (__p_{a}_{b}) are ambiguous for names containing
+    # underscores (cols ['a','b_b','a_b','b'] all map to __p_a_b_b),
+    # silently selecting the wrong moment sum.
     iu = lambda c: F.round(F.col(c) * unit_scale).cast("decimal(18,0)")  # noqa: E731
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(iu(c)).alias(f"__s_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(iu(c)).alias(f"__s_{i}"))
     for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(F.sum(iu(a) * iu(b)).alias(f"__p_{a}_{b}"))
+        for j in range(i, len(cols)):
+            aggs.append(F.sum(iu(a) * iu(cols[j])).alias(f"__p_{i}_{j}"))
     one = df.agg(*aggs)
 
-    def corr_expr(a: str, b: str):
+    def corr_expr(i: int, j: int):
         n = F.col("__n").cast("double")
-        sa, sb = F.col(f"__s_{a}").cast("double"), F.col(f"__s_{b}").cast("double")
-        key = f"__p_{a}_{b}" if f"__p_{a}_{b}" in one.columns else f"__p_{b}_{a}"
-        sab = F.col(key).cast("double")
-        saa = F.col(f"__p_{a}_{a}").cast("double")
-        sbb = F.col(f"__p_{b}_{b}").cast("double")
+        sa, sb = F.col(f"__s_{i}").cast("double"), F.col(f"__s_{j}").cast("double")
+        lo, hi = min(i, j), max(i, j)
+        sab = F.col(f"__p_{lo}_{hi}").cast("double")
+        saa = F.col(f"__p_{i}_{i}").cast("double")
+        sbb = F.col(f"__p_{j}_{j}").cast("double")
         return (n * sab - sa * sb) / (
             F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
         )
 
-    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
     out = one.select(
-        *[corr_expr(a, b).alias(f"{a}__{b}") for a, b in pairs]
+        *[corr_expr(i, j).alias(f"__r_{i}_{j}") for i, j in pairs]
     )
-    stack = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+
+    def lit(c: str) -> str:
+        return "'{}'".format(c.replace("\\", "\\\\").replace("'", "\\'"))
+
+    stack = ", ".join(
+        f"{lit(cols[i])}, {lit(cols[j])}, __r_{i}_{j}" for i, j in pairs
+    )
     return out.selectExpr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, pearson_r)"
     )

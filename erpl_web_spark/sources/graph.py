@@ -721,11 +721,18 @@ def _delta_sync(
         doc = resp.json()
         items.extend(doc.get("value", []))
         pages += 1
-        if pages >= MAX_GRAPH_PAGES:
-            break
+        # Capture this page's cursor BEFORE any cap check: losing it
+        # would restart the walk from scratch next sync and never make
+        # progress on directories larger than the page cap.
         nxt = doc.get("@odata.nextLink")
         new_delta = doc.get("@odata.deltaLink") or new_delta
         url = client.base_url + nxt if nxt and nxt.startswith("/") else nxt
+        if pages >= MAX_GRAPH_PAGES and url:
+            # Cap hit mid-walk: persist the nextLink as a resumable
+            # cursor (Graph next links resume the same delta walk), so
+            # the following sync continues instead of re-delivering.
+            new_delta = url
+            break
 
     if new_delta:
         if new_delta.startswith("/"):

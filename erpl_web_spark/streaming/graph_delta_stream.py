@@ -91,11 +91,18 @@ class GraphDeltaStreamReader(SimpleDataSourceStreamReader):
             doc = resp.json()
             items.extend(doc.get("value", []))
             pages += 1
-            if pages >= MAX_GRAPH_PAGES:
-                break
+            # Cursor first, cap second: breaking before capturing this
+            # page's links would strand the offset and re-deliver the
+            # same rows every micro-batch on large directories.
             nxt = doc.get("@odata.nextLink")
             delta = doc.get("@odata.deltaLink") or delta
             url = self._base_url + nxt if nxt and nxt.startswith("/") else nxt
+            if pages >= MAX_GRAPH_PAGES and url:
+                # Cap hit mid-walk: advance the offset to the nextLink —
+                # a resumable cursor — so the following micro-batch
+                # continues the walk instead of restarting it.
+                delta = url
+                break
         if delta and delta.startswith("/"):
             delta = self._base_url + delta
         return items, delta

@@ -189,6 +189,33 @@ def test_graph_users_delta_sync(spark, fixture_server, tmp_path):
     assert len(final) == 4
 
 
+def test_graph_delta_page_cap_resumes(spark, fixture_server, tmp_path, monkeypatch):
+    """Hitting MAX_GRAPH_PAGES mid-walk must persist that page's
+    nextLink as a resumable cursor: the next sync continues the walk
+    (no re-delivery, no lost progress) and eventually lands on the
+    deltaLink steady state."""
+    import erpl_web_spark.sources.graph as graph_mod
+    from erpl_web_spark.core.http import HttpClient
+    from erpl_web_spark.sources.graph import GraphClient, graph_users_delta
+
+    monkeypatch.setattr(graph_mod, "MAX_GRAPH_PAGES", 1)
+    g = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    state = str(tmp_path / "gstate")
+
+    # page cap of 1: the 5-user 2-page initial load arrives over two syncs
+    first = graph_users_delta(spark, g, state).collect()
+    assert len(first) == 3
+    second = graph_users_delta(spark, g, state).collect()
+    assert len(second) == 2
+    # no overlap — progress, not re-delivery
+    assert {r["id"] for r in first}.isdisjoint({r["id"] for r in second})
+
+    # now on the deltaLink: changes, then steady state, as usual
+    ops = {r["id"]: r["change_op"] for r in graph_users_delta(spark, g, state).collect()}
+    assert ops == {"u1": "U", "u3": "D"}
+    assert graph_users_delta(spark, g, state).count() == 0
+
+
 def test_graph_groups_delta_sync(spark, fixture_server, tmp_path):
     from erpl_web_spark.core.http import HttpClient
     from erpl_web_spark.sources.graph import GraphClient, graph_groups_delta

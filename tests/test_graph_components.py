@@ -82,6 +82,19 @@ def test_component_summary(spark):
     assert summary == {1: (3, 1, 3), 7: (2, 7, 8)}
 
 
+def test_unconverged_raises_not_silent(spark):
+    """Exhausting max_iter without the fixpoint must raise — silently
+    returning over-segmented labels would make downstream curation drop
+    the wrong documents with no signal."""
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "src", "dst", max_iter=1)
+    # the same graph converges (and is correct) at the default cap
+    got = _spark_components(spark, edges)
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_hub_star_graph(spark):
     """A 2000-leaf hub (the worst skew shape a boilerplate dup-cluster
     produces): converges fast, every node labels to the hub minimum."""

@@ -887,6 +887,32 @@ def test_corr_matrix_matches_numpy(spark):
     assert got[("x", "y")] > 0.8  # the planted correlation
 
 
+def test_corr_matrix_underscore_names_no_alias_collision(spark):
+    """Column names containing underscores must not collide in the
+    generated moment aliases: cols ['a','b_b','a_b','b'] used to all
+    map name-keyed __p_a_b_b and silently pick the wrong moment."""
+    from erpl_web_spark.operators.relational import corr_matrix, profile_columns
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=(120, 4)).round(2)
+    rows = [tuple(float(v) for v in r) for r in vals]
+    cols = ["a", "b_b", "a_b", "b"]
+    df = spark.createDataFrame(rows, "a double, b_b double, a_b double, b double")
+
+    got = {(r["col_a"], r["col_b"]): r["pearson_r"]
+           for r in corr_matrix(df, cols).collect()}
+    want = np.corrcoef(np.array(rows).T)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert abs(got[(cols[i], cols[j])] - want[i, j]) < 1e-9, (cols[i], cols[j])
+
+    # profile_columns on the same awkward names (plus a quoted one)
+    prof = {r["column_name"]: (r["n_nulls"], r["n_distinct"])
+            for r in profile_columns(df).collect()}
+    assert set(prof) == set(cols)
+    assert all(n == 0 for n, _ in prof.values())
+
+
 def test_token_budget_sample_properties(spark):
     """Budget is respected exactly, selection is hash-deterministic, and
     a larger budget strictly extends (never reorders) the selection."""
