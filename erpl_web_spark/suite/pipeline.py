@@ -17,7 +17,12 @@ from erpl_web_spark.operators.dedup import (
 )
 from erpl_web_spark.operators.multimodal import decode_media, documents_as_media
 from erpl_web_spark.operators.dedup import embedding_near_dup_pairs
-from erpl_web_spark.operators.similarity import ann_top_k_ivf, ann_top_k_lsh, cosine_top_k
+from erpl_web_spark.operators.similarity import (
+    ann_top_k_ivf,
+    ann_top_k_lsh,
+    cosine_top_k,
+    cosine_top_k_blas,
+)
 from erpl_web_spark.operators.text import (
     STOPWORDS,
     BPE_TOKEN_RE,
@@ -248,11 +253,14 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-3 for a 100-probe set: broadcast the
-    probes, stream the corpus (map-only), window per probe."""
+    """Exact cosine top-3 for a 100-probe set via the BLAS-shortlist
+    path: one numpy matmul per partition selects per-probe candidates
+    (map-side combine), the exact JVM fold re-scores them — output
+    bit-identical to the brute-force ``cosine_top_k`` baseline
+    (pinned by test_blas_top_k_matches_brute_force)."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
     probes = emb.where(F.col("vec_id") < 100)
-    out = cosine_top_k(emb, probes, "vec_id", "embedding", k=3)
+    out = cosine_top_k_blas(emb, probes, "vec_id", "embedding", k=3)
     return out.select(
         "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
     )

@@ -110,6 +110,39 @@ def test_cosine_top_k_matches_numpy(spark):
             assert math.isclose(c, sims[p][n], rel_tol=1e-9)
 
 
+def test_blas_top_k_matches_brute_force(spark):
+    """cosine_top_k_blas must be BIT-IDENTICAL to cosine_top_k — the
+    BLAS matmul only shortlists; the emitted cosine comes from the same
+    JVM fold. Run over the real embeddings table, corpus spread across
+    partitions so the per-partition combine actually merges."""
+    from erpl_web_spark.operators.similarity import cosine_top_k, cosine_top_k_blas
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(7)
+    probes = emb.where(F.col("vec_id") < 20)
+    want = cosine_top_k(emb, probes, k=3).collect()
+    got = cosine_top_k_blas(emb, probes, k=3).collect()
+    key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
+    w = {key(r): (r["neighbor_id"], r["cosine"]) for r in want}
+    g = {key(r): (r["neighbor_id"], r["cosine"]) for r in got}
+    assert g == w  # exact float equality: same fold, same values
+    assert len(w) == 20 * 3
+
+
+def test_blas_top_k_include_self_and_margin(spark):
+    """include_self keeps the trivial self-match at rank 1; a minimal
+    margin still reconstructs the exact top-k."""
+    from erpl_web_spark.operators.similarity import cosine_top_k_blas
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+    probes = df.where(F.col("vec_id") < 4)
+    got = cosine_top_k_blas(df, probes, k=1, include_self=True, shortlist_margin=1)
+    top1 = {r["probe_id"]: r["neighbor_id"] for r in got.collect() if r["rank"] == 1}
+    assert top1 == {i: i for i in range(4)}  # self cosine == 1.0
+
+
 def test_ann_lsh_recall_reasonable(spark):
     rng = np.random.default_rng(11)
     # clustered vectors so LSH buckets are meaningful
