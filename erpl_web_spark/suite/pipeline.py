@@ -111,8 +111,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs with exact Jaccard verify.
 
     Not SQL-expressible compactly (seeded xxhash64 banding) -> rows-only
-    check; the exact-Jaccard verification step bounds false positives at 0,
-    and dedup_ngram_jaccard oracle-checks the underlying similarity math.
+    driver check; the exact-Jaccard verification step bounds false
+    positives at 0, and dedup_ngram_jaccard oracle-checks the underlying
+    similarity math. The full output is a CHECKED CONTRACT regardless:
+    exact row sets at sf0.001/sf0.01 and the sf0.1 count are pinned as
+    golden fixtures (tests/fixtures/golden/dedup_minhash_lsh.json,
+    asserted by tests/test_golden_fixtures.py; regenerate deliberately
+    via tools/make_golden.py).
     """
     docs = load(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
@@ -120,7 +125,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole)."""
+    """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole).
+
+    Rows-only driver check (seeded hashing); full output pinned as a
+    golden fixture (tests/fixtures/golden/dedup_simhash.json, asserted
+    by tests/test_golden_fixtures.py)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
@@ -268,7 +277,12 @@ def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_lsh", oracle=None)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: exact ranking within random-hyperplane LSH buckets."""
+    """Scale path: exact ranking within random-hyperplane LSH buckets.
+
+    Rows-only driver check (seeded hyperplanes); full output pinned as a
+    golden fixture (tests/fixtures/golden/similarity_ann_lsh.json,
+    asserted by tests/test_golden_fixtures.py); recall measured in
+    tools/recall_bench.py (table in COVERAGE.md)."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
     return ann_top_k_lsh(emb, "vec_id", "embedding", k=3, num_planes=6, dim=64)
 
@@ -1031,11 +1045,13 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup clustering composition: MinHash+LSH
     candidates -> exact-Jaccard verify (>= 0.5) -> connected components
-    -> cluster labels. Rows-only check (seeded-hash banding is not
-    SQL-expressible), but every stage is independently verified:
+    -> cluster labels. Rows-only driver check (seeded-hash banding is
+    not SQL-expressible), but every stage is independently verified:
     the pair math by dedup_ngram_jaccard, the LSH pair set by
     dedup_minhash_lsh, the component math by dedup_cluster_components'
-    recursive-CTE oracle."""
+    recursive-CTE oracle — and the full composed output is pinned as a
+    golden fixture (tests/fixtures/golden/dedup_cluster_minhash.json,
+    asserted by tests/test_golden_fixtures.py)."""
     from erpl_web_spark.operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents", spread=True)

@@ -1,0 +1,88 @@
+"""Regenerate the golden fixtures that pin the four rows-only suite
+queries (no DuckDB oracle exists for seeded-xxhash64 banding, so their
+contract is a checked-in expected output instead):
+
+- exact row sets at sf0.001 and sf0.01 (floats rounded to 6 dp),
+- row counts at sf0.1.
+
+Run from the repo root after any DELIBERATE seed/banding change:
+
+    python tools/make_golden.py
+
+and commit the updated ``tests/fixtures/golden/*.json``. An accidental
+change to seeds, banding, shingling, or tie-breaks fails
+tests/test_golden_fixtures.py instead of sailing through as
+"rows-only".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_ann_lsh",
+    "dedup_cluster_minhash",
+]
+EXACT_SFS = ["0.001", "0.01"]
+COUNT_SF = "0.1"
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "golden",
+)
+
+
+def canonical_rows(df) -> list[list]:
+    """Sorted, JSON-stable row list: columns sorted by name, floats
+    rounded to 6 dp (the same tolerance the driver's value-hash uses)."""
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.select(*cols).collect():
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                row.append(round(v, 6))
+            else:
+                row.append(v)
+        rows.append(row)
+    rows.sort(key=lambda x: json.dumps(x, default=str))
+    return {"columns": cols, "rows": rows}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from erpl_web_spark.suite import all_queries
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("make_golden")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    queries = all_queries()
+    for name in GOLDEN_QUERIES:
+        fixture = {"query": name, "exact": {}, "counts": {}}
+        for sf in EXACT_SFS:
+            df = queries[name].fn(spark, f"/root/testdata/sf{sf}")
+            fixture["exact"][sf] = canonical_rows(df)
+            print(f"{name} sf{sf}: {len(fixture['exact'][sf]['rows'])} rows")
+        df = queries[name].fn(spark, f"/root/testdata/sf{COUNT_SF}")
+        fixture["counts"][COUNT_SF] = df.count()
+        print(f"{name} sf{COUNT_SF}: count={fixture['counts'][COUNT_SF]}")
+        path = os.path.join(OUT_DIR, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(fixture, f, indent=1, default=str)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
