@@ -178,8 +178,11 @@ def test_multimodal_decode_stub(spark):
     assert out[1]["byte_len"] == 11
     assert out[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
     assert len(out[1]["feature"]) == 8
-    with pytest.raises(NotImplementedError):
-        decode_media(media, decode_stub=False)
+    from erpl_web_spark.operators.multimodal import pillow_available
+
+    if not pillow_available():
+        with pytest.raises(NotImplementedError):
+            decode_media(media, decode_stub=False)
     # frame sampling fans out per duration
     vid = media.withColumn(
         "meta",
@@ -191,6 +194,40 @@ def test_multimodal_decode_stub(spark):
     )
     frames = sample_frames(vid, every_ms=1000)
     assert frames.where(F.col("media_id") == 1).count() == 3
+
+
+def test_multimodal_real_pillow_kernel(spark):
+    """Real decode kernel: runs wherever Pillow is importable (skips in
+    this container), same DECODED_SCHEMA as the stub, real pixel-derived
+    features, graceful hash-stub fallback for undecodable payloads."""
+    from erpl_web_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        decode_media,
+        pillow_available,
+    )
+
+    if not pillow_available():
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [(1, png, None), (2, b"not an image", None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>"
+    )
+    out = decode_media(media, decode_stub=False)
+    assert out.schema == DECODED_SCHEMA
+    got = {r["media_id"]: r for r in out.collect()}
+    # solid red -> uniform grayscale thumbnail, all 8 values equal
+    feat = got[1]["feature"]
+    assert len(feat) == 8 and len(set(round(v, 6) for v in feat)) == 1
+    assert 0.0 <= feat[0] < 1.0
+    # undecodable payload falls back to the deterministic hash stub
+    assert len(got[2]["feature"]) == 8
 
 
 def test_attach_catalogs(spark, fixture_server):
