@@ -90,6 +90,79 @@ class GraphClient:
         return resp.json() if resp.raw else None
 
 
+GRAPH_BATCH_MAX_REQUESTS = 20  # Graph JSON-batching hard cap per envelope
+GRAPH_BATCH_MAX_BYTES = 1 << 20  # stay well under Graph's 4 MB body limit
+
+
+def graph_batch_execute(
+    client: GraphClient,
+    requests: list[dict],
+    max_requests: int = GRAPH_BATCH_MAX_REQUESTS,
+    max_bytes: int = GRAPH_BATCH_MAX_BYTES,
+) -> list[dict]:
+    """Coalesce individual Graph calls into ``POST /$batch`` envelopes —
+    the request-count lever for bulk writers (generalizing the
+    reference's Excel rows/add batching, graph_excel_client.cpp:103-111,
+    to every Graph mutation surface).
+
+    ``requests`` are dicts with ``method``, ``url`` (Graph-relative) and
+    optional ``body``. Envelopes are cut by a dual budget: at most
+    ``max_requests`` subrequests (Graph caps JSON batching at 20) AND at
+    most ``max_bytes`` of serialized subrequest JSON — whichever fills
+    first — so many small writes coalesce while a few huge ones don't
+    blow the service's body limit. Returns one response dict
+    ``{"id", "status", "body"}`` per input, in input order; raises on
+    the first failed subresponse (id + status named) so partial failures
+    are attributable, never silent.
+    """
+    results: list[dict | None] = [None] * len(requests)
+    chunk: list[tuple[int, dict, int]] = []
+    chunk_bytes = 0
+
+    def flush():
+        nonlocal chunk, chunk_bytes
+        if not chunk:
+            return
+        envelope = {
+            "requests": [
+                {
+                    "id": str(i),
+                    "method": r["method"],
+                    "url": r["url"],
+                    **(
+                        {"body": r["body"],
+                         "headers": {"Content-Type": "application/json"}}
+                        if r.get("body") is not None
+                        else {}
+                    ),
+                }
+                for i, r, _ in chunk
+            ]
+        }
+        doc = client.request("POST", "/$batch", envelope) or {}
+        got = {str(resp.get("id")): resp for resp in doc.get("responses", [])}
+        for i, _, _ in chunk:
+            resp = got.get(str(i))
+            if resp is None:
+                raise RuntimeError(f"Graph $batch dropped response id={i}")
+            if int(resp.get("status", 0)) >= 400:
+                raise RuntimeError(
+                    f"Graph $batch subrequest id={i} failed with "
+                    f"HTTP {resp.get('status')}: {str(resp.get('body'))[:200]}"
+                )
+            results[i] = resp
+        chunk, chunk_bytes = [], 0
+
+    for i, r in enumerate(requests):
+        size = len(json.dumps(r, default=str))
+        if chunk and (len(chunk) >= max_requests or chunk_bytes + size > max_bytes):
+            flush()
+        chunk.append((i, r, size))
+        chunk_bytes += size
+    flush()
+    return results  # type: ignore[return-value]
+
+
 def _ts(v):
     return decode_value(v, TimestampType())
 
@@ -301,17 +374,40 @@ def graph_sharepoint_delete_item(
 
 
 def sharepoint_list_write(
-    df: DataFrame, client_factory, site_id: str, list_id: str, batch_log: bool = False
+    df: DataFrame,
+    client_factory,
+    site_id: str,
+    list_id: str,
+    batch_log: bool = False,
+    batch_size: int = GRAPH_BATCH_MAX_REQUESTS,
+    batch_max_bytes: int = GRAPH_BATCH_MAX_BYTES,
 ) -> int:
-    """Bulk copy into a SharePoint list (B3 COPY TO analogue): per-row
-    POSTs executed on the executors via foreachPartition."""
+    """Bulk copy into a SharePoint list (B3 COPY TO analogue), executed
+    on the executors via foreachPartition. Creates are coalesced into
+    ``$batch`` envelopes (``graph_batch_execute``) under a dual budget
+    of ``batch_size`` requests / ``batch_max_bytes`` serialized bytes
+    per HTTP call; ``batch_size=1`` degrades to the reference's per-row
+    POSTs (B3)."""
     cols = df.columns
 
     def write_partition(rows):
         client = client_factory()
-        for r in rows:
-            graph_sharepoint_create_item(
-                client, site_id, list_id, {c: r[c] for c in cols if r[c] is not None}
+        reqs = [
+            {
+                "method": "POST",
+                "url": f"/sites/{site_id}/lists/{list_id}/items",
+                "body": {"fields": {c: r[c] for c in cols if r[c] is not None}},
+            }
+            for r in rows
+        ]
+        if not reqs:
+            return
+        if batch_size <= 1:
+            for r in reqs:
+                client.request(r["method"], r["url"], r["body"])
+        else:
+            graph_batch_execute(
+                client, reqs, max_requests=batch_size, max_bytes=batch_max_bytes
             )
 
     df.foreachPartition(write_partition)
@@ -661,12 +757,15 @@ def graph_planner_create_task(
 def planner_create_tasks(
     df: DataFrame, client_factory, plan_id: str,
     title_col: str = "title", bucket_col: str | None = None,
+    batch_size: int = GRAPH_BATCH_MAX_REQUESTS,
 ) -> "DataFrame":
     """Bulk task creation from a DataFrame — the reference's LATERAL-join
-    bulk-write idiom (README.md:753-780) as a distributed map: one POST
-    per row on the executors, one (title, task_id, task_url) result row
-    back per input row (so failures are attributable, not silent).
-    ``client_factory`` must close over serializable config only.
+    bulk-write idiom (README.md:753-780) as a distributed map, with the
+    per-row POSTs coalesced into ``$batch`` envelopes (up to
+    ``batch_size`` creates per HTTP call; 1 degrades to per-row). One
+    (title, task_id, task_url) result row comes back per input row, so
+    failures are attributable, not silent. ``client_factory`` must close
+    over serializable config only.
     """
     import pandas as pd
 
@@ -676,14 +775,21 @@ def planner_create_tasks(
     def create(batches):
         client = client_factory()
         for pdf in batches:
-            ids, urls = [], []
+            reqs = []
             for _, row in pdf.iterrows():
-                task_id, url = graph_planner_create_task(
-                    client, plan_id, str(row[title_col]),
-                    bucket_id=str(row[bucket_col]) if bucket_col else None,
-                )
-                ids.append(task_id)
-                urls.append(url)
+                body: dict = {"planId": plan_id, "title": str(row[title_col])}
+                if bucket_col:
+                    body["bucketId"] = str(row[bucket_col])
+                reqs.append({"method": "POST", "url": "/planner/tasks", "body": body})
+            if batch_size <= 1:
+                docs = [client.request(r["method"], r["url"], r["body"]) for r in reqs]
+            else:
+                docs = [
+                    resp.get("body") or {}
+                    for resp in graph_batch_execute(client, reqs, max_requests=batch_size)
+                ]
+            ids = [d.get("id", "") for d in docs]
+            urls = [f"{client.base_url}/planner/tasks/{i}" for i in ids]
             out = pd.DataFrame({"title": pdf[title_col].astype(str),
                                 "task_id": ids, "task_url": urls})
             yield out

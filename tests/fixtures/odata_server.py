@@ -819,6 +819,31 @@ def _make_handler(state: FixtureState):
                     "access_token": tok, "token_type": "Bearer",
                     "expires_in": 3600, "refresh_token": "rt-1",
                 })
+            # ---- Graph JSON batching -------------------------------------
+            if parts.path == "/graph/$batch" and self.command == "POST":
+                doc = json.loads(body or b"{}")
+                responses = []
+                for sub in doc.get("requests", []):
+                    sid = sub.get("id")
+                    method, url = sub.get("method"), sub.get("url", "")
+                    sbody = sub.get("body")
+                    if method == "POST" and url == "/sites/s1/lists/l1/items":
+                        item_id = str(state.sp_next_id)
+                        state.sp_next_id += 1
+                        state.sp_items.append(
+                            {"id": item_id, "fields": (sbody or {}).get("fields", {})}
+                        )
+                        responses.append({"id": sid, "status": 201,
+                                          "body": {"id": item_id}})
+                    elif method == "POST" and url == "/planner/tasks":
+                        task_id = f"task-{len(state.planner_created) + 1}"
+                        state.planner_created.append({**(sbody or {}), "id": task_id})
+                        responses.append({"id": sid, "status": 201,
+                                          "body": {"id": task_id, **(sbody or {})}})
+                    else:
+                        responses.append({"id": sid, "status": 404,
+                                          "body": {"error": f"unknown {method} {url}"}})
+                return self._json(200, {"responses": responses})
             # ---- Graph mutations -----------------------------------------
             if parts.path == "/graph/sites/s1/lists/l1/items" and self.command == "POST":
                 doc = json.loads(body)

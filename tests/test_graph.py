@@ -91,6 +91,50 @@ def test_sharepoint_write_cycle(spark, gclient, fixture_server):
     assert all(i["id"] != new_id for i in fixture_server.state.sp_items)
 
 
+def test_sharepoint_write_batch_coalescing(spark, fixture_server):
+    """$batch coalescing budget: N-request and byte budgets each bound
+    the wire-request count; every row still lands in server state."""
+    from erpl_web_spark.sources.graph import sharepoint_list_write
+
+    base = fixture_server.base_url + "/graph"
+    factory = lambda: GraphClient(base, HttpClient())  # noqa: E731
+    df = spark.createDataFrame(
+        [(f"bt-{i}", float(i)) for i in range(7)], "Title string, Amount double"
+    ).repartition(1)
+
+    n0 = len(fixture_server.state.sp_items)
+    fixture_server.state.log.clear()
+    sharepoint_list_write(df, factory, "s1", "l1", batch_size=3)
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 3  # ceil(7/3)
+    assert len(fixture_server.state.sp_items) == n0 + 7
+
+    fixture_server.state.log.clear()
+    sharepoint_list_write(df, factory, "s1", "l1", batch_size=20)
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 1
+    assert len(fixture_server.state.sp_items) == n0 + 14
+
+    # byte budget: each subrequest is ~120 bytes, so a 1-byte budget
+    # degrades to one request per row (budget always admits >= 1)
+    fixture_server.state.log.clear()
+    sharepoint_list_write(df, factory, "s1", "l1", batch_size=20, batch_max_bytes=1)
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 7
+    assert len(fixture_server.state.sp_items) == n0 + 21
+    created = [i["fields"]["Title"] for i in fixture_server.state.sp_items[n0:]]
+    assert sorted(created) == sorted([f"bt-{i}" for i in range(7)] * 3)
+    # restore shared fixture state for later tests
+    del fixture_server.state.sp_items[n0:]
+
+
+def test_graph_batch_failure_is_attributable(fixture_server):
+    from erpl_web_spark.sources.graph import graph_batch_execute
+
+    g = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    ok = {"method": "POST", "url": "/planner/tasks", "body": {"title": "t"}}
+    bad = {"method": "POST", "url": "/nope", "body": {}}
+    with pytest.raises(RuntimeError, match=r"id=1.*404"):
+        graph_batch_execute(g, [ok, bad])
+
+
 def test_excel_grid_typing(spark, gclient):
     assert graph_list_files(spark, gclient).collect()[0]["name"] == "book.xlsx"
     assert graph_excel_worksheets(spark, gclient, "f1").collect()[0]["name"] == "Sheet1"
