@@ -1,11 +1,12 @@
-"""Scaling-slope measurement: wall time of representative operators
-across the three driver scale factors (100x row-count spread).
+"""Scaling-slope measurement: wall time of every headline query (the
+bench.py set) plus the clustering composition, across the three driver
+scale factors (100x row-count spread).
 
 Near-linear slopes (time ratio ~ row ratio, modulo fixed overhead) are
 the empirical check on SCALING.md's design claims — a super-linear
 operator would bend upward long before 100 TB. Usage:
 
-    python tools/scale_slope.py [names...]
+    python tools/scale_slope.py [names...]     # default: headline set
 """
 
 from __future__ import annotations
@@ -16,17 +17,18 @@ import time
 sys.path.insert(0, ".")
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-DEFAULT = [
-    "dedup_minhash_lsh",      # shingle + band + verify pipeline
-    "dedup_cluster_minhash",  # + connected components
-    "q01_pricing_summary",    # scan + decimal agg
-    "asof_join_events",       # union + window
-    "text_stats",             # map-only
-]
+EXTRA = ["dedup_cluster_minhash"]  # pairs -> connected components
+
+
+def default_names() -> list[str]:
+    from erpl_web_spark.suite import all_queries
+
+    heads = [n for n, q in sorted(all_queries().items()) if q.headline]
+    return heads + EXTRA
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    names = sys.argv[1:] or default_names()
 
     from erpl_web_spark.session import get_spark
     from erpl_web_spark.suite import all_queries
