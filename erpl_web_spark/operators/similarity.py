@@ -164,7 +164,9 @@ def cosine_top_k_blas(
         })
 
     dim_schema = "probe_id long, neighbor_id long, qscore double, vec array<float>"
-    cand = corpus.mapInPandas(shortlist, dim_schema)
+    # Explicit projection: mapInPandas consumes every input column, so
+    # without this the parquet scan would read the whole row width.
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(shortlist, dim_schema)
 
     wq = Window.partitionBy("probe_id").orderBy(
         F.col("qscore").desc(), F.col("neighbor_id").asc()
