@@ -618,3 +618,172 @@ def ann_top_k_ivf_rerank(
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
+
+
+# -- Covariance / PCA --------------------------------------------------------
+
+def covariance_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    unit_scale: int = 10_000,
+) -> DataFrame:
+    """Exact integerized covariance moments of an embedding column, in
+    long format: rows ``(i=-1, j=-1, s=n)`` (count), ``(i, -1, s=Σq_i)``
+    (element sums) and ``(i, j, s=Σq_i·q_j)`` for i <= j (product sums),
+    where ``q = floor(x * unit_scale)`` as int64 — floor, not round, so
+    the quantization has no tie case and any engine reproduces it
+    bit-for-bit from the same floats.
+
+    One Arrow pass: each partition reduces to at most 1 + dim +
+    dim(dim+1)/2 skinny rows via numpy integer matmul (map-side
+    combine), then ONE tiny groupBy sums partials exactly (int64) —
+    the distributed-covariance shape whose shuffle is O(dim²) per
+    partition, independent of corpus size. Int64 bounds: |q| <=
+    ~unit_scale·max|x|, so Σq_iq_j stays exact past 10^12 rows for
+    unit-ish embeddings at the default scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.int64)
+        P = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q = np.floor(X * unit_scale).astype(np.int64)
+            n += Q.shape[0]
+            s += Q.sum(axis=0)
+            P += Q.T @ Q
+        if n == 0:
+            return
+        out_i = np.concatenate(([np.int32(-1)], np.arange(dim, dtype=np.int32), iu[0].astype(np.int32)))
+        out_j = np.concatenate(([np.int32(-1)], np.full(dim, -1, dtype=np.int32), iu[1].astype(np.int32)))
+        out_s = np.concatenate(([np.int64(n)], s, P[iu]))
+        yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
+
+    return (
+        df.select(F.col(vec_col))
+        .mapInPandas(partial, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    unit_scale: int = 10_000,
+) -> DataFrame:
+    """Pairwise covariance matrix of the embedding column as (i, j, n,
+    cov) rows for i <= j: ``cov = (n·Σq_iq_j - Σq_i·Σq_j) / n² /
+    unit_scale²`` over the floor-quantized values — integer arithmetic
+    end-to-end with a fixed two-division double tail, so the result is
+    deterministic and value-hash comparable across engines (streaming
+    covar_pop aggregates round differently per engine and are not).
+
+    The moment table is O(dim²) rows; the joins below are broadcast
+    joins of that tiny table against itself — no corpus-sized shuffle.
+    """
+    m = covariance_moments(df, vec_col, dim, unit_scale)
+    n_row = m.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    sums = m.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i"), F.col("s").alias("si")
+    )
+    pairs = m.where(F.col("j") >= 0)
+    return (
+        pairs.join(F.broadcast(sums), "i")
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("j"), F.col("si").alias("sj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                (F.col("n") * F.col("s") - F.col("si") * F.col("sj")).cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+                / F.lit(float(unit_scale) * float(unit_scale))
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    unit_scale: int = 10_000,
+) -> DataFrame:
+    """PCA projection of the embedding column onto its top-``k``
+    principal components: (id, pc array<float>, rounded 6 dp).
+
+    Scale split done the principled way: the covariance reduction is
+    distributed (``covariance_moments`` — one Arrow pass, O(dim²)
+    shuffle), the eigendecomposition is DRIVER-side numpy ``eigh`` on
+    the dim x dim matrix (O(dim³), independent of corpus size — the
+    64x64 case is microseconds; no reason to distribute it), and the
+    projection is a map-only numpy matmul per partition. Determinism:
+    the covariance input is exact integers; eigenvectors are ordered by
+    (eigenvalue desc, index) and sign-fixed so each component's
+    largest-|loading| coordinate is positive; output rounded to 6 dp.
+    Golden-fixture pinned (tests/fixtures/golden/embedding_pca_project
+    .json); variance/orthonormality properties pinned in pytest.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = covariance_moments(df, vec_col, dim, unit_scale).collect()  # O(dim²), bounded
+    s = np.zeros(dim, dtype=np.int64)
+    P = np.zeros((dim, dim), dtype=np.int64)
+    n = 0
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["s"])
+        elif r["j"] == -1:
+            s[r["i"]] = r["s"]
+        else:
+            P[r["i"], r["j"]] = r["s"]
+            P[r["j"], r["i"]] = r["s"]
+    if n == 0:
+        raise ValueError("cannot run PCA on an empty input")
+    mean_q = s / n
+    C = (P / n - np.outer(mean_q, mean_q)) / (float(unit_scale) ** 2)
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(-evals, kind="stable")[:k]
+    V = evecs[:, order]  # (dim, k)
+    for c in range(V.shape[1]):
+        pivot = int(np.argmax(np.abs(V[:, c])))
+        if V[pivot, c] < 0:
+            V[:, c] = -V[:, c]
+    mean_x = mean_q / unit_scale
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            PC = np.round((X - mean_x) @ V, 6)
+            yield pd.DataFrame({
+                "_id": pdf[id_col].to_numpy(),
+                "pc": [row.astype(np.float32) for row in PC],
+            })
+
+    out_schema = f"_id long, pc array<float>"
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
+        .mapInPandas(project, out_schema)
+        .withColumnRenamed("_id", id_col)
+    )

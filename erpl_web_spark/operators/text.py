@@ -360,3 +360,51 @@ def with_boilerplate_ratio(
             F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"),
         )
     )
+
+
+def with_unigram_freq_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency document scoring — the CCNet-style quality
+    signal with the LM replaced by the corpus's own unigram counts so
+    every number is an exact integer and the result is value-hash
+    oracle-checkable (log-probabilities differ in the last ulp across
+    libm implementations; integer frequency sums cannot).
+
+    Per document: ``sum_freq`` = Σ over token OCCURRENCES of that
+    token's corpus-wide occurrence count (exact BIGINT), and
+    ``avg_unigram_freq`` = sum_freq / (n_toks * corpus_total) — the mean
+    relative frequency of the document's tokens, computed as ONE double
+    division of exact integers. Rare-token-heavy documents (OCR noise,
+    codes, non-language) score low; boilerplate scores high — useful as
+    both a quality floor and a repetition ceiling.
+
+    Shuffle posture at 100 TB: tokens explode map-side; the count
+    aggregation is map-side combined on (token); the count join back to
+    occurrences is token-keyed, where hyper-frequent tokens are exactly
+    the AQE skew-join case (same posture as ``with_boilerplate_ratio``
+    — a window over grams would pin hot tokens to one partition with no
+    mitigation); the final roll-up shuffles (doc_id, long) pairs only.
+    The corpus total rides a 1-row cross join (broadcast), not a
+    driver collect.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tok_n"))
+    total = counts.agg(F.sum("tok_n").cast("bigint").alias("corpus_total"))
+    per_doc = (
+        toks.join(counts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum("tok_n").cast("bigint").alias("sum_freq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_toks",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("n_toks") * F.col("corpus_total")).cast("double")
+        ).alias("avg_unigram_freq"),
+    )

@@ -239,6 +239,37 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_freq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_n FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(tok_n) AS BIGINT) AS corpus_total FROM cnt
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(c.tok_n) AS BIGINT) AS sum_freq,
+           CAST(SUM(c.tok_n) AS DOUBLE)
+             / CAST(COUNT(*) * (SELECT corpus_total FROM tot) AS DOUBLE)
+             AS avg_unigram_freq
+    FROM tok t JOIN cnt c USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring (CCNet-style quality signal with
+    exact integer sums instead of log-probs, so it value-hash matches any
+    engine). Token-keyed count join is the AQE skew-join posture; final
+    division is ONE double op over exact integers."""
+    from erpl_web_spark.operators.text import with_unigram_freq_score
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return with_unigram_freq_score(docs, "doc_id", "text")
+
+
+@register(
     "similarity_cosine_top3",
     oracle="""
     WITH v AS (
@@ -273,6 +304,65 @@ def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
     )
+
+
+def _cov8_oracle() -> str:
+    """DuckDB twin of embedding_covariance at dim=8: same floor
+    quantization, exact integer moment sums in one scan, identical
+    two-division double tail, unpivoted via UNION ALL branches."""
+    dim, scale = 8, 10_000
+    qcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT) AS e{i}"
+        for i in range(dim)
+    )
+    sums = ", ".join(f"CAST(SUM(e{i}) AS BIGINT) AS s{i}" for i in range(dim))
+    prods = ", ".join(
+        f"CAST(SUM(e{i}*e{j}) AS BIGINT) AS p{i}_{j}"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, n, p{i}_{j} AS p, s{i} AS si, s{j} AS sj FROM s"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    return f"""
+    WITH q AS (SELECT {qcols} FROM embeddings),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {prods} FROM q)
+    SELECT i, j, n,
+           CAST(n*p - si*sj AS DOUBLE) / CAST(n*n AS DOUBLE) / {float(scale * scale)} AS cov
+    FROM ({branches})
+    """
+
+
+@register("embedding_covariance", oracle=_cov8_oracle())
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the first 8 embedding dims: exact
+    floor-quantized integer moments (one Arrow pass, O(dim²) shuffle),
+    fixed two-division double tail — value-hash identical to DuckDB's
+    integer arithmetic, unlike streaming covar_pop aggregates."""
+    from erpl_web_spark.operators.similarity import embedding_covariance
+
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    return embedding_covariance(emb, "embedding", dim=8)
+
+
+@register("embedding_pca_project", oracle=None)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-8 principal components: distributed
+    exact-integer covariance reduction + driver-side 64x64 eigh (O(dim³),
+    corpus-independent) + map-only numpy projection. No SQL oracle (no
+    eigendecomposition in DuckDB); the covariance input is value-hash
+    oracle-checked via embedding_covariance, projections are pinned as a
+    golden fixture (tests/fixtures/golden/embedding_pca_project.json),
+    and eigen-structure properties (orthonormality, variance ==
+    eigenvalues, numpy-PCA parity) are pytest-pinned."""
+    from erpl_web_spark.operators.similarity import pca_project
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return pca_project(emb, "vec_id", "embedding", dim=64, k=8)
 
 
 @register("similarity_ann_lsh", oracle=None)

@@ -21,6 +21,7 @@ GOLDEN_QUERIES = [
     "dedup_simhash",
     "similarity_ann_lsh",
     "dedup_cluster_minhash",
+    "embedding_pca_project",
 ]
 
 

@@ -102,3 +102,67 @@ def test_quantize_adversarial_values(spark):
         assert all(-127 <= v <= 127 for v in r["q"])
         for x, qq in zip(r["embedding"], r["q"]):
             assert abs(float(x) - qq * scale) <= scale / 2 + 1e-30
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Exact integerized covariance == numpy population covariance of
+    the floor-quantized values (bit-level: both are integer arithmetic
+    with the same double tail)."""
+    import numpy as np
+    from erpl_web_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(300, 6)).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in embedding_covariance(df, "embedding", dim=6).collect()}
+
+    Q = np.floor(X.astype(np.float64) * 10_000).astype(np.int64)
+    n = Q.shape[0]
+    s = Q.sum(axis=0)
+    for i in range(6):
+        for j in range(i, 6):
+            p = int((Q[:, i] * Q[:, j]).sum())
+            want = float(n * p - int(s[i]) * int(s[j])) / float(n * n) / 1e8
+            assert got[(i, j)] == want, (i, j)
+
+
+def test_pca_project_properties(spark):
+    """PCA contract: projected components are decorrelated with variance
+    equal to the covariance eigenvalues (population), components ordered
+    by decreasing variance, and the projection matches a direct numpy
+    PCA of the same quantized covariance."""
+    import numpy as np
+    from erpl_web_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(33)
+    # anisotropic data so eigenvalues are well separated
+    A = rng.normal(size=(8, 8))
+    X = (rng.normal(size=(400, 8)) @ (A * np.linspace(3, 0.3, 8))).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+    out = pca_project(df, "vec_id", "embedding", dim=8, k=4)
+    got = {r["vec_id"]: np.array(r["pc"], dtype=np.float64) for r in out.collect()}
+    P = np.stack([got[i] for i in range(400)])
+
+    # numpy reference from the same quantized covariance
+    Q = np.floor(X.astype(np.float64) * 10_000).astype(np.int64)
+    n = Q.shape[0]
+    C = (Q.T @ Q / n - np.outer(Q.mean(0), Q.mean(0))) / 1e8
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(-evals)[:4]
+    V = evecs[:, order]
+    for c in range(4):
+        piv = int(np.argmax(np.abs(V[:, c])))
+        if V[piv, c] < 0:
+            V[:, c] = -V[:, c]
+    want = (X.astype(np.float64) - X.astype(np.float64).mean(0)) @ V
+    assert np.max(np.abs(P - want)) < 1e-2  # quantization + 6dp rounding
+
+    cov_p = np.cov(P.T, bias=True)
+    offdiag = cov_p - np.diag(np.diag(cov_p))
+    assert np.max(np.abs(offdiag)) < 1e-2 * np.max(np.diag(cov_p))
+    variances = np.diag(cov_p)
+    assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(3))
+    assert np.allclose(variances, evals[order], rtol=1e-2)

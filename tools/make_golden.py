@@ -28,6 +28,7 @@ GOLDEN_QUERIES = [
     "dedup_simhash",
     "similarity_ann_lsh",
     "dedup_cluster_minhash",
+    "embedding_pca_project",
 ]
 EXACT_SFS = ["0.001", "0.01"]
 COUNT_SF = "0.1"
