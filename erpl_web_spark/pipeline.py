@@ -46,6 +46,10 @@ class CurationConfig:
     # boilerplate cap: drop docs whose repeated-ngram contamination
     # exceeds this ratio (None = skip the stage)
     max_boilerplate_ratio: float | None = None
+    # corpus-frequency floor: drop docs whose mean relative token
+    # frequency (operators.text.with_unigram_freq_score) falls below
+    # this — the rare-token/noise filter (None = skip the stage)
+    min_unigram_freq: float | None = None
 
 
 def curate(
@@ -58,7 +62,7 @@ def curate(
     ``report`` has one row per stage: (stage, n_dropped) plus an
     ``input``/``output`` row — the accounting that makes a curation run
     reviewable. Stage order: exact dedup -> near-dup clusters ->
-    quality -> boilerplate.
+    quality -> boilerplate -> unigram-frequency floor.
 
     Each stage is persisted before counting and the predecessor cache is
     unpersisted, so stage N+1 reads stage N's cached survivors instead of
@@ -77,6 +81,7 @@ def curate(
     from erpl_web_spark.operators.text import (
         with_boilerplate_ratio,
         with_quality_score,
+        with_unigram_freq_score,
     )
 
     cfg = cfg or CurationConfig()
@@ -147,6 +152,19 @@ def curate(
         )
         cur, m = materialize("boilerplate", capped, cur)
         counts.append(("boilerplate_dropped", n - m))
+        n = m
+
+    if cfg.min_unigram_freq is not None:
+        scores = with_unigram_freq_score(cur, id_col, text_col).select(
+            id_col, "avg_unigram_freq"
+        )
+        floored = (
+            cur.join(scores, id_col)
+            .where(F.col("avg_unigram_freq") >= cfg.min_unigram_freq)
+            .drop("avg_unigram_freq")
+        )
+        cur, m = materialize("unigram_freq", floored, cur)
+        counts.append(("unigram_freq_dropped", n - m))
         n = m
 
     counts.append(("output", n))

@@ -49,6 +49,31 @@ def test_curate_minhash_path(spark):
     assert 5 in ids and 2 not in ids
 
 
+def test_curate_unigram_floor_stage(spark):
+    """The corpus-frequency floor drops the rare-token doc: one document
+    made of tokens that appear nowhere else scores far below docs built
+    from corpus-common vocabulary."""
+    common = "alpha beta gamma delta epsilon " * 10
+    rows = [
+        (1, common + "zeta"),
+        (2, common + "eta"),
+        (3, "qwxz jkvq pzlm wvxk " * 12),  # unique-token noise doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, report = curate(
+        df,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            min_unigram_freq=0.1,  # noise doc scores 0.08, common docs 0.13
+        ),
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["unigram_freq_dropped"] == 1
+    assert rep["input"] - rep["unigram_freq_dropped"] == rep["output"]
+    kept.unpersist()
+
+
 def test_curate_caches_each_stage(spark):
     """The accounting contract: every stage after the first must read its
     predecessor from cache (InMemoryRelation in the optimized plan), the
