@@ -18,9 +18,22 @@ def _formatted(df):
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_cartesian_product(spark, name):
+    """One formatted-plan pass per suite query, two structural bans:
+    CartesianProduct (no scale story) and scalar BatchEvalPython
+    (row-at-a-time Python UDF — the 10-100x-slower path; Arrow-
+    vectorized MapInPandas / ArrowEvalPython remain allowed, and
+    BatchEvalPythonUDTF is the deliberate Python-UDTF surface whose
+    codegen twin chunk_tokens_native is byte-identical). This pins the
+    'zero per-row Python UDFs' claim structurally rather than by code
+    review."""
+    import re
+
     q = all_queries()[name]
     if name.startswith("odata_"):
         pytest.skip("needs the loopback OData fixture service")
     df = q.fn(spark, SF)
     plan = _formatted(df)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert not re.search(r"BatchEvalPython(?!UDTF)", plan), (
+        f"{name} plans a row-at-a-time Python UDF"
+    )
