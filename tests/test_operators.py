@@ -936,6 +936,36 @@ def test_new_operator_edge_cases(spark):
     assert got == [(2, 1), (2, 2)]  # x dropped entirely, y doubled
 
 
+@pytest.mark.parametrize("seed", [5, 29])
+def test_unigram_freq_matches_python_model(spark, seed):
+    """with_unigram_freq_score == the dict-counter model, exactly: all
+    integer columns bit-equal, the double an exact single division."""
+    import random as _r
+
+    from erpl_web_spark.operators.text import with_unigram_freq_score
+
+    rng = _r.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(3, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    got = {r["doc_id"]: (r["n_toks"], r["sum_freq"], r["avg_unigram_freq"])
+           for r in with_unigram_freq_score(df).collect()}
+
+    counts: dict[str, int] = {}
+    for _, text in docs:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    for i, text in docs:
+        toks = text.split()
+        sum_freq = sum(counts[t] for t in toks)
+        want = (len(toks), sum_freq, float(sum_freq) / float(len(toks) * total))
+        assert got[i] == want, i
+
+
 def test_corr_matrix_matches_numpy(spark):
     rng = np.random.default_rng(5)
     a = rng.normal(size=200)
