@@ -81,6 +81,7 @@ def cosine_top_k_blas(
     k: int = 5,
     include_self: bool = False,
     shortlist_margin: int = 3,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, BLAS-accelerated: same contract and
     bit-identical output as ``cosine_top_k``, ~10-30x faster.
@@ -109,6 +110,16 @@ def cosine_top_k_blas(
     (~1e-15) around selection boundaries. The probe set is collected to
     the driver (bounded by contract — probes are the small broadcast
     side, exactly as in ``cosine_top_k``). Ids must be integral.
+
+    ``carry_vectors`` sizes the candidate shuffle: True (default)
+    ships each candidate's vector through the prune exchange —
+    n_partitions x n_probes x m x vec_bytes, the right trade up to
+    ~10^4 partitions because the corpus is scanned once. On a corpus
+    with very many partitions (100 TB ≈ 10^6 splits) set False: the
+    shuffle carries only (probe_id, neighbor_id, score) and the pruned
+    survivors (n_probes x (k+3) rows) are re-joined against the corpus
+    by id — a second scan, but a broadcast-hash join against a tiny
+    build side. Both modes emit identical values (test-pinned).
     """
     import numpy as np
     import pandas as pd
@@ -156,14 +167,18 @@ def cosine_top_k_blas(
             out_p.extend([pids[pi]] * len(keep))
             out_n.extend(I[pi][keep].tolist())
             out_s.extend(S[pi][keep].tolist())
-        yield pd.DataFrame({
+        out = {
             "probe_id": np.array(out_p, dtype=np.int64),
             "neighbor_id": np.array(out_n, dtype=np.int64),
             "qscore": np.array(out_s, dtype=np.float64),
-            "vec": [vecs_by_id[n] for n in out_n],
-        })
+        }
+        if carry_vectors:
+            out["vec"] = [vecs_by_id[n] for n in out_n]
+        yield pd.DataFrame(out)
 
-    dim_schema = "probe_id long, neighbor_id long, qscore double, vec array<float>"
+    dim_schema = "probe_id long, neighbor_id long, qscore double"
+    if carry_vectors:
+        dim_schema += ", vec array<float>"
     # Explicit projection: mapInPandas consumes every input column, so
     # without this the parquet scan would read the whole row width.
     cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(shortlist, dim_schema)
@@ -176,6 +191,14 @@ def cosine_top_k_blas(
         .where(F.col("__qr") <= k + 3)
         .drop("__qr", "qscore")
     )
+    if not carry_vectors:
+        # Re-join survivors against the corpus by id: broadcast the tiny
+        # candidate set into the corpus scan (second scan, no big shuffle).
+        c = corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).alias("vec"),
+        )
+        pruned = c.join(F.broadcast(pruned), "neighbor_id")
     p = probes.select(
         F.col(id_col).cast("long").alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),

@@ -126,6 +126,11 @@ def test_blas_top_k_matches_brute_force(spark):
     g = {key(r): (r["neighbor_id"], r["cosine"]) for r in got}
     assert g == w  # exact float equality: same fold, same values
     assert len(w) == 20 * 3
+    # the big-corpus shuffle mode (skinny candidates + corpus re-join)
+    # emits the same values
+    got2 = cosine_top_k_blas(emb, probes, k=3, carry_vectors=False).collect()
+    g2 = {key(r): (r["neighbor_id"], r["cosine"]) for r in got2}
+    assert g2 == w
 
 
 def test_blas_top_k_include_self_and_margin(spark):
