@@ -6,6 +6,11 @@ deltaLink in a state directory; this wrapper makes the link itself the
 exactly-once delivery into the sink with no side files (the same
 offset==token design as ``streaming.odp_stream``, applied to Graph).
 
+Entities: ``users``, ``groups`` (fixed schemas) and ``list_items``
+(SharePoint list rows — schema typed at plan time from the list's
+column facets, exactly like the batch ``graph_list_items_delta``;
+requires ``site_id`` and ``list_id`` options).
+
 Usage::
 
     spark.dataSource.register(GraphDeltaDataSource)
@@ -51,26 +56,71 @@ def _entity_schema(entity: str) -> StructType:
     return StructType(fields + [StructField("change_op", StringType())])
 
 
+def _list_item_columns(base_url: str, site_id: str, list_id: str):
+    """(name, DataType) specs from the list's column facets — the same
+    typing rule as the batch reader (number/currency -> DOUBLE, boolean,
+    dateTime -> TIMESTAMP, else VARCHAR)."""
+    from erpl_web_spark.sources.graph import GraphClient, sharepoint_column_type
+
+    client = GraphClient(base_url)
+    cols = client.get_paged_values(f"/sites/{site_id}/lists/{list_id}/columns")
+    cols = [c for c in cols if not c.get("readOnly") or c.get("name") == "Title"]
+    return [(c["name"], sharepoint_column_type(c)) for c in cols]
+
+
+def _list_item_schema(col_specs) -> StructType:
+    return StructType(
+        [StructField("id", StringType(), True)]
+        + [StructField(name, dt, True) for name, dt in col_specs]
+        + [StructField("change_op", StringType())]
+    )
+
+
 class GraphDeltaDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "graph_delta"
 
+    def _col_specs(self):
+        return _list_item_columns(
+            self.options["base_url"], self.options["site_id"], self.options["list_id"]
+        )
+
     def schema(self) -> StructType:
-        return _entity_schema(self.options.get("entity", "users"))
+        entity = self.options.get("entity", "users")
+        if entity == "list_items":
+            return _list_item_schema(self._col_specs())
+        return _entity_schema(entity)
 
     def simpleStreamReader(self, schema: StructType) -> "GraphDeltaStreamReader":
-        return GraphDeltaStreamReader(
-            self.options["base_url"], self.options.get("entity", "users")
-        )
+        entity = self.options.get("entity", "users")
+        if entity == "list_items":
+            return GraphDeltaStreamReader(
+                self.options["base_url"],
+                entity,
+                delta_path=(
+                    f"/sites/{self.options['site_id']}/lists/"
+                    f"{self.options['list_id']}/items/delta?expand=fields"
+                ),
+                col_specs=self._col_specs(),
+            )
+        return GraphDeltaStreamReader(self.options["base_url"], entity)
 
 
 class GraphDeltaStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, base_url: str, entity: str):
-        if entity not in _ENTITY_FIELDS:
+    def __init__(
+        self,
+        base_url: str,
+        entity: str,
+        delta_path: str | None = None,
+        col_specs=None,
+    ):
+        if entity not in _ENTITY_FIELDS and entity != "list_items":
             raise ValueError(f"unsupported entity {entity!r}")
         self._base_url = base_url.rstrip("/")
         self._entity = entity
+        self._delta_path = delta_path or f"/{entity}/delta"
+        self._col_specs = col_specs
 
     def _client(self):
         from erpl_web_spark.sources.graph import GraphClient
@@ -108,6 +158,22 @@ class GraphDeltaStreamReader(SimpleDataSourceStreamReader):
         return items, delta
 
     def _rows(self, items: list[dict]) -> list[tuple]:
+        if self._entity == "list_items":
+            from erpl_web_spark.odata.json_decode import decode_value
+
+            rows = []
+            for i in items:
+                removed = "@removed" in i
+                f = i.get("fields", {})
+                rows.append(
+                    (i.get("id"),)
+                    + tuple(
+                        None if removed else decode_value(f.get(name), dt)
+                        for name, dt in self._col_specs
+                    )
+                    + (("D" if removed else "U"),)
+                )
+            return rows
         fields = _ENTITY_FIELDS[self._entity]
         return [
             tuple(i.get(src) for src, _ in fields)
@@ -119,7 +185,7 @@ class GraphDeltaStreamReader(SimpleDataSourceStreamReader):
         return {"delta_link": ""}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        url = start.get("delta_link") or f"{self._base_url}/{self._entity}/delta"
+        url = start.get("delta_link") or f"{self._base_url}{self._delta_path}"
         items, delta = self._walk(url)
         return iter(self._rows(items)), {"delta_link": delta or start.get("delta_link", "")}
 
@@ -127,7 +193,7 @@ class GraphDeltaStreamReader(SimpleDataSourceStreamReader):
         # Failure replay: Graph replays a delta link until the next one is
         # requested, so re-walking the start link is deterministic within
         # the service's retention window.
-        url = start.get("delta_link") or f"{self._base_url}/{self._entity}/delta"
+        url = start.get("delta_link") or f"{self._base_url}{self._delta_path}"
         items, _ = self._walk(url)
         return iter(self._rows(items))
 

@@ -312,6 +312,49 @@ def test_graph_delta_streaming_source(spark, fixture_server, tmp_path):
     assert ("u0", "U") not in second  # no full-reload replay
 
 
+def test_graph_list_items_delta_streaming(spark, fixture_server, tmp_path):
+    """SharePoint list items as a streaming delta source: schema typed
+    from column facets at plan time, deltaLink as the offset, second run
+    on the same checkpoint delivers only the edit + tombstone."""
+    from erpl_web_spark.streaming.graph_delta_stream import GraphDeltaDataSource
+
+    spark.dataSource.register(GraphDeltaDataSource)
+    ckpt = str(tmp_path / "ckpt_li")
+    batches: list[list] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("graph_delta")
+            .option("base_url", fixture_server.base_url + "/graph")
+            .option("entity", "list_items")
+            .option("site_id", "s1")
+            .option("list_id", "l1")
+            .load()
+        )
+        assert stream.schema["Amount"].dataType.simpleString() == "double"
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: batches.append(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {(r["id"], r["change_op"]) for b in batches for r in b}
+    assert {("1", "U"), ("2", "U")} <= first
+
+    batches.clear()
+    run_once()  # same checkpoint -> only the L1 delta
+    rows = {r["id"]: r for b in batches for r in b}
+    assert rows["2"]["change_op"] == "U" and rows["2"]["Title"] == "Row2 edited"
+    assert rows["2"]["Amount"] == 99.5
+    assert rows["1"]["change_op"] == "D" and rows["1"]["Title"] is None
+    assert "3" not in rows  # no full-reload replay
+
+
 def test_graph_list_items_delta_sync(spark, fixture_server, tmp_path):
     """SharePoint list-items delta: facet-typed columns, tombstones, and
     snapshot maintenance through the CDC merge."""
