@@ -74,6 +74,7 @@ def merge_to_parquet_snapshots(
     keys: list[str],
     op_col: str | None = None,
     seq_cols: list[str] | None = None,
+    retain_versions: int | None = None,
 ) -> None:
     """foreachBatch sink: apply each CDC micro-batch to the previous
     snapshot and write snapshot version ``path/v=<batch_id>``.
@@ -91,6 +92,13 @@ def merge_to_parquet_snapshots(
     to overwrite — reading v=<batch_id> itself would both break
     idempotence and make Spark refuse the overwrite ("Cannot overwrite
     a path that is also being read from"), wedging the stream.
+
+    ``retain_versions`` bounds storage: after the new version commits,
+    complete versions older than ``batch_id - retain_versions`` are
+    deleted. Spark only ever replays the most recent uncommitted batch,
+    so any ``retain_versions >= 1`` preserves replay safety (the replay
+    of batch N re-reads v=N-1, the newest retained version); None keeps
+    every version (a full time-travel history).
     """
     spark = batch_df.sparkSession
     latest = read_latest_snapshot(spark, path, before=batch_id)
@@ -99,6 +107,14 @@ def merge_to_parquet_snapshots(
     merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}")
     # commit marker: readers only trust versions with _SUCCESS
     # (written last by the parquet committer itself)
+    if retain_versions is not None:
+        import os
+        import shutil
+
+        cutoff = batch_id - retain_versions
+        for d in os.listdir(path):
+            if d.startswith("v=") and int(d.split("=", 1)[1]) < cutoff:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def read_latest_snapshot(spark, path: str, before: int | None = None) -> DataFrame | None:

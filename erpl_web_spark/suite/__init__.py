@@ -43,20 +43,53 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
     return deco
 
 
+def _scan_bytes(path: str) -> int | None:
+    """Total bytes under a local parquet path (file or directory);
+    None for non-local URIs."""
+    import os
+
+    if "://" in path:
+        return None
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    return None
+
+
 def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> DataFrame:
     """Read one driver table. ``spread=True`` rebalances a too-coarse scan
     up to the session's default parallelism — the test parquet is a single
     row-group per table, which would otherwise serialize CPU-heavy per-row
     work (shingling, hashing, vector math) into one task. On real data
     (many files/row-groups) the scan already has enough splits and this is
-    a no-op; results are partitioning-independent either way."""
+    a no-op; results are partitioning-independent either way.
+
+    The under-split decision uses the file size against
+    ``spark.sql.files.maxPartitionBytes`` (driver-side arithmetic, no
+    Spark job — the ``df.rdd`` partition probe costs ~100 ms of plan
+    time per call); non-local paths fall back to the probe."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
     if spread:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        size = _scan_bytes(path)
+        if size is not None:
+            try:
+                mpb = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+            except ValueError:
+                mpb = 128 << 20
+            est_splits = max(1, size // mpb)
+            if est_splits < target:
+                df = df.repartition(target)
+        elif df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     if table == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) parquet read as long via

@@ -731,6 +731,20 @@ def test_cdc_snapshot_merge_replay_idempotent(spark, tmp_path):
     base = read_latest_snapshot(spark, snap, before=1)
     assert {r["k"] for r in base.collect()} == {1, 2, 3}
 
+    # retention: batch 2 with retain_versions=1 prunes v=0, keeps v=1
+    import os
+
+    b2 = spark.createDataFrame([(5, 5.0, "I", 6)], schema)
+    merge_to_parquet_snapshots(b2, 2, snap, ["k"], "op", ["seq"], retain_versions=1)
+    dirs = sorted(d for d in os.listdir(snap) if d.startswith("v="))
+    assert dirs == ["v=1", "v=2"]
+    got2 = {(r["k"], r["val"]) for r in read_latest_snapshot(spark, snap).collect()}
+    assert got2 == want | {(5, 5.0)}
+    # replay of batch 2 still derives from v=1 after pruning
+    merge_to_parquet_snapshots(b2, 2, snap, ["k"], "op", ["seq"], retain_versions=1)
+    got3 = {(r["k"], r["val"]) for r in read_latest_snapshot(spark, snap).collect()}
+    assert got3 == got2
+
 
 def test_tile_grid_overlap_and_ragged_edges(spark):
     from erpl_web_spark.operators.multimodal import tile_grid
