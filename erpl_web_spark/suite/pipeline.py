@@ -695,6 +695,49 @@ def curation_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_diverse_sample",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cell, emb AS cvec FROM v WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT v.vec_id, c.cell,
+             list_dot_product(v.emb, c.cvec)
+               / (sqrt(list_dot_product(v.emb, v.emb))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+      FROM v, c
+    ), best AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+      FROM best
+    ) WHERE rn <= 25
+    """,
+)
+def curation_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-diversity sampling: cap the corpus per coarse cluster
+    cell (IVF assignment — broadcast centroids, map-side argmax) so no
+    region of embedding space dominates the sample — the geometric
+    analogue of the per-domain cap. Per-cell cap plans as
+    WindowGroupLimit; the only shuffle carries (vec_id, cell) pairs."""
+    from erpl_web_spark.operators.curation import cap_per_group
+    from erpl_web_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    cents = ivf_centroids(emb, "vec_id", "embedding", stride=50)
+    assigned = ivf_assign(emb, cents, "vec_id", "embedding").select("vec_id", "cell")
+    return cap_per_group(assigned, "cell", [F.col("vec_id")], 25).select(
+        "vec_id", "cell"
+    )
+
+
+@register(
     "curation_contamination",
     oracle=f"""
     WITH sh AS (
