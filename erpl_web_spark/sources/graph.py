@@ -111,55 +111,95 @@ def graph_batch_execute(
     most ``max_bytes`` of serialized subrequest JSON — whichever fills
     first — so many small writes coalesce while a few huge ones don't
     blow the service's body limit. Returns one response dict
-    ``{"id", "status", "body"}`` per input, in input order; raises on
-    the first failed subresponse (id + status named) so partial failures
-    are attributable, never silent.
+    ``{"id", "status", "body"}`` per input, in input order.
+
+    Throttling: Graph applies 429/503 PER SUBREQUEST inside a 200
+    envelope (the transport-level retry in core.http never sees them),
+    so throttled subrequests are collected and re-issued in follow-up
+    envelopes — honoring the largest subresponse ``Retry-After`` (capped
+    at 30 s) — up to ``throttle_retries`` rounds. Any other failed
+    subresponse raises immediately (id + status named) so partial
+    failures are attributable, never silent.
     """
+    import time as _time
+
     results: list[dict | None] = [None] * len(requests)
-    chunk: list[tuple[int, dict, int]] = []
-    chunk_bytes = 0
 
-    def flush():
-        nonlocal chunk, chunk_bytes
-        if not chunk:
-            return
-        envelope = {
-            "requests": [
-                {
-                    "id": str(i),
-                    "method": r["method"],
-                    "url": r["url"],
-                    **(
-                        {"body": r["body"],
-                         "headers": {"Content-Type": "application/json"}}
-                        if r.get("body") is not None
-                        else {}
-                    ),
-                }
-                for i, r, _ in chunk
-            ]
-        }
-        doc = client.request("POST", "/$batch", envelope) or {}
-        got = {str(resp.get("id")): resp for resp in doc.get("responses", [])}
-        for i, _, _ in chunk:
-            resp = got.get(str(i))
-            if resp is None:
-                raise RuntimeError(f"Graph $batch dropped response id={i}")
-            if int(resp.get("status", 0)) >= 400:
-                raise RuntimeError(
-                    f"Graph $batch subrequest id={i} failed with "
-                    f"HTTP {resp.get('status')}: {str(resp.get('body'))[:200]}"
-                )
-            results[i] = resp
-        chunk, chunk_bytes = [], 0
+    def run_round(todo: list[int]) -> tuple[list[int], float]:
+        """Send ``todo`` (input indices) in budget-cut envelopes; fill
+        ``results``; return (throttled indices, max retry-after sec)."""
+        throttled: list[int] = []
+        retry_after = 0.0
+        chunk: list[tuple[int, int]] = []  # (index, size)
+        chunk_bytes = 0
 
-    for i, r in enumerate(requests):
-        size = len(json.dumps(r, default=str))
-        if chunk and (len(chunk) >= max_requests or chunk_bytes + size > max_bytes):
-            flush()
-        chunk.append((i, r, size))
-        chunk_bytes += size
-    flush()
+        def flush():
+            nonlocal chunk, chunk_bytes, retry_after
+            if not chunk:
+                return
+            envelope = {
+                "requests": [
+                    {
+                        "id": str(i),
+                        "method": requests[i]["method"],
+                        "url": requests[i]["url"],
+                        **(
+                            {"body": requests[i]["body"],
+                             "headers": {"Content-Type": "application/json"}}
+                            if requests[i].get("body") is not None
+                            else {}
+                        ),
+                    }
+                    for i, _ in chunk
+                ]
+            }
+            doc = client.request("POST", "/$batch", envelope) or {}
+            got = {str(resp.get("id")): resp for resp in doc.get("responses", [])}
+            for i, _ in chunk:
+                resp = got.get(str(i))
+                if resp is None:
+                    raise RuntimeError(f"Graph $batch dropped response id={i}")
+                status = int(resp.get("status", 0))
+                if status in (429, 503):
+                    throttled.append(i)
+                    headers = {
+                        str(k).lower(): v
+                        for k, v in (resp.get("headers") or {}).items()
+                    }
+                    try:
+                        retry_after = max(retry_after, float(headers.get("retry-after", 0)))
+                    except (TypeError, ValueError):
+                        pass
+                elif status >= 400:
+                    raise RuntimeError(
+                        f"Graph $batch subrequest id={i} failed with "
+                        f"HTTP {status}: {str(resp.get('body'))[:200]}"
+                    )
+                else:
+                    results[i] = resp
+            chunk, chunk_bytes = [], 0
+
+        for i in todo:
+            size = len(json.dumps(requests[i], default=str))
+            if chunk and (len(chunk) >= max_requests or chunk_bytes + size > max_bytes):
+                flush()
+            chunk.append((i, size))
+            chunk_bytes += size
+        flush()
+        return throttled, retry_after
+
+    todo = list(range(len(requests)))
+    throttle_retries = 3
+    for attempt in range(throttle_retries + 1):
+        todo, retry_after = run_round(todo)
+        if not todo:
+            break
+        if attempt == throttle_retries:
+            raise RuntimeError(
+                f"Graph $batch: {len(todo)} subrequests still throttled (429/503) "
+                f"after {throttle_retries} retry rounds"
+            )
+        _time.sleep(min(retry_after, 30.0))
     return results  # type: ignore[return-value]
 
 

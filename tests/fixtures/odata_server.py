@@ -343,6 +343,8 @@ class FixtureState:
         self.tokens_issued: list[dict] = []
         # GraphQL mutation side effects
         self.gql_added: list[dict] = []
+        # $batch subrequests throttled once (429) by title
+        self.batch_throttled: set[str] = set()
 
     def requests_for(self, path_prefix: str) -> list[dict]:
         return [r for r in self.log if r["path"].startswith(path_prefix)]
@@ -836,6 +838,15 @@ def _make_handler(state: FixtureState):
                         responses.append({"id": sid, "status": 201,
                                           "body": {"id": item_id}})
                     elif method == "POST" and url == "/planner/tasks":
+                        title = (sbody or {}).get("title", "")
+                        # titles starting 'thr-' are throttled once each
+                        # (subresponse-level 429, envelope still 200)
+                        if title.startswith("thr-") and title not in state.batch_throttled:
+                            state.batch_throttled.add(title)
+                            responses.append({"id": sid, "status": 429,
+                                              "headers": {"Retry-After": "0"},
+                                              "body": {"error": "throttled"}})
+                            continue
                         task_id = f"task-{len(state.planner_created) + 1}"
                         state.planner_created.append({**(sbody or {}), "id": task_id})
                         responses.append({"id": sid, "status": 201,

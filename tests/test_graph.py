@@ -125,6 +125,30 @@ def test_sharepoint_write_batch_coalescing(spark, fixture_server):
     del fixture_server.state.sp_items[n0:]
 
 
+def test_graph_batch_throttled_subrequests_retry(fixture_server):
+    """Graph throttles PER SUBREQUEST inside a 200 envelope: 429'd
+    subrequests must be re-issued in a follow-up envelope (honoring
+    Retry-After) while successes are kept — not raised, not re-sent."""
+    from erpl_web_spark.sources.graph import graph_batch_execute
+
+    g = GraphClient(fixture_server.base_url + "/graph", HttpClient())
+    n0 = len(fixture_server.state.planner_created)
+    fixture_server.state.log.clear()
+    reqs = [
+        {"method": "POST", "url": "/planner/tasks", "body": {"title": t}}
+        for t in ["ok-1", "thr-a", "ok-2", "thr-b"]
+    ]
+    out = graph_batch_execute(g, reqs)
+    assert [r["status"] for r in out] == [201, 201, 201, 201]
+    # 2 envelopes on the wire: the full batch, then the 2 throttled retries
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 2
+    created = [t["title"] for t in fixture_server.state.planner_created[n0:]]
+    # each task created exactly once, successes never re-sent
+    assert sorted(created) == ["ok-1", "ok-2", "thr-a", "thr-b"]
+    # responses map back to input order
+    assert out[1]["body"]["title"] == "thr-a" and out[3]["body"]["title"] == "thr-b"
+
+
 def test_graph_batch_failure_is_attributable(fixture_server):
     from erpl_web_spark.sources.graph import graph_batch_execute
 
