@@ -22,6 +22,8 @@ from erpl_web_spark.operators.similarity import (
     ann_top_k_lsh,
     cosine_top_k,
     cosine_top_k_blas,
+    dot_expr,
+    norm_expr,
 )
 from erpl_web_spark.operators.text import (
     STOPWORDS,
@@ -363,6 +365,100 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
     return pca_project(emb, "vec_id", "embedding", dim=64, k=8)
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+             list_dot_product(p.emb, c.emb)
+               / (sqrt(list_dot_product(p.emb, p.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+      FROM v p JOIN v c ON p.vec_id < 100 AND p.label <> c.label
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, neg_label,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank,
+             cosine
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, neg_label, CAST(rank AS INT) AS rank,
+           ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe, the
+    top-3 most-similar vectors with a DIFFERENT label — the examples a
+    contrastive loss learns most from. Broadcast probes, map-only
+    label-mismatch scoring, WindowGroupLimit top-k; the exact baseline
+    (scale path = the same label filter inside IVF cells)."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.where(F.col("vec_id") < 100)
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("probe_vec"),
+        norm_expr(F.col("embedding")).alias("pnorm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("vec"),
+        norm_expr(F.col("embedding")).alias("cnorm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .where(F.col("probe_label") != F.col("neg_label"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "neg_label",
+            (dot_expr(F.col("probe_vec"), F.col("vec")) / (F.col("pnorm") * F.col("cnorm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("probe_id", "neighbor_id", "neg_label", "rank",
+                F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks FROM documents
+    )
+    SELECT doc_id, n_toks,
+           CAST(n_toks // 32 AS BIGINT) AS bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY n_toks // 32 ORDER BY doc_id) - 1) // 8
+                AS BIGINT) AS batch_idx
+    FROM t
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: group documents into
+    32-token-wide length buckets and deterministic 8-doc batches within
+    each — the padding-efficiency step before batched inference or
+    packing (same-length batches waste no pad tokens). One skinny
+    shuffle on the bucket key; WindowGroupLimit does not apply (full
+    numbering), but rows are (doc_id, long) pairs only."""
+    from erpl_web_spark.operators.text import token_count_expr
+
+    d = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", token_count_expr(F.col("text")).cast("bigint").alias("n_toks")
+    )
+    d = d.withColumn("bucket", (F.col("n_toks") / 32).cast("bigint"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return d.withColumn(
+        "batch_idx", ((F.row_number().over(w) - 1) / 8).cast("bigint")
+    ).select("doc_id", "n_toks", "bucket", "batch_idx")
 
 
 @register("similarity_ann_lsh", oracle=None)
