@@ -128,6 +128,25 @@ def minhash_signatures(
     )
 
 
+def band_keys_expr(num_hashes: int, bands: int) -> Column:
+    """array<bigint> of LSH band keys over a ``minhash`` column.
+
+    One 64-bit key per band: the band index is hashed IN (first arg), so
+    a single bigint equality replaces the (band, key) composite — a
+    slimmer shuffle key and a simpler grouping.
+    """
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -167,24 +186,13 @@ def minhash_lsh_pairs(
     run exact dedup first (as any production pipeline does); the exact
     stage removes identical texts and with them every degenerate bucket.
     """
-    rows_per_band = num_hashes // bands
     hashed = hashed_shingles(df, id_col, text_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
-    # One 64-bit key per band: the band index is hashed IN (first arg), so
-    # a single bigint equality replaces the (band, key) composite — a
-    # slimmer shuffle key and a simpler grouping.
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(band_keys_expr(num_hashes, bands)).alias("band_key")
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
     # Bucketize: sorted-distinct member ids per band key. sort+distinct
     # canonicalizes collect_list's nondeterministic order so the expanded
     # pairs are deterministic and strictly id_a < id_b.
@@ -394,3 +402,170 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# -- Incremental dedup index -------------------------------------------------
+
+def read_dedup_index(spark, path: str, before: int | None = None):
+    """Union of committed index deltas (``path/batch=N``, ``N < before``),
+    or None when the index is empty. Schema: (doc_id, hs, band_keys)."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        and (before is None or int(d.split("=", 1)[1]) < before)
+    )
+    if not parts:
+        return None
+    return spark.read.parquet(*[f"{path}/batch={n}" for n in parts])
+
+
+def dedup_index_apply(
+    batch_df,
+    batch_id: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> None:
+    """foreachBatch near-dup dedup against a persisted index — the
+    production shape for continuously-arriving corpora: each micro-batch
+    is deduplicated (a) within itself (exact digests, then MinHash-LSH
+    pairs -> connected components, keep the minimum id per cluster) and
+    (b) against every previously-kept document, then ONLY the surviving
+    keepers are appended to the index as ``path/batch=<batch_id>``.
+
+    The index stores per-kept-doc (doc_id, hs: distinct shingle hashes,
+    band_keys: LSH band keys) — no text. Cross-batch candidates come
+    from an equi-join of exploded band keys (skinny (bigint, id) rows,
+    the same one-shuffle posture as ``minhash_lsh_pairs``), verified
+    with exact Jaccard over the stored hash sets, so false positives are
+    zero and index growth is bounded by the keeper rate.
+
+    Replay-safe like ``merge_to_parquet_snapshots``: decisions for batch
+    N read only deltas with id < N, and a replayed batch deterministically
+    overwrites its own ``batch=N`` directory with identical content.
+    Decisions are recorded at ``path/decisions/batch=<batch_id>`` as
+    (doc_id, status 'kept'|'dup_in_batch'|'dup_of_index', dup_of).
+    """
+    from erpl_web_spark.operators.graph import connected_components
+
+    spark = batch_df.sparkSession
+    hashed = hashed_shingles(batch_df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
+    new = (
+        hashed.join(
+            sigs.select(
+                F.col(id_col), band_keys_expr(num_hashes, bands).alias("band_keys")
+            ),
+            id_col,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # (a) within-batch: exact digests first (hot-bucket guard), then
+    # LSH pairs -> components; keep the minimum id per cluster.
+    exact_keep = (
+        batch_df.groupBy(F.md5(normalized_text_expr(text_col)).alias("__d"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    in_batch = batch_df.join(exact_keep, id_col, "left_semi")
+    pairs = minhash_lsh_pairs(
+        in_batch, id_col, text_col, num_hashes, bands, shingle_k, threshold
+    )
+    near_drop = (
+        connected_components(pairs, "id_a", "id_b")
+        .where(F.col("id") != F.col("component"))
+        .select(
+            F.col("id").alias(id_col), F.col("component").alias("dup_of")
+        )
+    )
+    batch_ids = batch_df.select(id_col)
+    in_batch_drops = (
+        batch_ids.join(exact_keep, id_col, "left_anti")
+        .join(
+            batch_df.groupBy(F.md5(normalized_text_expr(text_col)).alias("__d"))
+            .agg(F.min(id_col).alias("dup_of"))
+            .join(
+                batch_df.select(
+                    F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("__d")
+                ),
+                "__d",
+            )
+            .select(id_col, "dup_of"),
+            id_col,
+            "left",
+        )
+        .select(id_col, "dup_of")
+        .unionByName(near_drop)
+    )
+
+    survivors = new.join(in_batch_drops.select(id_col), id_col, "left_anti")
+
+    # (b) against the index: band-key equi-join, exact Jaccard verify.
+    index = read_dedup_index(spark, path, before=batch_id)
+    if index is not None:
+        nb = survivors.select(
+            F.col(id_col).alias("new_id"),
+            F.col("hs").alias("hs_new"),
+            F.explode("band_keys").alias("band_key"),
+        )
+        ob = index.select(
+            F.col(id_col).alias("old_id"),
+            F.col("hs").alias("hs_old"),
+            F.explode("band_keys").alias("band_key"),
+        )
+        cand = (
+            nb.join(ob, "band_key")
+            .select("new_id", "hs_new", "old_id", "hs_old")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        index_dups = (
+            cand.select(
+                "new_id",
+                "old_id",
+                (
+                    F.size(F.array_intersect("hs_new", "hs_old"))
+                    / F.size(F.array_union("hs_new", "hs_old"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .groupBy("new_id")
+            .agg(F.min("old_id").alias("dup_of"))
+        )
+    else:
+        index_dups = spark.createDataFrame([], f"new_id long, dup_of long")
+
+    index_dups = index_dups.persist(StorageLevel.MEMORY_AND_DISK)
+    keepers = survivors.join(
+        index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    )
+    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    decisions = (
+        batch_ids.join(in_batch_drops, id_col, "left")
+        .join(index_dups.withColumnRenamed("new_id", id_col).withColumnRenamed("dup_of", "__idx_of"), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup_in_batch"))
+            .when(F.col("__idx_of").isNotNull(), F.lit("dup_of_index"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(F.col("dup_of"), F.col("__idx_of")).alias("dup_of"),
+        )
+    )
+    decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
+    hashed.unpersist()
+    new.unpersist()
+    index_dups.unpersist()

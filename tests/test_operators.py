@@ -1055,3 +1055,67 @@ def test_token_budget_sample_properties(spark):
     # unbudgeted strata drop entirely
     only_s = token_budget_sample(df, "source", "doc_id", "n_toks", {"s": 55})
     assert {r["source"] for r in only_s.collect()} == {"s"}
+
+
+def test_dedup_index_incremental(spark, tmp_path):
+    """Incremental dedup index: within-batch dedup (exact + near +
+    clusters), cross-batch dedup against every previously-kept doc,
+    append-only keeper deltas, attributable decisions, and replay
+    idempotence (a re-run batch rewrites identical content)."""
+    from erpl_web_spark.operators.dedup import dedup_index_apply, read_dedup_index
+
+    idx = str(tmp_path / "dedup_idx")
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+
+    b0 = spark.createDataFrame(
+        [
+            (1, base + "one"),
+            (2, base + "one"),  # exact dup of 1 (in batch)
+            (3, base.replace("lazy", "sleepy") + "one"),  # near dup of 1
+            (4, "completely different organic content with many varied words here " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    dedup_index_apply(b0, 0, idx)
+    kept0 = {r["doc_id"] for r in read_dedup_index(spark, idx).collect()}
+    assert kept0 == {1, 4}
+    dec0 = {r["doc_id"]: (r["status"], r["dup_of"])
+            for r in spark.read.parquet(f"{idx}/decisions/batch=0").collect()}
+    assert dec0[1] == ("kept", None) and dec0[4] == ("kept", None)
+    assert dec0[2] == ("dup_in_batch", 1) and dec0[3] == ("dup_in_batch", 1)
+
+    b1 = spark.createDataFrame(
+        [
+            (10, base.replace("dog", "cat") + "one"),  # near dup of kept 1
+            (11, "fresh second batch subject matter entirely its own topic " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    dedup_index_apply(b1, 1, idx)
+    kept1 = {r["doc_id"] for r in read_dedup_index(spark, idx).collect()}
+    assert kept1 == {1, 4, 11}
+    dec1 = {r["doc_id"]: (r["status"], r["dup_of"])
+            for r in spark.read.parquet(f"{idx}/decisions/batch=1").collect()}
+    assert dec1[10] == ("dup_of_index", 1) and dec1[11] == ("kept", None)
+
+    # replay batch 1 (crash-after-write scenario): index and decisions
+    # must come out identical — batch 1 reads only deltas < 1
+    dedup_index_apply(b1, 1, idx)
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == kept1
+    dec1b = {r["doc_id"]: (r["status"], r["dup_of"])
+             for r in spark.read.parquet(f"{idx}/decisions/batch=1").collect()}
+    assert dec1b == dec1
+
+    # batch 2: near dup of a batch-1 keeper, plus a new doc
+    b2 = spark.createDataFrame(
+        [
+            (20, "fresh second batch subject matter entirely its own idea " * 5),
+            (21, "yet another brand new document with its own vocabulary stream " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    dedup_index_apply(b2, 2, idx)
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == {1, 4, 11, 21}
+    dec2 = {r["doc_id"]: (r["status"], r["dup_of"])
+            for r in spark.read.parquet(f"{idx}/decisions/batch=2").collect()}
+    assert dec2[20] == ("dup_of_index", 11) and dec2[21] == ("kept", None)
