@@ -1119,3 +1119,47 @@ def test_dedup_index_incremental(spark, tmp_path):
     dec2 = {r["doc_id"]: (r["status"], r["dup_of"])
             for r in spark.read.parquet(f"{idx}/decisions/batch=2").collect()}
     assert dec2[20] == ("dup_of_index", 11) and dec2[21] == ("kept", None)
+
+
+def test_dedup_index_streaming_e2e(spark, tmp_path):
+    """The dedup index behind a real file stream: foreachBatch passes
+    Spark's own batch ids, the checkpoint scopes each file to one batch,
+    and cross-batch dups are dropped exactly as in the direct-call
+    contract."""
+    from erpl_web_spark.operators.dedup import dedup_index_apply, read_dedup_index
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: dedup_index_apply(df, bid, idx)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, base + "one"), (2, base.replace("lazy", "sleepy") + "one")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == {1}
+
+    spark.createDataFrame(
+        [(10, base.replace("dog", "cat") + "one"),
+         (11, "fresh second batch subject matter entirely its own topic " * 5)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()  # same checkpoint: only the new file forms batch 1
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == {1, 11}
