@@ -569,3 +569,41 @@ def dedup_index_apply(
     hashed.unpersist()
     new.unpersist()
     index_dups.unpersist()
+
+
+def dedup_index_compact(spark, path: str, keep_latest: int = 1) -> int:
+    """Merge old index deltas into one directory to keep the read-side
+    file count bounded as batches accumulate.
+
+    All committed deltas EXCEPT the ``keep_latest`` newest are unioned
+    and rewritten into the oldest surviving batch-id directory among
+    them, then the merged-away directories are removed. Batch ids never
+    move FORWARD (the merge target is a batch id that already existed
+    and is older than everything kept), so the replay guard — a replayed
+    batch N reads deltas strictly below N — still sees exactly the same
+    documents: Spark can only replay the newest uncommitted batch, and
+    that batch's delta is never part of a compaction with
+    ``keep_latest >= 1``. Returns the number of directories merged.
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return 0
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+    )
+    to_merge = parts[: max(0, len(parts) - keep_latest)]
+    if len(to_merge) < 2:
+        return 0
+    target = to_merge[0]
+    merged = spark.read.parquet(*[f"{path}/batch={n}" for n in to_merge])
+    tmp = f"{path}/.compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    for n in to_merge:
+        shutil.rmtree(os.path.join(path, f"batch={n}"), ignore_errors=True)
+    os.rename(tmp, os.path.join(path, f"batch={target}"))
+    return len(to_merge)

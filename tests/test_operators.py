@@ -1163,3 +1163,39 @@ def test_dedup_index_streaming_e2e(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(src))
     run_stream()  # same checkpoint: only the new file forms batch 1
     assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == {1, 11}
+
+
+def test_dedup_index_compaction(spark, tmp_path):
+    """Compaction merges old deltas without changing the visible index,
+    and later batches still dedup against compacted history."""
+    from erpl_web_spark.operators.dedup import (
+        dedup_index_apply,
+        dedup_index_compact,
+        read_dedup_index,
+    )
+    import os
+
+    idx = str(tmp_path / "idx")
+    mk = lambda i, t: spark.createDataFrame([(i, t)], "doc_id long, text string")  # noqa: E731
+    texts = {
+        1: "alpha document with its very own distinctive vocabulary stream " * 5,
+        2: "beta subject matter covering an unrelated topic entirely here " * 5,
+        3: "gamma third topic with yet another disjoint set of words used " * 5,
+    }
+    for b, (i, t) in enumerate(texts.items()):
+        dedup_index_apply(mk(i, t), b, idx)
+    before = {r["doc_id"] for r in read_dedup_index(spark, idx).collect()}
+    assert before == {1, 2, 3}
+
+    merged = dedup_index_compact(spark, idx, keep_latest=1)
+    assert merged == 2
+    dirs = sorted(d for d in os.listdir(idx) if d.startswith("batch="))
+    assert dirs == ["batch=0", "batch=2"]
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == before
+
+    # a near-dup of compacted history is still caught
+    dedup_index_apply(mk(10, texts[1].replace("alpha", "alpha2")), 3, idx)
+    dec = {r["doc_id"]: (r["status"], r["dup_of"])
+           for r in spark.read.parquet(f"{idx}/decisions/batch=3").collect()}
+    assert dec[10] == ("dup_of_index", 1)
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == before
