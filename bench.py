@@ -9,7 +9,7 @@ driver materialization). Every headline query runs once untimed first
 whole-stage-codegen JIT, so the timed pass reflects steady-state engine
 throughput — the quantity that matters at 100 TB, where compile time
 amortizes to zero but per-row cost does not. The timed pass runs
-$SPARK_GRAFT_BENCH_REPS times (default 2) and reports the per-query
+$SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-query
 minimum — the standard estimator for steady-state cost under external
 machine noise (observed ±40% on a shared host; the minimum converges to
 the true cost, the mean to the noise).
@@ -47,7 +47,7 @@ def main() -> None:
     for q in queries.values():
         force(q.fn(spark, sf_dir))
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         best = None
