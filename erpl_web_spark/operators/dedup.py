@@ -288,6 +288,127 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring report at token k-gram granularity.
+
+    The substring-level complement to whole-document near-dup (the
+    "exact substring dedup" family: long verbatim spans repeated across
+    documents — boilerplate, quotes, licence headers — inflate memorized
+    text even when whole-document similarity is low). A position's k-gram
+    is *duplicated* when the identical k-token span occurs in at least
+    ``min_docs`` distinct documents; repeats confined to a single
+    document do not count. Returns per document::
+
+        (id, n_grams, n_dup_grams, dup_frac)
+
+    where ``n_grams`` counts all k-gram positions (with multiplicity),
+    ``n_dup_grams`` those whose span is cross-document duplicated, and
+    ``dup_frac = n_dup_grams / n_grams`` (0.0 for docs shorter than k
+    tokens). Suffix-automaton approaches to this are single-machine; the
+    distributed formulation is position hashing:
+
+    - Map: explode k-gram positions, hash each span to 64 bits — the
+      shuffled rows are (id, bigint), never span text.
+    - One groupBy (id, h) with map-side combine yields per-doc instance
+      counts; a groupBy h over that (rows already distinct per doc, so
+      COUNT(*) = distinct docs) yields the cross-doc span set, which is
+      tiny relative to the corpus — AQE broadcasts it back into the
+      semi-join that flags duplicated instances.
+    - Totals reuse the same instance table; only the zero-gram backfill
+      re-touches the source, as a column-pruned id-only scan.
+
+    Identical to string-span grouping up to a ~2^-64 xxhash64 collision.
+    """
+    inst = (
+        df.select(F.col(id_col), F.explode(grams_expr(text_col, k)).alias("g"))
+        .select(F.col(id_col), F.xxhash64("g").alias("h"))
+        .groupBy(id_col, "h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dup = (
+        inst.groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    flagged = (
+        inst.join(dup, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_dup_grams"))
+    )
+    totals = inst.groupBy(id_col).agg(F.sum("cnt").alias("n_grams"))
+    per_doc = (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_frac",
+        F.when(
+            F.col("n_grams") > 0, F.col("n_dup_grams") / F.col("n_grams")
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric containment pairs: |A∩B| / min(|A|,|B|) >= threshold.
+
+    Jaccard misses the doc-inside-doc case — a short document quoted
+    verbatim inside a much longer one scores |A|/|B| Jaccard (arbitrarily
+    low) but containment 1.0. Containment of the smaller shingle set is
+    the standard asymmetric complement (Broder's resemblance vs
+    containment). Same blocked-quadratic posture as
+    :func:`ngram_jaccard_pairs`: the self-join key is the block, so exact
+    pairwise cost stays confined per block; at scale the MinHash path
+    generates candidates and this is the precise verifier. Returns
+    (id_a, id_b, containment, jaccard), id_a < id_b, ordered-pair safe.
+    """
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles_expr(text_col, shingle_k).alias("sh"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                inter
+                / F.least(F.size(F.col("a.sh")), F.size(F.col("b.sh")))
+            ).alias("containment"),
+            (
+                inter / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def simhash_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document (token-occurrence weighted bit votes)."""
     tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))

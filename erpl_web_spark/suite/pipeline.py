@@ -1512,3 +1512,83 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("n_tokens"),
         F.max("cum_tokens").alias("max_cum"),
     )
+
+
+_SQL_K10_GRAMS = (
+    "list_transform(range(1, greatest(len(__toks) - 9, 0) + 1), "
+    "i -> array_to_string(__toks[i:i+9], ' '))"
+)
+
+
+@register(
+    "dedup_substring_kgram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS __toks FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest({_SQL_K10_GRAMS}) AS g FROM toks
+    ), inst AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+    ), dup AS (
+      SELECT g FROM inst GROUP BY g HAVING COUNT(*) >= 2
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams FROM inst GROUP BY doc_id
+    ), fl AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_dup_grams
+      FROM inst WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(tot.n_grams, 0) AS n_grams,
+           COALESCE(fl.n_dup_grams, 0) AS n_dup_grams,
+           CASE WHEN COALESCE(tot.n_grams, 0) > 0
+                THEN CAST(COALESCE(fl.n_dup_grams, 0) AS DOUBLE) / tot.n_grams
+                ELSE 0.0 END AS dup_frac
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN fl ON d.doc_id = fl.doc_id
+    """,
+)
+def dedup_substring_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report: per document, how many 10-token
+    spans occur verbatim in at least one OTHER document (the
+    exact-substring-dedup signal — boilerplate/quotes/licence headers —
+    that whole-document Jaccard misses). Distributed as position-hash
+    grouping: shuffles (id, bigint) rows only, cross-doc span set is
+    broadcast back. Reference analogue: none (training-data extension);
+    cf. dedup family provenance in operators/dedup.py."""
+    from erpl_web_spark.operators.dedup import substring_dup_report
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return substring_dup_report(docs, "doc_id", "text", k=10, min_docs=2)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS __toks FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, {_SQL_SHINGLES} AS sh FROM toks
+    )
+    SELECT id_a, id_b, containment, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)) AS containment,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE least(len(a.sh), len(b.sh)) > 0
+    ) WHERE containment >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B| / min(|A|,|B|)): catches a
+    short document quoted verbatim inside a longer one, which Jaccard
+    scores arbitrarily low. Blocked by language — same confined-quadratic
+    posture as the exact Jaccard verifier."""
+    from erpl_web_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return containment_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.6
+    )

@@ -1199,3 +1199,45 @@ def test_dedup_index_compaction(spark, tmp_path):
            for r in spark.read.parquet(f"{idx}/decisions/batch=3").collect()}
     assert dec[10] == ("dup_of_index", 1)
     assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == before
+
+
+def test_substring_dup_report_cross_doc_only(spark):
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    rows = [
+        (1, span + " one unique tail here for doc one indeed"),
+        (2, "doc two leading words then " + span),
+        # internal repeat of its own 10-gram, but nothing cross-doc:
+        (3, ("solo mono duo trio quad penta hexa hepta octo nona " * 2).strip()),
+        (4, "too short"),  # < 10 tokens -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from erpl_web_spark.operators.dedup import substring_dup_report
+
+    got = {r["doc_id"]: r for r in substring_dup_report(df, "doc_id", "text", k=10).collect()}
+    assert len(got) == 4
+    # shared span -> at least the one common 10-gram flagged in both docs
+    for d in (1, 2):
+        assert got[d]["n_dup_grams"] >= 1
+        assert 0.0 < got[d]["dup_frac"] <= 1.0
+        n_toks = len(rows[d - 1][1].split())
+        assert got[d]["n_grams"] == n_toks - 9
+    # within-doc repetition alone is NOT cross-doc duplication
+    assert got[3]["n_grams"] == 11
+    assert got[3]["n_dup_grams"] == 0
+    # sub-k doc backfilled with zeros
+    assert got[4]["n_grams"] == 0 and got[4]["dup_frac"] == 0.0
+
+
+def test_containment_finds_doc_inside_doc(spark):
+    short = "the quick brown fox jumps over the lazy dog today"
+    long = short + " " + " ".join(f"filler{i} padding{i} extra{i}" for i in range(30))
+    rows = [(1, short), (2, long), (3, "completely unrelated content " * 10)]
+    df = spark.createDataFrame([(i, t, "en") for i, t in rows], "doc_id long, text string, lang string")
+    from erpl_web_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    pairs = containment_pairs(df, "doc_id", "text", ["lang"], shingle_k=3, threshold=0.8).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["containment"] == 1.0  # every shingle of the short doc is in the long one
+    assert pairs[0]["jaccard"] < 0.5  # symmetric Jaccard misses this pair
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", ["lang"], shingle_k=3, threshold=0.5)
+    assert jac.count() == 0
