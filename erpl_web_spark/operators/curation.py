@@ -94,6 +94,64 @@ def contamination_report(
     )
 
 
+def pairwise_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairwise fuzzy decontamination: WHICH benchmark item leaked into
+    which training document.
+
+    :func:`contamination_report` pools all benchmark shingles, so a doc
+    matching scattered common shingles from many different eval items can
+    score high without any single item actually leaking. This variant
+    attributes overlap per (doc, benchmark-item) pair — the shape eval
+    decontamination takes in practice (n-gram overlap vs each specific
+    eval example). It is EXACT — no LSH, no recall loss — yet never goes
+    quadratic: an inverted shingle-index equi-join on 64-bit hashes
+    surfaces only pairs sharing at least one shingle, and the benchmark
+    side (eval suites are small) broadcasts, so corpus shingles stream
+    through a map-side hash join; the single shuffle groups hit counts on
+    (doc, bench) keys.
+
+    Returns (id_col, bench_id_col, inter, jaccard, containment_bench)
+    with containment_bench = |∩| / |bench shingles| — the leak metric: a
+    benchmark item fully embedded in a longer training doc scores 1.0 —
+    filtered to containment_bench >= threshold.
+    """
+    ce = hashed_shingles(df, id_col, text_col, shingle_k).select(
+        F.col(id_col), F.size("hs").alias("n_a"), F.explode("hs").alias("h")
+    )
+    be = hashed_shingles(benchmark, bench_id_col, text_col, shingle_k).select(
+        F.col(bench_id_col), F.size("hs").alias("n_b"), F.explode("hs").alias("h")
+    )
+    hits = (
+        ce.join(F.broadcast(be), "h")
+        .groupBy(id_col, bench_id_col)
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.count("*").alias("inter"),
+        )
+    )
+    return (
+        hits.select(
+            id_col,
+            bench_id_col,
+            "inter",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+            (F.col("inter") / F.col("n_b")).alias("containment_bench"),
+        )
+        .where(F.col("containment_bench") >= threshold)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

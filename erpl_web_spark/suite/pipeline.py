@@ -1592,3 +1592,44 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.6
     )
+
+
+@register(
+    "curation_contamination_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES.replace("__toks", "toks")} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    be AS (SELECT doc_id AS bench_id, len(sh) AS n_b, unnest(sh) AS g
+           FROM sh WHERE doc_id % 20 = 0),
+    ce AS (SELECT doc_id, len(sh) AS n_a, unnest(sh) AS g
+           FROM sh WHERE doc_id % 20 <> 0),
+    hit AS (SELECT doc_id, bench_id,
+                   any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+                   COUNT(*) AS inter
+            FROM ce JOIN be USING (g) GROUP BY doc_id, bench_id)
+    SELECT doc_id, bench_id, inter,
+           CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard,
+           CAST(inter AS DOUBLE) / n_b AS containment_bench
+    FROM hit
+    WHERE CAST(inter AS DOUBLE) / n_b >= 0.5
+    """,
+)
+def curation_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise fuzzy decontamination: attribute WHICH benchmark item
+    (every 20th doc, standing in for an eval suite) leaked into which
+    training document, via an exact inverted shingle-index join — no LSH
+    recall loss, one broadcast + one (doc,bench)-key shuffle. The pooled
+    variant is curation_contamination; this is the per-item attribution
+    real eval-leak audits need."""
+    from erpl_web_spark.operators.curation import pairwise_contamination
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return pairwise_contamination(
+        train, bench, "doc_id", "text", "bench_id", shingle_k=3, threshold=0.5
+    )

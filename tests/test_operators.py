@@ -1241,3 +1241,30 @@ def test_containment_finds_doc_inside_doc(spark):
     assert pairs[0]["jaccard"] < 0.5  # symmetric Jaccard misses this pair
     jac = ngram_jaccard_pairs(df, "doc_id", "text", ["lang"], shingle_k=3, threshold=0.5)
     assert jac.count() == 0
+
+
+def test_pairwise_contamination_attributes_the_leaked_item(spark):
+    bench_q = "what is the capital of france paris is the capital"
+    other_q = "name the largest planet jupiter is the largest planet"
+    leaked = "intro words here " + bench_q + " " + " ".join(f"tail{i} pad{i}" for i in range(20))
+    # scattered: borrows half its shingles from EACH bench item -> pooled
+    # containment high, but no single item is mostly contained
+    scattered = "what is the capital of france name the largest planet"
+    clean = "completely unrelated training document about something else entirely " * 3
+    bench = spark.createDataFrame(
+        [(100, bench_q), (101, other_q)], "bench_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, leaked), (2, scattered), (3, clean)], "doc_id long, text string"
+    )
+    from erpl_web_spark.operators.curation import pairwise_contamination
+
+    got = {
+        (r["doc_id"], r["bench_id"]): r
+    for r in pairwise_contamination(train, bench, threshold=0.9).collect()}
+    assert set(got) == {(1, 100)}  # the embedded item, attributed; scattered doc absent
+    assert got[(1, 100)]["containment_bench"] == 1.0
+    assert got[(1, 100)]["jaccard"] < 0.5
+    # at a mid threshold the scattered doc matches each item only partially
+    mid = pairwise_contamination(train, bench, threshold=0.7)
+    assert mid.where(F.col("doc_id") == 2).count() == 0
