@@ -1633,3 +1633,53 @@ def curation_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_contamination(
         train, bench, "doc_id", "text", "bench_id", shingle_k=3, threshold=0.5
     )
+
+
+_SQL_EMBED_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _SQL_IVF_ASSIGNED.lstrip().removeprefix("WITH ")
+    + """
+    , epairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b USING (cell)
+      WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    ), cc_edges AS (
+      SELECT id_a AS u, id_b AS v FROM epairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM epairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM cc_edges
+      UNION
+      SELECT e.v, r.comp FROM reach r JOIN cc_edges e ON e.u = r.id
+    ), components AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    )
+"""
+)
+
+
+@register(
+    "embedding_cluster_semantic",
+    oracle=_SQL_EMBED_COMPONENTS
+    + """
+    SELECT component, COUNT(*) AS n_members,
+           MIN(id) AS member_min, MAX(id) AS member_max
+    FROM components GROUP BY component
+    """,
+)
+def embedding_cluster_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters: connected components over the
+    IVF-blocked embedding-cosine edge set (dedup_embedding), rolled up to
+    per-cluster summaries — the semantic analogue of the lexical
+    dedup_cluster_summary, i.e. SemDeDup-style grouping with the
+    pointer-jumping components operator doing the pairs->clusters step."""
+    from erpl_web_spark.operators.graph import component_summary, connected_components
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, stride=50
+    )
+    return component_summary(connected_components(pairs, "left_id", "right_id"))
