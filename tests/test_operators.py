@@ -1268,3 +1268,98 @@ def test_pairwise_contamination_attributes_the_leaked_item(spark):
     # at a mid threshold the scattered doc matches each item only partially
     mid = pairwise_contamination(train, bench, threshold=0.7)
     assert mid.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_substring_dup_report_matches_python_model(spark):
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]  # tiny vocab -> real gram collisions
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(60)]
+    k = 5
+    gram_docs = defaultdict(set)
+    per_doc = {}
+    for i, t in docs:
+        toks = [w for w in t.lower().split() if w]
+        gs = [tuple(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        per_doc[i] = gs
+        for g in gs:
+            gram_docs[g].add(i)
+    expected = {}
+    for i, gs in per_doc.items():
+        nd = sum(1 for g in gs if len(gram_docs[g]) >= 2)
+        expected[i] = (len(gs), nd, nd / len(gs) if gs else 0.0)
+
+    from erpl_web_spark.operators.dedup import substring_dup_report
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+           for r in substring_dup_report(df, "doc_id", "text", k=k).collect()}
+    assert got == expected
+
+
+def test_containment_pairs_match_python_model(spark):
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+            for i in range(40)]
+    sets = {}
+    for i, t in docs:
+        toks = t.lower().split()
+        sets[i] = {tuple(toks[j:j + 3]) for j in range(len(toks) - 2)}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        c = inter / min(len(sets[a]), len(sets[b]))
+        if c >= 0.6:
+            expected[(a, b)] = (c, inter / len(sets[a] | sets[b]))
+
+    from erpl_web_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame([(i, t, "x") for i, t in docs],
+                               "doc_id long, text string, lang string")
+    got = {(r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+           for r in containment_pairs(df, "doc_id", "text", ["lang"],
+                                      shingle_k=3, threshold=0.6).collect()}
+    assert set(got) == set(expected)
+    for p, (c, j) in expected.items():
+        assert got[p][0] == pytest.approx(c) and got[p][1] == pytest.approx(j)
+
+
+def test_pairwise_contamination_matches_python_model(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    train = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+             for i in range(30)]
+    bench = [(100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+             for i in range(6)]
+
+    def sh(t):
+        toks = t.lower().split()
+        return {tuple(toks[j:j + 3]) for j in range(len(toks) - 2)}
+
+    expected = {}
+    for i, t in train:
+        for b, bt in bench:
+            a, bb = sh(t), sh(bt)
+            inter = len(a & bb)
+            if bb and inter / len(bb) >= 0.4:
+                expected[(i, b)] = (inter, inter / len(a | bb), inter / len(bb))
+
+    from erpl_web_spark.operators.curation import pairwise_contamination
+
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "bench_id long, text string")
+    got = {(r["doc_id"], r["bench_id"]): (r["inter"], r["jaccard"], r["containment_bench"])
+           for r in pairwise_contamination(tdf, bdf, threshold=0.4).collect()}
+    assert set(got) == set(expected)
+    for p, (inter, j, c) in expected.items():
+        assert got[p][0] == inter
+        assert got[p][1] == pytest.approx(j) and got[p][2] == pytest.approx(c)
