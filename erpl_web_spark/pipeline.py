@@ -50,19 +50,30 @@ class CurationConfig:
     # frequency (operators.text.with_unigram_freq_score) falls below
     # this — the rare-token/noise filter (None = skip the stage)
     min_unigram_freq: float | None = None
+    # eval decontamination (only when curate() is given a benchmark
+    # DataFrame): drop docs containing >= this fraction of any single
+    # benchmark item's shingles (operators.curation.pairwise_contamination)
+    contamination_threshold: float = 0.8
+    bench_id_col: str = "bench_id"
 
 
 def curate(
     df: DataFrame,
     cfg: CurationConfig | None = None,
     stage_trace: list[tuple[str, DataFrame, str]] | None = None,
+    benchmark: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline; returns (kept_docs, report).
 
     ``report`` has one row per stage: (stage, n_dropped) plus an
     ``input``/``output`` row — the accounting that makes a curation run
     reviewable. Stage order: exact dedup -> near-dup clusters ->
-    quality -> boilerplate -> unigram-frequency floor.
+    quality -> boilerplate -> unigram-frequency floor -> eval
+    decontamination (when a ``benchmark`` DataFrame of
+    (cfg.bench_id_col, text_col) rows is supplied: drops any doc
+    containing >= cfg.contamination_threshold of a single benchmark
+    item's shingles — the pairwise attribution variant, so scattered
+    common-shingle matches across many items do not false-positive).
 
     Each stage is persisted before counting and the predecessor cache is
     unpersisted, so stage N+1 reads stage N's cached survivors instead of
@@ -165,6 +176,27 @@ def curate(
         )
         cur, m = materialize("unigram_freq", floored, cur)
         counts.append(("unigram_freq_dropped", n - m))
+        n = m
+
+    if benchmark is not None:
+        from erpl_web_spark.operators.curation import pairwise_contamination
+
+        leaks = (
+            pairwise_contamination(
+                cur,
+                benchmark,
+                id_col,
+                text_col,
+                bench_id_col=cfg.bench_id_col,
+                threshold=cfg.contamination_threshold,
+            )
+            .select(id_col)
+            .distinct()
+        )
+        cur, m = materialize(
+            "decontaminate", cur.join(leaks, id_col, "left_anti"), cur
+        )
+        counts.append(("decontaminate_dropped", n - m))
         n = m
 
     counts.append(("output", n))

@@ -100,3 +100,24 @@ def test_curate_caches_each_stage(spark):
         lvl = stage_df.storageLevel
         assert not (lvl.useMemory or lvl.useDisk), f"stage {name} cache leaked"
     kept.unpersist()
+
+
+def test_curate_decontaminate_stage(spark):
+    bench_q = "which river is the longest the nile is the longest river"
+    leaked = "some intro " + bench_q + " " + " ".join(f"t{i} u{i}" for i in range(25))
+    rows = [(1, leaked), (2, "clean document about trains and stations " * 5),
+            (3, "another clean doc with its own unique words " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(900, bench_q)], "bench_id long, text string")
+    from erpl_web_spark.pipeline import CurationConfig, curate
+
+    cfg = CurationConfig(quality_gate=False, contamination_threshold=0.9)
+    kept, report = curate(df, cfg, benchmark=bench)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["decontaminate_dropped"] == 1
+    assert rep["output"] == 2
+    # no benchmark -> stage absent, behavior unchanged
+    kept2, report2 = curate(df, cfg)
+    assert kept2.count() == 3
+    assert "decontaminate_dropped" not in {r["stage"] for r in report2.collect()}
