@@ -323,6 +323,15 @@ def substring_dup_report(
     - Totals reuse the same instance table; only the zero-gram backfill
       re-touches the source, as a column-pruned id-only scan.
 
+    The instance table is persisted (memory-and-disk; (id, bigint, long)
+    rows, far smaller than the text they replace) because three
+    consumers read it — the cross-doc span set, the flagged counts and
+    the totals. Without it each consumer would re-run the
+    tokenize→k-gram→hash pass from the source. A per-hash window would
+    collapse this to one pipeline but concentrates any viral span in a
+    single window partition AQE cannot split — groupBy+join keeps the
+    skew splittable (same reasoning as text.boilerplate_ngrams).
+
     Identical to string-span grouping up to a ~2^-64 xxhash64 collision.
     """
     inst = (
@@ -330,6 +339,7 @@ def substring_dup_report(
         .select(F.col(id_col), F.xxhash64("g").alias("h"))
         .groupBy(id_col, "h")
         .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
         inst.groupBy("h")

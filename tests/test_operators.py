@@ -1363,3 +1363,17 @@ def test_pairwise_contamination_matches_python_model(spark):
     for p, (inter, j, c) in expected.items():
         assert got[p][0] == inter
         assert got[p][1] == pytest.approx(j) and got[p][2] == pytest.approx(c)
+
+
+def test_substring_dup_report_caches_instance_table(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} " + "shared words in every doc here now " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    from erpl_web_spark.operators.dedup import substring_dup_report
+
+    out = substring_dup_report(df, "doc_id", "text", k=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the three instance-table consumers must read the cache, not re-run
+    # the tokenize->k-gram->hash pass from the source
+    assert plan.count("InMemoryRelation") >= 3
