@@ -371,6 +371,80 @@ def substring_dup_report(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Scrub cross-document duplicated spans from each document.
+
+    The actionable form of :func:`substring_dup_report`: rather than
+    dropping whole documents, remove the token positions covered by any
+    k-gram whose exact span occurs in >= ``min_docs`` distinct documents
+    (training-data substring dedup removes the repeated span and keeps
+    the unique remainder). Output text is in normalized token space
+    (lowercased, single-spaced) — the same canonical form every dedup
+    operator keys on. Returns (id, clean_text, n_tokens, n_removed).
+
+    Distribution: gram positions explode to (id, pos, hash) rows; the
+    cross-doc span set derives from one distinct+groupBy on the 64-bit
+    hash; flagged start positions collect per doc (bounded by doc
+    length) and a single array expression drops covered token indices —
+    interval-union via EXISTS over flagged starts, no Python. The
+    position table is persisted for its two consumers (span set,
+    flagged starts). Identical to string-span grouping up to a ~2^-64
+    xxhash64 collision.
+    """
+    gp = (
+        df.select(
+            F.col(id_col), F.posexplode(grams_expr(text_col, k)).alias("pos0", "g")
+        )
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("g").alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        gp.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    starts = (
+        gp.join(dup, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("ss"))
+    )
+    base = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    joined = base.join(starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("t"),
+        F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+    )
+    idx = F.when(
+        F.size("t") > 0, F.sequence(F.lit(1), F.size("t"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("ss"), lambda s: (s <= i) & (i < s + F.lit(k))
+        ),
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at(F.col("t"), i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

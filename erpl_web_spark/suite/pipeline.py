@@ -1683,3 +1683,51 @@ def embedding_cluster_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.35, stride=50
     )
     return component_summary(connected_components(pairs, "left_id", "right_id"))
+
+
+@register(
+    "dedup_substring_scrub",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    gp AS (
+      SELECT doc_id, s.pos AS pos, s.gr AS gr FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 9, 0) + 1),
+               i -> struct_pack(pos := i, gr := array_to_string(t[i:i+9], ' ')))) AS s
+        FROM toks)
+    ),
+    dup AS (
+      SELECT gr FROM (SELECT DISTINCT gr, doc_id FROM gp)
+      GROUP BY gr HAVING COUNT(*) >= 2
+    ),
+    starts AS (
+      SELECT doc_id, list_sort(list(DISTINCT pos)) AS ss
+      FROM gp WHERE gr IN (SELECT gr FROM dup) GROUP BY doc_id
+    ),
+    j AS (
+      SELECT t.doc_id, t.t, COALESCE(s.ss, []) AS ss
+      FROM toks t LEFT JOIN starts s ON t.doc_id = s.doc_id
+    ),
+    kept AS (
+      SELECT doc_id, t,
+             list_transform(
+               list_filter(range(1, len(t) + 1),
+                           i -> len(list_filter(ss, s -> s <= i AND i < s + 10)) = 0),
+               i -> t[i]) AS kt
+      FROM j
+    )
+    SELECT doc_id, COALESCE(array_to_string(kt, ' '), '') AS clean_text,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(t) - len(kt) AS INT) AS n_removed
+    FROM kept
+    """,
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal: rebuild each document (in normalized
+    token space) with every cross-document 10-token span scrubbed — the
+    actionable form of dedup_substring_kgram (training-data substring
+    dedup removes the repeated span, keeps the unique remainder).
+    Interval-union of flagged gram starts via array EXISTS, all JVM-side."""
+    from erpl_web_spark.operators.dedup import remove_duplicated_spans
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return remove_duplicated_spans(docs, "doc_id", "text", k=10, min_docs=2)

@@ -1377,3 +1377,37 @@ def test_substring_dup_report_caches_instance_table(spark):
     # the three instance-table consumers must read the cache, not re-run
     # the tokenize->k-gram->hash pass from the source
     assert plan.count("InMemoryRelation") >= 3
+
+
+def test_remove_duplicated_spans(spark):
+    span = "one two three four five six seven eight nine ten"  # exactly k=10 tokens
+    rows = [
+        (1, "uniqa uniqb " + span + " uniqc uniqd"),
+        (2, span + " other tail words here entirely different"),
+        (3, "nothing shared with anybody else at all in this one"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from erpl_web_spark.operators.dedup import remove_duplicated_spans
+
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(df, "doc_id", "text", k=10).collect()}
+    assert got[1]["clean_text"] == "uniqa uniqb uniqc uniqd"
+    assert got[1]["n_removed"] == 10 and got[1]["n_tokens"] == 14
+    assert got[2]["clean_text"] == "other tail words here entirely different"
+    assert got[2]["n_removed"] == 10
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[4]["clean_text"] == "short doc" and got[4]["n_removed"] == 0
+
+
+def test_remove_duplicated_spans_overlapping_union(spark):
+    # doc 1 and doc 2 share two OVERLAPPING 5-gram spans; the union of
+    # covered positions is removed once, not twice
+    shared = "a b c d e f"  # 6 tokens -> 5-grams 'a..e' and 'b..f' both cross-doc
+    rows = [(1, "x1 " + shared + " y1"), (2, shared + " z1 z2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from erpl_web_spark.operators.dedup import remove_duplicated_spans
+
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(df, "doc_id", "text", k=5).collect()}
+    assert got[1]["clean_text"] == "x1 y1" and got[1]["n_removed"] == 6
+    assert got[2]["clean_text"] == "z1 z2" and got[2]["n_removed"] == 6
