@@ -143,3 +143,44 @@ def component_summary(labels: DataFrame) -> DataFrame:
         F.min("id").alias("member_min"),
         F.max("id").alias("member_max"),
     )
+
+
+def component_best(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Pick the best-scoring member of each component.
+
+    Min-id representatives (``component_summary``) are arbitrary; real
+    curation keeps the HIGHEST-QUALITY member of each near-dup cluster
+    (ties break to the smaller id for determinism). ``labels`` is
+    ``connected_components`` output; ``scores`` maps ``id_col`` to
+    ``score_col``. Returns (component, keep_id, best_score).
+
+    One hash join on the member id + one window partitioned by
+    component: Spark plans the rank-1 filter as WindowGroupLimit, so
+    each map task forwards a single best row per component it sees —
+    a mega-cluster never materializes in one partition's sort.
+    """
+    from pyspark.sql import Window
+
+    j = labels.join(
+        scores.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__score"), F.asc("id")
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("keep_id"),
+            F.col("__score").alias("best_score"),
+        )
+    )

@@ -41,6 +41,10 @@ class CurationConfig:
     near_threshold: float = 0.5
     block_cols: list[str] = field(default_factory=list)
     use_minhash: bool = True  # LSH candidates (scale path) vs exact pairs
+    # which member of each near-dup cluster survives: "min_id" (arbitrary
+    # but cheapest) or "best_quality" (highest quality_score, ties to the
+    # smaller id — what production curation keeps)
+    near_keep: str = "min_id"
     # quality gate (>= 3 of 4 heuristics, operators.text.with_quality_score)
     quality_gate: bool = True
     # boilerplate cap: drop docs whose repeated-ngram contamination
@@ -135,11 +139,23 @@ def curate(
                 block_cols=cfg.block_cols,
                 threshold=cfg.near_threshold,
             )
-        drop = (
-            connected_components(pairs, "id_a", "id_b")
-            .where(F.col("id") != F.col("component"))
-            .select(F.col("id").alias(id_col))
-        )
+        comp = connected_components(pairs, "id_a", "id_b")
+        if cfg.near_keep == "best_quality":
+            from erpl_web_spark.operators.graph import component_best
+
+            scored = with_quality_score(cur, text_col=text_col).select(
+                id_col, "quality_score"
+            )
+            keep = component_best(comp, scored, id_col, "quality_score").select(
+                F.col("keep_id").alias(id_col)
+            )
+            drop = comp.select(F.col("id").alias(id_col)).join(
+                keep, id_col, "left_anti"
+            )
+        else:
+            drop = comp.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias(id_col)
+            )
         cur, m = materialize("near_dedup", cur.join(drop, id_col, "left_anti"), cur)
         counts.append(("near_dedup_dropped", n - m))
         n = m

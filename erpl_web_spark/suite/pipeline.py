@@ -1731,3 +1731,53 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents", spread=True)
     return remove_duplicated_spans(docs, "doc_id", "text", k=10, min_docs=2)
+
+
+_SQL_QSCORE = f"""
+    qs AS (
+      SELECT doc_id,
+             CAST(((toks >= 5 AND toks <= 100000)::INT
+                   + (avg_len >= 2.0 AND avg_len <= 12.0)::INT
+                   + (punct_ratio <= 0.2)::INT
+                   + (digit_ratio <= 0.3)::INT) AS DOUBLE) / 4.0 AS quality_score
+      FROM (
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS toks,
+               CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+                 / GREATEST(len({_SQL_TOKS}), 1) AS avg_len,
+               CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1) AS punct_ratio,
+               CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1) AS digit_ratio
+        FROM documents
+      )
+    )
+"""
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_EDGES}, {_SQL_QSCORE}
+    SELECT component, keep_id, best_score FROM (
+      SELECT c.component, c.id AS keep_id, qs.quality_score AS best_score,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY qs.quality_score DESC, c.id ASC) AS rn
+      FROM components c JOIN qs ON qs.doc_id = c.id
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representatives: for each near-dup cluster,
+    keep the HIGHEST-quality member (ties to the smaller id) instead of
+    the arbitrary min-id — what production curation actually does. One
+    join + a WindowGroupLimit-pruned rank over the component key."""
+    from erpl_web_spark.operators.graph import component_best, connected_components
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    scored = with_quality_score(docs).select("doc_id", "quality_score")
+    return component_best(comp, scored, "doc_id", "quality_score")

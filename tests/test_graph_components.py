@@ -101,3 +101,25 @@ def test_hub_star_graph(spark):
     edges = [(0, i) for i in range(1, 2001)]
     got = _spark_components(spark, edges)
     assert len(got) == 2001 and set(got.values()) == {0}
+
+
+def test_component_best_picks_highest_score(spark):
+    from pyspark.sql import functions as F
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.25), (2, 0.75), (3, 0.75), (10, 0.5), (11, 0.5), (99, 1.0)],
+        "doc_id long, quality_score double",
+    )
+    from erpl_web_spark.operators.graph import component_best, connected_components
+
+    comp = connected_components(edges, "id_a", "id_b")
+    best = {r["component"]: (r["keep_id"], r["best_score"])
+            for r in component_best(comp, scores, "doc_id", "quality_score").collect()}
+    assert best[1] == (2, 0.75)   # max score wins; tie (2 vs 3) -> smaller id
+    assert best[10] == (10, 0.5)  # tie -> smaller id
+    assert 99 not in {k for k, _ in best.values()}  # singletons aren't in components
+    # WindowGroupLimit prunes the rank: plan must not sort whole clusters globally
+    plan = component_best(comp, scores, "doc_id", "quality_score")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

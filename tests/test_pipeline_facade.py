@@ -121,3 +121,22 @@ def test_curate_decontaminate_stage(spark):
     kept2, report2 = curate(df, cfg)
     assert kept2.count() == 3
     assert "decontaminate_dropped" not in {r["stage"] for r in report2.collect()}
+
+
+def test_curate_near_keep_best_quality(spark):
+    base = " ".join(f"token{i}" for i in range(150))
+    near = base.replace("token7 ", "changed ", 1)
+    noisy = base + " " + " ".join(f"{10000 + i}" for i in range(90))
+    rows = [(1, noisy), (2, near), (7, "entirely separate document content here " * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from erpl_web_spark.pipeline import CurationConfig, curate
+
+    # min_id policy keeps doc 1 (the digit-heavy one)
+    kept_min, _ = curate(df, CurationConfig(quality_gate=False, use_minhash=False, near_threshold=0.4))
+    assert sorted(r["doc_id"] for r in kept_min.collect()) == [1, 7]
+    # best_quality keeps doc 2 (doc 1's digit ratio costs it a heuristic)
+    kept_best, rep = curate(
+        df, CurationConfig(quality_gate=False, use_minhash=False, near_threshold=0.4, near_keep="best_quality")
+    )
+    assert sorted(r["doc_id"] for r in kept_best.collect()) == [2, 7]
+    assert {r["stage"]: r["n"] for r in rep.collect()}["near_dedup_dropped"] == 1
