@@ -143,6 +143,55 @@ def read_latest_snapshot(spark, path: str, before: int | None = None) -> DataFra
     return spark.read.parquet(f"{path}/v={versions[0]}")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str],
+    status_col: str = "status",
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots: which ids were
+    ``added``, ``removed``, or ``changed`` between crawls/exports.
+
+    The reference's CDC surface (SURVEY §2.I) assumes the source emits
+    change markers; many real sources (HTTP exports, object-store drops)
+    only give you full snapshots — this derives the change feed from
+    them, turning any snapshot-only source into a CDC input for
+    ``apply_cdc_changes``.
+
+    Design for scale: each side is reduced map-side to (id, 16-byte md5
+    of the compared columns) before the single full-outer shuffle on
+    ``id_col`` — document bodies never shuffle. NULLs are
+    sentinel-escaped so (NULL, 'x') and ('x', NULL) hash differently.
+    Unchanged rows are dropped before the operator returns, so the
+    output is O(churn), not O(corpus).
+    """
+
+    def digest(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("\x00null"))
+                .otherwise(F.col(c).cast("string"))
+            )
+            parts.append(F.lit("\x1f"))
+        return df.select(
+            F.col(id_col), F.md5(F.concat(*parts[:-1])).alias("__h")
+        )
+
+    o = digest(old).withColumnRenamed("__h", "__h_old")
+    n = digest(new).withColumnRenamed("__h", "__h_new")
+    joined = o.join(n, id_col, "full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias(status_col),
+    ).where(F.col(status_col) != "unchanged")
+
+
 def incremental_agg_update(
     snapshot: DataFrame,
     changes: DataFrame,

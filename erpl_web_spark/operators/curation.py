@@ -324,3 +324,99 @@ def token_budget_sample(
         out.where(F.col("cum_tokens") <= F.col("__budget"))
         .drop("__budget")
     )
+
+
+def leak_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    seed: int = 42,
+    out: str = "split",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every member of a
+    near-duplicate cluster lands in the SAME split, so paraphrases of a
+    validation document can never leak into training — hashing raw doc
+    ids (text.hash_split) silently splits duplicate pairs across the
+    boundary and inflates eval scores.
+
+    ``pairs`` is any near-dup edge set (MinHash-LSH, exact-Jaccard,
+    SimHash); connected components collapse it to cluster labels, each
+    document's split key becomes its cluster label (its own id when
+    unclustered), and the deterministic hash-bucket rule from
+    ``hash_split`` assigns the split. Adding new documents never
+    reassigns existing clusters.
+
+    Scale shape: the component loop shuffles (long, long) label rows
+    (operators.graph); the label join back onto the corpus is keyed on
+    the id, and cluster labels are typically ≪ corpus so AQE broadcasts
+    the label side. Returns ``df`` + (group_key, split).
+    """
+    from erpl_web_spark.operators.graph import connected_components
+    from erpl_web_spark.operators.text import hash_split
+
+    labels = connected_components(pairs, pair_a, pair_b).select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    keyed = df.join(labels, id_col, "left").withColumn(
+        "group_key", F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+    ).drop("component")
+    return hash_split(keyed, "group_key", weights, seed=seed, out=out, method=method)
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    stride: int = 50,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    cosine similarity to ANY eval/benchmark vector reaches ``threshold``.
+    The semantic complement of ``contamination_report`` — n-gram
+    containment misses paraphrased eval questions; embedding similarity
+    catches them.
+
+    Blocked by the shared IVF coarse quantizer (operators.similarity):
+    both sides assign to their nearest cell, candidate pairs must share
+    a cell, and the exact cosine verifies. Cost is Σ|cell∩train|·|cell∩eval|,
+    never |train|·|eval|; the eval side is tiny and arrives broadcast.
+    As with any ANN blocking, a contaminated pair whose members quantize
+    to different cells is missed — raise nprobe semantics by passing
+    trained centroids (ivf_train_centroids) for production recall.
+
+    Returns (train_id, eval_id, cosine) for every flagged pair; a
+    downstream drop is a left-anti join on train_id.
+    """
+    from erpl_web_spark.operators.similarity import (
+        dot_expr,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        train.unionByName(evals), id_col, vec_col, stride
+    )
+    t = ivf_assign(train, cents, id_col, vec_col).select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("__tv"),
+        F.col("nrm").alias("__tn"),
+        "cell",
+    )
+    e = ivf_assign(evals, cents, id_col, vec_col).select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("__ev"),
+        F.col("nrm").alias("__en"),
+        "cell",
+    )
+    joined = t.join(F.broadcast(e), "cell")
+    cos = dot_expr(F.col("__tv"), F.col("__ev")) / (F.col("__tn") * F.col("__en"))
+    return (
+        joined.select("train_id", "eval_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1781,3 +1781,220 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "id_a", "id_b")
     scored = with_quality_score(docs).select("doc_id", "quality_score")
     return component_best(comp, scored, "doc_id", "quality_score")
+
+
+# --------------------------------------------------------------------------
+# Round-4 session-5 additions: fuzzy entity matching, snapshot diff,
+# leakage-safe splitting, semantic decontamination.
+# --------------------------------------------------------------------------
+
+# DuckDB rendering of matching.last_token_block + the distinct-name
+# dictionary: resolution always runs on DISTINCT values, never facts.
+_SQL_NAME_BLOCKS = """
+    names AS (
+      SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+    ), blocked AS (
+      SELECT name, lower(l[len(l)]) AS blk
+      FROM (SELECT name, string_split_regex(trim(name), '\\s+') AS l FROM names)
+    ), fuzzy_pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS INT) AS distance
+      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 4
+    )
+"""
+
+
+@register(
+    "match_fuzzy_parts",
+    oracle=f"""
+    WITH {_SQL_NAME_BLOCKS}
+    SELECT name_a, name_b, distance FROM fuzzy_pairs
+    """,
+)
+def match_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-join over the part-name dictionary
+    (operators.matching): candidate pairs share the last-token blocking
+    key, levenshtein <= 4 verifies. The structured-identity complement
+    of MinHash text dedup; the quadratic verify is confined per block
+    and runs on the DISTINCT dictionary, never the fact table."""
+    from erpl_web_spark.operators.matching import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        load(spark, sf_dir, "part"), "p_name", max_distance=4
+    )
+
+
+@register(
+    "match_resolve_parts",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NAME_BLOCKS}, edges AS (
+      SELECT name_a AS u, name_b AS v FROM fuzzy_pairs
+      UNION
+      SELECT name_b AS u, name_a AS v FROM fuzzy_pairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+    ), canon AS (
+      SELECT id, MIN(comp) AS canonical FROM reach GROUP BY id
+    )
+    SELECT COALESCE(c.canonical, p.p_name) AS canonical_name,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p.p_name) AS n_variants
+    FROM part p LEFT JOIN canon c ON p.p_name = c.id
+    GROUP BY 1
+    """,
+)
+def match_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy pairs -> string-keyed
+    connected components -> lexicographically-smallest canonical name ->
+    broadcast assignment back onto the fact table, rolled up per entity.
+    The fact table never shuffles; the oracle walks the same match
+    relation with a recursive CTE."""
+    from erpl_web_spark.operators.matching import resolve_entities
+
+    parts = load(spark, sf_dir, "part", spread=True)
+    resolved = resolve_entities(parts, "p_name", max_distance=4)
+    return resolved.groupBy(
+        F.col("canonical_name")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.count_distinct("p_name").alias("n_variants"),
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT doc_id, text, lang, source FROM documents
+    ), new_snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+             lang, source
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, text, lang, source
+      FROM documents WHERE doc_id % 13 = 0
+    ), oh AS (
+      SELECT doc_id, md5(concat(
+        COALESCE(CAST(text AS VARCHAR), chr(6) || 'null'), chr(31),
+        COALESCE(CAST(lang AS VARCHAR), chr(6) || 'null'), chr(31),
+        COALESCE(CAST(source AS VARCHAR), chr(6) || 'null'))) AS h
+      FROM old_snap
+    ), nh AS (
+      SELECT doc_id, md5(concat(
+        COALESCE(CAST(text AS VARCHAR), chr(6) || 'null'), chr(31),
+        COALESCE(CAST(lang AS VARCHAR), chr(6) || 'null'), chr(31),
+        COALESCE(CAST(source AS VARCHAR), chr(6) || 'null'))) AS h
+      FROM new_snap
+    )
+    SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+           CASE WHEN oh.doc_id IS NULL THEN 'added'
+                WHEN nh.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+    WHERE oh.doc_id IS NULL OR nh.doc_id IS NULL OR oh.h <> nh.h
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot change feed (operators.cdc.snapshot_diff):
+    derive added/removed/changed ids from two full corpus exports by
+    comparing per-row md5 digests — turns snapshot-only sources into CDC
+    inputs. The new snapshot is simulated deterministically from the old
+    (doc_id%10 removed, %7 edited, %13 re-added under new ids); each
+    side reduces to (id, 16-byte digest) map-side before the single
+    full-outer shuffle, so bodies never shuffle and output is O(churn)."""
+    from erpl_web_spark.operators.cdc import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    new = docs.where(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    return snapshot_diff(
+        docs, new.unionByName(added), "doc_id", ["text", "lang", "source"]
+    )
+
+
+@register(
+    "pipeline_split_leak_safe",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_EDGES}, keyed AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN components c ON d.doc_id = c.id
+    ), bucketed AS (
+      SELECT doc_id, group_key,
+             CAST('0x' || substring(md5('42:' || CAST(group_key AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+      FROM keyed
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def pipeline_split_leak_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators.curation.
+    leak_safe_split): near-dup clusters (exact-Jaccard edges ->
+    connected components) are atomic — every member hashes on its
+    cluster label, so a paraphrase of a val document can never land in
+    train. Same md5 bucket rule as pipeline_hash_split; the oracle walks
+    the identical edge set with a recursive CTE."""
+    from erpl_web_spark.operators.curation import leak_safe_split
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+    out = leak_safe_split(
+        docs,
+        "doc_id",
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+        method="md5",
+    )
+    return out.select("doc_id", "group_key", "split")
+
+
+@register(
+    "curation_decontaminate_semantic",
+    oracle=_SQL_IVF_ASSIGNED
+    + """
+    SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+           ROUND(list_dot_product(t.emb, e.emb)
+             / (sqrt(list_dot_product(t.emb, t.emb)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cosine_r
+    FROM assigned t JOIN assigned e USING (cell)
+    WHERE t.vec_id % 97 <> 0 AND e.vec_id % 97 = 0
+      AND list_dot_product(t.emb, e.emb)
+            / (sqrt(list_dot_product(t.emb, t.emb)) * sqrt(list_dot_product(e.emb, e.emb))) >= 0.4
+    """,
+)
+def curation_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators.curation.
+    semantic_decontaminate): flag training vectors cosine-similar to any
+    eval vector (vec_id % 97 = 0 stands in for the benchmark), blocked
+    by the shared deterministic IVF quantizer — n-gram containment
+    misses paraphrased eval questions; this catches them. Cost is
+    Sigma cell-pair products, never train x eval."""
+    from erpl_web_spark.operators.curation import semantic_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    evals = emb.where(F.col("vec_id") % 97 == 0)
+    train = emb.where(F.col("vec_id") % 97 != 0)
+    flagged = semantic_decontaminate(
+        train, evals, "vec_id", "embedding", threshold=0.4, stride=50
+    )
+    return flagged.select(
+        "train_id", "eval_id", F.round("cosine", 6).alias("cosine_r")
+    )

@@ -1411,3 +1411,165 @@ def test_remove_duplicated_spans_overlapping_union(spark):
     got = {r["doc_id"]: r for r in remove_duplicated_spans(df, "doc_id", "text", k=5).collect()}
     assert got[1]["clean_text"] == "x1 y1" and got[1]["n_removed"] == 6
     assert got[2]["clean_text"] == "z1 z2" and got[2]["n_removed"] == 6
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching (operators.matching)
+# --------------------------------------------------------------------------
+
+def test_fuzzy_match_pairs_blocked_levenshtein(spark):
+    rows = [
+        (1, "red widget"),
+        (2, "rd widget"),      # 1 edit from 'red widget', same block
+        (3, "blue widget"),    # 3 edits from 'red widget'
+        (4, "red bolt"),       # different block: never compared
+        (5, "red widget"),     # duplicate name: dictionary dedups it
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    from erpl_web_spark.operators.matching import fuzzy_match_pairs
+
+    got = {
+        (r["name_a"], r["name_b"]): r["distance"]
+        for r in fuzzy_match_pairs(df, "name", max_distance=2).collect()
+    }
+    assert got == {("rd widget", "red widget"): 1}
+    # widening the budget reaches 'blue widget' but never crosses blocks
+    wide = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_match_pairs(df, "name", max_distance=4).collect()
+    }
+    assert ("blue widget", "red widget") in wide
+    assert not any("bolt" in a or "bolt" in b for a, b in wide)
+
+
+def test_resolve_entities_assigns_cluster_canonical(spark):
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corp"),
+        (3, "acmee corp"),   # typo of acme corp
+        (4, "zenith corp"),  # same block, far away (distance > 2)
+        (5, "lone widget"),  # no match partner at all
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    from erpl_web_spark.operators.matching import resolve_entities
+
+    got = {r["id"]: r["canonical_name"] for r in resolve_entities(df, "name").collect()}
+    assert got[1] == got[2] == got[3] == "acme corp"
+    assert got[4] == "zenith corp"
+    assert got[5] == "lone widget"
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (operators.cdc.snapshot_diff)
+# --------------------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark):
+    from erpl_web_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)],
+        "id long, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (4, "d", "z")],
+        "id long, t string, u string",
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_literal_null_string(spark):
+    # (NULL) and ('null') must hash differently: the sentinel escape
+    from erpl_web_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, t string")
+    new = spark.createDataFrame([(1, "null")], "id long, t string")
+    got = snapshot_diff(old, new, "id", ["t"]).collect()
+    assert [(r["id"], r["status"]) for r in got] == [(1, "changed")]
+
+
+def test_snapshot_diff_feeds_apply_cdc_changes(spark):
+    # diff(old, new) applied back onto old reproduces new exactly
+    from erpl_web_spark.operators.cdc import apply_cdc_changes, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, t string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, t string"
+    )
+    diff = snapshot_diff(old, new, "id", ["t"])
+    changes = diff.join(new, "id", "left").select(
+        "id", "t", F.when(F.col("status") == "removed", "D").otherwise("U").alias("op")
+    )
+    merged = apply_cdc_changes(old, changes, ["id"], op_col="op")
+    assert sorted((r["id"], r["t"]) for r in merged.collect()) == sorted(
+        (r["id"], r["t"]) for r in new.collect()
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split (operators.curation.leak_safe_split)
+# --------------------------------------------------------------------------
+
+def test_leak_safe_split_keeps_clusters_together(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chain 0-1-2, pair (10, 11), everything else isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    from erpl_web_spark.operators.curation import leak_safe_split
+
+    out = leak_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    # cluster members share a group key AND a split
+    assert rows[0]["group_key"] == rows[1]["group_key"] == rows[2]["group_key"] == 0
+    assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+    assert rows[10]["group_key"] == rows[11]["group_key"] == 10
+    assert rows[10]["split"] == rows[11]["split"]
+    # unclustered docs key on their own id
+    assert rows[50]["group_key"] == 50
+    # and the assignment is the same rule hash_split applies to raw ids
+    from erpl_web_spark.operators.text import hash_split
+
+    solo = hash_split(
+        docs.where(F.col("doc_id") == 50).withColumnRenamed("doc_id", "group_key"),
+        "group_key",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+    ).collect()[0]["split"]
+    assert rows[50]["split"] == solo
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination (operators.curation.semantic_decontaminate)
+# --------------------------------------------------------------------------
+
+def test_semantic_decontaminate_flags_near_eval_vectors(spark):
+    # centroids at ids 0 (x-axis) and 50 (y-axis); train 101 ~ eval 99
+    # (the eval id must not be ≡ 0 mod stride, or it becomes its own cell)
+    rows = [
+        (0, [1.0, 0.0]),     # centroid cell 0
+        (50, [0.0, 1.0]),    # centroid cell 50
+        (99, [0.9, 0.1]),    # eval probe, assigns to cell 0
+        (101, [0.89, 0.11]), # train vector, cell 0, ~eval
+        (102, [0.1, 0.9]),   # train vector, cell 50: different cell, never compared
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from erpl_web_spark.operators.curation import semantic_decontaminate
+
+    evals = df.where(F.col("vec_id") == 99)
+    train = df.where(F.col("vec_id") != 99)
+    got = semantic_decontaminate(
+        train, evals, "vec_id", "embedding", threshold=0.9, stride=50
+    ).collect()
+    flagged = {(r["train_id"], r["eval_id"]) for r in got}
+    assert (101, 99) in flagged
+    assert (0, 99) in flagged  # the centroid itself is near the probe
+    assert all(t != 102 for t, _ in flagged)
+    assert all(0.9 <= r["cosine"] <= 1.0 for r in got)
