@@ -408,3 +408,159 @@ def with_unigram_freq_score(
             / (F.col("n_toks") * F.col("corpus_total")).cast("double")
         ).alias("avg_unigram_freq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich et al., ACL 2016)
+# --------------------------------------------------------------------------
+
+EOW = "</w>"  # end-of-word marker appended to every symbol sequence
+
+
+def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, n) frequency dictionary — the compression step
+    every scalable tokenizer trainer starts with: BPE statistics only
+    depend on the word histogram, and the distinct-word dictionary is
+    orders of magnitude smaller than the corpus (~sqrt growth by Heaps'
+    law), so all subsequent merge rounds run on the dictionary."""
+    return (
+        df.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _word_symbols(word: Column) -> Column:
+    """Initial BPE symbol sequence: characters plus the ``</w>`` marker
+    (so merges can learn word-final units like 'ing</w>')."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping application of one merge:
+    fold over the symbols, joining the current symbol onto the
+    accumulator's tail when (tail, current) == (left, right). Pure JVM
+    higher-order function — no Python touches a row."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over a (n, syms) dictionary:
+    (left_sym, right_sym, pair_count). One explode + one groupBy on the
+    pair key; the shuffle carries (symbol-pair, long) rows only.
+
+    Fully-merged single-symbol words are filtered BEFORE the index
+    expansion: ``sequence(1, size-1)`` counts DOWN for size == 1 (the
+    [1, 0] descending-sequence hazard), which would fabricate null
+    pairs."""
+    pairs = words.where(F.size("syms") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.get("syms", i - 1).alias("left_sym"),
+                    F.get("syms", i).alias("right_sym"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left_sym", "p.right_sym").agg(
+        F.sum("n").alias("pair_count")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn a BPE merge table from a document corpus (the byte-pair-
+    encoding trainer of Sennrich et al. 2016, restructured for Spark).
+
+    Each round: count adjacent symbol pairs over the word-frequency
+    dictionary (one shuffle of (pair, count) rows), pick the most
+    frequent pair (ties break lexicographically, so training is fully
+    deterministic), and apply the merge to every word's symbol sequence
+    with a JVM fold. The driver holds only the merge table itself —
+    which IS the trainer's output and is vocabulary-bounded ((num_merges
+    rows) — never the dictionary.
+
+    Scale shape: the corpus is touched ONCE (word_freq); every round is
+    O(dictionary) map work + a pair-count shuffle whose key space is the
+    symbol-pair vocabulary. Per-round ``localCheckpoint`` keeps the plan
+    constant-size across rounds (the same posture as
+    operators.graph.connected_components). Stops early when no pair
+    reaches ``min_pair_count``.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) — merge ranks
+    are 1-based in learning order, the contract ``bpe_encode`` consumes.
+    """
+    spark = df.sparkSession
+    words = (
+        word_freq(df, text_col)
+        .select("n", _word_symbols(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        top = (
+            bpe_pair_counts(words)
+            .orderBy(
+                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        left, right, cnt = (
+            top[0]["left_sym"],
+            top[0]["right_sym"],
+            int(top[0]["pair_count"]),
+        )
+        merges.append((rank, left, right, cnt))
+        words = words.select(
+            "n", _apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list[tuple],
+    text_col: str = "text",
+    out: str = "bpe_syms",
+) -> DataFrame:
+    """Encode documents with a learned merge table: tokenize, expand each
+    token to its character+``</w>`` sequence, then apply every merge in
+    rank order as a chained JVM fold; ``out`` is the flattened per-
+    document symbol array.
+
+    The merge table is collected to the driver and inlined as literals —
+    it is the tokenizer's vocabulary (fixed, small, broadcast-by-
+    construction), not data. Encoding is map-only: no shuffle, no
+    Python."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    else:
+        pairs = [(left, right) for _, left, right, *_ in merges]
+    syms = F.transform(tokens_expr(text_col), lambda w: _word_symbols(w))
+    encoded = syms
+    for left, right in pairs:
+        encoded = F.transform(encoded, lambda s: _apply_merge(s, left, right))
+    return df.withColumn(out, F.flatten(encoded))

@@ -1998,3 +1998,59 @@ def curation_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFra
     return flagged.select(
         "train_id", "eval_id", F.round("cosine", 6).alias("cosine_r")
     )
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT t AS word, COUNT(*) AS n
+      FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents) GROUP BY t
+    ), syms AS (
+      SELECT n, list_concat(list_transform(range(1, length(word) + 1), i -> word[i:i]),
+                            ['</w>']) AS s
+      FROM words
+    ), prs AS (
+      SELECT n, s[i] AS left_sym, s[i + 1] AS right_sym
+      FROM (SELECT n, s, unnest(range(1, len(s))) AS i FROM syms)
+    )
+    SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM prs GROUP BY 1, 2
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE statistics (operators.text.bpe_pair_counts): weighted
+    adjacent character-pair counts over the word-frequency dictionary —
+    the corpus is scanned once and compressed to (word, n) before any
+    pair math; every BPE training round shuffles only (symbol-pair,
+    count) rows. The fully-SQL-expressible companion of the iterative
+    trainer text_bpe_merges."""
+    from erpl_web_spark.operators.text import (
+        _word_symbols,
+        bpe_pair_counts,
+        word_freq,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    words = word_freq(docs).select(
+        "n", _word_symbols(F.col("word")).alias("syms")
+    )
+    return bpe_pair_counts(words)
+
+
+@register("text_bpe_merges", oracle=None)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (operators.text.bpe_train, Sennrich et
+    al. 2016), 12 merges with deterministic lexicographic tie-breaks.
+    Iterative data-dependent argmax per round is not SQL-expressible
+    (DuckDB recursive CTEs cannot aggregate in the recursive term), so
+    this entry is rows-only BY DESIGN; the contract is pinned three
+    ways: round-1 statistics are value-hash oracle-checked via
+    text_bpe_pairs, the trainer is cross-checked against a pure-Python
+    reference implementation in pytest, and the full merge table at both
+    driver SFs is a checked-in golden fixture
+    (tests/fixtures/golden/text_bpe_merges.json)."""
+    from erpl_web_spark.operators.text import bpe_train
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return bpe_train(docs, num_merges=12, min_pair_count=2)

@@ -22,6 +22,7 @@ GOLDEN_QUERIES = [
     "similarity_ann_lsh",
     "dedup_cluster_minhash",
     "embedding_pca_project",
+    "text_bpe_merges",
 ]
 
 

@@ -1573,3 +1573,94 @@ def test_semantic_decontaminate_flags_near_eval_vectors(spark):
     assert (0, 99) in flagged  # the centroid itself is near the probe
     assert all(t != 102 for t, _ in flagged)
     assert all(0.9 <= r["cosine"] <= 1.0 for r in got)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (operators.text.bpe_train / bpe_encode)
+# --------------------------------------------------------------------------
+
+def _ref_bpe(texts, num_merges, min_pair_count=2):
+    """Pure-Python Sennrich BPE reference: same tie-breaks (count desc,
+    then lexicographic pair asc), same greedy left-to-right merge."""
+    import collections
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), c = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if c < min_pair_count:
+            break
+        merges.append((rank, a, b, c))
+        newv = collections.Counter()
+        for syms, n in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            newv[tuple(out)] += n
+        vocab = newv
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest newest newest widest widest widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from erpl_web_spark.operators.text import bpe_train
+
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, num_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == _ref_bpe(texts, 8)
+
+
+def test_bpe_train_stops_below_min_pair_count(spark):
+    df = spark.createDataFrame([("aa bb",)], "text string")
+    from erpl_web_spark.operators.text import bpe_train
+
+    # every word occurs once: with min_pair_count=2, the only learnable
+    # merges are within-word pairs of count >= 2... here each pair has
+    # count 1 except none, so training stops immediately
+    got = bpe_train(df, num_merges=5, min_pair_count=2).collect()
+    assert got == []
+
+
+def test_bpe_apply_merge_is_greedy_non_overlapping(spark):
+    # 'aaaa' under merge (a,a) -> [aa, aa], never the overlapping [aa,a,a]
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    from erpl_web_spark.operators.text import bpe_encode
+
+    enc = bpe_encode(df, [(1, "a", "a", 0)]).collect()[0]["bpe_syms"]
+    assert enc == ["aa", "aa", "</w>"] * 3
+
+
+def test_bpe_encode_uses_merges_in_rank_order(spark):
+    texts = ["low low lower lowest"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from erpl_web_spark.operators.text import bpe_encode, bpe_train
+
+    merges = bpe_train(df, num_merges=6, min_pair_count=1)
+    enc = bpe_encode(df, merges).collect()[0]["bpe_syms"]
+    # encoding a training word reproduces its trained segmentation:
+    # 'low' must come out as one unit ending in </w> or ['low', '</w>']
+    joined = "".join(enc)
+    assert joined == "low</w>low</w>lower</w>lowest</w>"
+    # determinism: re-training yields the identical table
+    again = bpe_train(df, num_merges=6, min_pair_count=1)
+    assert sorted(map(tuple, merges.collect())) == sorted(map(tuple, again.collect()))

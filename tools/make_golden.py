@@ -29,6 +29,7 @@ GOLDEN_QUERIES = [
     "similarity_ann_lsh",
     "dedup_cluster_minhash",
     "embedding_pca_project",
+    "text_bpe_merges",
 ]
 EXACT_SFS = ["0.001", "0.01"]
 COUNT_SF = "0.1"
