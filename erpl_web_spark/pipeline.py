@@ -59,6 +59,15 @@ class CurationConfig:
     # benchmark item's shingles (operators.curation.pairwise_contamination)
     contamination_threshold: float = 0.8
     bench_id_col: str = "bench_id"
+    # leakage-safe split (None = no split column): survivors get a
+    # train/val/test column keyed on their near-dup CLUSTER label (the
+    # same components the near-dedup stage computed — reused, not
+    # recomputed), so re-runs with dedup off, or future re-additions of
+    # a cluster member, land in the same split as the representative
+    split_weights: dict[str, float] | None = None
+    split_seed: int = 42
+    split_method: str = "xxhash64"
+    split_col: str = "split"
 
 
 def curate(
@@ -128,7 +137,9 @@ def curate(
         counts.append(("exact_dedup_dropped", n - m))
         n = m
 
-    if cfg.near_dedup:
+    comp = None  # near-dup cluster labels, shared by dedup AND split
+    want_clusters = cfg.near_dedup or cfg.split_weights is not None
+    if want_clusters:
         if cfg.use_minhash:
             pairs = minhash_lsh_pairs(
                 cur, id_col, text_col, threshold=cfg.near_threshold
@@ -140,6 +151,13 @@ def curate(
                 threshold=cfg.near_threshold,
             )
         comp = connected_components(pairs, "id_a", "id_b")
+        if cfg.split_weights is not None:
+            # the label table is tiny next to the corpus; persist it so
+            # the dedup stage and the final split assignment share one
+            # component computation
+            comp = comp.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if cfg.near_dedup:
         if cfg.near_keep == "best_quality":
             from erpl_web_spark.operators.graph import component_best
 
@@ -214,6 +232,31 @@ def curate(
         )
         counts.append(("decontaminate_dropped", n - m))
         n = m
+
+    if cfg.split_weights is not None:
+        # assign splits on the cluster label (own id when unclustered):
+        # the identical bucket rule to operators.curation.leak_safe_split,
+        # but reusing the components already computed above instead of
+        # re-running pair generation
+        from erpl_web_spark.operators.text import hash_split
+
+        labels = comp.select(
+            F.col("id").alias(id_col), F.col("component")
+        )
+        keyed = cur.join(labels, id_col, "left").withColumn(
+            "group_key",
+            F.coalesce(F.col("component"), F.col(id_col).cast("long")),
+        ).drop("component")
+        split_df = hash_split(
+            keyed,
+            "group_key",
+            cfg.split_weights,
+            seed=cfg.split_seed,
+            out=cfg.split_col,
+            method=cfg.split_method,
+        ).drop("group_key")
+        cur, _ = materialize("split", split_df, cur)
+        comp.unpersist()
 
     counts.append(("output", n))
     report = df.sparkSession.createDataFrame(counts, "stage string, n long")

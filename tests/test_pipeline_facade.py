@@ -140,3 +140,48 @@ def test_curate_near_keep_best_quality(spark):
     )
     assert sorted(r["doc_id"] for r in kept_best.collect()) == [2, 7]
     assert {r["stage"]: r["n"] for r in rep.collect()}["near_dedup_dropped"] == 1
+
+
+def test_curate_split_assigns_leak_safe_splits(spark):
+    from pyspark.sql import functions as F
+
+    # near_dedup OFF + split ON: cluster members must still share a split
+    kept, report = curate(
+        _docs(spark),
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            use_minhash=False, near_threshold=0.5,
+            split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        ),
+    )
+    rows = {r["doc_id"]: r["split"] for r in kept.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # docs 1/2/3 are one near-dup cluster at threshold 0.5 -> same split
+    assert rows[1] == rows[2] == rows[3]
+    assert set(rows.values()) <= {"train", "val", "test"}
+    assert "group_key" not in kept.columns
+
+
+def test_curate_split_reuses_dedup_components(spark):
+    # near_dedup ON: the representative's split key is its CLUSTER label,
+    # so it matches the split its (dropped) duplicates would have had
+    from erpl_web_spark.operators.text import hash_split
+    from pyspark.sql import functions as F
+
+    kept, _ = curate(
+        _docs(spark),
+        CurationConfig(
+            use_minhash=False, near_threshold=0.5,
+            split_weights={"train": 0.5, "val": 0.25, "test": 0.25},
+            split_seed=11,
+        ),
+    )
+    rows = {r["doc_id"]: r["split"] for r in kept.collect()}
+    assert set(rows) == {1, 5}
+    # doc 1 is the representative of cluster {1,2,3}: its split is keyed
+    # on component label 1 (== its own id, the cluster min)
+    expect = hash_split(
+        kept.sparkSession.createDataFrame([(1,)], "group_key long"),
+        "group_key", {"train": 0.5, "val": 0.25, "test": 0.25}, seed=11,
+    ).collect()[0]["split"]
+    assert rows[1] == expect
