@@ -143,6 +143,48 @@ def read_latest_snapshot(spark, path: str, before: int | None = None) -> DataFra
     return spark.read.parquet(f"{path}/v={versions[0]}")
 
 
+def snapshot_digests(
+    df: DataFrame, id_col: str, compare_cols: list[str]
+) -> DataFrame:
+    """Map-side reduction of a snapshot to (id, 16-byte md5 digest of
+    the compared columns). NULLs are sentinel-escaped so (NULL, 'x')
+    and ('x', NULL) hash differently. This skinny table is the ONLY
+    thing the diff machinery ever shuffles or stores — bodies stay at
+    the source."""
+    parts = []
+    for c in compare_cols:
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("\x00null"))
+            .otherwise(F.col(c).cast("string"))
+        )
+        parts.append(F.lit("\x1f"))
+    return df.select(
+        F.col(id_col), F.md5(F.concat(*parts[:-1])).alias("digest")
+    )
+
+
+def digest_diff(
+    old_digests: DataFrame,
+    new_digests: DataFrame,
+    id_col: str,
+    status_col: str = "status",
+) -> DataFrame:
+    """added/removed/changed rows from two (id, digest) tables: one
+    full-outer shuffle on the id, unchanged rows dropped, so the output
+    is O(churn)."""
+    o = old_digests.withColumnRenamed("digest", "__h_old")
+    n = new_digests.withColumnRenamed("digest", "__h_new")
+    joined = o.join(n, id_col, "full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias(status_col),
+    ).where(F.col(status_col) != "unchanged")
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -157,39 +199,51 @@ def snapshot_diff(
     change markers; many real sources (HTTP exports, object-store drops)
     only give you full snapshots — this derives the change feed from
     them, turning any snapshot-only source into a CDC input for
-    ``apply_cdc_changes``.
-
-    Design for scale: each side is reduced map-side to (id, 16-byte md5
-    of the compared columns) before the single full-outer shuffle on
-    ``id_col`` — document bodies never shuffle. NULLs are
-    sentinel-escaped so (NULL, 'x') and ('x', NULL) hash differently.
-    Unchanged rows are dropped before the operator returns, so the
-    output is O(churn), not O(corpus).
+    ``apply_cdc_changes``. Each side reduces to (id, digest) map-side
+    (``snapshot_digests``) before the single full-outer shuffle.
     """
-
-    def digest(df: DataFrame) -> DataFrame:
-        parts = []
-        for c in compare_cols:
-            parts.append(
-                F.when(F.col(c).isNull(), F.lit("\x00null"))
-                .otherwise(F.col(c).cast("string"))
-            )
-            parts.append(F.lit("\x1f"))
-        return df.select(
-            F.col(id_col), F.md5(F.concat(*parts[:-1])).alias("__h")
-        )
-
-    o = digest(old).withColumnRenamed("__h", "__h_old")
-    n = digest(new).withColumnRenamed("__h", "__h_new")
-    joined = o.join(n, id_col, "full_outer")
-    return joined.select(
+    return digest_diff(
+        snapshot_digests(old, id_col, compare_cols),
+        snapshot_digests(new, id_col, compare_cols),
         id_col,
-        F.when(F.col("__h_old").isNull(), F.lit("added"))
-        .when(F.col("__h_new").isNull(), F.lit("removed"))
-        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-        .alias(status_col),
-    ).where(F.col(status_col) != "unchanged")
+        status_col,
+    )
+
+
+def snapshot_stream_to_changes(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    changes_path: str,
+    id_col: str,
+    compare_cols: list[str],
+) -> None:
+    """foreachBatch sink turning a STREAM of full snapshot exports into
+    a CDC change feed: each micro-batch is one complete export (e.g. a
+    file-source with maxFilesPerTrigger=1 over periodic dumps); the sink
+    diffs it against the previous export and appends
+    (id, status, batch_id) change rows under ``changes_path``.
+
+    Only the (id, digest) table persists between batches (versioned
+    under ``state_path`` exactly like ``merge_to_parquet_snapshots``) —
+    state size is O(ids), independent of row width. The first batch
+    emits every id as ``added`` (initial load).
+
+    Replay-safe by the same construction as the merge sink: the
+    baseline is the highest digest version STRICTLY BELOW ``batch_id``,
+    and both writes are per-batch-directory overwrites, so a replayed
+    batch reproduces byte-identical output instead of double-diffing.
+    """
+    spark = batch_df.sparkSession
+    new_dig = snapshot_digests(batch_df, id_col, compare_cols)
+    prev = read_latest_snapshot(spark, state_path, before=batch_id)
+    if prev is None:
+        prev = new_dig.where(F.lit(False))
+    changes = digest_diff(prev, new_dig, id_col).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    )
+    changes.write.mode("overwrite").parquet(f"{changes_path}/batch={batch_id}")
+    new_dig.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
 
 
 def incremental_agg_update(
