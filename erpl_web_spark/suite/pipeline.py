@@ -2054,3 +2054,96 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents", spread=True)
     return bpe_train(docs, num_merges=12, min_pair_count=2)
+
+
+@register(
+    "similarity_threshold_sweep",
+    oracle=_SQL_IVF_ASSIGNED
+    + """
+    SELECT GREATEST(LEAST(CAST(FLOOR(cos * 20) AS INT), 19), -20) AS bucket,
+           COUNT(*) AS n_pairs
+    FROM (
+      SELECT list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM assigned a JOIN assigned b USING (cell)
+      WHERE a.vec_id < b.vec_id
+    )
+    GROUP BY bucket
+    """,
+)
+def similarity_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration: the cosine distribution of ALL
+    in-cell candidate pairs, bucketed at 0.05 width — one pass answers
+    'how many pairs would each threshold keep?' before committing to an
+    expensive full dedup. Same IVF-cell blocking as dedup_embedding
+    (quadratic stays inside cells); the sweep costs one extra groupBy on
+    a 4-byte bucket key over pairs that candidate generation already
+    produced. Floor-divide + clamp bucketing is engine-portable
+    arithmetic (same idiom as agg_histogram)."""
+    from erpl_web_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=-1.0, stride=50
+    )
+    bucket = F.greatest(
+        F.least(F.floor(F.col("cosine") * 20).cast("int"), F.lit(19)),
+        F.lit(-20),
+    )
+    return pairs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+@register(
+    "dedup_source_overlap",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_EDGES}
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT CASE WHEN da.source <= db.source THEN p.id_a ELSE p.id_b END) AS n_docs_a
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts grouped by
+    the (unordered) source pair — which crawls/feeds duplicate each
+    other, the number that decides which source to drop or cap. Joins
+    the skinny (id_a, id_b) edge set back to (id, source) twice;
+    sources are normalized least/greatest so the matrix is triangular.
+    n_docs_a counts the distinct lower-source docs involved — dup
+    VOLUME vs dup SPREAD."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+            ),
+            "id_b",
+        )
+    )
+    return j.groupBy(
+        F.least("__sa", "__sb").alias("source_a"),
+        F.greatest("__sa", "__sb").alias("source_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct(
+            F.when(F.col("__sa") <= F.col("__sb"), F.col("id_a")).otherwise(
+                F.col("id_b")
+            )
+        ).alias("n_docs_a"),
+    )
