@@ -353,7 +353,9 @@ def leak_safe_split(
     Scale shape: the component loop shuffles (long, long) label rows
     (operators.graph); the label join back onto the corpus is keyed on
     the id, and cluster labels are typically ≪ corpus so AQE broadcasts
-    the label side. Returns ``df`` + (group_key, split).
+    the label side. Returns ``df`` + (group_key, split). Ids must be
+    integral (the connected-components contract); hash string ids to
+    64-bit first.
     """
     from erpl_web_spark.operators.graph import connected_components
     from erpl_web_spark.operators.text import hash_split
