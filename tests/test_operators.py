@@ -1743,3 +1743,142 @@ def test_snapshot_stream_to_changes_end_to_end(spark, tmp_path):
         (1, "added", 0), (2, "added", 0),
         (2, "changed", 1), (3, "added", 1),
     }
+
+
+# --------------------------------------------------------------------------
+# Randomized Python-model cross-checks for the session-5 operators
+# --------------------------------------------------------------------------
+
+def test_snapshot_diff_matches_dict_model_randomized(spark):
+    import random
+
+    rng = random.Random(404)
+    old_rows = {i: rng.choice("abcde") for i in range(200)}
+    new_rows = {}
+    for i, v in old_rows.items():
+        r = rng.random()
+        if r < 0.15:
+            continue                      # removed
+        if r < 0.35:
+            new_rows[i] = v + "!"         # changed
+        else:
+            new_rows[i] = v               # unchanged
+    for i in range(200, 230):
+        new_rows[i] = rng.choice("abcde")  # added
+
+    want = {}
+    for i in set(old_rows) | set(new_rows):
+        if i not in old_rows:
+            want[i] = "added"
+        elif i not in new_rows:
+            want[i] = "removed"
+        elif old_rows[i] != new_rows[i]:
+            want[i] = "changed"
+
+    from erpl_web_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(list(old_rows.items()), "id long, t string")
+    new = spark.createDataFrame(list(new_rows.items()), "id long, t string")
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", ["t"]).collect()}
+    assert got == want
+
+
+def test_bpe_segmentation_is_lossless_randomized(spark):
+    """Encoding invariant: for ANY corpus and ANY learned merge table,
+    concatenating a document's BPE symbols reproduces its tokens with
+    '</w>' terminators — merges re-segment, never alter, the text."""
+    import random
+
+    rng = random.Random(77)
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+             for _ in range(30)]
+    docs = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 20))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from erpl_web_spark.operators.text import EOW, bpe_encode, bpe_train, tokens_expr
+    from pyspark.sql import functions as F
+
+    merges = bpe_train(df, num_merges=15, min_pair_count=2)
+    enc = bpe_encode(df, merges)
+    rows = enc.select(
+        "doc_id",
+        F.concat_ws("", "bpe_syms").alias("joined"),
+        F.concat_ws("", F.transform(
+            tokens_expr("text"), lambda w: F.concat(w, F.lit(EOW))
+        )).alias("want"),
+    ).collect()
+    assert rows and all(r["joined"] == r["want"] for r in rows)
+
+
+def test_leak_safe_split_randomized_component_invariant(spark):
+    import random
+
+    rng = random.Random(99)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # Python union-find model
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    from erpl_web_spark.operators.curation import leak_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = leak_safe_split(
+        docs, "doc_id", pairs, {"train": 0.7, "val": 0.3}, seed=3
+    )
+    rows = {r["doc_id"]: (r["group_key"], r["split"]) for r in out.collect()}
+    assert len(rows) == n
+    for i in range(n):
+        for j in range(n):
+            if find(i) == find(j):
+                assert rows[i][1] == rows[j][1], (i, j)
+    # group keys are the component minimum (or own id when isolated)
+    touched = {x for e in edges for x in e}
+    for i in range(n):
+        comp_min = min(x for x in range(n) if find(x) == find(i))
+        assert rows[i][0] == (comp_min if i in touched or comp_min != i else i)
+
+
+def test_fuzzy_match_pairs_matches_python_model(spark):
+    import random
+
+    rng = random.Random(12)
+    nouns = ["widget", "bolt", "ring"]
+    adjs = ["red", "rd", "reed", "blue", "blu", "green", "grn"]
+    names = sorted({f"{rng.choice(adjs)} {rng.choice(nouns)}" for _ in range(40)})
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if a.rsplit(" ", 1)[-1] == b.rsplit(" ", 1)[-1] and lev(a, b) <= 3
+    }
+
+    from erpl_web_spark.operators.matching import fuzzy_match_pairs
+
+    df = spark.createDataFrame([(x,) for x in names], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["distance"])
+        for r in fuzzy_match_pairs(df, "name", max_distance=3).collect()
+    }
+    assert got == want
