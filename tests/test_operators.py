@@ -1882,3 +1882,49 @@ def test_fuzzy_match_pairs_matches_python_model(spark):
         for r in fuzzy_match_pairs(df, "name", max_distance=3).collect()
     }
     assert got == want
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime bloom-filter join pruning — the shuffle-side cousin of
+    partition pruning: a selective dim filter injects a bloom filter of
+    the dim's join keys into the FACT side scan, so non-matching fact
+    rows die at the scan instead of riding the join shuffle. At 100 TB
+    this is a first-class lever (thresholds default to 10 GB scans; here
+    they are lowered to demonstrate on test data). Results must be
+    byte-identical with and without the filter."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    def q():
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        return (
+            lineitem.join(sel, lineitem["l_orderkey"] == sel["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        filtered = q()
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter was not injected"
+        got = {(r["o_orderpriority"], r["n"]) for r in filtered.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = {(r["o_orderpriority"], r["n"]) for r in q().collect()}
+    assert got == want and got
