@@ -78,7 +78,7 @@ def documents_as_media(
     """
     duration = (
         (F.length(text_col) * 10).cast("long")
-        if media_type == "video"
+        if media_type in ("video", "audio")
         else F.lit(None).cast("long")
     )
     return df.select(
@@ -206,6 +206,44 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "meta",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def audio_chunks(
+    df: DataFrame, window_ms: int = 30000, stride_ms: int | None = None
+) -> DataFrame:
+    """Windowed-chunk plumbing for audio payloads: one row per
+    fixed-duration window over the metadata duration, with overlap when
+    ``stride_ms`` < ``window_ms`` (the speech-model preprocessing shape:
+    30 s windows, hop-size stride). The final window is ragged
+    (dur_ms < window_ms) rather than zero-padded — padding belongs to
+    the (stubbed) decode kernel.
+
+    Same design as ``sample_frames``/``tile_grid``: the fan-out is an
+    explode over a JVM-computed sequence keyed on metadata only — no
+    Python per row, payload bytes untouched until a decoder needs the
+    window."""
+    stride = stride_ms or window_ms
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    n = F.greatest(
+        F.ceil((dur - window_ms) / float(stride)).cast("int") + 1, F.lit(1)
+    )
+    return (
+        df.select(
+            "media_id",
+            "meta",
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("long").alias("start_ms"),
+            F.least(
+                F.lit(window_ms).cast("long"),
+                F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+                - F.col("chunk_idx") * stride,
+            ).alias("dur_ms"),
+        )
+    )
 
 
 def tile_grid(

@@ -2147,3 +2147,30 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_docs_a"),
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+    SELECT media_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(ci * 300 AS BIGINT) AS start_ms,
+           CAST(LEAST(500, dur - ci * 300) AS BIGINT) AS dur_ms
+    FROM (
+      SELECT doc_id AS media_id, LENGTH(text) * 10 AS dur,
+             unnest(range(0, GREATEST(
+               CAST(CEIL((LENGTH(text) * 10 - 500) / 300.0) AS INT) + 1, 1))) AS ci
+      FROM documents
+    )
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio-window fan-out (500 ms windows, 300 ms hop over
+    the fake 10 ms-per-byte duration): the speech-preprocessing shape —
+    explode over a JVM sequence on metadata, ragged final window, no
+    Python per row, payload untouched (operators.multimodal.audio_chunks)."""
+    from erpl_web_spark.operators.multimodal import audio_chunks, documents_as_media
+
+    media = documents_as_media(
+        load(spark, sf_dir, "documents"), media_type="audio"
+    )
+    return audio_chunks(media, window_ms=500, stride_ms=300)

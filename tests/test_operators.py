@@ -1960,3 +1960,29 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
     got = j.count()
     want = lineitem.where(F.year("l_shipdate") == pick).count()
     assert got == want and got > 0
+
+
+def test_audio_chunks_overlap_and_ragged_tail(spark):
+    from erpl_web_spark.operators.multimodal import audio_chunks
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"), ("audio", "fake", 0, 0, 1000)),
+         (2, bytearray(b"y"), ("audio", "fake", 0, 0, 200))],
+        "media_id long, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>",
+    )
+    # 1000ms at 400ms windows / 300ms hop: starts 0,300,600 (600+400=1000
+    # exact) — and a shorter-than-window clip yields ONE ragged window
+    got = audio_chunks(media, window_ms=400, stride_ms=300).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["start_ms"], r["dur_ms"])
+        )
+    assert sorted(by_id[1]) == [(0, 0, 400), (1, 300, 400), (2, 600, 400)]
+    assert sorted(by_id[2]) == [(0, 0, 200)]
+    # non-overlapping default: stride == window, ragged tail
+    plain = audio_chunks(media.where(F.col("media_id") == 1), window_ms=300).collect()
+    assert sorted((r["chunk_idx"], r["start_ms"], r["dur_ms"]) for r in plain) == [
+        (0, 0, 300), (1, 300, 300), (2, 600, 300), (3, 900, 100)
+    ]
