@@ -422,3 +422,35 @@ def semantic_decontaminate(
         joined.select("train_id", "eval_id", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    total_budget: int,
+) -> dict[str, int]:
+    """Temperature-weighted (alpha = 0.5) per-stratum token budgets from
+    corpus statistics: budget_s = total * sqrt(tokens_s) / Σ sqrt —
+    the standard multilingual/multi-source rebalancing rule (upsamples
+    small sources relative to proportional sampling; see GPT-3 /
+    mT5-style mixing). Feed the result to ``token_budget_sample``.
+
+    The per-stratum totals collapse to one row per source before the
+    driver sees them — budgets are configuration-scale data (a handful
+    of sources), not corpus-scale. Integer sqrt (``math.isqrt``) keeps
+    the arithmetic exact and engine-portable: floor(sqrt(n)) is
+    bit-reproducible in any engine for n < 2^52.
+    """
+    import math
+
+    rows = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__t"))
+        .collect()
+    )
+    weights = {r[0]: math.isqrt(int(r["__t"])) for r in rows}
+    denom = sum(weights.values())
+    if denom == 0:
+        return {k: 0 for k in weights}
+    return {k: int(total_budget) * w // denom for k, w in weights.items()}

@@ -2174,3 +2174,64 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), media_type="audio"
     )
     return audio_chunks(media, window_ms=500, stride_ms=300)
+
+
+@register(
+    "curation_temperature_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_SQL_TOKS}) AS n_toks FROM documents
+    ), tot AS (
+      SELECT source, CAST(FLOOR(SQRT(CAST(SUM(n_toks) AS DOUBLE))) AS BIGINT) AS w
+      FROM t GROUP BY source
+    ), denom AS (
+      SELECT SUM(w) AS s FROM tot
+    ), bud AS (
+      SELECT source, (20000 * w) // s AS b FROM tot, denom
+    ), keyed AS (
+      SELECT doc_id, source, n_toks,
+             CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS k
+      FROM t
+    ), cum AS (
+      SELECT source, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS ct
+      FROM keyed
+    )
+    SELECT c.source, COUNT(*) AS n_docs,
+           CAST(SUM(c.n_toks) AS BIGINT) AS n_tokens_kept,
+           CAST(MAX(bud.b) AS BIGINT) AS budget
+    FROM cum c JOIN bud USING (source)
+    WHERE c.ct <= bud.b
+    GROUP BY c.source
+    """,
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha = 0.5): per-source token
+    budgets derived from corpus statistics with exact integer sqrt
+    (operators.curation.temperature_budgets — upsamples small sources
+    vs proportional), then the deterministic hash-ordered token-budget
+    sampler. Budgets are a per-source scalar collect (configuration-
+    scale); the sample itself is the audited token_budget_sample window.
+    Summarized per source: docs kept, tokens kept, budget."""
+    from erpl_web_spark.operators.curation import (
+        temperature_budgets,
+        token_budget_sample,
+    )
+    from erpl_web_spark.operators.text import token_count_expr
+
+    docs = load(spark, sf_dir, "documents", spread=True).withColumn(
+        "n_toks", token_count_expr("text")
+    )
+    budgets = temperature_budgets(docs, "source", "n_toks", total_budget=20000)
+    kept = token_budget_sample(
+        docs, "source", "doc_id", "n_toks", budgets, seed=42
+    )
+    bud = F.create_map(
+        *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens_kept"),
+        F.max(bud[F.col("source")]).cast("long").alias("budget"),
+    )

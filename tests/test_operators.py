@@ -1986,3 +1986,24 @@ def test_audio_chunks_overlap_and_ragged_tail(spark):
     assert sorted((r["chunk_idx"], r["start_ms"], r["dur_ms"]) for r in plain) == [
         (0, 0, 300), (1, 300, 300), (2, 600, 300), (3, 900, 100)
     ]
+
+
+def test_temperature_budgets_sqrt_weighting(spark):
+    import math
+
+    from erpl_web_spark.operators.curation import temperature_budgets
+
+    rows = [(f"d{i}", s, 10) for s, n in [("big", 90), ("small", 10)] for i in range(n)]
+    df = spark.createDataFrame(
+        [(f"{s}-{i}", s, t) for i, (s2, s, t) in enumerate(rows)],
+        "doc_id string, source string, n_toks int",
+    )
+    got = temperature_budgets(df, "source", "n_toks", total_budget=1000)
+    wb, ws = math.isqrt(900), math.isqrt(100)
+    assert got == {
+        "big": 1000 * wb // (wb + ws),
+        "small": 1000 * ws // (wb + ws),
+    }
+    # alpha=0.5 upsamples the small source vs proportional (which would
+    # give it 10%): sqrt weighting gives it 25%
+    assert got["small"] / 1000 == 0.25
