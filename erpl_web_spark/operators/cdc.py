@@ -147,19 +147,23 @@ def snapshot_digests(
     df: DataFrame, id_col: str, compare_cols: list[str]
 ) -> DataFrame:
     """Map-side reduction of a snapshot to (id, 16-byte md5 digest of
-    the compared columns). NULLs are sentinel-escaped so (NULL, 'x')
-    and ('x', NULL) hash differently. This skinny table is the ONLY
-    thing the diff machinery ever shuffles or stores — bodies stay at
-    the source."""
-    parts = []
-    for c in compare_cols:
-        parts.append(
-            F.when(F.col(c).isNull(), F.lit("\x00null"))
-            .otherwise(F.col(c).cast("string"))
+    the compared columns). The row digest is the md5 of the
+    CONCATENATED PER-COLUMN md5s: fixed-width components make the
+    encoding injective — no separator that column VALUES could contain
+    (a '\\x1f'-joined concat would collide ('a\\x1fb','c') with
+    ('a','b\\x1fc')). NULL encodes as a 32-char non-hex marker, so it
+    can never collide with a real value's digest. This skinny table is
+    the ONLY thing the diff machinery ever shuffles or stores — bodies
+    stay at the source."""
+    null_mark = F.lit("n" * 32)  # not valid hex: disjoint from any md5
+    parts = [
+        F.when(F.col(c).isNull(), null_mark).otherwise(
+            F.md5(F.col(c).cast("string"))
         )
-        parts.append(F.lit("\x1f"))
+        for c in compare_cols
+    ]
     return df.select(
-        F.col(id_col), F.md5(F.concat(*parts[:-1])).alias("digest")
+        F.col(id_col), F.md5(F.concat(*parts)).alias("digest")
     )
 
 

@@ -358,12 +358,31 @@ def leak_safe_split(
     64-bit first.
     """
     from erpl_web_spark.operators.graph import connected_components
+
+    labels = connected_components(pairs, pair_a, pair_b)
+    return split_by_cluster(
+        df, id_col, labels, weights, seed=seed, out=out, method=method
+    )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    id_col: str,
+    labels: DataFrame,
+    weights: dict[str, float],
+    seed: int = 42,
+    out: str = "split",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """The cluster-keyed split rule shared by ``leak_safe_split`` and
+    the curation facade: given (id, component) labels, every row's
+    split key is its cluster label (its own id when unlabeled), bucketed
+    by ``text.hash_split``. One definition, so the bucketing and
+    NULL-component handling cannot diverge between entry points."""
     from erpl_web_spark.operators.text import hash_split
 
-    labels = connected_components(pairs, pair_a, pair_b).select(
-        F.col("id").alias(id_col), F.col("component")
-    )
-    keyed = df.join(labels, id_col, "left").withColumn(
+    lab = labels.select(F.col("id").alias(id_col), F.col("component"))
+    keyed = df.join(lab, id_col, "left").withColumn(
         "group_key", F.coalesce(F.col("component"), F.col(id_col).cast("long"))
     ).drop("component")
     return hash_split(keyed, "group_key", weights, seed=seed, out=out, method=method)
@@ -445,8 +464,13 @@ def temperature_budgets(
     import math
 
     rows = (
-        df.groupBy(strata_col)
-        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__t"))
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.col(token_col).cast("bigint")), F.lit(0)
+            ).alias("__t")
+        )
         .collect()
     )
     weights = {r[0]: math.isqrt(int(r["__t"])) for r in rows}

@@ -566,7 +566,7 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float | None = 0.95,
     stride: int = 50,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -597,7 +597,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"),
         F.col("nrm").alias("rn"), "cell",
     )
-    return (
+    pairs = (
         a.join(b, "cell")
         .where(F.col("left_id") < F.col("right_id"))
         .select(
@@ -605,7 +605,12 @@ def embedding_near_dup_pairs(
             "right_id",
             (dot_expr(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn"))).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
+    )
+    # threshold=None returns every in-cell pair unfiltered (threshold
+    # sweeps) — an exact no-op, not a >= -1.0 sentinel that could drop
+    # NaN cosines or rounding-below--1 pairs
+    return pairs if threshold is None else pairs.where(
+        F.col("cosine") >= threshold
     )
 
 

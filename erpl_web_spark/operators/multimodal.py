@@ -218,14 +218,25 @@ def audio_chunks(
     (dur_ms < window_ms) rather than zero-padded — padding belongs to
     the (stubbed) decode kernel.
 
+    ``stride_ms`` > ``window_ms`` is sparse sampling (gaps between
+    windows); chunk starts are capped to the media duration so no
+    window starts past the end.
+
     Same design as ``sample_frames``/``tile_grid``: the fan-out is an
     explode over a JVM-computed sequence keyed on metadata only — no
     Python per row, payload bytes untouched until a decoder needs the
     window."""
-    stride = stride_ms or window_ms
+    stride = stride_ms if stride_ms is not None else window_ms
+    if stride <= 0 or window_ms <= 0:
+        raise ValueError("window_ms and stride_ms must be positive")
     dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
-    n = F.greatest(
-        F.ceil((dur - window_ms) / float(stride)).cast("int") + 1, F.lit(1)
+    # cover formula, capped so every start stays < duration (the cap is
+    # what bites under sparse sampling, stride > window)
+    n = F.least(
+        F.greatest(
+            F.ceil((dur - window_ms) / float(stride)).cast("int") + 1, F.lit(1)
+        ),
+        F.greatest(F.ceil(dur / float(stride)).cast("int"), F.lit(1)),
     )
     return (
         df.select(

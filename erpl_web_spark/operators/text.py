@@ -416,6 +416,12 @@ def with_unigram_freq_score(
 
 EOW = "</w>"  # end-of-word marker appended to every symbol sequence
 
+# Merge-application folds chain one Catalyst expression per merge;
+# materialize (localCheckpoint) every this-many merges so expression
+# depth and per-plan analysis cost stay bounded regardless of vocab
+# size. 64 nested folds analyze in well under a second.
+_CHECKPOINT_EVERY = 64
+
 
 def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (word, n) frequency dictionary — the compression step
@@ -533,7 +539,15 @@ def bpe_train(
         merges.append((rank, left, right, cnt))
         words = words.select(
             "n", _apply_merge(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=True)
+        )
+        # checkpoint every few rounds, not every round: bounded-depth
+        # lineage between checkpoints, and far fewer pinned dictionary
+        # copies in block storage. Dereferenced checkpoints are
+        # reclaimed asynchronously by Spark's ContextCleaner as the
+        # Python references drop; at very large vocab sizes also lower
+        # spark.cleaner.periodicGC.interval so reclamation keeps pace.
+        if rank % _CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
     )
@@ -551,16 +565,28 @@ def bpe_encode(
     document symbol array.
 
     The merge table is collected to the driver and inlined as literals —
-    it is the tokenizer's vocabulary (fixed, small, broadcast-by-
-    construction), not data. Encoding is map-only: no shuffle, no
-    Python."""
+    it is the tokenizer's vocabulary (configuration-scale: tens of
+    thousands of rows at a real 32k-merge vocab), not data. Encoding is
+    map-only — no shuffle, no Python — but a production-size merge
+    table would nest tens of thousands of fold expressions into ONE
+    Catalyst tree, so the chain is materialized (localCheckpoint) every
+    ``_CHECKPOINT_EVERY`` merges: expression depth per plan stays
+    bounded, total work is still one pass per batch over the
+    (doc_id, syms) projection."""
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("merge_rank").collect()
         pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
     else:
         pairs = [(left, right) for _, left, right, *_ in merges]
     syms = F.transform(tokens_expr(text_col), lambda w: _word_symbols(w))
-    encoded = syms
-    for left, right in pairs:
-        encoded = F.transform(encoded, lambda s: _apply_merge(s, left, right))
-    return df.withColumn(out, F.flatten(encoded))
+    work = df.withColumn(out, syms)
+    for i in range(0, len(pairs), _CHECKPOINT_EVERY):
+        encoded = F.col(out)
+        for left, right in pairs[i : i + _CHECKPOINT_EVERY]:
+            encoded = F.transform(
+                encoded, lambda s: _apply_merge(s, left, right)
+            )
+        work = work.withColumn(out, encoded)
+        if i + _CHECKPOINT_EVERY < len(pairs):
+            work = work.localCheckpoint(eager=False)
+    return work.withColumn(out, F.flatten(F.col(out)))

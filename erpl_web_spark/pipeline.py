@@ -234,22 +234,16 @@ def curate(
         n = m
 
     if cfg.split_weights is not None:
-        # assign splits on the cluster label (own id when unclustered):
-        # the identical bucket rule to operators.curation.leak_safe_split,
-        # but reusing the components already computed above instead of
-        # re-running pair generation
-        from erpl_web_spark.operators.text import hash_split
+        # assign splits on the cluster label (own id when unclustered),
+        # reusing the components already computed above instead of
+        # re-running pair generation — same split_by_cluster rule as
+        # operators.curation.leak_safe_split
+        from erpl_web_spark.operators.curation import split_by_cluster
 
-        labels = comp.select(
-            F.col("id").alias(id_col), F.col("component")
-        )
-        keyed = cur.join(labels, id_col, "left").withColumn(
-            "group_key",
-            F.coalesce(F.col("component"), F.col(id_col).cast("long")),
-        ).drop("component")
-        split_df = hash_split(
-            keyed,
-            "group_key",
+        split_df = split_by_cluster(
+            cur,
+            id_col,
+            comp,
             cfg.split_weights,
             seed=cfg.split_seed,
             out=cfg.split_col,

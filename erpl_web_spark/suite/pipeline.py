@@ -1879,15 +1879,15 @@ def match_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 13 = 0
     ), oh AS (
       SELECT doc_id, md5(concat(
-        COALESCE(CAST(text AS VARCHAR), chr(6) || 'null'), chr(31),
-        COALESCE(CAST(lang AS VARCHAR), chr(6) || 'null'), chr(31),
-        COALESCE(CAST(source AS VARCHAR), chr(6) || 'null'))) AS h
+        COALESCE(md5(CAST(text AS VARCHAR)), repeat('n', 32)),
+        COALESCE(md5(CAST(lang AS VARCHAR)), repeat('n', 32)),
+        COALESCE(md5(CAST(source AS VARCHAR)), repeat('n', 32)))) AS h
       FROM old_snap
     ), nh AS (
       SELECT doc_id, md5(concat(
-        COALESCE(CAST(text AS VARCHAR), chr(6) || 'null'), chr(31),
-        COALESCE(CAST(lang AS VARCHAR), chr(6) || 'null'), chr(31),
-        COALESCE(CAST(source AS VARCHAR), chr(6) || 'null'))) AS h
+        COALESCE(md5(CAST(text AS VARCHAR)), repeat('n', 32)),
+        COALESCE(md5(CAST(lang AS VARCHAR)), repeat('n', 32)),
+        COALESCE(md5(CAST(source AS VARCHAR)), repeat('n', 32)))) AS h
       FROM new_snap
     )
     SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
@@ -2084,7 +2084,7 @@ def similarity_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
     pairs = embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=-1.0, stride=50
+        emb, "vec_id", "embedding", threshold=None, stride=50
     )
     bucket = F.greatest(
         F.least(F.floor(F.col("cosine") * 20).cast("int"), F.lit(19)),

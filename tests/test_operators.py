@@ -2007,3 +2007,35 @@ def test_temperature_budgets_sqrt_weighting(spark):
     # alpha=0.5 upsamples the small source vs proportional (which would
     # give it 10%): sqrt weighting gives it 25%
     assert got["small"] / 1000 == 0.25
+
+
+def test_audio_chunks_sparse_sampling_no_phantom_windows(spark):
+    # stride > window (sparse sampling): no start past the end, no
+    # negative durations; stride_ms=0 is rejected, not silently coerced
+    import pytest as _pytest
+
+    from erpl_web_spark.operators.multimodal import audio_chunks
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"), ("audio", "fake", 0, 0, 25000))],
+        "media_id long, payload binary, "
+        "meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>",
+    )
+    got = sorted(
+        (r["chunk_idx"], r["start_ms"], r["dur_ms"])
+        for r in audio_chunks(media, window_ms=1000, stride_ms=10000).collect()
+    )
+    assert got == [(0, 0, 1000), (1, 10000, 1000), (2, 20000, 1000)]
+    with _pytest.raises(ValueError):
+        audio_chunks(media, window_ms=500, stride_ms=0)
+
+
+def test_snapshot_digests_injective_on_separator_shaped_values(spark):
+    # ('a\x1fb', 'c') vs ('a', 'b\x1fc') must NOT collide: per-column
+    # md5 components are fixed-width, so no join-separator ambiguity
+    from erpl_web_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a\x1fb", "c")], "id long, x string, y string")
+    new = spark.createDataFrame([(1, "a", "b\x1fc")], "id long, x string, y string")
+    got = snapshot_diff(old, new, "id", ["x", "y"]).collect()
+    assert [(r["id"], r["status"]) for r in got] == [(1, "changed")]
