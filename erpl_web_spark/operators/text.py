@@ -590,3 +590,48 @@ def bpe_encode(
         if i + _CHECKPOINT_EVERY < len(pairs):
             work = work.localCheckpoint(eager=False)
     return work.withColumn(out, F.flatten(F.col(out)))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by tf·(N/df) — the
+    linear-idf variant of TF-IDF. Rank-equivalent to log-idf within a
+    document at fixed tf (both are monotone decreasing in df), while
+    staying an exact ratio of integers: bit-reproducible across engines,
+    which log-based idf (libm) is not.
+
+    Two shuffles total: term counts groupBy (doc, term), document
+    frequency groupBy (term) — then a broadcast-able (term, df) join
+    back and a per-document WindowGroupLimit for the top-k (each map
+    task forwards at most k rows per doc it sees). ``min_df`` drops
+    hapax noise before ranking. Ties break (score desc, term asc) for
+    determinism.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = (
+        tf.join(dfreq.where(F.col("df") >= min_df), "term")
+        .withColumn(
+            "score",
+            (F.col("tf") * F.lit(int(n_docs))).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

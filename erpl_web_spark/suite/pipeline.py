@@ -2235,3 +2235,41 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens_kept"),
         F.max(bud[F.col("source")]).cast("long").alias("budget"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, t AS term FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents)
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * n.nd AS DOUBLE) / dfreq.df AS score
+      FROM tf JOIN dfreq USING (term), n
+      WHERE dfreq.df >= 2
+    ), ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by linear-idf TF-IDF
+    (operators.text.tfidf_top_terms): rank-equivalent to log-idf within
+    a document at fixed tf, but an exact integer ratio — so it value-
+    hash-matches across engines where libm log cannot. Two groupBy
+    shuffles + a WindowGroupLimit top-k; min_df=2 drops hapax noise."""
+    from erpl_web_spark.operators.text import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return tfidf_top_terms(docs, "doc_id", "text", k=3, min_df=2)

@@ -2039,3 +2039,32 @@ def test_snapshot_digests_injective_on_separator_shaped_values(spark):
     new = spark.createDataFrame([(1, "a", "b\x1fc")], "id long, x string, y string")
     got = snapshot_diff(old, new, "id", ["x", "y"]).collect()
     assert [(r["id"], r["status"]) for r in got] == [(1, "changed")]
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    from erpl_web_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple apple shared shared"),
+        (2, "banana banana shared shared shared"),
+        (3, "cherry shared apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_top_terms(df, k=2, min_df=1).collect()
+    }
+    # doc 1: apple tf=3 df=2 -> 4.5; shared tf=2 df=3 -> 2.0
+    assert got[(1, 1)] == ("apple", 3, 2)
+    assert got[(1, 2)] == ("shared", 2, 3)
+    # doc 2: banana tf=2 df=1 -> 6.0 beats shared tf=3 df=3 -> 3.0
+    assert got[(2, 1)] == ("banana", 2, 1)
+    # doc 3: cherry tf=1 df=1 -> 3.0; apple tf=1 df=2 -> 1.5
+    assert got[(3, 1)] == ("cherry", 1, 1)
+    assert got[(3, 2)] == ("apple", 1, 2)
+    # min_df=2 prunes the hapax terms entirely
+    pruned = {
+        (r["doc_id"], r["term"])
+        for r in tfidf_top_terms(df, k=2, min_df=2).collect()
+    }
+    assert all(t in ("apple", "shared") for _, t in pruned)
