@@ -18,8 +18,14 @@ Synthesis preserves each workload's structure without inventing data:
 - ``events``: user_id/event_id offset — 10x users, per-user event
   density unchanged (the as-of join and window workloads see the same
   per-key shape, 10x more keys).
-- ``embeddings``: vec_id offset, vectors unchanged — the cosine probe
-  set stays the replica-0 vec_id < 100 rows while the corpus scales 10x.
+- ``embeddings``: vec_id offset; replica r's vectors are circularly
+  shifted by r dimensions — a shared permutation preserves all
+  within-replica dot products (each replica mirrors replica 0's
+  similarity structure) while cross-replica cosines look like
+  independent random vectors, so pair volumes must scale linearly if
+  the operators are honest. Verbatim copies would create 10 true
+  near-dups per vector and exact centroid ties. The cosine probe set
+  stays the replica-0 vec_id < 100 rows while the corpus scales 10x.
 
 Writes under .scratch/sf1/ (gitignored). Usage:
 
@@ -86,6 +92,27 @@ def synthesize(spark) -> None:
             rep = src
             for k in keys:
                 rep = rep.withColumn(k, (F.col(k) + F.lit(r * OFF)).cast(src.schema[k].dataType))
+            if table == "embeddings" and r > 0:
+                # Rotate each replica's vectors by r dimensions (circular
+                # shift). A shared permutation preserves every dot
+                # product WITHIN a replica (replica r's similarity
+                # structure mirrors replica 0 exactly), while
+                # cross-replica cosines become those of independent
+                # random vectors — the embedding analogue of the
+                # documents' salt tokens. Verbatim copies would instead
+                # create 10 true near-duplicates of every vector (and
+                # exact centroid ties funneling all replicas into
+                # replica-0's cells), fabricating quadratic pair growth
+                # the operators under test don't have on real data.
+                c = F.col("embedding")
+                shift = r % 32
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(c, shift + 1, F.size(c) - shift),
+                        F.slice(c, 1, shift),
+                    ),
+                )
             reps.append(rep)
         union = reps[0]
         for rep in reps[1:]:
