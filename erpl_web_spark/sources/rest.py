@@ -34,10 +34,17 @@ parallel path: N executors fetch disjoint ranges concurrently.
 from __future__ import annotations
 
 import json
+import logging
 import re
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 from erpl_web_spark.core.http import HttpClient
@@ -217,6 +224,14 @@ class RestDataSource(DataSource):
     def reader(self, schema: StructType) -> "RestReader":
         return RestReader(schema, dict(self.options), _auth_headers(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> "RestWriter":
+        if overwrite:
+            raise ValueError(
+                "format('rest') is append-only: a generic REST collection "
+                "has no truncate semantics. Use mode('append')."
+            )
+        return RestWriter(schema, dict(self.options), _auth_headers(self.options))
+
 
 class _RangePartition(InputPartition):
     def __init__(self, index: int, start: int | None, limit: int | None):
@@ -269,3 +284,84 @@ def rest_read(spark, url: str, **options):
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()
+
+
+# -- Write path (df.write.format("rest")) -----------------------------------
+
+
+class _RestWriteCommit(WriterCommitMessage):
+    def __init__(self, rows: int, requests: int):
+        self.rows = rows
+        self.requests = requests
+
+
+class RestWriter(DataSourceWriter):
+    """Batch writer: rows serialize to JSON and POST (or PUT/PATCH) to
+    ``url`` in arrays of ``write_batch_size`` (1 posts bare objects) —
+    the idiomatic ``df.write`` twin of the reference's COPY TO surfaces
+    (SURVEY §2.B; the same row->request mapping as graph.py's bulk
+    writers, minus Graph's $batch envelope).
+
+    Non-transactional like any REST sink: a failed task may have
+    already posted earlier batches, and Spark's task retry re-sends
+    them — the exactly-once upgrade is an idempotency key column the
+    server dedupes on (pass one through the row payload). POST bodies
+    are never retried by the HTTP core's timeout logic
+    (idempotent-only retry, core/http.py), so duplicates come only
+    from task-level retries, not the transport."""
+
+    def __init__(self, schema: StructType, options: dict, auth: dict[str, str]):
+        self._schema = schema
+        self._options = options
+        self._auth = auth
+
+    def write(self, iterator) -> _RestWriteCommit:
+        o = self._options
+        client = HttpClient(auth_headers=self._auth)
+        url = o["url"]
+        method = o.get("write_method", "POST").upper()
+        batch = max(1, int(o.get("write_batch_size", 20)))
+        names = [f.name for f in self._schema.fields]
+        rows = requests = 0
+        buf: list[dict] = []
+
+        def flush():
+            nonlocal requests
+            if not buf:
+                return
+            payload = buf[0] if batch == 1 else buf
+            resp = client.request(
+                method,
+                url,
+                body=json.dumps(payload, default=str),
+                content_type="application/json",
+            )
+            if resp.status >= 300:
+                raise RuntimeError(
+                    f"rest write failed: {method} {url} -> {resp.status} "
+                    f"{resp.text[:200]}"
+                )
+            requests += 1
+            buf.clear()
+
+        for row in iterator:
+            buf.append({n: v for n, v in zip(names, row)})
+            rows += 1
+            if len(buf) >= batch:
+                flush()
+        flush()
+        return _RestWriteCommit(rows, requests)
+
+    def commit(self, messages) -> None:
+        total = sum(m.rows for m in messages if m is not None)
+        logging.getLogger(__name__).info(
+            "rest write committed: %d rows in %d requests",
+            total,
+            sum(m.requests for m in messages if m is not None),
+        )
+
+    def abort(self, messages) -> None:
+        logging.getLogger(__name__).warning(
+            "rest write aborted; already-posted batches are NOT rolled "
+            "back (non-transactional sink)"
+        )

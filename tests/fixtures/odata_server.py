@@ -332,6 +332,8 @@ class FixtureState:
                                      "Status": "done"}},
         ]
         self.sp_next_id = 3
+        # Rows POSTed to /rest/collector by the REST write path.
+        self.rest_collected: list[dict] = []
         # Excel rows appended via rows/add; workbook sessions opened/closed.
         self.excel_appended: list[list] = []
         self.excel_sessions: list[str] = []
@@ -750,6 +752,14 @@ def _make_handler(state: FixtureState):
                 if c == 1:
                     time.sleep(2.0)
                 return self._json(200, {"ok": True, "attempts": c})
+            # ---- REST write collector ------------------------------------
+            if parts.path == "/rest/collector":
+                doc = json.loads(body or b"{}")
+                items = doc if isinstance(doc, list) else [doc]
+                if any(it.get("title") == "reject" for it in items):
+                    return self._json(422, {"error": "rejected"})
+                state.rest_collected.extend(items)
+                return self._json(201, {"accepted": len(items)})
             # ---- GraphQL endpoint ----------------------------------------
             if parts.path == "/graphql":
                 doc = json.loads(body or b"{}")

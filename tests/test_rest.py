@@ -117,3 +117,54 @@ def test_rest_secret_auth_reaches_wire(spark, fixture_server, secrets_file):
         if r["path"] == "/rest/offset-items"
     }
     assert auths == {"Bearer rest-tok"}
+
+
+def test_rest_writer_batches_and_collects(spark, fixture_server):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(7)], "item_id long, title string"
+    ).coalesce(1)
+    from erpl_web_spark.sources.rest import ensure_registered
+
+    ensure_registered(spark)
+    (
+        df.write.format("rest")
+        .option("url", fixture_server.base_url + "/rest/collector")
+        .option("write_batch_size", "3")
+        .mode("append")
+        .save()
+    )
+    got = sorted(fixture_server.state.rest_collected, key=lambda d: d["item_id"])
+    assert [d["item_id"] for d in got] == list(range(7))
+    assert got[0]["title"] == "t0"
+    posts = [
+        r for r in fixture_server.state.log
+        if r["path"] == "/rest/collector" and r["method"] == "POST"
+    ]
+    # 7 rows at batch size 3 -> 3 requests
+    assert len(posts) == 3
+
+
+def test_rest_writer_overwrite_rejected_and_errors_surface(spark, fixture_server):
+    import pytest as _pytest
+
+    from erpl_web_spark.sources.rest import ensure_registered
+
+    ensure_registered(spark)
+    df = spark.createDataFrame([(1, "ok")], "item_id long, title string")
+    with _pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("rest")
+            .option("url", fixture_server.base_url + "/rest/collector")
+            .mode("overwrite")
+            .save()
+        )
+    before = len(fixture_server.state.rest_collected)
+    bad = spark.createDataFrame([(2, "reject")], "item_id long, title string")
+    with _pytest.raises(Exception, match="422"):
+        (
+            bad.write.format("rest")
+            .option("url", fixture_server.base_url + "/rest/collector")
+            .mode("append")
+            .save()
+        )
+    assert len(fixture_server.state.rest_collected) == before
