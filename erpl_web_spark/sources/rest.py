@@ -41,6 +41,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -232,6 +233,11 @@ class RestDataSource(DataSource):
             )
         return RestWriter(schema, dict(self.options), _auth_headers(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "RestStreamWriter":
+        return RestStreamWriter(
+            schema, dict(self.options), _auth_headers(self.options)
+        )
+
 
 class _RangePartition(InputPartition):
     def __init__(self, index: int, start: int | None, limit: int | None):
@@ -364,4 +370,37 @@ class RestWriter(DataSourceWriter):
         logging.getLogger(__name__).warning(
             "rest write aborted; already-posted batches are NOT rolled "
             "back (non-transactional sink)"
+        )
+
+
+class RestStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("rest")`` — the streaming twin of
+    ``RestWriter``: every micro-batch's rows POST in the same budgeted
+    JSON batches.
+
+    Delivery is at-least-once: Spark replays an uncommitted micro-batch
+    after a crash, and a REST endpoint has no transaction to make the
+    replay invisible. For exactly-once, either route an idempotency key
+    through the payload (server-side dedupe) or use the
+    checkpoint-versioned parquet sinks (operators/cdc.py) and ship the
+    snapshot instead."""
+
+    def __init__(self, schema: StructType, options: dict, auth: dict[str, str]):
+        self._delegate = RestWriter(schema, options, auth)
+
+    def write(self, iterator) -> _RestWriteCommit:
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        logging.getLogger(__name__).info(
+            "rest stream batch %d committed: %d rows",
+            batchId,
+            sum(m.rows for m in messages if m is not None),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        logging.getLogger(__name__).warning(
+            "rest stream batch %d aborted; posted requests are not "
+            "rolled back (at-least-once sink)",
+            batchId,
         )

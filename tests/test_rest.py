@@ -168,3 +168,33 @@ def test_rest_writer_overwrite_rejected_and_errors_surface(spark, fixture_server
             .save()
         )
     assert len(fixture_server.state.rest_collected) == before
+
+
+def test_rest_stream_writer_posts_each_microbatch(spark, fixture_server, tmp_path):
+    import os
+
+    from erpl_web_spark.sources.rest import ensure_registered
+
+    ensure_registered(spark)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(100, "s0"), (101, "s1")], "item_id long, title string"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    before = len(fixture_server.state.rest_collected)
+    (
+        spark.readStream.schema("item_id long, title string")
+        .json(src)
+        .writeStream.format("rest")
+        .option("url", fixture_server.base_url + "/rest/collector")
+        .option("write_batch_size", "10")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        d["item_id"]
+        for d in fixture_server.state.rest_collected[before:]
+    }
+    assert got == {100, 101}
