@@ -635,3 +635,35 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-pass dataset datasheet: per group (default source x lang) —
+    document/token/char volumes, median document length, and the exact
+    duplicate rate. The summary every corpus release ships with, and the
+    first sanity check after any curation change.
+
+    One groupBy over the grouping columns; the only non-trivially-
+    combinable aggregate is the exact median (percentile), whose
+    per-group sort is bounded by the group's own size. The dup counter
+    shuffles 16-byte digests inside the same aggregation — no second
+    pass."""
+    from erpl_web_spark.operators.dedup import normalized_text_expr
+
+    groups = group_cols if group_cols is not None else ["source", "lang"]
+    base = df.withColumn("__toks", token_count_expr(text_col)).withColumn(
+        "__digest", F.md5(normalized_text_expr(text_col))
+    )
+    return base.groupBy(*groups).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("__toks").cast("bigint")).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
+        F.percentile(F.col("__toks").cast("double"), F.lit(0.5)).alias(
+            "p50_tokens"
+        ),
+        (F.count("*") - F.count_distinct("__digest")).alias("n_exact_dups"),
+    )

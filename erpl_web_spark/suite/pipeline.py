@@ -2273,3 +2273,54 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents", spread=True)
     return tfidf_top_terms(docs, "doc_id", "text", k=3, min_df=2)
+
+
+@register(
+    "pipeline_corpus_report",
+    oracle=f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+           CAST(quantile_cont(len({_SQL_TOKS}), 0.5) AS DOUBLE) AS p50_tokens,
+           COUNT(*) - COUNT(DISTINCT md5({_SQL_NORM})) AS n_exact_dups
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet (operators.text.corpus_report): per
+    (source, lang) volumes, exact median length (Spark percentile ==
+    DuckDB quantile_cont), and exact-dup counts — one groupBy, digests
+    shuffled inside the same aggregation."""
+    from erpl_web_spark.operators.text import corpus_report
+
+    return corpus_report(load(spark, sf_dir, "documents", spread=True))
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang, {_COUNTS} FROM documents
+    ), b AS (
+      SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
+             GREATEST(c_en, c_de, c_fr, c_es) AS best FROM c
+    )
+    SELECT lang, {_CASE} AS pred_lang, COUNT(*) AS n
+    FROM b GROUP BY lang, pred_lang
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs predicted lang with
+    counts — the accuracy audit for the stopword-vote classifier, and
+    the template for validating ANY per-doc classifier against labels.
+    Map-only classify + one tiny groupBy."""
+    from erpl_web_spark.operators.text import with_language_id
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return (
+        with_language_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
