@@ -667,3 +667,81 @@ def corpus_report(
         ),
         (F.count("*") - F.count_distinct("__digest")).alias("n_exact_dups"),
     )
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, Appendix
+    A1.1 — MassiveWeb filtering), the standard pretraining filter
+    battery beyond ``with_quality_score``'s 4 heuristics. Adds one
+    boolean per rule plus ``gopher_keep`` (all rules pass):
+
+    - ``g_word_count``: 50..100_000 words
+    - ``g_mean_word_len``: mean word length in [3, 10]
+    - ``g_symbol_ratio``: (# or ...) to word ratio <= 0.1
+    - ``g_bullet_ratio``: <= 90% of lines start with a bullet
+    - ``g_ellipsis_ratio``: <= 30% of lines end with an ellipsis
+    - ``g_alpha_ratio``: >= 80% of words contain a letter
+    - ``g_stopword_hits``: >= 2 distinct English stopword hits
+
+    Pure JVM regex/HOF map — no shuffle, no Python; thresholds are
+    parameters of the published recipe, kept verbatim so results are
+    comparable with the paper's pipeline."""
+    c = F.col(text_col)
+    toks = tokens_expr(c)
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_words, F.lit(1))
+    n_symbols = F.length(F.regexp_replace(c, "[^#]", "")) + F.size(
+        F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0))
+    )
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r"^(\-|\*|•)"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda t: _in_list(t, STOPWORDS["en"]))
+        )
+    )
+    out = (
+        df.withColumn("g_word_count", (n_words >= 50) & (n_words <= 100_000))
+        .withColumn("g_mean_word_len", (mean_len >= 3.0) & (mean_len <= 10.0))
+        .withColumn(
+            "g_symbol_ratio",
+            n_symbols.cast("double") / F.greatest(n_words, F.lit(1)) <= 0.1,
+        )
+        .withColumn(
+            "g_bullet_ratio",
+            bullet_lines.cast("double") / n_lines <= 0.9,
+        )
+        .withColumn(
+            "g_ellipsis_ratio",
+            ellipsis_lines.cast("double") / n_lines <= 0.3,
+        )
+        .withColumn(
+            "g_alpha_ratio",
+            alpha_words.cast("double") / F.greatest(n_words, F.lit(1)) >= 0.8,
+        )
+        .withColumn("g_stopword_hits", stop_hits >= 2)
+    )
+    rules = [
+        "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
+        "g_stopword_hits",
+    ]
+    keep = F.lit(True)
+    for r in rules:
+        keep = keep & F.col(r)
+    return out.withColumn("gopher_keep", keep)

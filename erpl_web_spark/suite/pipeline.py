@@ -2324,3 +2324,60 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_SQL_TOKS} AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             LENGTH(regexp_replace(text, '[^#]', '', 'g'))
+               + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+               / GREATEST(len(toks), 1) AS mean_len,
+             n_symbols,
+             GREATEST(len(lines), 1) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^(\\-|\\*|•)'))) AS bullet_lines,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS ellipsis_lines,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
+             len(list_distinct(list_filter(toks,
+               t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))) AS stop_hits
+      FROM s
+    )
+    SELECT doc_id,
+           n_words >= 50 AND n_words <= 100000 AS g_word_count,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS g_mean_word_len,
+           CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1) <= 0.1 AS g_symbol_ratio,
+           CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9 AS g_bullet_ratio,
+           CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3 AS g_ellipsis_ratio,
+           CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1) >= 0.8 AS g_alpha_ratio,
+           stop_hits >= 2 AS g_stopword_hits,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND (CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1) <= 0.1)
+             AND (CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9)
+             AND (CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3)
+             AND (CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1) >= 0.8)
+             AND (stop_hits >= 2) AS gopher_keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (operators.text.with_gopher_rules;
+    Rae et al. 2021 A1.1) — per-document booleans for each published
+    MassiveWeb rule plus the conjunction. Map-only regex/HOF; the
+    thresholds are the paper's."""
+    from erpl_web_spark.operators.text import with_gopher_rules
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return with_gopher_rules(docs).select(
+        "doc_id", "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
+        "g_stopword_hits", "gopher_keep",
+    )

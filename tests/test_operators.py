@@ -2068,3 +2068,30 @@ def test_tfidf_top_terms_ranks_distinctive_terms(spark):
         for r in tfidf_top_terms(df, k=2, min_df=2).collect()
     }
     assert all(t in ("apple", "shared") for _, t in pruned)
+
+
+def test_gopher_rules_individual_triggers(spark):
+    from erpl_web_spark.operators.text import with_gopher_rules
+
+    good = " ".join(
+        "the quick brown fox and some other normal words for all of it".split()
+        * 8
+    )  # 96 words, sane lengths, stopwords present
+    rows = [
+        (1, good),
+        (2, "short text"),                                   # word count
+        (3, " ".join(["supercalifragilistic"] * 60)),        # mean len + stopwords
+        (4, good + " " + "# " * 30),                         # symbol ratio
+        (5, "\n".join(["- bullet line here ok"] * 10)),      # bullets (and count)
+        (6, good.replace(" ", "... \n", 40)),                # ellipsis lines
+        (7, " ".join(["1234"] * 80)),                        # alpha ratio + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_gopher_rules(df).collect()}
+    assert got[1]["gopher_keep"]
+    assert not got[2]["g_word_count"] and not got[2]["gopher_keep"]
+    assert not got[3]["g_mean_word_len"]
+    assert not got[4]["g_symbol_ratio"]
+    assert not got[5]["g_bullet_ratio"]
+    assert not got[6]["g_ellipsis_ratio"]
+    assert not got[7]["g_alpha_ratio"] and not got[7]["g_stopword_hits"]
