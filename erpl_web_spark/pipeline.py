@@ -47,6 +47,10 @@ class CurationConfig:
     near_keep: str = "min_id"
     # quality gate (>= 3 of 4 heuristics, operators.text.with_quality_score)
     quality_gate: bool = True
+    # full Gopher rule battery (operators.text.with_gopher_rules,
+    # Rae et al. 2021) — stricter than quality_gate; off by default
+    # because the 50-word floor drops short-document corpora wholesale
+    gopher_rules: bool = False
     # boilerplate cap: drop docs whose repeated-ngram contamination
     # exceeds this ratio (None = skip the stage)
     max_boilerplate_ratio: float | None = None
@@ -81,7 +85,8 @@ def curate(
     ``report`` has one row per stage: (stage, n_dropped) plus an
     ``input``/``output`` row — the accounting that makes a curation run
     reviewable. Stage order: exact dedup -> near-dup clusters ->
-    quality -> boilerplate -> unigram-frequency floor -> eval
+    quality -> gopher rules (optional) -> boilerplate ->
+    unigram-frequency floor -> eval
     decontamination (when a ``benchmark`` DataFrame of
     (cfg.bench_id_col, text_col) rows is supplied: drops any doc
     containing >= cfg.contamination_threshold of a single benchmark
@@ -184,6 +189,21 @@ def curate(
         ).drop("quality_score", "quality_keep")
         cur, m = materialize("quality", gated, cur)
         counts.append(("quality_dropped", n - m))
+        n = m
+
+    if cfg.gopher_rules:
+        from erpl_web_spark.operators.text import with_gopher_rules
+
+        g_cols = [
+            "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+            "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
+            "g_stopword_hits", "gopher_keep",
+        ]
+        gated = with_gopher_rules(cur, text_col=text_col).where(
+            F.col("gopher_keep")
+        ).drop(*g_cols)
+        cur, m = materialize("gopher", gated, cur)
+        counts.append(("gopher_dropped", n - m))
         n = m
 
     if cfg.max_boilerplate_ratio is not None:

@@ -185,3 +185,26 @@ def test_curate_split_reuses_dedup_components(spark):
         "group_key", {"train": 0.5, "val": 0.25, "test": 0.25}, seed=11,
     ).collect()[0]["split"]
     assert rows[1] == expect
+
+
+def test_curate_gopher_stage(spark):
+    from pyspark.sql import functions as F
+
+    long_good = " ".join(
+        "the quick brown fox and some other plain words for all of it".split() * 8
+    )
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, long_good + " extra"), (3, "way too short for gopher")],
+        "doc_id long, text string",
+    )
+    kept, report = curate(
+        docs,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            gopher_rules=True,
+        ),
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["gopher_dropped"] == 1
+    assert "gopher_keep" not in kept.columns
