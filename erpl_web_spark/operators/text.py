@@ -745,3 +745,43 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     for r in rules:
         keep = keep & F.col(r)
     return out.withColumn("gopher_keep", keep)
+
+
+DEFAULT_LINE_DENY_TERMS = ["javascript", "cookie", "all rights reserved"]
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 3,
+    deny_terms: list[str] | None = None,
+    out: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2): rebuild
+    each document keeping only lines with at least ``min_tokens``
+    whitespace tokens and none of the ``deny_terms`` (case-insensitive
+    substring match — the 'javascript/cookie/rights-reserved'
+    boilerplate rule). Complements the cross-document span scrubber
+    (dedup.remove_duplicated_spans): these rules need no second
+    document, so they run as a pure map with zero shuffle.
+
+    Adds ``{out}``, ``n_lines``, ``n_lines_kept``."""
+    terms = deny_terms if deny_terms is not None else DEFAULT_LINE_DENY_TERMS
+
+    def line_ok(line: Column) -> Column:
+        toks = F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != "")
+        ok = F.size(toks) >= min_tokens
+        low = F.lower(line)
+        for t in terms:
+            ok = ok & ~low.contains(t.lower())
+        return ok
+
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    kept = F.filter(lines, line_ok)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn(out, F.array_join(kept, "\n"))
+    )

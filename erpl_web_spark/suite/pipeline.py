@@ -2381,3 +2381,39 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
         "g_stopword_hits", "gopher_keep",
     )
+
+
+@register(
+    "text_clean_lines",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      FROM documents
+    ), k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, l ->
+               len(list_filter(string_split_regex(trim(l), '\\s+'), x -> x <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(lower(l), 'cookie')
+               AND NOT contains(lower(l), 'all rights reserved')) AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_lines_kept,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM k
+    """,
+)
+def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering (operators.text.clean_lines): keep lines
+    with >= 3 tokens and no javascript/cookie/rights-reserved
+    boilerplate, rebuild the document. Pure map, zero shuffle — the
+    rule-based complement of the cross-document span scrubber."""
+    from erpl_web_spark.operators.text import clean_lines
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return clean_lines(docs).select(
+        "doc_id", "n_lines", "n_lines_kept", "clean_text"
+    )

@@ -2095,3 +2095,24 @@ def test_gopher_rules_individual_triggers(spark):
     assert not got[5]["g_bullet_ratio"]
     assert not got[6]["g_ellipsis_ratio"]
     assert not got[7]["g_alpha_ratio"] and not got[7]["g_stopword_hits"]
+
+
+def test_clean_lines_rules(spark):
+    from erpl_web_spark.operators.text import clean_lines
+
+    text = "\n".join([
+        "a good long line of content here",
+        "too short",
+        "Enable JavaScript to continue",
+        "This site uses cookie banners everywhere",
+        "All Rights Reserved by someone",
+        "",
+        "another perfectly fine content line",
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = clean_lines(df).collect()[0]
+    assert got["n_lines"] == 6  # empty line excluded from the count
+    assert got["n_lines_kept"] == 2
+    assert got["clean_text"] == (
+        "a good long line of content here\nanother perfectly fine content line"
+    )
