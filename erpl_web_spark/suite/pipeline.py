@@ -2417,3 +2417,71 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_lines(docs).select(
         "doc_id", "n_lines", "n_lines_kept", "clean_text"
     )
+
+
+@register(
+    "similarity_recall_at_k",
+    oracle=_SQL_IVF_ASSIGNED
+    + """
+    , probe_cells AS (
+      SELECT vec_id AS probe_id, emb AS probe_vec, cell FROM (
+        SELECT vec_id, emb, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS crank
+        FROM cscored WHERE vec_id < 100
+      ) WHERE crank <= 2
+    ), ann AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                 list_dot_product(p.probe_vec, a.emb)
+                   / (sqrt(list_dot_product(p.probe_vec, p.probe_vec)) * sqrt(list_dot_product(a.emb, a.emb))) DESC,
+                 a.vec_id) AS rank
+        FROM probe_cells p JOIN assigned a USING (cell)
+        WHERE p.probe_id <> a.vec_id
+      ) WHERE rank <= 3
+    ), exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(p.emb, c.emb)
+                   / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                 c.vec_id) AS rank
+        FROM v p JOIN v c ON p.vec_id < 100 AND p.vec_id <> c.vec_id
+      ) WHERE rank <= 3
+    )
+    SELECT e.probe_id,
+           CAST(COUNT(a.neighbor_id) AS INT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3 AS recall
+    FROM exact e LEFT JOIN ann a
+      ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.probe_id
+    """,
+)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@3 of the IVF ANN path against the exact top-3 —
+    the ANN quality metric AS a query, so index-quality monitoring runs
+    inside the engine instead of an offline script (tools/recall_bench
+    characterizes banding offline; this audits the deployed quantizer on
+    live data). Composes two independently-oracle-checked formulations
+    (similarity_ann_ivf, similarity_cosine_top3) with one small join on
+    (probe, neighbor)."""
+    from erpl_web_spark.operators.similarity import ann_top_k_ivf, cosine_top_k
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.where(F.col("vec_id") < 100)
+    ann = ann_top_k_ivf(
+        emb, probes, "vec_id", "embedding", k=3, stride=50, nprobe=2
+    ).select("probe_id", "neighbor_id")
+    exact = cosine_top_k(emb, probes, "vec_id", "embedding", k=3).select(
+        "probe_id", "neighbor_id"
+    )
+    joined = exact.join(
+        ann.withColumnRenamed("neighbor_id", "__ann_n"),
+        (exact["probe_id"] == ann["probe_id"])
+        & (exact["neighbor_id"] == F.col("__ann_n")),
+        "left",
+    ).select(exact["probe_id"], F.col("__ann_n"))
+    return joined.groupBy("probe_id").agg(
+        F.count("__ann_n").cast("int").alias("n_hits"),
+        (F.count("__ann_n").cast("double") / 3).alias("recall"),
+    )
