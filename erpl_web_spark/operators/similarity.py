@@ -810,3 +810,154 @@ def pca_project(
         .mapInPandas(project, out_schema)
         .withColumnRenamed("_id", id_col)
     )
+
+
+# -- Incremental semantic dedup index ---------------------------------------
+
+
+def read_embedding_index(spark, path: str, before: int | None = None):
+    """Union of committed semantic-index deltas (``path/batch=N``,
+    ``N < before``), or None when empty. Schema: (id, vec, nrm, cell)."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        and (before is None or int(d.split("=", 1)[1]) < before)
+    )
+    if not parts:
+        return None
+    return spark.read.parquet(*[f"{path}/batch={n}" for n in parts])
+
+
+def embedding_index_apply(
+    batch_df,
+    batch_id: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    stride: int = 50,
+) -> None:
+    """foreachBatch SEMANTIC near-dup dedup against a persisted IVF
+    index — the embedding twin of ``dedup.dedup_index_apply`` for
+    continuously-arriving vector corpora: each micro-batch dedups
+    within itself (IVF-cell-blocked cosine pairs -> connected
+    components, keep the minimum id) and against every previously-kept
+    vector, then appends only survivors as ``path/batch=<batch_id>``.
+
+    The quantizer must be STABLE across batches or cell blocking breaks
+    silently: batch 0 derives it (deterministic modulo rule over the
+    first batch; swap in ``ivf_train_centroids`` output by writing it
+    to ``path/centroids`` yourself before the first batch) and persists
+    it at ``path/centroids``; every later batch assigns against the
+    stored table — the production contract of a fixed coarse quantizer
+    with offline retrains.
+
+    Index rows carry (id, vec, nrm, cell): the float vector is needed
+    for the exact-cosine verify (``quantize_int8`` codes shrink this 4x
+    when approximate verify is acceptable). Replay-safe like the
+    lexical index: decisions for batch N read deltas strictly below N,
+    and a replayed batch overwrites its own delta with identical
+    content. Decisions land at ``path/decisions/batch=<batch_id>`` as
+    (id, status 'kept'|'dup_in_batch'|'dup_of_index', dup_of).
+    """
+    import os
+
+    from pyspark import StorageLevel
+    from erpl_web_spark.operators.graph import connected_components
+
+    spark = batch_df.sparkSession
+    cent_path = f"{path}/centroids"
+    if os.path.exists(os.path.join(cent_path, "_SUCCESS")):
+        cents = spark.read.parquet(cent_path)
+    else:
+        cents = ivf_centroids(batch_df, id_col, vec_col, stride)
+        cents.write.mode("overwrite").parquet(cent_path)
+        cents = spark.read.parquet(cent_path)
+
+    assigned = ivf_assign(batch_df, cents, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # (a) within-batch: in-cell cosine pairs -> components -> min id kept
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    in_batch_drops = (
+        connected_components(pairs, "id_a", "id_b")
+        .where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col), F.col("component").alias("dup_of"))
+    )
+    survivors = assigned.join(
+        in_batch_drops.select(id_col), id_col, "left_anti"
+    )
+
+    # (b) against the index: shared-cell candidates, exact cosine verify
+    index = read_embedding_index(spark, path, before=batch_id)
+    if index is not None:
+        nb = survivors.select(
+            F.col(id_col).alias("new_id"), F.col(vec_col).alias("nv"),
+            F.col("nrm").alias("nn"), "cell",
+        )
+        ob = index.select(
+            F.col(id_col).alias("old_id"), F.col(vec_col).alias("ov"),
+            F.col("nrm").alias("on"), "cell",
+        )
+        index_dups = (
+            nb.join(ob, "cell")
+            .where(
+                dot_expr(F.col("nv"), F.col("ov")) / (F.col("nn") * F.col("on"))
+                >= threshold
+            )
+            .groupBy("new_id")
+            .agg(F.min("old_id").alias("dup_of"))
+        )
+    else:
+        index_dups = spark.createDataFrame([], "new_id long, dup_of long")
+    index_dups = index_dups.persist(StorageLevel.MEMORY_AND_DISK)
+
+    keepers = survivors.join(
+        index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    )
+    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    decisions = (
+        batch_df.select(id_col)
+        .join(in_batch_drops, id_col, "left")
+        .join(
+            index_dups.withColumnRenamed("new_id", id_col)
+            .withColumnRenamed("dup_of", "__idx_of"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup_in_batch"))
+            .when(F.col("__idx_of").isNotNull(), F.lit("dup_of_index"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(F.col("dup_of"), F.col("__idx_of")).alias("dup_of"),
+        )
+    )
+    decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
+    assigned.unpersist()
+    index_dups.unpersist()

@@ -2116,3 +2116,61 @@ def test_clean_lines_rules(spark):
     assert got["clean_text"] == (
         "a good long line of content here\nanother perfectly fine content line"
     )
+
+
+def test_embedding_index_apply_dedups_within_and_across_batches(spark, tmp_path):
+    from erpl_web_spark.operators.similarity import (
+        embedding_index_apply,
+        read_embedding_index,
+    )
+
+    path = str(tmp_path / "semidx")
+    schema = "vec_id long, embedding array<float>"
+    # batch 0: two near-identical vectors (in-batch dup) + one distinct;
+    # ids 0/50 become the stored quantizer's centroids
+    b0 = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (50, [0.0, 1.0, 0.0]),
+            (51, [0.01, 0.999, 0.0]),   # ~dup of 50, same cell
+            (7, [0.7, 0.7, 0.0]),
+        ],
+        schema,
+    )
+    embedding_index_apply(b0, 0, path, threshold=0.98)
+    idx0 = read_embedding_index(spark, path)
+    kept0 = {r["vec_id"] for r in idx0.collect()}
+    assert 50 in kept0 and 51 not in kept0 and 0 in kept0 and 7 in kept0
+
+    dec0 = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(f"{path}/decisions/batch=0").collect()
+    }
+    assert dec0[51] == ("dup_in_batch", 50)
+    assert dec0[50][0] == "kept"
+
+    # batch 1: a near-dup of indexed 50, and a genuinely new vector
+    b1 = spark.createDataFrame(
+        [(100, [0.0, 0.998, 0.02]), (101, [-1.0, 0.0, 0.0])], schema
+    )
+    embedding_index_apply(b1, 1, path, threshold=0.98)
+    kept_all = {r["vec_id"] for r in read_embedding_index(spark, path).collect()}
+    assert 100 not in kept_all and 101 in kept_all
+    dec1 = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(f"{path}/decisions/batch=1").collect()
+    }
+    assert dec1[100] == ("dup_of_index", 50)
+    assert dec1[101][0] == "kept"
+
+    # replay batch 1: identical index + decisions (reads deltas < 1 only)
+    embedding_index_apply(b1, 1, path, threshold=0.98)
+    again = {r["vec_id"] for r in read_embedding_index(spark, path).collect()}
+    assert again == kept_all
+    dec1b = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(f"{path}/decisions/batch=1").collect()
+    }
+    assert dec1b == dec1
+    # the quantizer was persisted once and reused
+    assert spark.read.parquet(f"{path}/centroids").count() == 2
