@@ -2174,3 +2174,46 @@ def test_embedding_index_apply_dedups_within_and_across_batches(spark, tmp_path)
     assert dec1b == dec1
     # the quantizer was persisted once and reused
     assert spark.read.parquet(f"{path}/centroids").count() == 2
+
+
+def test_embedding_index_streaming_e2e(spark, tmp_path):
+    """The semantic index behind a real file stream: the stored
+    quantizer derived from batch 0 blocks batch 1 consistently, and a
+    cross-batch near-dup vector is dropped exactly as in the
+    direct-call contract."""
+    from erpl_web_spark.operators.similarity import (
+        embedding_index_apply,
+        read_embedding_index,
+    )
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    idx = str(tmp_path / "vidx")
+    ckpt = str(tmp_path / "vckpt")
+    schema = "vec_id long, embedding array<float>"
+
+    def run_stream():
+        (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: embedding_index_apply(df, bid, idx, threshold=0.98)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (50, [0.0, 1.0, 0.0]), (7, [0.7, 0.7, 0.0])],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert {r["vec_id"] for r in read_embedding_index(spark, idx).collect()} == {0, 50, 7}
+
+    spark.createDataFrame(
+        [(100, [0.0, 0.999, 0.01]), (101, [-1.0, 0.0, 0.0])], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()  # same checkpoint: only the new file forms batch 1
+    assert {r["vec_id"] for r in read_embedding_index(spark, idx).collect()} == {0, 50, 7, 101}
