@@ -17,7 +17,7 @@ IEEE-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from erpl_web_spark.suite import load, register
@@ -443,3 +443,59 @@ def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("total_spend")
     )
     return counts.join(spend, "yr")
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_quartile,
+             NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS f_quartile,
+             NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS m_quartile
+      FROM cust
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for recency (days
+    since last order, vs the corpus max date), frequency, and monetary
+    value, rolled up to segment sizes — the classic CRM/marketing
+    cohorting query. One groupBy to per-customer metrics, three NTILE
+    windows over the (small) customer dimension with custkey tiebreaks
+    so bucket boundaries are deterministic, one final rollup. At scale
+    the windows sort the CUSTOMER table, never the fact table."""
+    o = load(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("d"))
+    cust = (
+        o.crossJoin(F.broadcast(max_date))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.date_diff(F.first("d"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    scored = (
+        cust.withColumn("r_quartile", F.ntile(4).over(w_r))
+        .withColumn("f_quartile", F.ntile(4).over(w_f))
+        .withColumn("m_quartile", F.ntile(4).over(w_m))
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("monetary")).alias("segment_value"),
+    )
