@@ -499,3 +499,53 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         dsum(F.col("monetary")).alias("segment_value"),
     )
+
+
+@register(
+    "analytics_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders, CAST(rank AS INT) AS rank FROM (
+      SELECT part_a, part_b, n_orders,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rank
+      FROM pairs
+    ) WHERE rank <= 20
+    """,
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 part pairs most often bought in
+    the same order. The within-order self-join is quadratic only in
+    ORDER SIZE (single-digit line counts), keyed on the order — one
+    shuffle; pair counts partial-aggregate before their exchange; the
+    global top-20 is a TakeOrderedAndProject-size problem with full
+    tiebreaks for determinism."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("part_a", "part_b", "n_orders", F.col("rank").cast("int").alias("rank"))
+    )
