@@ -851,12 +851,14 @@ def embedding_index_apply(
     vector, then appends only survivors as ``path/batch=<batch_id>``.
 
     The quantizer must be STABLE across batches or cell blocking breaks
-    silently: batch 0 derives it (deterministic modulo rule over the
-    first batch; swap in ``ivf_train_centroids`` output by writing it
-    to ``path/centroids`` yourself before the first batch) and persists
-    it at ``path/centroids``; every later batch assigns against the
-    stored table — the production contract of a fixed coarse quantizer
-    with offline retrains.
+    silently: batch 0 derives it (every ``stride``-th row of the first
+    batch in id order — positional, so any non-empty batch yields
+    centroids; swap in ``ivf_train_centroids`` output by writing it to
+    ``path/centroids`` yourself before the first batch) and persists it
+    at ``path/centroids``; every later batch assigns against the stored
+    table — the production contract of a fixed coarse quantizer with
+    offline retrains. An empty first batch raises rather than
+    persisting an empty (index-corrupting) quantizer.
 
     Index rows carry (id, vec, nrm, cell): the float vector is needed
     for the exact-cosine verify (``quantize_int8`` codes shrink this 4x
@@ -876,7 +878,31 @@ def embedding_index_apply(
     if os.path.exists(os.path.join(cent_path, "_SUCCESS")):
         cents = spark.read.parquet(cent_path)
     else:
-        cents = ivf_centroids(batch_df, id_col, vec_col, stride)
+        # Derive the quantizer POSITIONALLY (every stride-th row in id
+        # order), not by the id-modulo rule: a first batch whose ids
+        # happen to avoid multiples of stride would otherwise persist an
+        # EMPTY centroid table, silently dropping every future vector
+        # from the index. Positional selection guarantees >= 1 centroid
+        # for any non-empty batch; an empty first batch raises instead
+        # of corrupting the index.
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col(id_col))
+        cents = (
+            batch_df.select(id_col, vec_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") - 1) % stride == 0)
+            .select(
+                F.col(id_col).alias("cell"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
+        if not cents.take(1):
+            raise ValueError(
+                "embedding_index_apply: cannot derive a quantizer from an "
+                "empty first batch; write trained centroids to "
+                f"{cent_path} before starting the stream"
+            )
         cents.write.mode("overwrite").parquet(cent_path)
         cents = spark.read.parquet(cent_path)
 

@@ -605,9 +605,10 @@ def tfidf_top_terms(
     staying an exact ratio of integers: bit-reproducible across engines,
     which log-based idf (libm) is not.
 
-    Two shuffles total: term counts groupBy (doc, term), document
-    frequency groupBy (term) — then a broadcast-able (term, df) join
-    back and a per-document WindowGroupLimit for the top-k (each map
+    Shuffles: term counts groupBy (doc, term), document frequency
+    groupBy (term), plus the 1-row corpus-count aggregate — then a
+    broadcast-able (term, df) join back and a per-document
+    WindowGroupLimit for the top-k (each map
     task forwards at most k rows per doc it sees). ``min_df`` drops
     hapax noise before ranking. Ties break (score desc, term asc) for
     determinism.
@@ -619,13 +620,18 @@ def tfidf_top_terms(
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.select(id_col).distinct().count()
+    # corpus size as a lazy broadcast 1-row aggregate — an eager
+    # .count() here would rescan the corpus at CALL time and add a
+    # distinct shuffle before any action runs
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
     scored = (
         tf.join(dfreq.where(F.col("df") >= min_df), "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            (F.col("tf") * F.lit(int(n_docs))).cast("double") / F.col("df"),
+            (F.col("tf") * F.col("__n")).cast("double") / F.col("df"),
         )
+        .drop("__n")
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("term")
@@ -667,6 +673,13 @@ def corpus_report(
         ),
         (F.count("*") - F.count_distinct("__digest")).alias("n_exact_dups"),
     )
+
+
+GOPHER_RULE_COLS = [
+    "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+    "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
+    "g_stopword_hits", "gopher_keep",
+]
 
 
 def with_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -736,13 +749,8 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("g_stopword_hits", stop_hits >= 2)
     )
-    rules = [
-        "g_word_count", "g_mean_word_len", "g_symbol_ratio",
-        "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
-        "g_stopword_hits",
-    ]
     keep = F.lit(True)
-    for r in rules:
+    for r in GOPHER_RULE_COLS[:-1]:
         keep = keep & F.col(r)
     return out.withColumn("gopher_keep", keep)
 

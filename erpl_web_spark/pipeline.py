@@ -192,16 +192,14 @@ def curate(
         n = m
 
     if cfg.gopher_rules:
-        from erpl_web_spark.operators.text import with_gopher_rules
+        from erpl_web_spark.operators.text import (
+            GOPHER_RULE_COLS,
+            with_gopher_rules,
+        )
 
-        g_cols = [
-            "g_word_count", "g_mean_word_len", "g_symbol_ratio",
-            "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
-            "g_stopword_hits", "gopher_keep",
-        ]
         gated = with_gopher_rules(cur, text_col=text_col).where(
             F.col("gopher_keep")
-        ).drop(*g_cols)
+        ).drop(*GOPHER_RULE_COLS)
         cur, m = materialize("gopher", gated, cur)
         counts.append(("gopher_dropped", n - m))
         n = m

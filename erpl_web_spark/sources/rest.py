@@ -234,6 +234,12 @@ class RestDataSource(DataSource):
         return RestWriter(schema, dict(self.options), _auth_headers(self.options))
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "RestStreamWriter":
+        if overwrite:
+            raise ValueError(
+                "format('rest') supports append/update streaming output "
+                "only: outputMode('complete') would re-POST the full "
+                "result set every trigger."
+            )
         return RestStreamWriter(
             schema, dict(self.options), _auth_headers(self.options)
         )
@@ -308,13 +314,14 @@ class RestWriter(DataSourceWriter):
     (SURVEY §2.B; the same row->request mapping as graph.py's bulk
     writers, minus Graph's $batch envelope).
 
-    Non-transactional like any REST sink: a failed task may have
-    already posted earlier batches, and Spark's task retry re-sends
-    them — the exactly-once upgrade is an idempotency key column the
-    server dedupes on (pass one through the row payload). POST bodies
-    are never retried by the HTTP core's timeout logic
-    (idempotent-only retry, core/http.py), so duplicates come only
-    from task-level retries, not the transport."""
+    Non-transactional like any REST sink: duplicates can arise from
+    (a) Spark task retries re-sending already-posted batches, and
+    (b) the HTTP core's status-code retry (408/429/503/504) when an
+    ambiguous gateway error masks a server that already committed —
+    timeouts are idempotent-only (core/http.py) but status retries are
+    not method-gated. The exactly-once upgrade for both is an
+    idempotency key column the server dedupes on (pass one through the
+    row payload)."""
 
     def __init__(self, schema: StructType, options: dict, auth: dict[str, str]):
         self._schema = schema

@@ -2172,8 +2172,9 @@ def test_embedding_index_apply_dedups_within_and_across_batches(spark, tmp_path)
         for r in spark.read.parquet(f"{path}/decisions/batch=1").collect()
     }
     assert dec1b == dec1
-    # the quantizer was persisted once and reused
-    assert spark.read.parquet(f"{path}/centroids").count() == 2
+    # the quantizer was persisted once (positional rule: one centroid
+    # per 50 rows of the 4-row first batch) and reused
+    assert spark.read.parquet(f"{path}/centroids").count() == 1
 
 
 def test_embedding_index_streaming_e2e(spark, tmp_path):
@@ -2217,3 +2218,30 @@ def test_embedding_index_streaming_e2e(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(src))
     run_stream()  # same checkpoint: only the new file forms batch 1
     assert {r["vec_id"] for r in read_embedding_index(spark, idx).collect()} == {0, 50, 7, 101}
+
+
+def test_embedding_index_quantizer_positional_and_empty_guard(spark, tmp_path):
+    """Regression: a first batch whose ids avoid multiples of stride
+    must still yield a usable quantizer (positional rule), and an empty
+    first batch raises instead of persisting an empty index-corrupting
+    centroid table."""
+    import pytest as _pytest
+
+    from erpl_web_spark.operators.similarity import (
+        embedding_index_apply,
+        read_embedding_index,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    path = str(tmp_path / "idx1")
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (49, [0.0, 1.0])], schema
+    )
+    embedding_index_apply(b0, 0, path, threshold=0.98, stride=50)
+    assert spark.read.parquet(f"{path}/centroids").count() == 1
+    kept = {r["vec_id"] for r in read_embedding_index(spark, path).collect()}
+    assert kept == {1, 49}  # 2 is an in-batch dup of 1; dedup DID run
+
+    empty = spark.createDataFrame([], schema)
+    with _pytest.raises(ValueError, match="empty first batch"):
+        embedding_index_apply(empty, 0, str(tmp_path / "idx2"), stride=50)
