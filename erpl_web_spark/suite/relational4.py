@@ -549,3 +549,33 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("part_a", "part_b", "n_orders", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "analytics_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (the Markov counts behind
+    funnel discovery and next-action prediction): per-user time-ordered
+    LEAD, then a global pair count. One shuffle on user_id for the
+    window (event_id tiebreak makes simultaneous events deterministic),
+    one partial-aggregated pair rollup."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
