@@ -2485,3 +2485,52 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__ann_n").cast("int").alias("n_hits"),
         (F.count("__ann_n").cast("double") / 3).alias("recall"),
     )
+
+
+@register(
+    "text_bigram_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+    ), counts AS (
+      SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2
+    )
+    SELECT w1, w2, n, CAST(rank AS INT) AS rank FROM (
+      SELECT w1, w2, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2) AS rank
+      FROM counts
+    ) WHERE rank <= 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-20 — the adjacency table n-gram
+    language models and collocation detection build on (the token-level
+    sibling of text_bpe_pairs' character statistics). Docs with fewer
+    than two tokens are filtered BEFORE the index expansion
+    (sequence(1, size-1) counts DOWN at size 1 — the recurring
+    descending-sequence hazard). One explode + one partial-aggregated
+    groupBy; top-20 with full tiebreaks."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    from erpl_web_spark.operators.text import tokens_expr
+
+    toks = docs.select(tokens_expr("text").alias("t")).where(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.get("t", i - 1).alias("w1"), F.get("t", i).alias("w2")
+                ),
+            )
+        ).alias("p")
+    )
+    counts = bg.groupBy("p.w1", "p.w2").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("w1", "w2", "n", F.col("rank").cast("int").alias("rank"))
+    )
