@@ -751,7 +751,10 @@ def pca_project(
     unit_scale: int = 10_000,
 ) -> DataFrame:
     """PCA projection of the embedding column onto its top-``k``
-    principal components: (id, pc array<float>, rounded 6 dp).
+    principal components: (id, pc_0..pc_{k-1} double, rounded 6 dp).
+    Scalar columns (not one array column) so order-insensitive row
+    canonicalizers — which sort cell values — never see unhashable
+    ndarray/list cells.
 
     Scale split done the principled way: the covariance reduction is
     distributed (``covariance_moments`` — one Arrow pass, O(dim²)
@@ -799,12 +802,13 @@ def pca_project(
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             PC = np.round((X - mean_x) @ V, 6)
-            yield pd.DataFrame({
-                "_id": pdf[id_col].to_numpy(),
-                "pc": [row.astype(np.float32) for row in PC],
-            })
+            cols = {"_id": pdf[id_col].to_numpy()}
+            for c in range(PC.shape[1]):
+                cols[f"pc_{c}"] = PC[:, c]
+            yield pd.DataFrame(cols)
 
-    out_schema = f"_id long, pc array<float>"
+    pc_cols = ", ".join(f"pc_{c} double" for c in range(k))
+    out_schema = f"_id long, {pc_cols}"
     return (
         df.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
         .mapInPandas(project, out_schema)

@@ -355,12 +355,14 @@ def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-8 principal components: distributed
     exact-integer covariance reduction + driver-side 64x64 eigh (O(dim³),
-    corpus-independent) + map-only numpy projection. No SQL oracle (no
-    eigendecomposition in DuckDB); the covariance input is value-hash
-    oracle-checked via embedding_covariance, projections are pinned as a
-    golden fixture (tests/fixtures/golden/embedding_pca_project.json),
-    and eigen-structure properties (orthonormality, variance ==
-    eigenvalues, numpy-PCA parity) are pytest-pinned."""
+    corpus-independent) + map-only numpy projection. Output is scalar
+    columns ``pc_0..pc_7 double`` (6 dp) — driver-canonicalizable, no
+    array cells. No SQL oracle (no eigendecomposition in DuckDB); the
+    covariance input is value-hash oracle-checked via
+    embedding_covariance, projections are pinned as a golden fixture
+    (tests/fixtures/golden/embedding_pca_project.json), and
+    eigen-structure properties (orthonormality, variance == eigenvalues,
+    numpy-PCA parity) are pytest-pinned."""
     from erpl_web_spark.operators.similarity import pca_project
 
     emb = load(spark, sf_dir, "embeddings", spread=True)

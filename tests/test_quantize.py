@@ -143,7 +143,10 @@ def test_pca_project_properties(spark):
     rows = [(i, [float(v) for v in X[i]]) for i in range(400)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
     out = pca_project(df, "vec_id", "embedding", dim=8, k=4)
-    got = {r["vec_id"]: np.array(r["pc"], dtype=np.float64) for r in out.collect()}
+    got = {
+        r["vec_id"]: np.array([r[f"pc_{c}"] for c in range(4)], dtype=np.float64)
+        for r in out.collect()
+    }
     P = np.stack([got[i] for i in range(400)])
 
     # numpy reference from the same quantized covariance

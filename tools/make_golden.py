@@ -71,7 +71,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(OUT_DIR, exist_ok=True)
     queries = all_queries()
-    for name in GOLDEN_QUERIES:
+    names = sys.argv[1:] or GOLDEN_QUERIES
+    unknown = [n for n in names if n not in GOLDEN_QUERIES]
+    if unknown:
+        raise SystemExit(f"not golden queries: {unknown}")
+    for name in names:
         fixture = {"query": name, "exact": {}, "counts": {}}
         for sf in EXACT_SFS:
             df = queries[name].fn(spark, f"/root/testdata/sf{sf}")
