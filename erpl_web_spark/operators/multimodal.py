@@ -220,7 +220,9 @@ def audio_chunks(
 
     ``stride_ms`` > ``window_ms`` is sparse sampling (gaps between
     windows); chunk starts are capped to the media duration so no
-    window starts past the end.
+    window starts past the end. Media with zero or NULL
+    ``meta.duration_ms`` yields no chunks (a phantom zero-length window
+    would hand downstream decoders an empty slice).
 
     Same design as ``sample_frames``/``tile_grid``: the fan-out is an
     explode over a JVM-computed sequence keyed on metadata only — no
@@ -254,6 +256,7 @@ def audio_chunks(
                 - F.col("chunk_idx") * stride,
             ).alias("dur_ms"),
         )
+        .where(F.col("dur_ms") > 0)
     )
 
 

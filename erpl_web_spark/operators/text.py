@@ -505,10 +505,13 @@ def bpe_train(
 
     Scale shape: the corpus is touched ONCE (word_freq); every round is
     O(dictionary) map work + a pair-count shuffle whose key space is the
-    symbol-pair vocabulary. Per-round ``localCheckpoint`` keeps the plan
-    constant-size across rounds (the same posture as
-    operators.graph.connected_components). Stops early when no pair
-    reaches ``min_pair_count``.
+    symbol-pair vocabulary. The dictionary is ``localCheckpoint``-ed
+    every ``_CHECKPOINT_EVERY`` (64) rounds, so plan depth is bounded at
+    64 merge folds and a round recomputes at most 63 uncheckpointed
+    folds — the tradeoff vs per-round checkpointing is far fewer pinned
+    dictionary copies in block storage (measured flat round cost to 128
+    merges, SCALING.md). Stops early when no pair reaches
+    ``min_pair_count``.
 
     Returns (merge_rank, left_sym, right_sym, pair_count) — merge ranks
     are 1-based in learning order, the contract ``bpe_encode`` consumes.

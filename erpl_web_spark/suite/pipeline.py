@@ -2163,6 +2163,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CEIL((LENGTH(text) * 10 - 500) / 300.0) AS INT) + 1, 1))) AS ci
       FROM documents
     )
+    WHERE dur - ci * 300 > 0
     """,
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,7 +2342,7 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT doc_id,
              len(toks) AS n_words,
-             CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+             COALESCE(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE), 0)
                / GREATEST(len(toks), 1) AS mean_len,
              n_symbols,
              GREATEST(len(lines), 1) AS n_lines,
