@@ -8,11 +8,16 @@ Python Data Source API:
 - optimize  -> Catalyst calls ``pushFilters`` (supported predicates
                become ``$filter``; the residual list is re-applied by
                Spark — same belt-and-suspenders as the reference host);
-- init      -> ``partitions()``: one partition per page chain by default
-               (server-friendly, reference parity); optional
-               ``parallelism=N`` splits by ``$skip`` ranges when the
-               server reports ``$count`` — a documented improvement over
-               the reference's single-stream scan;
+- init      -> ``partitions()``: ``parallelism=auto`` (the default)
+               probes ``$count`` and splits big scans into ``$skip``
+               range partitions (``auto_partition_rows`` rows each,
+               default 50k, capped at ``auto_partition_max``, default
+               32) whenever the entity set has key columns for a stable
+               ``$orderby``; small scans, keyless sets and ``$apply``
+               reads stay one server-friendly page chain (reference
+               parity: its scan is always single-stream,
+               odata_content.cpp:1072-1100). ``parallelism=N`` forces a
+               split count;
 - execute   -> ``read(partition)``: generator following next-page links,
                decoding JSON rows to typed tuples (executor-side).
 
@@ -224,10 +229,12 @@ class ODataDataSource(DataSource):
             skip=_int_opt(self.options, "skip"),
             expand=self.options.get("expand"),
             count=self.options.get("count", "false").lower() == "true",
-            parallelism=_int_opt(self.options, "parallelism") or 1,
+            parallelism=self.options.get("parallelism", "auto"),
             order_keys=order_keys,
             always_order=bool(user_orderby),
             apply=self._apply_expr(),
+            auto_partition_rows=_int_opt(self.options, "auto_partition_rows") or 50_000,
+            auto_partition_max=_int_opt(self.options, "auto_partition_max") or 32,
         )
 
 
@@ -255,10 +262,12 @@ class ODataReader(DataSourceReader):
         skip: int | None,
         expand: str | None,
         count: bool,
-        parallelism: int,
+        parallelism: int | str,
         order_keys: list[str] | None = None,
         always_order: bool = False,
         apply: str | None = None,
+        auto_partition_rows: int = 50_000,
+        auto_partition_max: int = 32,
     ):
         # A user-supplied $filter in the base URL is folded into the
         # generated $filter (AND-combined with pushed predicates) instead
@@ -278,7 +287,10 @@ class ODataReader(DataSourceReader):
         self._skip = skip
         self._expand = [e.path for e in parse_expand(expand)] if expand else []
         self._count = count
-        self._parallelism = max(1, parallelism)
+        self._auto = str(parallelism).strip().lower() == "auto"
+        self._parallelism = 1 if self._auto else max(1, int(parallelism))
+        self._auto_rows = max(1, auto_partition_rows)
+        self._auto_max = max(1, auto_partition_max)
         self._order_keys = order_keys or []
         self._always_order = always_order
         self._apply = apply
@@ -328,26 +340,61 @@ class ODataReader(DataSourceReader):
         )
         return qb.build()
 
-    def partitions(self) -> Sequence[InputPartition]:
-        if self._parallelism <= 1 or self._apply:
-            # Aggregated ($apply) results are small by construction; a
-            # $count probe + $skip windows against them would paginate a
-            # different (grouped) rowset than the probe counted.
-            return [_PagePartition(0, None, None)]
-        # Range partitioning over $skip when the server reports a total
-        # count — opt-in (can overload servers; off by default).
+    def _probe_total(self) -> int | None:
+        """Server-reported row count via ``$count=true``/``$inlinecount``
+        with ``$top=0`` — one cheap request; None when unsupported."""
         http = HttpClient(auth_headers=self._auth)
         probe_url = self._build_url(top=0, count=True)
         try:
             doc = http.get(probe_url, headers={"Accept": "application/json"}).json()
-            total = total_count(doc)
+            return total_count(doc)
         except Exception:
-            total = None
-        if not total:
-            return [_PagePartition(0, None, None)]
-        base_skip = self._skip or 0
-        limit = self._top if self._top is not None else max(total - base_skip, 0)
-        n = min(self._parallelism, max(1, limit))
+            return None
+
+    def partitions(self) -> Sequence[InputPartition]:
+        single = [_PagePartition(0, None, None)]
+        if self._apply:
+            # Aggregated ($apply) results are small by construction; a
+            # $count probe + $skip windows against them would paginate a
+            # different (grouped) rowset than the probe counted.
+            return single
+        if self._auto:
+            # Default: split automatically when the scan is big enough
+            # that a single page chain would serialize it. Requires
+            # entity-set keys (stable $orderby — without one, parallel
+            # $skip windows can duplicate/miss rows) and a server that
+            # answers the $count probe; ``auto_partition_rows`` rows per
+            # partition (default 50k ~= tens-to-hundreds of server pages),
+            # capped at ``auto_partition_max`` partitions. Small explicit
+            # ``top`` reads skip the probe request entirely.
+            if not self._order_keys:
+                return single
+            if self._top is not None and self._top < 2 * self._auto_rows:
+                return single
+            total = self._probe_total()
+            if not total:
+                return single
+            base_skip = self._skip or 0
+            limit = (
+                self._top if self._top is not None else max(total - base_skip, 0)
+            )
+            n = min(self._auto_max, (limit + self._auto_rows - 1) // self._auto_rows)
+            if n < 2:
+                return single
+        else:
+            # Explicit parallelism=N: user-forced split count (kept even
+            # without entity-set keys — the user override also forces
+            # $orderby off when no keys exist; documented sharp edge).
+            if self._parallelism <= 1:
+                return single
+            total = self._probe_total()
+            if not total:
+                return single
+            base_skip = self._skip or 0
+            limit = (
+                self._top if self._top is not None else max(total - base_skip, 0)
+            )
+            n = min(self._parallelism, max(1, limit))
         chunk = (limit + n - 1) // n
         return [
             _PagePartition(i, base_skip + i * chunk, min(chunk, limit - i * chunk))

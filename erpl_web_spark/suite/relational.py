@@ -221,7 +221,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way join: big fact joins shuffle on keys, dims broadcast."""
+    """Multi-way join: big fact joins shuffle on keys, constant-size dims
+    (nation, region) broadcast by hint. supplier is deliberately NOT
+    hinted — it grows with scale factor (~1 M rows at sf100), so a
+    hard-coded broadcast would become a driver/executor memory hazard at
+    100 TB; the planner's autoBroadcastJoinThreshold / AQE picks
+    broadcast at small SF and falls back to shuffle join when supplier
+    outgrows the threshold."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
@@ -233,7 +239,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

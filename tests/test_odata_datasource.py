@@ -136,6 +136,52 @@ def test_parallel_partitions_by_skip_range(registered, fixture_server):
     assert ranged and all(r["query"].get("$orderby") == "UserName" for r in ranged)
 
 
+def test_auto_partition_splits_large_scan(registered, fixture_server):
+    """parallelism=auto (the default) range-partitions a scan whose
+    $count exceeds the per-partition row budget: the probe goes out
+    once, the windows carry disjoint $skip ranges with the entity-key
+    $orderby, and the union equals the single-chain result."""
+    fixture_server.state.log.clear()
+    df = read_people(registered, fixture_server, auto_partition_rows="3")
+    assert df.rdd.getNumPartitions() == 4  # ceil(10 / 3) = 4 windows
+    rows = df.collect()
+    assert len(rows) == 10
+    assert len({r["UserName"] for r in rows}) == 10  # no dup/loss
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    probes = [
+        r for r in reqs
+        if r["query"].get("$count") == "true" and r["query"].get("$top") == "0"
+    ]
+    assert len(probes) == 1, f"expected one $count probe: {[r['query'] for r in reqs]}"
+    ranged = [r for r in reqs if "$skip" in r["query"]]
+    skips = sorted(int(r["query"]["$skip"]) for r in ranged)
+    assert skips == [0, 3, 6, 9]
+    assert all(r["query"].get("$orderby") == "UserName" for r in ranged)
+
+
+def test_auto_partition_small_scan_stays_single_chain(registered, fixture_server):
+    """Default budget (50k rows/partition): a 10-row entity set probes
+    $count but plans ONE page chain — no $skip windows."""
+    fixture_server.state.log.clear()
+    df = read_people(registered, fixture_server)
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 10
+    # no range windows: nothing carries the entity-key $orderby (the
+    # server's own next-page links do use $skip — that's the one chain)
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert not any("$orderby" in r["query"] for r in reqs)
+
+
+def test_auto_partition_small_top_skips_probe(registered, fixture_server):
+    """An explicit small top can never split — the $count probe request
+    is skipped entirely (no extra round-trip for point reads)."""
+    fixture_server.state.log.clear()
+    df = read_people(registered, fixture_server, top="4")
+    assert df.count() == 4
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    assert not any(r["query"].get("$count") == "true" for r in reqs)
+
+
 def test_user_orderby_pushed_to_server(registered, fixture_server):
     """orderby option -> $orderby on every request (beyond-reference:
     server-side ORDER BY), and rows arrive server-sorted."""
