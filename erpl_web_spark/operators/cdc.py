@@ -79,10 +79,12 @@ def merge_to_parquet_snapshots(
     """foreachBatch sink: apply each CDC micro-batch to the previous
     snapshot and write snapshot version ``path/v=<batch_id>``.
 
-    Versioned directories keep each write-out immutable (readers pick
-    the highest complete version via ``read_latest_snapshot``); this is
-    a filesystem-only stand-in for a transactional table format — on a
-    real deployment, point foreachBatch at your lakehouse MERGE instead.
+    Versioned directories keep each write-out immutable; a version is
+    visible to ``read_latest_snapshot`` only once its manifest commits
+    (``core.manifests`` — manifest written strictly after the parquet
+    write, readers list manifests only, so a torn write is invisible).
+    Works on any Hadoop-visible filesystem; on a real deployment a
+    lakehouse MERGE can replace the whole sink.
 
     Replay-safe: the base snapshot is the highest complete version
     STRICTLY BELOW ``batch_id``. When Spark replays a batch whose write
@@ -100,47 +102,37 @@ def merge_to_parquet_snapshots(
     of batch N re-reads v=N-1, the newest retained version); None keeps
     every version (a full time-travel history).
     """
+    from erpl_web_spark.core import manifests
+
     spark = batch_df.sparkSession
     latest = read_latest_snapshot(spark, path, before=batch_id)
     base = latest if latest is not None else batch_df.filter(F.lit(False))
     merged = apply_cdc_changes(base, batch_df, keys, op_col, seq_cols)
     merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}")
-    # commit marker: readers only trust versions with _SUCCESS
-    # (written last by the parquet committer itself)
+    # manifest written last: the version becomes reader-visible here
+    manifests.commit_version(spark, path, "v", batch_id)
     if retain_versions is not None:
-        import os
-        import shutil
-
         cutoff = batch_id - retain_versions
-        for d in os.listdir(path):
-            if d.startswith("v=") and int(d.split("=", 1)[1]) < cutoff:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        for n in manifests.committed_versions(spark, path, "v", before=cutoff):
+            manifests.retract_version(spark, path, "v", n, f"v={n}")
 
 
 def read_latest_snapshot(spark, path: str, before: int | None = None) -> DataFrame | None:
-    """Highest complete (committer-marked) snapshot version, or None.
+    """Highest manifest-committed snapshot version, or None. Lists the
+    manifest directory only (``core.manifests``) — data directories
+    without a committed manifest (torn writes) are invisible, and the
+    path may live on any Hadoop-visible filesystem, not just the
+    driver-local disk.
 
     ``before`` restricts to versions strictly below the given batch id —
     the replay-idempotence guard used by ``merge_to_parquet_snapshots``.
     """
-    import os
+    from erpl_web_spark.core import manifests
 
-    if not os.path.isdir(path):
-        return None
-    versions = sorted(
-        (
-            v
-            for d in os.listdir(path)
-            if d.startswith("v=")
-            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
-            for v in [int(d.split("=", 1)[1])]
-            if before is None or v < before
-        ),
-        reverse=True,
-    )
+    versions = manifests.committed_versions(spark, path, "v", before=before)
     if not versions:
         return None
-    return spark.read.parquet(f"{path}/v={versions[0]}")
+    return spark.read.parquet(f"{path}/v={versions[-1]}")
 
 
 def snapshot_digests(
@@ -248,6 +240,10 @@ def snapshot_stream_to_changes(
     )
     changes.write.mode("overwrite").parquet(f"{changes_path}/batch={batch_id}")
     new_dig.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+    from erpl_web_spark.core import manifests
+
+    # manifest last: the digest state version becomes reader-visible here
+    manifests.commit_version(spark, state_path, "v", batch_id)
 
 
 def incremental_agg_update(

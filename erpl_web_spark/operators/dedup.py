@@ -617,19 +617,15 @@ def embedding_near_dup_pairs(
 # -- Incremental dedup index -------------------------------------------------
 
 def read_dedup_index(spark, path: str, before: int | None = None):
-    """Union of committed index deltas (``path/batch=N``, ``N < before``),
-    or None when the index is empty. Schema: (doc_id, hs, band_keys)."""
-    import os
+    """Union of manifest-committed index deltas (``path/batch=N``,
+    ``N < before``), or None when the index is empty. Schema: (doc_id,
+    hs, band_keys). Only the manifest listing is consulted
+    (``core.manifests``): a delta directory whose manifest never
+    committed (torn write) is invisible, and ``path`` may be on any
+    Hadoop-visible filesystem."""
+    from erpl_web_spark.core import manifests
 
-    if not os.path.isdir(path):
-        return None
-    parts = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("batch=")
-        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
-        and (before is None or int(d.split("=", 1)[1]) < before)
-    )
+    parts = manifests.committed_versions(spark, path, "batch", before=before)
     if not parts:
         return None
     return spark.read.parquet(*[f"{path}/batch={n}" for n in parts])
@@ -762,6 +758,10 @@ def dedup_index_apply(
         index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
     keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+    from erpl_web_spark.core import manifests
+
+    # manifest last: the delta becomes reader-visible only here
+    manifests.commit_version(spark, path, "batch", batch_id)
 
     decisions = (
         batch_ids.join(in_batch_drops, id_col, "left")
@@ -794,18 +794,16 @@ def dedup_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     documents: Spark can only replay the newest uncommitted batch, and
     that batch's delta is never part of a compaction with
     ``keep_latest >= 1``. Returns the number of directories merged.
-    """
-    import os
-    import shutil
 
-    if not os.path.isdir(path):
-        return 0
-    parts = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("batch=")
-        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
-    )
+    Not concurrent-reader transactional: between retracting the merged
+    deltas and re-committing the target there is a window where readers
+    see fewer documents — run compaction while the stream is quiescent
+    (the same contract as parquet-level compaction everywhere).
+    """
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.core.manifests import _fs
+
+    parts = manifests.committed_versions(spark, path, "batch")
     to_merge = parts[: max(0, len(parts) - keep_latest)]
     if len(to_merge) < 2:
         return 0
@@ -814,6 +812,12 @@ def dedup_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     tmp = f"{path}/.compact_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     for n in to_merge:
-        shutil.rmtree(os.path.join(path, f"batch={n}"), ignore_errors=True)
-    os.rename(tmp, os.path.join(path, f"batch={target}"))
+        manifests.retract_version(spark, path, "batch", n, f"batch={n}")
+    fs, jvm, _ = _fs(spark, path)
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(f"{path}/batch={target}"),
+    ):
+        raise IOError(f"compaction rename failed: {tmp} -> batch={target}")
+    manifests.commit_version(spark, path, "batch", target)
     return len(to_merge)

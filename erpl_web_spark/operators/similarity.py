@@ -820,19 +820,14 @@ def pca_project(
 
 
 def read_embedding_index(spark, path: str, before: int | None = None):
-    """Union of committed semantic-index deltas (``path/batch=N``,
-    ``N < before``), or None when empty. Schema: (id, vec, nrm, cell)."""
-    import os
+    """Union of manifest-committed semantic-index deltas
+    (``path/batch=N``, ``N < before``), or None when empty. Schema:
+    (id, vec, nrm, cell). Lists manifests only (``core.manifests``):
+    torn delta writes are invisible and ``path`` may be on any
+    Hadoop-visible filesystem."""
+    from erpl_web_spark.core import manifests
 
-    if not os.path.isdir(path):
-        return None
-    parts = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("batch=")
-        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
-        and (before is None or int(d.split("=", 1)[1]) < before)
-    )
+    parts = manifests.committed_versions(spark, path, "batch", before=before)
     if not parts:
         return None
     return spark.read.parquet(*[f"{path}/batch={n}" for n in parts])
@@ -858,7 +853,9 @@ def embedding_index_apply(
     silently: batch 0 derives it (every ``stride``-th row of the first
     batch in id order — positional, so any non-empty batch yields
     centroids; swap in ``ivf_train_centroids`` output by writing it to
-    ``path/centroids`` yourself before the first batch) and persists it
+    ``path/centroids`` and committing it with
+    ``core.manifests.commit_version(spark, path, "centroids", 0)``
+    before the first batch) and persists it
     at ``path/centroids``; every later batch assigns against the stored
     table — the production contract of a fixed coarse quantizer with
     offline retrains. An empty first batch raises rather than
@@ -877,9 +874,11 @@ def embedding_index_apply(
     from pyspark import StorageLevel
     from erpl_web_spark.operators.graph import connected_components
 
+    from erpl_web_spark.core import manifests
+
     spark = batch_df.sparkSession
     cent_path = f"{path}/centroids"
-    if os.path.exists(os.path.join(cent_path, "_SUCCESS")):
+    if manifests.committed_versions(spark, path, "centroids"):
         cents = spark.read.parquet(cent_path)
     else:
         # Derive the quantizer POSITIONALLY (every stride-th row in id
@@ -908,6 +907,7 @@ def embedding_index_apply(
                 f"{cent_path} before starting the stream"
             )
         cents.write.mode("overwrite").parquet(cent_path)
+        manifests.commit_version(spark, path, "centroids", 0)
         cents = spark.read.parquet(cent_path)
 
     assigned = ivf_assign(batch_df, cents, id_col, vec_col).persist(
@@ -969,6 +969,8 @@ def embedding_index_apply(
         index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
     keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+    # manifest last: the delta becomes reader-visible only here
+    manifests.commit_version(spark, path, "batch", batch_id)
 
     decisions = (
         batch_df.select(id_col)

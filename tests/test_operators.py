@@ -746,6 +746,79 @@ def test_cdc_snapshot_merge_replay_idempotent(spark, tmp_path):
     assert got3 == got2
 
 
+def test_manifest_commit_protocol(spark, tmp_path):
+    """core.manifests contract: versions exist only once their manifest
+    commits; retraction removes the manifest first; replayed commits
+    overwrite their own manifest."""
+    from erpl_web_spark.core import manifests
+
+    p = str(tmp_path / "state")
+    assert manifests.committed_versions(spark, p, "v") == []
+    manifests.commit_version(spark, p, "v", 0)
+    manifests.commit_version(spark, p, "v", 2, {"rows": 10})
+    assert manifests.committed_versions(spark, p, "v") == [0, 2]
+    assert manifests.committed_versions(spark, p, "v", before=2) == [0]
+    # replayed commit: same version again, no error, still one entry
+    manifests.commit_version(spark, p, "v", 2, {"rows": 10})
+    assert manifests.committed_versions(spark, p, "v") == [0, 2]
+    # a different kind is a separate namespace
+    assert manifests.committed_versions(spark, p, "batch") == []
+    manifests.retract_version(spark, p, "v", 0, "v=0")
+    assert manifests.committed_versions(spark, p, "v") == [2]
+
+
+def test_torn_snapshot_write_invisible_to_readers(spark, tmp_path):
+    """A snapshot data directory whose manifest never committed (torn
+    write: crash between the parquet write and the manifest commit) must
+    be invisible — readers keep returning the previous version."""
+    from erpl_web_spark.operators.cdc import (
+        merge_to_parquet_snapshots,
+        read_latest_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    schema = "k long, val double, op string, seq long"
+    b0 = spark.createDataFrame([(1, 1.0, "I", 0), (2, 2.0, "I", 1)], schema)
+    merge_to_parquet_snapshots(b0, 0, snap, ["k"], "op", ["seq"])
+
+    # torn write: v=1 parquet fully present (even with _SUCCESS), but
+    # the crash happened before the manifest commit
+    torn = spark.createDataFrame([(9, 9.0, "I", 9)], schema)
+    torn.write.mode("overwrite").parquet(f"{snap}/v=1")
+    import os
+
+    assert os.path.exists(f"{snap}/v=1/_SUCCESS")  # data looks complete
+    got = {(r["k"], r["val"]) for r in read_latest_snapshot(spark, snap).collect()}
+    assert got == {(1, 1.0), (2, 2.0)}  # still v=0
+
+    # the sink replaying batch 1 commits over the torn directory and
+    # only then does v=1 become visible
+    b1 = spark.createDataFrame([(2, 20.0, "U", 3)], schema)
+    merge_to_parquet_snapshots(b1, 1, snap, ["k"], "op", ["seq"])
+    got2 = {(r["k"], r["val"]) for r in read_latest_snapshot(spark, snap).collect()}
+    assert got2 == {(1, 1.0), (2, 20.0)}
+
+
+def test_torn_dedup_index_delta_invisible(spark, tmp_path):
+    """A dedup-index delta directory without its manifest is invisible
+    to read_dedup_index — batch N's dedup decisions can never consult a
+    half-written batch."""
+    from erpl_web_spark.operators.dedup import dedup_index_apply, read_dedup_index
+
+    idx = str(tmp_path / "idx")
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    dedup_index_apply(b0, 0, idx)
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == {1}
+
+    # torn delta: parquet for batch=1 present, manifest missing
+    read_dedup_index(spark, idx).write.mode("overwrite").parquet(f"{idx}/batch=1")
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == {1}
+    kept = read_dedup_index(spark, idx)
+    assert kept.count() == 1  # not doubled by the torn copy
+
+
 def test_tile_grid_overlap_and_ragged_edges(spark):
     from erpl_web_spark.operators.multimodal import tile_grid
     from pyspark.sql import functions as F
