@@ -454,6 +454,77 @@ def sharepoint_list_write(
     return len(cols)
 
 
+def sharepoint_list_update(
+    df: DataFrame,
+    client_factory,
+    site_id: str,
+    list_id: str,
+    id_col: str = "item_id",
+    batch_size: int = GRAPH_BATCH_MAX_REQUESTS,
+    batch_max_bytes: int = GRAPH_BATCH_MAX_BYTES,
+) -> None:
+    """Bulk field updates against a SharePoint list (B2 UPDATE as a
+    distributed write): one PATCH per row, coalesced into ``$batch``
+    envelopes exactly like ``sharepoint_list_write``; ``batch_size=1``
+    degrades to the reference's per-item PATCH
+    (sharepoint_functions.cpp update path)."""
+    field_cols = [c for c in df.columns if c != id_col]
+
+    def update_partition(rows):
+        client = client_factory()
+        reqs = [
+            {
+                "method": "PATCH",
+                "url": f"/sites/{site_id}/lists/{list_id}/items/{r[id_col]}/fields",
+                "body": {c: r[c] for c in field_cols if r[c] is not None},
+            }
+            for r in rows
+        ]
+        if not reqs:
+            return
+        if batch_size <= 1:
+            for r in reqs:
+                client.request(r["method"], r["url"], r["body"])
+        else:
+            graph_batch_execute(
+                client, reqs, max_requests=batch_size, max_bytes=batch_max_bytes
+            )
+
+    df.foreachPartition(update_partition)
+
+
+def sharepoint_list_delete(
+    df: DataFrame,
+    client_factory,
+    site_id: str,
+    list_id: str,
+    id_col: str = "item_id",
+    batch_size: int = GRAPH_BATCH_MAX_REQUESTS,
+) -> None:
+    """Bulk deletes against a SharePoint list (B2 DELETE as a
+    distributed write): one DELETE per id, coalesced into ``$batch``
+    envelopes; ``batch_size=1`` degrades to per-item DELETEs."""
+
+    def delete_partition(rows):
+        client = client_factory()
+        reqs = [
+            {
+                "method": "DELETE",
+                "url": f"/sites/{site_id}/lists/{list_id}/items/{r[id_col]}",
+            }
+            for r in rows
+        ]
+        if not reqs:
+            return
+        if batch_size <= 1:
+            for r in reqs:
+                client.request(r["method"], r["url"], None)
+        else:
+            graph_batch_execute(client, reqs, max_requests=batch_size)
+
+    df.foreachPartition(delete_partition)
+
+
 # -- Excel over Graph (A19, B4-B6) -----------------------------------------
 
 FILES_SCHEMA = _schema(

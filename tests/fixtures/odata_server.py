@@ -861,6 +861,26 @@ def _make_handler(state: FixtureState):
                         state.planner_created.append({**(sbody or {}), "id": task_id})
                         responses.append({"id": sid, "status": 201,
                                           "body": {"id": task_id, **(sbody or {})}})
+                    elif method == "PATCH" and (
+                        m := re.match(r"^/sites/s1/lists/l1/items/(\w+)/fields$", url)
+                    ):
+                        hit = next(
+                            (i for i in state.sp_items if i["id"] == m.group(1)), None
+                        )
+                        if hit is None:
+                            responses.append({"id": sid, "status": 404,
+                                              "body": {"error": "no item"}})
+                        else:
+                            hit["fields"].update(sbody or {})
+                            responses.append({"id": sid, "status": 200,
+                                              "body": hit["fields"]})
+                    elif method == "DELETE" and (
+                        m := re.match(r"^/sites/s1/lists/l1/items/(\w+)$", url)
+                    ):
+                        state.sp_items = [
+                            i for i in state.sp_items if i["id"] != m.group(1)
+                        ]
+                        responses.append({"id": sid, "status": 204, "body": None})
                     else:
                         responses.append({"id": sid, "status": 404,
                                           "body": {"error": f"unknown {method} {url}"}})

@@ -225,6 +225,82 @@ def test_planner_bulk_create(spark, fixture_server):
     assert sorted(c["title"] for c in created) == sorted(r["title"] for r in out)
 
 
+def test_sharepoint_bulk_update_delete_batched(spark, fixture_server):
+    """B2 bulk UPDATE/DELETE ride $batch envelopes with the same dual
+    budget as creates: request counts asserted on the wire at two batch
+    sizes, server state asserted after each pass."""
+    from erpl_web_spark.sources.graph import (
+        sharepoint_list_delete,
+        sharepoint_list_update,
+        sharepoint_list_write,
+    )
+
+    base = fixture_server.base_url + "/graph"
+    factory = lambda: GraphClient(base, HttpClient())  # noqa: E731
+    n0 = len(fixture_server.state.sp_items)
+    seed = spark.createDataFrame(
+        [(f"u-{i}", 0.0) for i in range(6)], "Title string, Amount double"
+    ).repartition(1)
+    sharepoint_list_write(seed, factory, "s1", "l1", batch_size=20)
+    ids = [i["id"] for i in fixture_server.state.sp_items[n0:]]
+
+    # bulk update, batch_size=4 -> ceil(6/4)=2 envelopes, no direct PATCH
+    upd = spark.createDataFrame(
+        [(ids[i], 10.0 + i) for i in range(6)], "item_id string, Amount double"
+    ).repartition(1)
+    fixture_server.state.log.clear()
+    sharepoint_list_update(upd, factory, "s1", "l1", batch_size=4)
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 2
+    got = {i["id"]: i["fields"]["Amount"] for i in fixture_server.state.sp_items[n0:]}
+    assert got == {ids[i]: 10.0 + i for i in range(6)}
+
+    # batch_size=1 degrades to per-item PATCHes (reference parity path)
+    fixture_server.state.log.clear()
+    sharepoint_list_update(upd, factory, "s1", "l1", batch_size=1)
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 0
+
+    # bulk delete, one envelope; then per-item path for the rest
+    dels = spark.createDataFrame([(i,) for i in ids[:4]], "item_id string").repartition(1)
+    fixture_server.state.log.clear()
+    sharepoint_list_delete(dels, factory, "s1", "l1", batch_size=20)
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 1
+    assert {i["id"] for i in fixture_server.state.sp_items[n0:]} == set(ids[4:])
+
+    rest = spark.createDataFrame([(i,) for i in ids[4:]], "item_id string").repartition(1)
+    fixture_server.state.log.clear()
+    sharepoint_list_delete(rest, factory, "s1", "l1", batch_size=1)
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 0
+    assert len(fixture_server.state.sp_items) == n0
+
+
+def test_planner_bulk_create_batch_sizes(spark, fixture_server):
+    """B1 bulk creates ride $batch envelopes: 7 tasks in one partition
+    cut into ceil(7/4)=2 envelopes at batch_size=4, and batch_size=1
+    degrades to 7 per-row POSTs with zero $batch calls — request counts
+    asserted on the wire at both sizes."""
+    from erpl_web_spark.core.http import HttpClient
+    from erpl_web_spark.sources.graph import GraphClient, planner_create_tasks
+
+    base = fixture_server.base_url + "/graph"
+    df = spark.createDataFrame([("t-%d" % i,) for i in range(7)], "title string")
+
+    fixture_server.state.log.clear()
+    out = planner_create_tasks(
+        df.coalesce(1), lambda: GraphClient(base, HttpClient()), "p1", batch_size=4
+    ).collect()
+    assert len(out) == 7
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 2
+    assert len(fixture_server.state.requests_for("/graph/planner/tasks")) == 0
+
+    fixture_server.state.log.clear()
+    out = planner_create_tasks(
+        df.coalesce(1), lambda: GraphClient(base, HttpClient()), "p1", batch_size=1
+    ).collect()
+    assert len(out) == 7
+    assert len(fixture_server.state.requests_for("/graph/$batch")) == 0
+    assert len(fixture_server.state.requests_for("/graph/planner/tasks")) == 7
+
+
 def test_graph_users_delta_sync(spark, fixture_server, tmp_path):
     """Graph /delta CDC: full load -> updates + tombstones -> steady
     state; composing with apply_cdc_changes maintains the directory."""
