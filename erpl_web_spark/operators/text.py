@@ -796,3 +796,105 @@ def clean_lines(
         .withColumn("n_lines_kept", F.size(kept))
         .withColumn(out, F.array_join(kept, "\n"))
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") vectorizer: token counts
+    folded into a fixed ``num_buckets``-dimensional sparse vector per
+    document, emitted as (id, bucket, cnt) rows — the
+    vocabulary-free featurizer for corpus-scale classifiers and
+    quality models (Weinberger et al. 2009). No vocabulary table, no
+    fit step, no driver state: new tokens land in a stable bucket by
+    construction, so train and inference pipelines can never skew.
+
+    The bucket hash is the first 8 hex digits of md5 mod
+    ``num_buckets`` — engine-portable (DuckDB computes the identical
+    value, so the result is value-hash oracle-checkable), deterministic
+    across sessions, and uniform enough for feature folding. Swap in
+    ``xxhash64`` for production if oracle parity is not needed.
+
+    Shuffle posture: tokens explode map-side; the only shuffle is the
+    (id, bucket) count aggregation with map-side combine — output
+    cardinality is min(n_tokens, num_buckets) rows per document.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every ``k``-character gram, slide a
+    ``w``-gram window, keep each window's MINIMUM hash, and return the
+    DISTINCT (id, fp) fingerprint set. Guarantees: any shared substring
+    of length >= k + w - 1 between two documents yields at least one
+    shared fingerprint, while storing only ~2/(w+1) of the gram hashes
+    — the local-similarity complement to the global MinHash sketch
+    (``dedup.minhash_lsh_pairs``).
+
+    The gram hash is the first 12 hex digits of md5 (48 bits) —
+    engine-portable for oracle checking, same tradeoff as
+    ``hashed_features``. Documents shorter than ``k`` characters yield
+    no fingerprints; documents with fewer than ``w`` grams yield the
+    min over what exists (one shrunken window).
+
+    Spark shape: positions explode from a JVM ``sequence`` (guarded by
+    a length >= k filter — ``sequence(1, n)`` counts DOWN for n < 1),
+    the window min is a bounded ROWS frame per document ordered by
+    position, and DISTINCT is the only shuffle beyond the window sort.
+    Self-join of the output on (fp) gives candidate plagiarism/overlap
+    pairs, bucketed exactly like LSH bands.
+    """
+    n_grams = F.length(F.col(text_col)) - k + 1
+    grams = (
+        df.where(F.length(F.col(text_col)) >= k)
+        .select(
+            F.col(id_col),
+            n_grams.alias("__n"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col,
+            "__n",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.substring(F.col("__t"), F.col("pos"), k)), 1, 12),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") <= F.greatest(F.col("__n") - w + 1, F.lit(1)))
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -1471,6 +1471,78 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_hashed_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY doc_id, bucket
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (hashing trick): token counts folded
+    into 64 stable md5-derived buckets per document, as (doc_id,
+    bucket, cnt) sparse rows — vocabulary-free featurization whose only
+    shuffle is the map-side-combined (doc, bucket) count
+    (operators.text.hashed_features; probe slice doc_id < 100 keeps the
+    checked output bounded)."""
+    from erpl_web_spark.operators.text import hashed_features
+
+    d = load(spark, sf_dir, "documents", spread=True).where(F.col("doc_id") < 100)
+    return hashed_features(d, "doc_id", "text", num_buckets=64)
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, LENGTH(text) - 4 AS n,
+             unnest(range(1, LENGTH(text) - 3)) AS pos, text
+      FROM documents WHERE LENGTH(text) >= 5
+    ), h AS (
+      SELECT doc_id, n, pos,
+             CAST('0x' || substring(md5(substring(text, CAST(pos AS INT), 5)), 1, 12)
+                  AS BIGINT) AS hh
+      FROM g
+    ), m AS (
+      SELECT doc_id, n, pos,
+             MIN(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp FROM m WHERE pos <= GREATEST(n - 3, 1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+           MIN(fp) AS fp_min, MAX(fp) AS fp_max,
+           CAST(SUM(fp) AS BIGINT) AS fp_sum
+    FROM sel GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): k=5-char
+    gram hashes, w=4 window minima, distinct per doc — the
+    local-substring-overlap sketch complementing global MinHash. The
+    driver-checked output is the per-doc fingerprint summary (count /
+    min / max / exact sum), which pins the full fingerprint set without
+    emitting ~n/2 rows per document
+    (operators.text.winnow_fingerprints)."""
+    from erpl_web_spark.operators.text import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    fps = winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.sum("fp").cast("bigint").alias("fp_sum"),
+    )
+
+
+@register(
     "curation_token_budget",
     oracle=f"""
     WITH keyed AS (

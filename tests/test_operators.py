@@ -2318,3 +2318,61 @@ def test_embedding_index_quantizer_positional_and_empty_guard(spark, tmp_path):
     empty = spark.createDataFrame([], schema)
     with _pytest.raises(ValueError, match="empty first batch"):
         embedding_index_apply(empty, 0, str(tmp_path / "idx2"), stride=50)
+
+
+def test_hashed_features_counts_and_bounds(spark):
+    """Hashing-trick contract: per-doc bucket counts sum to the doc's
+    token count, buckets stay in [0, num_buckets), and identical tokens
+    always fold into the same bucket."""
+    from erpl_web_spark.operators.text import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "alpha  alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = hashed_features(df, num_buckets=8).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < 8
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += r["cnt"]
+    assert by_doc == {1: 4, 2: 2}  # empty doc yields no rows
+    # 'alpha' in doc 1 and doc 2 lands in the same bucket
+    alpha_buckets = {
+        r["bucket"] for r in rows if r["cnt"] >= 2  # alpha is the only repeat
+    }
+    assert len(alpha_buckets) == 1
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: two documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; short docs (< k chars)
+    yield none; docs with fewer than w grams yield exactly one (min of
+    the shrunken window)."""
+    from erpl_web_spark.operators.text import winnow_fingerprints
+
+    shared = "the common passage that is long enough to guarantee overlap"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix A"),
+            (2, "totally different start " + shared + " other end"),
+            (3, "zzz unrelated content qqq with no overlap at all here"),
+            (4, "ab"),        # < k chars -> no fingerprints
+            (5, "abcdef"),    # 2 grams < w -> one shrunken-window min
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=5, w=4)
+    sets = {
+        d: {r["fp"] for r in rows_}
+        for d, rows_ in [
+            (d, fps.where(F.col("doc_id") == d).collect()) for d in [1, 2, 3, 4, 5]
+        ]
+    }
+    assert sets[1] & sets[2], "shared >= k+w-1 substring must share a fingerprint"
+    assert not sets[4]
+    assert len(sets[5]) == 1
+    # fingerprint sets are deterministic across recomputation
+    again = {r["fp"] for r in winnow_fingerprints(df, k=5, w=4)
+             .where(F.col("doc_id") == 1).collect()}
+    assert again == sets[1]
