@@ -898,3 +898,46 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate local-overlap pairs from shared winnowing fingerprints:
+    (id_a, id_b, n_shared) for document pairs sharing at least
+    ``min_shared`` fingerprints — the plagiarism/quote/boilerplate
+    detector that MinHash misses (Jaccard dilutes a short shared passage
+    inside two long documents; winnowing pins it locally).
+
+    Scale posture is exactly LSH banding: the self-join is an equi-join
+    on the fingerprint (skinny (fp, id) rows), never all-pairs.
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents before the join — the stop-fingerprint guard that bounds
+    the hot-bucket blowup from corpus-wide boilerplate (same hazard and
+    same fix as hot MinHash bands; at 100 TB this cap is mandatory, and
+    AQE skew-join handles what remains below it).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_df is not None:
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(ok, "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

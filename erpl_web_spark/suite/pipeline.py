@@ -1543,6 +1543,51 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnow_overlap",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, LENGTH(text) - 4 AS n,
+             unnest(range(1, LENGTH(text) - 3)) AS pos, text
+      FROM documents WHERE LENGTH(text) >= 5
+    ), h AS (
+      SELECT doc_id, n, pos,
+             CAST('0x' || substring(md5(substring(text, CAST(pos AS INT), 5)), 1, 12)
+                  AS BIGINT) AS hh
+      FROM g
+    ), m AS (
+      SELECT doc_id, n, pos,
+             MIN(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp FROM m WHERE pos <= GREATEST(n - 3, 1)
+    ), rare AS (
+      SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 20
+    ), keep AS (
+      SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap candidate pairs from shared winnowing fingerprints
+    (>= 3 shared, stop-fingerprint cap df <= 20): catches short shared
+    passages that whole-document Jaccard dilutes. Equi-join on the
+    fingerprint — LSH-band scale posture, never all-pairs
+    (operators.text.winnow_overlap_pairs)."""
+    from erpl_web_spark.operators.text import winnow_overlap_pairs
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return winnow_overlap_pairs(
+        d, "doc_id", "text", k=5, w=4, min_shared=3, max_df=20
+    )
+
+
+@register(
     "curation_token_budget",
     oracle=f"""
     WITH keyed AS (

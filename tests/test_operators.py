@@ -2376,3 +2376,27 @@ def test_winnow_fingerprints_guarantee(spark):
     again = {r["fp"] for r in winnow_fingerprints(df, k=5, w=4)
              .where(F.col("doc_id") == 1).collect()}
     assert again == sets[1]
+
+
+def test_winnow_overlap_pairs_finds_planted_passage(spark):
+    """A passage shared by exactly two documents produces that pair;
+    corpus-wide boilerplate fingerprints are removed by the max_df cap
+    so they alone cannot create pairs."""
+    from erpl_web_spark.operators.text import winnow_overlap_pairs
+
+    boiler = "all rights reserved contact us terms of service "
+    passage = "a genuinely distinctive shared passage of real content"
+    rows = [
+        (1, boiler + "doc one body text " + passage),
+        (2, boiler + passage + " trailing content for doc two"),
+        (3, boiler + "completely independent third text about gardens"),
+        (4, boiler + "nothing in common here besides the footer chrome"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_df=2: boilerplate fps appear in 4 docs -> dropped; passage fps
+    # appear in 2 docs -> kept
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_shared=3, max_df=2).collect()
+    }
+    assert pairs == {(1, 2)}
