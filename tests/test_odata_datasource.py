@@ -334,6 +334,38 @@ def test_v2_filter_pushdown(registered, fixture_server):
     assert any("Country eq 'Germany'" in r["query"].get("$filter", "") for r in reqs)
 
 
+def test_v2_auto_partition_inlinecount_probe(registered, fixture_server):
+    """The auto-partition $count probe speaks v2: $inlinecount=allpages
+    + $top=0, total from d.__count; windows split by $skip with the
+    entity-key $orderby and the union equals the single-chain scan."""
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v2/Customers")
+        .option("auto_partition_rows", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # ceil(8 / 4)
+    rows = df.collect()
+    assert len(rows) == 8
+    assert len({r["CustomerID"] for r in rows}) == 8
+    reqs = [r for r in fixture_server.state.requests_for("/v2/Customers") if r["query"]]
+    probes = [
+        r for r in reqs
+        if r["query"].get("$inlinecount") == "allpages" and r["query"].get("$top") == "0"
+    ]
+    assert len(probes) == 1, f"expected one $inlinecount probe: {[r['query'] for r in reqs]}"
+    # window starts at $skip 0 and 4 ($top=4 each); the server's own
+    # in-window next-links continue at 3 and 7 (v2 page size 3) and
+    # also carry the window's $orderby
+    ranged = [r for r in reqs if "$orderby" in r["query"]]
+    starts = {
+        int(r["query"]["$skip"]) for r in ranged if r["query"].get("$top") == "4"
+    }
+    assert {0, 4} <= starts
+    assert all(r["query"]["$orderby"] == "CustomerID" for r in ranged)
+
+
 def test_sample_inference_fallback(registered, fixture_server):
     # Force first-row inference: no metadata use -> all string columns.
     df = (
