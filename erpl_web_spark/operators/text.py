@@ -856,47 +856,35 @@ def winnow_fingerprints(
     no fingerprints; documents with fewer than ``w`` grams yield the
     min over what exists (one shrunken window).
 
-    Spark shape: positions explode from a JVM ``sequence`` (guarded by
-    a length >= k filter — ``sequence(1, n)`` counts DOWN for n < 1),
-    the window min is a bounded ROWS frame per document ordered by
-    position, and DISTINCT is the only shuffle beyond the window sort.
-    Self-join of the output on (fp) gives candidate plagiarism/overlap
-    pairs, bucketed exactly like LSH bands.
+    Spark shape: ENTIRELY map-side per document — gram hashes, window
+    minima and the distinct fingerprint set are array higher-order
+    functions (``transform``/``slice``/``array_min``/``array_distinct``)
+    over a JVM ``sequence`` (guarded by a length >= k filter —
+    ``sequence(1, n)`` counts DOWN for n < 1), then one explode. No
+    Window operator, no shuffle: the exploded output is already
+    distinct within each document (an earlier revision exploded grams
+    and ran a ROWS-frame window min — that shuffled ~2x the corpus
+    character count; the array form shuffles nothing). The transient
+    hash array is O(doc length) longs — chunk multi-MB documents
+    upstream. Self-join of the output on (fp) gives candidate
+    plagiarism/overlap pairs, bucketed exactly like LSH bands
+    (``winnow_overlap_pairs``).
     """
     n_grams = F.length(F.col(text_col)) - k + 1
-    grams = (
-        df.where(F.length(F.col(text_col)) >= k)
-        .select(
-            F.col(id_col),
-            n_grams.alias("__n"),
-            F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
-            F.col(text_col).alias("__t"),
-        )
-        .select(
-            id_col,
-            "__n",
-            "pos",
-            F.conv(
-                F.substring(F.md5(F.substring(F.col("__t"), F.col("pos"), k)), 1, 12),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
-        )
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda p: F.conv(
+            F.substring(F.md5(F.col(text_col).substr(p, F.lit(k))), 1, 12), 16, 10
+        ).cast("long"),
     )
-    from pyspark.sql.window import Window
-
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams - w + 1, F.lit(1))),
+        lambda p: F.array_min(F.slice(F.col("__hs"), p, w)),
     )
     return (
-        grams.withColumn("fp", F.min("h").over(win))
-        .where(F.col("pos") <= F.greatest(F.col("__n") - w + 1, F.lit(1)))
-        .select(id_col, "fp")
-        .distinct()
+        df.where(F.length(F.col(text_col)) >= k)
+        .select(F.col(id_col), F.col(text_col), hs.alias("__hs"))
+        .select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
     )
 
 
