@@ -375,9 +375,12 @@ class ODataReader(DataSourceReader):
             if not total:
                 return single
             base_skip = self._skip or 0
-            limit = (
-                self._top if self._top is not None else max(total - base_skip, 0)
-            )
+            # clamp an over-asked top to the rows that actually exist —
+            # otherwise windows past the end each burn an HTTP request
+            # for an empty page
+            limit = max(total - base_skip, 0)
+            if self._top is not None:
+                limit = min(self._top, limit)
             n = min(self._auto_max, (limit + self._auto_rows - 1) // self._auto_rows)
             if n < 2:
                 return single
@@ -391,9 +394,11 @@ class ODataReader(DataSourceReader):
             if not total:
                 return single
             base_skip = self._skip or 0
-            limit = (
-                self._top if self._top is not None else max(total - base_skip, 0)
-            )
+            limit = max(total - base_skip, 0)
+            if self._top is not None:
+                limit = min(self._top, limit)
+            if limit <= 0:
+                return single
             n = min(self._parallelism, max(1, limit))
         chunk = (limit + n - 1) // n
         return [

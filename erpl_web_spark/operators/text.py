@@ -895,7 +895,7 @@ def winnow_overlap_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Candidate local-overlap pairs from shared winnowing fingerprints:
     (id_a, id_b, n_shared) for document pairs sharing at least
@@ -903,28 +903,40 @@ def winnow_overlap_pairs(
     detector that MinHash misses (Jaccard dilutes a short shared passage
     inside two long documents; winnowing pins it locally).
 
-    Scale posture is exactly LSH banding: the self-join is an equi-join
-    on the fingerprint (skinny (fp, id) rows), never all-pairs.
+    Scale posture is LSH banding via bucketized grouping: fingerprints
+    are computed ONCE, grouped per fp into a sorted posting list, and
+    the in-bucket pairs expand from the list with array functions —
+    never an all-pairs join, and no second or third scan of the corpus
+    (a fp-keyed self-join formulation re-runs the O(total characters)
+    gram hashing once per join side plus once for the df filter).
     ``max_df`` drops fingerprints appearing in more than that many
-    documents before the join — the stop-fingerprint guard that bounds
-    the hot-bucket blowup from corpus-wide boilerplate (same hazard and
-    same fix as hot MinHash bands; at 100 TB this cap is mandatory, and
-    AQE skew-join handles what remains below it).
+    documents — the stop-fingerprint guard that bounds both the posting
+    lists and the quadratic in-bucket expansion from corpus-wide
+    boilerplate (same hazard and same fix as hot MinHash bands); it is
+    mandatory at scale, so the default caps rather than passing None
+    through.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    posting = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    posting = posting.where(F.size("ids") >= 2)
     if max_df is not None:
-        ok = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("fp")
+        posting = posting.where(F.size("ids") <= max_df)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                # elements strictly after position i (slice is 1-based;
+                # over-long lengths truncate at the end of the list)
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-        fps = fps.join(ok, "fp")
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    )
     return (
-        a.join(b, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
+        posting.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)

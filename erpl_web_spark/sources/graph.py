@@ -467,7 +467,12 @@ def sharepoint_list_update(
     distributed write): one PATCH per row, coalesced into ``$batch``
     envelopes exactly like ``sharepoint_list_write``; ``batch_size=1``
     degrades to the reference's per-item PATCH
-    (sharepoint_functions.cpp update path)."""
+    (sharepoint_functions.cpp update path).
+
+    Unlike create, a None value is SENT as an explicit JSON null —
+    PATCH semantics distinguish "clear this field" from "leave it
+    alone" (omit the column from the DataFrame to leave it alone);
+    silently dropping Nones would make null cells unclearable."""
     field_cols = [c for c in df.columns if c != id_col]
 
     def update_partition(rows):
@@ -476,7 +481,7 @@ def sharepoint_list_update(
             {
                 "method": "PATCH",
                 "url": f"/sites/{site_id}/lists/{list_id}/items/{r[id_col]}/fields",
-                "body": {c: r[c] for c in field_cols if r[c] is not None},
+                "body": {c: r[c] for c in field_cols},
             }
             for r in rows
         ]

@@ -1518,7 +1518,7 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
            MIN(fp) AS fp_min, MAX(fp) AS fp_max,
-           CAST(SUM(fp) AS BIGINT) AS fp_sum
+           CAST(SUM(fp % 1000003) AS BIGINT) AS fp_sum
     FROM sel GROUP BY doc_id
     """,
 )
@@ -1526,9 +1526,12 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS, Schleimer et al. 2003): k=5-char
     gram hashes, w=4 window minima, distinct per doc — the
     local-substring-overlap sketch complementing global MinHash. The
-    driver-checked output is the per-doc fingerprint summary (count /
-    min / max / exact sum), which pins the full fingerprint set without
-    emitting ~n/2 rows per document
+    driver-checked output is the per-doc fingerprint summary: count /
+    min / max / sum of (fp mod 1000003) — the mod keeps the pin sum
+    far from int64 overflow for arbitrarily large documents (a raw sum
+    of 48-bit hashes overflows past ~400 KB of text, which the
+    default-conf ANSI session would turn into a runtime error) while
+    still pinning the full fingerprint set
     (operators.text.winnow_fingerprints)."""
     from erpl_web_spark.operators.text import winnow_fingerprints
 
@@ -1538,7 +1541,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_fp"),
         F.min("fp").alias("fp_min"),
         F.max("fp").alias("fp_max"),
-        F.sum("fp").cast("bigint").alias("fp_sum"),
+        F.sum(F.col("fp") % 1000003).cast("bigint").alias("fp_sum"),
     )
 
 
