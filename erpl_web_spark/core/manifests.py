@@ -106,3 +106,126 @@ def retract_version(spark, path: str, kind: str, n: int, data_subdir: str) -> No
     data = jvm.org.apache.hadoop.fs.Path(f"{path}/{data_subdir}")
     if fs.exists(data):
         fs.delete(data, True)
+
+
+def uncommit_version(spark, path: str, kind: str, n: int) -> None:
+    """Remove ONLY the manifest of a version, leaving its data in
+    place. Writers call this before overwriting a version's data
+    directory on batch replay: between the previous attempt's commit
+    and the rewrite, readers must not resolve the version to a
+    directory that is about to be (or is being) clobbered.
+
+    Also creates ``_manifests/`` if absent — the directory doubles as
+    the protocol marker that lets readers tell OUR torn first write
+    (data + _SUCCESS, manifest pending: invisible, by design) apart
+    from pre-manifest legacy state (no ``_manifests`` at all: raise and
+    ask for adoption)."""
+    fs, jvm, _ = _fs(spark, path)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}"))
+    manifest = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}/{kind}-{n}.json")
+    if fs.exists(manifest):
+        fs.delete(manifest, False)
+
+
+def manifest_payload(spark, path: str, kind: str, n: int) -> dict:
+    """The committed manifest's JSON body (empty dict when absent)."""
+    fs, jvm, _ = _fs(spark, path)
+    manifest = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}/{kind}-{n}.json")
+    if not fs.exists(manifest):
+        return {}
+    stream = fs.open(manifest)
+    try:
+        # commons-io ships with Spark; py4j passes Java byte[] back as
+        # Python bytes (a Python-side read loop can't work — py4j byte[]
+        # arguments are pass-by-value, mutations don't propagate)
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    try:
+        return json.loads(data.decode())
+    except ValueError:
+        return {}
+
+
+def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[str]:
+    """Full paths of the committed data directories, version-ordered.
+    A manifest may point at a non-default directory via its ``data``
+    payload key (compaction commits do); otherwise ``<kind>=<n>``."""
+    out = []
+    for n in committed_versions(spark, path, kind, before=before):
+        sub = manifest_payload(spark, path, kind, n).get("data") or f"{kind}={n}"
+        out.append(f"{path}/{sub}")
+    return out
+
+
+def read_committed_union(spark, path: str, kind: str, before: int | None = None):
+    """Union DataFrame over every committed version's data (resolving
+    compaction redirects), or None when nothing is committed. Raises on
+    pre-manifest legacy state instead of silently reading nothing —
+    see ``adopt_success_markers``."""
+    dirs = data_dirs(spark, path, kind, before=before)
+    if not dirs:
+        assert_no_legacy_state(spark, path, kind)
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def _legacy_versions(spark, path: str, kind: str, ignore_marker: bool = False) -> list[int]:
+    """Version numbers of pre-manifest state: ``<kind>=<n>`` data dirs
+    carrying a parquet ``_SUCCESS`` marker but no manifest — and no
+    ``_manifests`` directory either. Once ``_manifests`` exists the
+    path is protocol-managed, and an unmanifested data dir is a torn
+    write (invisible by design), not legacy state. ``ignore_marker``
+    lets adoption resume after a partially-completed earlier run
+    (which already created ``_manifests``)."""
+    fs, jvm, root = _fs(spark, path)
+    if not fs.exists(root):
+        return []
+    if not ignore_marker and fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}")
+    ):
+        return []
+    committed = set(committed_versions(spark, path, kind))
+    prefix = f"{kind}="
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        try:
+            n = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if n in committed:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_SUCCESS")):
+            out.append(n)
+    out.sort()
+    return out
+
+
+def assert_no_legacy_state(spark, path: str, kind: str) -> None:
+    """Fail loudly when a state directory holds _SUCCESS-committed
+    versions from before the manifest protocol: treating them as
+    absent would silently rebuild state from scratch (CDC snapshots
+    would merge against an empty base; a semantic index would derive a
+    SECOND quantizer inconsistent with every existing delta)."""
+    legacy = _legacy_versions(spark, path, kind)
+    if legacy:
+        raise RuntimeError(
+            f"{path} holds pre-manifest state versions {legacy} "
+            f"(kind={kind!r}: _SUCCESS present, manifest missing). Run "
+            "erpl_web_spark.core.manifests.adopt_success_markers(spark, "
+            f"path, {kind!r}) once to commit manifests for them."
+        )
+
+
+def adopt_success_markers(spark, path: str, kind: str) -> list[int]:
+    """One-time migration: commit a manifest for every pre-manifest
+    ``<kind>=<n>`` directory whose parquet ``_SUCCESS`` marker shows a
+    complete write. Returns the adopted version numbers. Safe to re-run
+    (a crashed adoption resumes where it stopped)."""
+    legacy = _legacy_versions(spark, path, kind, ignore_marker=True)
+    for n in legacy:
+        commit_version(spark, path, kind, n, {"adopted_from": "_SUCCESS"})
+    return legacy

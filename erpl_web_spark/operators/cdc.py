@@ -108,6 +108,10 @@ def merge_to_parquet_snapshots(
     latest = read_latest_snapshot(spark, path, before=batch_id)
     base = latest if latest is not None else batch_df.filter(F.lit(False))
     merged = apply_cdc_changes(base, batch_df, keys, op_col, seq_cols)
+    # replay guard: if a previous attempt committed v=batch_id, retract
+    # its manifest BEFORE clobbering the data — readers must never
+    # resolve a version to a directory mid-overwrite
+    manifests.uncommit_version(spark, path, "v", batch_id)
     merged.write.mode("overwrite").parquet(f"{path}/v={batch_id}")
     # manifest written last: the version becomes reader-visible here
     manifests.commit_version(spark, path, "v", batch_id)
@@ -129,10 +133,13 @@ def read_latest_snapshot(spark, path: str, before: int | None = None) -> DataFra
     """
     from erpl_web_spark.core import manifests
 
-    versions = manifests.committed_versions(spark, path, "v", before=before)
-    if not versions:
+    dirs = manifests.data_dirs(spark, path, "v", before=before)
+    if not dirs:
+        # refuse to treat pre-manifest state as absent: merging against
+        # an empty base would silently drop every key not in this batch
+        manifests.assert_no_legacy_state(spark, path, "v")
         return None
-    return spark.read.parquet(f"{path}/v={versions[-1]}")
+    return spark.read.parquet(dirs[-1])
 
 
 def snapshot_digests(
@@ -238,11 +245,17 @@ def snapshot_stream_to_changes(
     changes = digest_diff(prev, new_dig, id_col).withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
     )
-    changes.write.mode("overwrite").parquet(f"{changes_path}/batch={batch_id}")
-    new_dig.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
     from erpl_web_spark.core import manifests
 
-    # manifest last: the digest state version becomes reader-visible here
+    # same commit discipline for BOTH outputs: uncommit before a replay
+    # overwrite, manifest written only after the data write returns (a
+    # consumer of the change feed can read committed batches via
+    # manifests.read_committed_union(spark, changes_path, "batch"))
+    manifests.uncommit_version(spark, changes_path, "batch", batch_id)
+    changes.write.mode("overwrite").parquet(f"{changes_path}/batch={batch_id}")
+    manifests.commit_version(spark, changes_path, "batch", batch_id)
+    manifests.uncommit_version(spark, state_path, "v", batch_id)
+    new_dig.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
     manifests.commit_version(spark, state_path, "v", batch_id)
 
 

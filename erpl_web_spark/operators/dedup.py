@@ -625,10 +625,7 @@ def read_dedup_index(spark, path: str, before: int | None = None):
     Hadoop-visible filesystem."""
     from erpl_web_spark.core import manifests
 
-    parts = manifests.committed_versions(spark, path, "batch", before=before)
-    if not parts:
-        return None
-    return spark.read.parquet(*[f"{path}/batch={n}" for n in parts])
+    return manifests.read_committed_union(spark, path, "batch", before=before)
 
 
 def dedup_index_apply(
@@ -757,10 +754,13 @@ def dedup_index_apply(
     keepers = survivors.join(
         index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
-    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
     from erpl_web_spark.core import manifests
 
-    # manifest last: the delta becomes reader-visible only here
+    # replay guard: retract a previous attempt's manifest before the
+    # overwrite; manifest re-written last, so the delta is never
+    # reader-visible while half-written
+    manifests.uncommit_version(spark, path, "batch", batch_id)
+    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
     manifests.commit_version(spark, path, "batch", batch_id)
 
     decisions = (
@@ -795,10 +795,17 @@ def dedup_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     that batch's delta is never part of a compaction with
     ``keep_latest >= 1``. Returns the number of directories merged.
 
-    Not concurrent-reader transactional: between retracting the merged
-    deltas and re-committing the target there is a window where readers
-    see fewer documents — run compaction while the stream is quiescent
-    (the same contract as parquet-level compaction everywhere).
+    Crash-safe by manifest redirection, never by deletion order: the
+    merged rows land in a NEW generation directory, the target
+    version's manifest is re-pointed at it (one atomic manifest
+    replace), and only then are the merged-away versions retracted and
+    stale directories removed. No crash point loses a committed
+    document — the worst case (die between the redirect commit and the
+    retractions) leaves the merged-away deltas still committed, i.e.
+    their rows appear TWICE in the union until the next compaction;
+    the merge therefore de-duplicates full rows, making a re-run
+    self-healing. Index semantics tolerate the transient duplicates
+    (candidate verification is per-pair).
     """
     from erpl_web_spark.core import manifests
     from erpl_web_spark.core.manifests import _fs
@@ -808,16 +815,27 @@ def dedup_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     if len(to_merge) < 2:
         return 0
     target = to_merge[0]
-    merged = spark.read.parquet(*[f"{path}/batch={n}" for n in to_merge])
-    tmp = f"{path}/.compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    for n in to_merge:
-        manifests.retract_version(spark, path, "batch", n, f"batch={n}")
+    old_dirs = manifests.data_dirs(spark, path, "batch", before=to_merge[-1] + 1)
+    old_dirs = old_dirs[: len(to_merge)]
+    # generation suffix from the newest merged id: never collides with
+    # a LATER compaction's directory; if a previous partial run already
+    # committed this generation, alternate the suffix so the write
+    # never overwrites the directory the live manifest points at
+    gen_dir = f"batch={target}.c{to_merge[-1]}"
+    current = manifests.manifest_payload(spark, path, "batch", target).get("data")
+    if current == gen_dir:
+        gen_dir += "b"
+    merged = spark.read.parquet(*old_dirs).dropDuplicates()
+    merged.write.mode("overwrite").parquet(f"{path}/{gen_dir}")
+    # atomic switch: target now resolves to the merged generation
+    manifests.commit_version(spark, path, "batch", target, {"data": gen_dir})
     fs, jvm, _ = _fs(spark, path)
-    if not fs.rename(
-        jvm.org.apache.hadoop.fs.Path(tmp),
-        jvm.org.apache.hadoop.fs.Path(f"{path}/batch={target}"),
-    ):
-        raise IOError(f"compaction rename failed: {tmp} -> batch={target}")
-    manifests.commit_version(spark, path, "batch", target)
+    for n, d in zip(to_merge, old_dirs):
+        if n == target:
+            # retract only the stale data dir (manifest was re-pointed)
+            stale = jvm.org.apache.hadoop.fs.Path(d)
+            if d != f"{path}/{gen_dir}" and fs.exists(stale):
+                fs.delete(stale, True)
+        else:
+            manifests.retract_version(spark, path, "batch", n, d[len(path) + 1:])
     return len(to_merge)

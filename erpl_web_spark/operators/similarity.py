@@ -827,10 +827,7 @@ def read_embedding_index(spark, path: str, before: int | None = None):
     Hadoop-visible filesystem."""
     from erpl_web_spark.core import manifests
 
-    parts = manifests.committed_versions(spark, path, "batch", before=before)
-    if not parts:
-        return None
-    return spark.read.parquet(*[f"{path}/batch={n}" for n in parts])
+    return manifests.read_committed_union(spark, path, "batch", before=before)
 
 
 def embedding_index_apply(
@@ -881,6 +878,23 @@ def embedding_index_apply(
     if manifests.committed_versions(spark, path, "centroids"):
         cents = spark.read.parquet(cent_path)
     else:
+        fs, jvm, _ = manifests._fs(spark, path)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{cent_path}/_SUCCESS")
+        ) and manifests.committed_versions(spark, path, "batch"):
+            # a quantizer parquet without a manifest NEXT TO committed
+            # deltas is pre-manifest legacy state: deriving a SECOND
+            # quantizer would assign new vectors to cells inconsistent
+            # with every existing delta — silent index corruption. (With
+            # no committed deltas it is our own torn first write: the
+            # positional derivation below reproduces it deterministically
+            # and the overwrite+commit is safe.)
+            raise RuntimeError(
+                f"{cent_path} holds a pre-manifest quantizer (_SUCCESS "
+                "present, manifest missing) beside committed deltas. Run "
+                f"core.manifests.commit_version(spark, {path!r}, "
+                "'centroids', 0) once."
+            )
         # Derive the quantizer POSITIONALLY (every stride-th row in id
         # order), not by the id-modulo rule: a first batch whose ids
         # happen to avoid multiples of stride would otherwise persist an
@@ -968,8 +982,9 @@ def embedding_index_apply(
     keepers = survivors.join(
         index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
+    # replay guard + manifest-last commit, same as the lexical index
+    manifests.uncommit_version(spark, path, "batch", batch_id)
     keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
-    # manifest last: the delta becomes reader-visible only here
     manifests.commit_version(spark, path, "batch", batch_id)
 
     decisions = (

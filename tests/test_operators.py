@@ -1262,8 +1262,10 @@ def test_dedup_index_compaction(spark, tmp_path):
 
     merged = dedup_index_compact(spark, idx, keep_latest=1)
     assert merged == 2
+    # merged generation dir committed via manifest redirect; the
+    # merged-away delta's dir is gone
     dirs = sorted(d for d in os.listdir(idx) if d.startswith("batch="))
-    assert dirs == ["batch=0", "batch=2"]
+    assert dirs == ["batch=0.c1", "batch=2"]
     assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == before
 
     # a near-dup of compacted history is still caught
@@ -2400,3 +2402,86 @@ def test_winnow_overlap_pairs_finds_planted_passage(spark):
         for r in winnow_overlap_pairs(df, min_shared=3, max_df=2).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_legacy_success_state_raises_until_adopted(spark, tmp_path):
+    """Pre-manifest state (v=N dirs with _SUCCESS, no _manifests) must
+    raise — silently rebuilding from an empty base would drop keys —
+    and adopt_success_markers migrates it in place. A torn FIRST write
+    under the new protocol (_manifests exists, manifest pending) stays
+    invisible without raising."""
+    import pytest as _pytest
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.cdc import read_latest_snapshot
+
+    snap = str(tmp_path / "legacy")
+    spark.createDataFrame([(1, 1.0)], "k long, val double").write.parquet(
+        f"{snap}/v=0"
+    )
+    spark.createDataFrame([(1, 2.0)], "k long, val double").write.parquet(
+        f"{snap}/v=1"
+    )
+    with _pytest.raises(RuntimeError, match="adopt_success_markers"):
+        read_latest_snapshot(spark, snap)
+    assert manifests.adopt_success_markers(spark, snap, "v") == [0, 1]
+    got = read_latest_snapshot(spark, snap)
+    assert [(r["k"], r["val"]) for r in got.collect()] == [(1, 2.0)]
+
+    # torn first write under the protocol: marker dir exists, no commit
+    torn = str(tmp_path / "torn_first")
+    manifests.uncommit_version(spark, torn, "v", 0)  # creates _manifests
+    spark.createDataFrame([(9, 9.0)], "k long, val double").write.parquet(
+        f"{torn}/v=0"
+    )
+    assert read_latest_snapshot(spark, torn) is None
+
+
+def test_dedup_index_compact_redirect_and_self_heal(spark, tmp_path):
+    """Compaction commits the merged generation via manifest redirect
+    BEFORE retracting sources — no crash point loses a committed
+    document. A simulated crash right after the redirect (sources still
+    committed) shows transient duplicates; the next compaction
+    de-duplicates and converges."""
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.dedup import (
+        dedup_index_apply,
+        dedup_index_compact,
+        read_dedup_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog tonight",
+        1: "pack my box with five dozen liquor jugs right now",
+        2: "how vexingly quick daft zebras jump over fences",
+    }
+    for bid, txt in texts.items():
+        dedup_index_apply(
+            spark.createDataFrame([(bid, txt)], "doc_id long, text string"), bid, idx
+        )
+    want = {0, 1, 2}
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == want
+
+    merged = dedup_index_compact(spark, idx, keep_latest=1)
+    assert merged == 2
+    assert {r["doc_id"] for r in read_dedup_index(spark, idx).collect()} == want
+    # target resolves through the manifest's data redirect
+    payload = manifests.manifest_payload(spark, idx, "batch", 0)
+    assert payload.get("data", "").startswith("batch=0.c")
+
+    # simulate the crash window: re-commit batch=1 as if retraction had
+    # not happened (its data is gone, so re-point it at the merged dir
+    # to model 'sources still committed' with duplicate content)
+    manifests.commit_version(spark, idx, "batch", 1, {"data": payload["data"]})
+    dup = read_dedup_index(spark, idx)
+    # gen dir (docs 0,1) read twice + batch=2 once: 5 rows, docs 0 and 1
+    # transiently duplicated
+    assert dup.count() == 5
+    assert {r["doc_id"] for r in dup.collect()} == want  # but nothing lost
+
+    # next compaction self-heals: full-row dedup restores exact counts
+    dedup_index_compact(spark, idx, keep_latest=0)
+    healed = read_dedup_index(spark, idx)
+    assert healed.count() == len(want)
+    assert {r["doc_id"] for r in healed.collect()} == want
