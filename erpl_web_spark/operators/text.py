@@ -941,3 +941,68 @@ def winnow_overlap_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def with_bigram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Bigram corpus-coverage scoring — the adjacency-level sibling of
+    ``with_unigram_freq_score``: per document, the fraction of its
+    bigram OCCURRENCES whose corpus-wide bigram count reaches
+    ``min_count``. Documents full of never-repeated adjacencies (OCR
+    noise, shredded markup, word salad) score near 0; natural prose
+    scores high — a cheap second-order LM signal with no model, and
+    exact-integer arithmetic until one final double division (so the
+    result is value-hash oracle-checkable).
+
+    Returns (id, n_bigrams, n_covered, bigram_coverage). Documents with
+    fewer than two tokens keep n_bigrams = 0 and coverage 0.0 (filtered
+    BEFORE the index expansion — the descending-sequence hazard).
+
+    Shuffle posture: bigrams explode map-side; the count aggregation is
+    map-side combined on (w1, w2); the count join back to occurrences
+    is bigram-keyed — hyper-frequent bigrams are the AQE skew-join
+    case, same as the unigram score; the roll-up shuffles (id, long)
+    pairs only.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.get("t", i - 1).alias("w1"), F.get("t", i).alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bn"))
+    per_doc = (
+        bg.join(counts, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum((F.col("bn") >= min_count).cast("long"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+            (
+                F.coalesce("n_covered", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)).cast("double")
+            ).alias("bigram_coverage"),
+        )
+    )

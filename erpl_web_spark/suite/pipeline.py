@@ -1591,6 +1591,44 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bn FROM bg GROUP BY w1, w2
+    ), per_doc AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN c.bn >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM bg JOIN counts c USING (w1, w2)
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.n_covered, 0) AS n_covered,
+           CAST(COALESCE(p.n_covered, 0) AS DOUBLE)
+             / GREATEST(COALESCE(p.n_bigrams, 0), 1) AS bigram_coverage
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order corpus-coverage quality signal: per document, the
+    fraction of bigram occurrences whose corpus-wide bigram count
+    reaches 3 — word salad and OCR shred score near 0, natural prose
+    high. Exact integers until one final double division
+    (operators.text.with_bigram_coverage); hot bigrams are the AQE
+    skew-join case, same posture as the unigram score."""
+    from erpl_web_spark.operators.text import with_bigram_coverage
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return with_bigram_coverage(d, "doc_id", "text", min_count=3)
+
+
+@register(
     "curation_token_budget",
     oracle=f"""
     WITH keyed AS (

@@ -2485,3 +2485,26 @@ def test_dedup_index_compact_redirect_and_self_heal(spark, tmp_path):
     healed = read_dedup_index(spark, idx)
     assert healed.count() == len(want)
     assert {r["doc_id"] for r in healed.collect()} == want
+
+
+def test_bigram_coverage_contract(spark):
+    """Coverage contract: repeated-adjacency docs score 1.0, unique
+    word salad scores 0.0, short docs (< 2 tokens) keep n_bigrams=0 and
+    coverage 0.0, and counts are exact."""
+    from erpl_web_spark.operators.text import with_bigram_coverage
+
+    common = "good morning everyone "  # bigrams repeated across docs
+    rows = [
+        (1, common * 3),                 # all bigrams hyper-frequent
+        (2, common * 3),
+        (3, common * 3),
+        (4, "zeta qoph vav resh ayin"),  # every bigram unique
+        (5, "single"),                   # < 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_bigram_coverage(df, min_count=3).collect()}
+    assert got[1]["n_bigrams"] == 8  # 9 tokens -> 8 adjacent pairs
+    assert got[1]["bigram_coverage"] == 1.0
+    assert got[4]["n_covered"] == 0 and got[4]["bigram_coverage"] == 0.0
+    assert got[5]["n_bigrams"] == 0 and got[5]["bigram_coverage"] == 0.0
+    assert len(got) == 5
