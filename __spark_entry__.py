@@ -30,75 +30,70 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver's per-round sample has not yet hash-checked
-# (registry minus the union of CORRECTNESS_r01-r04 keys), listed first so
-# a prefix-based sample reaches them; oracle-backed entries lead, the one
-# rows-only entry (text_bpe_merges, golden-fixture pinned) trails. Names
-# are stable; previously-sampled entries keep their relative order after
-# these.
+# Sample-rotation order for the driver's prefix-based per-round check.
+# Round 6: the 20 entries with no green driver row lead — first the 4
+# whose latest driver row is a stale r01/r04 err (fixed and judge-verified
+# locally, needs a green hash row), then the 16 never driver-sampled
+# (oracle-backed first, the rows-only text_bpe_merges last). The remaining
+# ~30 slots of the prefix-50 interleave the OLDEST previously-verified
+# names (last sampled in r01/r02) so the sample keeps regression-detection
+# power instead of only maximizing first-time coverage. Names are stable;
+# unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    "embedding_cluster_semantic",
-    "dedup_substring_scrub",
-    "dedup_keep_best",
-    "match_fuzzy_parts",
-    "match_resolve_parts",
-    "cdc_snapshot_diff",
-    "pipeline_split_leak_safe",
-    "curation_decontaminate_semantic",
-    "text_bpe_pairs",
-    "similarity_threshold_sweep",
-    "dedup_source_overlap",
-    "multimodal_audio_chunks",
-    "curation_temperature_mixture",
-    "text_tfidf_topk",
-    "pipeline_corpus_report",
-    "text_lang_confusion",
-    "text_gopher_rules",
-    "text_clean_lines",
-    "similarity_recall_at_k",
-    "text_bigram_topk",
-    "set_except_all",
-    "set_intersect_all",
-    "odata_apply_groupby",
-    "funnel_stages",
-    "cohort_retention",
-    "agg_histogram",
-    "asof_join_forward",
-    "events_resample_1h",
-    "diag_profile_orders",
-    "interval_join_bucketed",
-    "stat_corr_matrix",
-    "events_value_anomaly",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q22_idle_cohorts",
-    "min_cost_supplier",
-    "unpivot_part_attrs",
-    "agg_approx_distinct",
-    "bitwise_funcs",
-    "interval_funcs",
-    "string_distance_funcs",
-    "codec_funcs",
-    "null_safe_funcs",
-    "sequence_funcs",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "q21_waiting_suppliers",
+    # -- stale driver errs, fixed locally, need a green row --
+    "array_funcs",
+    "map_funcs",
+    "odata_expand_nested",
+    "embedding_pca_project",
+    # -- never driver-sampled, oracle-backed --
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q11_important_stock",
     "q12_shipping_modes",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
     "pivot_order_status",
     "analytics_rfm_segments",
     "analytics_market_basket",
     "analytics_event_transitions",
-    "q02_min_cost_supplier",
-    "q09_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_relationship",
-    "q20_potential_promotion",
+    "text_hashed_features",
+    "text_winnow_fingerprints",
+    "dedup_winnow_overlap",
+    "text_bigram_coverage",
+    # -- never driver-sampled, rows-only (golden-fixture pinned) --
     "text_bpe_merges",
+    # -- regression rotation: verified in r01/r02, not re-checked since --
+    "asof_join_events",
+    "window_rank_orders",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_theta_pairs",
+    "join_broadcast_dims",
+    "window_lag_lead",
+    "window_moving_frame",
+    "window_sessionize",
+    "sort_topk",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_projection",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "json_funcs",
+    "odata_select_filter_top",
+    "cdc_delta_batch",
+    "filter_in_case_coalesce",
+    "subquery_scalar_avg",
+    "having_groups",
+    "union_all_tagged",
+    "pivot_status_counts",
+    "explode_words",
+    "window_distribution",
+    "agg_stats_exact",
+    "join_salted_skew",
 ]
 
 
