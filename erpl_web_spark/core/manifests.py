@@ -18,9 +18,11 @@ explicit and readers listing-safe:
 - readers enumerate ``_manifests/`` ONLY and read exactly the data
   directories the manifests name — a data dir without its manifest is
   invisible, no matter what a raw listing returns;
-- deletes remove the manifest FIRST, then the data — readers can race
-  a cleanup and at worst re-read a still-complete version, never a
-  half-deleted one.
+- deletes remove the manifest FIRST, then the data — a reader that
+  races a cleanup either skips the version (``data_dirs`` treats a
+  vanished manifest as no-longer-committed after a brief re-check) or
+  fails loudly on the deleted directory; it never silently reads a
+  half-deleted or pre-redirect state.
 
 All filesystem access goes through the Hadoop FileSystem API of the
 active session (``Path.getFileSystem``), so ``path`` may be a local
@@ -66,11 +68,25 @@ def commit_version(spark, path: str, kind: str, n: int, payload: dict | None = N
         out.write(bytearray(data))
     finally:
         out.close()
-    # rename-over: delete a stale target from a previous replay first
-    # (HDFS rename refuses to clobber); the gap is harmless — the
-    # replayed manifest carries identical content.
     if fs.exists(final):
-        fs.delete(final, False)
+        # Replacing a live manifest (batch replay, compaction redirect)
+        # must not expose a missing-manifest window to a racing reader:
+        # prefer FileContext's atomic overwrite rename. Where the
+        # filesystem doesn't support it, fall back to delete-then-rename
+        # — the ``data_dirs`` re-check loop absorbs that gap.
+        try:
+            fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                fs.getUri(), spark._jsc.hadoopConfiguration()
+            )
+            ren = jvm.org.apache.hadoop.fs.Options.Rename
+            opts = spark._sc._gateway.new_array(ren, 1)
+            opts[0] = ren.OVERWRITE
+            fctx.rename(tmp, final, opts)
+            return
+        except Exception:
+            if not fs.exists(tmp) and fs.exists(final):
+                return  # the overwrite rename did land before the error
+            fs.delete(final, False)
     if not fs.rename(tmp, final):
         raise IOError(f"manifest rename failed: {tmp} -> {final}")
 
@@ -129,11 +145,26 @@ def uncommit_version(spark, path: str, kind: str, n: int) -> None:
 
 def manifest_payload(spark, path: str, kind: str, n: int) -> dict:
     """The committed manifest's JSON body (empty dict when absent)."""
+    payload = _manifest_payload(spark, path, kind, n)
+    return {} if payload is None else payload
+
+
+def _manifest_payload(spark, path: str, kind: str, n: int) -> dict | None:
+    """Manifest body, or ``None`` when the manifest file is ABSENT —
+    the distinction ``data_dirs`` needs to tell a retracted version
+    apart from one with an empty payload. Raises on a present but
+    unparseable manifest (protocol violation: renamed manifests are
+    whole-file-visible and immutable)."""
     fs, jvm, _ = _fs(spark, path)
     manifest = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST_DIR}/{kind}-{n}.json")
     if not fs.exists(manifest):
-        return {}
-    stream = fs.open(manifest)
+        return None
+    try:
+        stream = fs.open(manifest)
+    except Exception:
+        if not fs.exists(manifest):
+            return None  # retracted between the exists probe and the open
+        raise
     try:
         # commons-io ships with Spark; py4j passes Java byte[] back as
         # Python bytes (a Python-side read loop can't work — py4j byte[]
@@ -144,16 +175,35 @@ def manifest_payload(spark, path: str, kind: str, n: int) -> dict:
     try:
         return json.loads(data.decode())
     except ValueError:
-        return {}
+        raise IOError(f"unparseable manifest: {path}/{_MANIFEST_DIR}/{kind}-{n}.json")
 
 
 def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[str]:
     """Full paths of the committed data directories, version-ordered.
     A manifest may point at a non-default directory via its ``data``
-    payload key (compaction commits do); otherwise ``<kind>=<n>``."""
+    payload key (compaction commits do); otherwise ``<kind>=<n>``.
+
+    A manifest that vanishes between the ``committed_versions`` listing
+    and the payload read is NOT resolved to the default directory (the
+    version may have been retracted — its data directory is being
+    deleted — or a fallback delete-then-rename replace is mid-swap and
+    the default dir holds pre-redirect content). Instead the read is
+    retried briefly (a replace lands within milliseconds) and the
+    version is treated as no-longer-committed if the manifest stays
+    gone."""
+    import time
+
     out = []
     for n in committed_versions(spark, path, kind, before=before):
-        sub = manifest_payload(spark, path, kind, n).get("data") or f"{kind}={n}"
+        payload = _manifest_payload(spark, path, kind, n)
+        for _ in range(4):
+            if payload is not None:
+                break
+            time.sleep(0.05)
+            payload = _manifest_payload(spark, path, kind, n)
+        if payload is None:
+            continue  # retracted after the listing
+        sub = payload.get("data") or f"{kind}={n}"
         out.append(f"{path}/{sub}")
     return out
 

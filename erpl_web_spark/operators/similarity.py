@@ -875,13 +875,27 @@ def embedding_index_apply(
 
     spark = batch_df.sparkSession
     cent_path = f"{path}/centroids"
+    # Legacy probe FIRST, before any write: committing a quantizer below
+    # creates ``_manifests/``, and once that marker exists every later
+    # legacy check treats unmanifested ``batch=N/_SUCCESS`` dirs as torn
+    # writes (invisible by design) — so a fully pre-manifest index dir
+    # reached without this entry probe would get a fresh inconsistent
+    # quantizer and have its whole delta history silently dropped.
+    manifests.assert_no_legacy_state(spark, path, "batch")
     if manifests.committed_versions(spark, path, "centroids"):
         cents = spark.read.parquet(cent_path)
     else:
         fs, jvm, _ = manifests._fs(spark, path)
         if fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{cent_path}/_SUCCESS")
-        ) and manifests.committed_versions(spark, path, "batch"):
+        ) and (
+            manifests.committed_versions(spark, path, "batch")
+            # marker-ignoring probe: a partially-adopted dir already has
+            # ``_manifests/`` yet its unmanifested _SUCCESS deltas are
+            # still legacy history, not our torn writes — deriving a new
+            # quantizer beside them corrupts the index the same way
+            or manifests._legacy_versions(spark, path, "batch", ignore_marker=True)
+        ):
             # a quantizer parquet without a manifest NEXT TO committed
             # deltas is pre-manifest legacy state: deriving a SECOND
             # quantizer would assign new vectors to cells inconsistent

@@ -914,15 +914,30 @@ def winnow_overlap_pairs(
     lists and the quadratic in-bucket expansion from corpus-wide
     boilerplate (same hazard and same fix as hot MinHash bands); it is
     mandatory at scale, so the default caps rather than passing None
-    through.
+    through. The cap is applied BEFORE the posting lists are built: a
+    map-side-combined count aggregation finds the hot fingerprints and
+    an anti-join (tiny build side — AQE broadcasts it) removes them
+    from the persisted fingerprint table, so ``collect_list`` never
+    materializes a corpus-wide boilerplate fingerprint's multi-GB
+    buffer on one task only to discard it (filtering AFTER the
+    aggregation bounds retained lists but not built ones).
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_df is not None:
+        from pyspark import StorageLevel
+
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").cast("bigint").alias("df_n"))
+            .where(F.col("df_n") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
     posting = fps.groupBy("fp").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     posting = posting.where(F.size("ids") >= 2)
-    if max_df is not None:
-        posting = posting.where(F.size("ids") <= max_df)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -966,8 +981,13 @@ def with_bigram_coverage(
     map-side combined on (w1, w2); the count join back to occurrences
     is bigram-keyed — hyper-frequent bigrams are the AQE skew-join
     case, same as the unigram score; the roll-up shuffles (id, long)
-    pairs only.
+    pairs only. The exploded bigram frame feeds BOTH the corpus count
+    and the join-back, so it is persisted — tokenization + explode (the
+    dominant cost at scale) runs once, and the second consumer reads
+    the InMemoryRelation.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
         F.size("t") >= 2
     )
@@ -981,7 +1001,7 @@ def with_bigram_coverage(
                 ),
             )
         ).alias("p"),
-    ).select(id_col, "p.w1", "p.w2")
+    ).select(id_col, "p.w1", "p.w2").persist(StorageLevel.MEMORY_AND_DISK)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bn"))
     per_doc = (
         bg.join(counts, ["w1", "w2"])

@@ -2322,6 +2322,58 @@ def test_embedding_index_quantizer_positional_and_empty_guard(spark, tmp_path):
         embedding_index_apply(empty, 0, str(tmp_path / "idx2"), stride=50)
 
 
+def test_embedding_index_legacy_state_guard_runs_before_any_write(spark, tmp_path):
+    """Regression (round-6 advice): a FULLY pre-manifest index dir
+    (batch deltas + quantizer with _SUCCESS, no _manifests) must raise
+    at entry — BEFORE the quantizer derivation commits a manifest and
+    creates ``_manifests/``, which would make the legacy history
+    permanently invisible and silently replace the quantizer. After
+    adoption, the stored legacy quantizer is reused (never re-derived)
+    and legacy deltas stay in the index."""
+    import os
+
+    import pytest as _pytest
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.similarity import (
+        embedding_index_apply,
+        read_embedding_index,
+    )
+
+    path = str(tmp_path / "legacy_idx")
+    spark.createDataFrame(
+        [(10, [1.0, 0.0], 1.0, 1)],
+        "vec_id long, embedding array<float>, nrm double, cell long",
+    ).write.parquet(f"{path}/batch=0")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0])], "cell long, centroid_vec array<float>"
+    ).write.parquet(f"{path}/centroids")
+
+    b1 = spark.createDataFrame(
+        [(11, [0.999, 0.01]), (12, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(RuntimeError, match="adopt_success_markers"):
+        embedding_index_apply(b1, 1, path, threshold=0.98)
+    # the probe must fire before ANY write: no protocol marker, and the
+    # legacy quantizer is untouched
+    assert not os.path.exists(f"{path}/_manifests")
+    assert spark.read.parquet(f"{path}/centroids").count() == 1
+
+    # partial adoption (marker exists, deltas still unmanifested) must
+    # hit the quantizer guard, not silently derive a second quantizer
+    assert manifests.adopt_success_markers(spark, path, "batch") == [0]
+    manifests.uncommit_version(spark, path, "batch", 0)  # re-open the gap
+    with _pytest.raises(RuntimeError, match="pre-manifest quantizer"):
+        embedding_index_apply(b1, 1, path, threshold=0.98)
+
+    # full adoption: batch manifests + the one-time centroid commit
+    manifests.commit_version(spark, path, "batch", 0)
+    manifests.commit_version(spark, path, "centroids", 0)
+    embedding_index_apply(b1, 1, path, threshold=0.98)
+    kept = {r["vec_id"] for r in read_embedding_index(spark, path).collect()}
+    assert kept == {10, 12}  # 11 is a dup of legacy 10; history retained
+
+
 def test_hashed_features_counts_and_bounds(spark):
     """Hashing-trick contract: per-doc bucket counts sum to the doc's
     token count, buckets stay in [0, num_buckets), and identical tokens
@@ -2402,6 +2454,36 @@ def test_winnow_overlap_pairs_finds_planted_passage(spark):
         for r in winnow_overlap_pairs(df, min_shared=3, max_df=2).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_data_dirs_skips_vanished_manifest(spark, tmp_path, monkeypatch):
+    """Regression (round-6 advice): a manifest that disappears between
+    the committed_versions listing and the payload read (concurrent
+    retract) must make the version invisible — NOT resolve to the
+    default ``kind=N`` directory, which may be deleted or hold
+    pre-compaction content. Also: replacing a manifest must leave no
+    missing-manifest window artifacts (tmp files)."""
+    import os
+
+    from erpl_web_spark.core import manifests
+
+    path = str(tmp_path / "state")
+    spark.createDataFrame([(1,)], "k long").write.parquet(f"{path}/v=0")
+    manifests.commit_version(spark, path, "v", 0)
+    # atomic replace: payload updated, no .tmp leftovers
+    manifests.commit_version(spark, path, "v", 0, {"data": "v=0"})
+    assert manifests.manifest_payload(spark, path, "v", 0)["data"] == "v=0"
+    assert not [
+        f for f in os.listdir(f"{path}/_manifests") if f.startswith(".tmp")
+    ]
+
+    # simulate the race: the listing still returns version 0 but its
+    # manifest is gone by payload-read time
+    os.remove(f"{path}/_manifests/v-0.json")
+    monkeypatch.setattr(
+        manifests, "committed_versions", lambda *a, **kw: [0]
+    )
+    assert manifests.data_dirs(spark, path, "v") == []
 
 
 def test_legacy_success_state_raises_until_adopted(spark, tmp_path):
