@@ -17,7 +17,17 @@ Python Data Source API:
                reads stay one server-friendly page chain (reference
                parity: its scan is always single-stream,
                odata_content.cpp:1072-1100). ``parallelism=N`` forces a
-               split count;
+               split count. CONSISTENCY CAVEAT: parallel ``$skip``
+               windows are independent server requests and are NOT
+               snapshot-consistent against concurrent source mutations
+               — an insert/delete between window reads can shift rows
+               across window boundaries even under a stable
+               ``$orderby``, duplicating or missing them (a wider
+               exposure than one sequential chain, which at least reads
+               a moving frontier once). For write-hot entity sets
+               either pin ``parallelism=1`` or use the ODP delta
+               surface (``sources/odp.py``), which is the
+               change-tracking contract designed for mutating data;
 - execute   -> ``read(partition)``: generator following next-page links,
                decoding JSON rows to typed tuples (executor-side).
 

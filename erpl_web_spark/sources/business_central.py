@@ -90,12 +90,19 @@ def bc_read(
     entity: str,
     company_id: str | None = None,
     expand: str | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
-    """Entity scan through the odata data source (v4, full pushdown)."""
+    """Entity scan through the odata data source (v4, full pushdown).
+    Inherits the data source's scan behavior including
+    ``parallelism=auto`` window splitting for big entity sets;
+    ``options`` passes through any odata reader option
+    (``auto_partition_rows``, ``page_size``, ``parallelism``, ...)."""
     ensure_registered(spark)
     reader = spark.read.format("odata").option(
         "url", client.entity_url(entity, company_id)
     )
     if expand:
         reader = reader.option("expand", expand)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
     return reader.load()

@@ -152,8 +152,11 @@ def datasphere_read_relational(
     top: int | None = None,
     skip: int | None = None,
     params: dict | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
-    """Relational consumption scan via the odata data source (A11)."""
+    """Relational consumption scan via the odata data source (A11).
+    Inherits ``parallelism=auto`` window splitting for big assets;
+    ``options`` passes through any odata reader option."""
     ensure_registered(spark)
     url = client.relational_url(space, asset)
     if params:
@@ -164,6 +167,8 @@ def datasphere_read_relational(
         reader = reader.option("top", str(top))
     if skip is not None:
         reader = reader.option("skip", str(skip))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
     return reader.load()
 
 
@@ -177,10 +182,21 @@ def datasphere_read_analytical(
     top: int | None = None,
 ) -> DataFrame:
     """Analytical consumption: metrics+dimensions -> $select (A12) — the
-    server aggregates; Spark sees the pre-aggregated result."""
+    server aggregates; Spark sees the pre-aggregated result.
+
+    Analytical reads are pinned to a SINGLE page chain (parallelism=1):
+    the server recomputes the aggregate per request and the aggregated
+    row set has no entity-key pagination contract, so parallel ``$skip``
+    windows could split one live aggregation across inconsistent
+    snapshots — same rule as ``$apply`` scans, and the reference's
+    analytical consumption is likewise single-stream."""
     ensure_registered(spark)
     url = client.analytical_url(space, asset)
-    reader = spark.read.format("odata").option("url", url)
+    reader = (
+        spark.read.format("odata")
+        .option("url", url)
+        .option("parallelism", "1")
+    )
     select = list(dimensions or []) + list(metrics or [])
     if select:
         reader = reader.option("select", ",".join(select))

@@ -17,8 +17,9 @@ Reference (SURVEY.md §2.I, src/odp_*.cpp):
   (odp_subscription_repository.cpp:591-635).
 
 Spark mapping: state is a JSON file per subscription + a JSONL audit log
-under a state dir (the checkpoint-dir analogue); ``odp_read`` returns the
-batch as a DataFrame. Pages are fetched driver-side (the reference's scan
+under a state dir (the checkpoint-dir analogue) addressed through
+``pyarrow.fs`` — a local path or any ``file://``/``s3://``/``gs://`` URI;
+``odp_read`` returns the batch as a DataFrame. Pages are fetched driver-side (the reference's scan
 is also a single page-chain); for huge initial loads, do the first load
 through the parallel ``odata`` data source and seed the subscription with
 ``import_delta_token``. A Structured Streaming wrapper lives in
@@ -64,52 +65,100 @@ class OdpSubscription:
 
 class OdpSubscriptionRepository:
     """Durable subscription + audit store (reference tables
-    erpl_web.odp_subscriptions / odp_subscription_audit)."""
+    erpl_web.odp_subscriptions / odp_subscription_audit,
+    odp_subscription_repository.cpp:591-635).
+
+    Filesystem access goes through ``pyarrow.fs`` rather than ``os.*``:
+    ``state_dir`` may be a plain local path, a ``file://`` URI, or any
+    pyarrow-visible object-store URI (``s3://``, ``gs://``; ``hdfs://``
+    where libhdfs is available) — the repository no longer silently
+    requires a driver-local directory. pyarrow is used instead of the
+    JVM Hadoop FileSystem because this code also runs inside Python
+    Data Source worker processes (the ``odp`` streaming source), which
+    have no py4j gateway. Subscription saves land via create-temp +
+    move (atomic rename on local/HDFS; on object stores a small single
+    PUT is whole-object-visible, so the move's copy+delete is safe
+    too). The audit trail appends to ``audit.jsonl`` where the
+    filesystem supports appends, else writes one record file per event
+    under ``audit/``.
+    """
 
     def __init__(self, state_dir: str = DEFAULT_STATE_DIR):
+        from pyarrow import fs as pafs
+
         self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
+        if "://" in state_dir:
+            self._fs, root = pafs.FileSystem.from_uri(state_dir)
+        else:
+            self._fs, root = pafs.LocalFileSystem(), os.path.abspath(state_dir)
+        self._root = root.rstrip("/")
+        self._fs.create_dir(self._root, recursive=True)
 
     @staticmethod
     def subscription_id_for(url: str) -> str:
         return hashlib.sha256(url.encode()).hexdigest()[:16]
 
     def _path(self, sub_id: str) -> str:
-        return os.path.join(self.state_dir, f"{sub_id}.json")
+        return f"{self._root}/{sub_id}.json"
+
+    def _exists(self, p: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._fs.get_file_info(p).type != pafs.FileType.NotFound
 
     def load(self, sub_id: str) -> OdpSubscription | None:
         p = self._path(sub_id)
-        if not os.path.exists(p):
+        if not self._exists(p):
             return None
-        with open(p) as f:
-            return OdpSubscription(**json.load(f))
+        with self._fs.open_input_stream(p) as f:
+            return OdpSubscription(**json.loads(f.readall().decode()))
 
     def save(self, sub: OdpSubscription) -> None:
         sub.updated_at = time.time()
-        tmp = self._path(sub.subscription_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(asdict(sub), f)
-        os.replace(tmp, self._path(sub.subscription_id))
+        p = self._path(sub.subscription_id)
+        tmp = p + ".tmp"
+        with self._fs.open_output_stream(tmp) as f:
+            f.write(json.dumps(asdict(sub)).encode())
+        try:
+            self._fs.move(tmp, p)
+        except OSError:
+            # filesystems whose rename refuses to clobber: the brief
+            # missing-state gap degrades a racing reader to a (safe)
+            # full reload, never to a torn token
+            if self._exists(p):
+                self._fs.delete_file(p)
+            self._fs.move(tmp, p)
 
     def remove(self, sub_id: str) -> bool:
         p = self._path(sub_id)
-        if os.path.exists(p):
-            os.remove(p)
+        if self._exists(p):
+            self._fs.delete_file(p)
             return True
         return False
 
     def list_all(self) -> list[OdpSubscription]:
+        from pyarrow import fs as pafs
+
+        infos = self._fs.get_file_info(pafs.FileSelector(self._root))
         out = []
-        for fn in sorted(os.listdir(self.state_dir)):
-            if fn.endswith(".json"):
-                with open(os.path.join(self.state_dir, fn)) as f:
-                    out.append(OdpSubscription(**json.load(f)))
+        for info in sorted(infos, key=lambda i: i.base_name):
+            if info.is_file and info.base_name.endswith(".json"):
+                with self._fs.open_input_stream(info.path) as f:
+                    out.append(OdpSubscription(**json.loads(f.readall().decode())))
         return out
 
     def audit(self, sub_id: str, record: dict) -> None:
         record = {"ts": time.time(), "subscription_id": sub_id, **record}
-        with open(os.path.join(self.state_dir, "audit.jsonl"), "a") as f:
-            f.write(json.dumps(record) + "\n")
+        line = json.dumps(record) + "\n"
+        try:
+            with self._fs.open_append_stream(f"{self._root}/audit.jsonl") as f:
+                f.write(line.encode())
+        except (NotImplementedError, OSError):
+            # append-less stores (S3/GCS): one immutable record per event
+            self._fs.create_dir(f"{self._root}/audit", recursive=True)
+            name = f"{record['ts']:.6f}-{sub_id}".replace(".", "_")
+            with self._fs.open_output_stream(f"{self._root}/audit/{name}.json") as f:
+                f.write(line.encode())
 
 
 def extract_delta_token(doc: dict) -> tuple[str | None, str | None]:

