@@ -63,6 +63,8 @@ _SAMPLE_PRIORITY = [
     "text_bigram_coverage",
     # -- never driver-sampled, rows-only (golden-fixture pinned) --
     "text_bpe_merges",
+    # -- new this round --
+    "dedup_winnow_scrub",
     # -- regression rotation: verified in r01/r02, not re-checked since --
     "asof_join_events",
     "window_rank_orders",

@@ -445,6 +445,61 @@ def remove_duplicated_spans(
     )
 
 
+def winnow_targeted_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    char_k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    token_k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Targeted span scrubbing: winnowing overlap candidates gate the
+    substring scrubber — the reference-free MOSS workflow (detect local
+    overlap with sparse fingerprints, then resolve it at full
+    resolution only where detected).
+
+    :func:`remove_duplicated_spans` builds its k-gram position table
+    over the WHOLE corpus — exhaustive, but the posexplode is
+    O(total tokens) even when duplication is rare. This composition
+    runs :func:`~erpl_web_spark.operators.text.winnow_overlap_pairs`
+    first (map-side fingerprints, ~2/(w+1) of the gram hashes, hot
+    fingerprints pre-capped) and restricts the scrubber to the
+    documents that participate in at least one flagged pair; every
+    other document passes through untouched (normalized token space,
+    ``n_removed = 0``, same output contract). At 100 TB with a few
+    percent of documents sharing passages, the expensive position
+    table materializes over that few percent only.
+
+    Recall is bounded by the winnowing guarantee: a shared substring of
+    length >= ``char_k + w - 1`` shares a fingerprint, so pairs below
+    ``min_shared`` shared fingerprints (or diluted past ``max_df``) are
+    not scrubbed — the documented tradeoff vs the corpus-wide table.
+    Returns (id, clean_text, n_tokens, n_removed).
+    """
+    from erpl_web_spark.operators.text import winnow_overlap_pairs
+
+    pairs = winnow_overlap_pairs(
+        df, id_col, text_col, k=char_k, w=w, min_shared=min_shared, max_df=max_df
+    )
+    involved = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    flagged = df.join(involved, id_col, "left_semi")
+    scrubbed = remove_duplicated_spans(flagged, id_col, text_col, token_k, min_docs)
+    untouched = df.join(involved, id_col, "left_anti").select(
+        F.col(id_col),
+        F.concat_ws(" ", tokens_expr(text_col)).alias("clean_text"),
+        F.size(tokens_expr(text_col)).alias("n_tokens"),
+        F.lit(0).cast("int").alias("n_removed"),
+    )
+    return scrubbed.unionByName(untouched)
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

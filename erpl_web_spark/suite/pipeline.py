@@ -1893,6 +1893,94 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(docs, "doc_id", "text", k=10, min_docs=2)
 
 
+@register(
+    "dedup_winnow_scrub",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, LENGTH(text) - 4 AS n,
+             unnest(range(1, LENGTH(text) - 3)) AS pos, text
+      FROM documents WHERE LENGTH(text) >= 5
+    ), h AS (
+      SELECT doc_id, n, pos,
+             CAST('0x' || substring(md5(substring(text, CAST(pos AS INT), 5)), 1, 12)
+                  AS BIGINT) AS hh
+      FROM g
+    ), m AS (
+      SELECT doc_id, n, pos,
+             MIN(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp FROM m WHERE pos <= GREATEST(n - 3, 1)
+    ), rare AS (
+      SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 20
+    ), keep AS (
+      SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b HAVING COUNT(*) >= 3
+    ), involved AS (
+      SELECT DISTINCT id_a AS doc_id FROM pairs
+      UNION SELECT DISTINCT id_b AS doc_id FROM pairs
+    ),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    subtoks AS (
+      SELECT * FROM toks WHERE doc_id IN (SELECT doc_id FROM involved)
+    ),
+    gp AS (
+      SELECT doc_id, s.pos AS pos, s.gr AS gr FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 9, 0) + 1),
+               i -> struct_pack(pos := i, gr := array_to_string(t[i:i+9], ' ')))) AS s
+        FROM subtoks)
+    ),
+    dup AS (
+      SELECT gr FROM (SELECT DISTINCT gr, doc_id FROM gp)
+      GROUP BY gr HAVING COUNT(*) >= 2
+    ),
+    starts AS (
+      SELECT doc_id, list_sort(list(DISTINCT pos)) AS ss
+      FROM gp WHERE gr IN (SELECT gr FROM dup) GROUP BY doc_id
+    ),
+    j AS (
+      SELECT t.doc_id, t.t, COALESCE(s.ss, []) AS ss
+      FROM subtoks t LEFT JOIN starts s ON t.doc_id = s.doc_id
+    ),
+    kept AS (
+      SELECT doc_id, t,
+             list_transform(
+               list_filter(range(1, len(t) + 1),
+                           i -> len(list_filter(ss, s -> s <= i AND i < s + 10)) = 0),
+               i -> t[i]) AS kt
+      FROM j
+    )
+    SELECT doc_id, COALESCE(array_to_string(kt, ' '), '') AS clean_text,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(t) - len(kt) AS INT) AS n_removed
+    FROM kept
+    UNION ALL
+    SELECT doc_id, COALESCE(array_to_string(t, ' '), '') AS clean_text,
+           CAST(len(t) AS INT) AS n_tokens, CAST(0 AS INT) AS n_removed
+    FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM involved)
+    """,
+)
+def dedup_winnow_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-gated span scrubbing (the MOSS workflow composed end to
+    end): winnowing overlap pairs (k=5, w=4, >=3 shared, df <= 20
+    stop-fingerprint cap) select the documents with detected local
+    overlap, and only THOSE pass through the 10-token cross-document
+    span scrubber; the rest pass through normalized with n_removed = 0.
+    At scale the O(total tokens) gram position table materializes over
+    the flagged subset only (operators.dedup.winnow_targeted_scrub)."""
+    from erpl_web_spark.operators.dedup import winnow_targeted_scrub
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return winnow_targeted_scrub(
+        docs, "doc_id", "text",
+        char_k=5, w=4, min_shared=3, max_df=20, token_k=10, min_docs=2,
+    )
+
+
 _SQL_QSCORE = f"""
     qs AS (
       SELECT doc_id,

@@ -2456,6 +2456,38 @@ def test_winnow_overlap_pairs_finds_planted_passage(spark):
     assert pairs == {(1, 2)}
 
 
+def test_winnow_targeted_scrub_scrubs_only_flagged_docs(spark):
+    """The composed MOSS workflow: documents whose winnow-pair was
+    flagged get their shared 10-token span scrubbed; an unflagged
+    document with no overlap passes through normalized and untouched —
+    and the scrubber's gram table never saw it."""
+    from erpl_web_spark.operators.dedup import winnow_targeted_scrub
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "unique intro one " + passage + " tail one"),
+        (2, "second doc opening " + passage + " closing words"),
+        (3, "completely unrelated text about mountain weather patterns today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in winnow_targeted_scrub(
+            df, char_k=5, w=4, min_shared=3, max_df=10, token_k=10, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # flagged pair: the shared 10-token passage is removed from both
+    assert "gamma" not in out[1]["clean_text"]
+    assert "gamma" not in out[2]["clean_text"]
+    assert out[1]["n_removed"] >= 10 and out[2]["n_removed"] >= 10
+    assert "unique intro one" in out[1]["clean_text"]
+    # unflagged doc: normalized pass-through, nothing removed
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("completely unrelated")
+    assert out[3]["n_tokens"] == len(rows[2][1].split())
+
+
 def test_data_dirs_skips_vanished_manifest(spark, tmp_path, monkeypatch):
     """Regression (round-6 advice): a manifest that disappears between
     the committed_versions listing and the payload read (concurrent
