@@ -65,6 +65,8 @@ _SAMPLE_PRIORITY = [
     "text_bpe_merges",
     # -- new this round --
     "dedup_winnow_scrub",
+    "text_chunk_windows",
+    "embedding_matryoshka_audit",
     # -- regression rotation: verified in r01/r02, not re-checked since --
     "asof_join_events",
     "window_rank_orders",

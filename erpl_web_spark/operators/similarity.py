@@ -213,6 +213,87 @@ def cosine_top_k_blas(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def matryoshka_audit(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 16,
+) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: does the top-1 neighbor
+    found with only the FIRST ``dims`` dimensions agree with the
+    full-precision top-1? MRL-trained embeddings front-load
+    information, so prefix truncation is the standard cheap shortlist
+    (search truncated, re-rank full); this measures what that costs on
+    an actual corpus, per probe::
+
+        (probe_id, trunc_top1, full_top1, agree,
+         full_cos_of_trunc_pick, full_cos_best)
+
+    ``agree`` is 1 when the picks match; the two cosine columns bound
+    the quality loss when they don't (regret = best - pick).
+
+    ONE corpus scan: the broadcast probe cross-product computes the
+    truncated AND full cosine per pair in the same projection (the
+    truncated dot is a prefix fold — no second vector column is
+    materialized), two window ranks pick both top-1s, and a per-probe
+    aggregation collapses them. Ties break on neighbor id, so the
+    audit is deterministic.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
+        norm_expr(F.col(vec_col)).alias("pn"),
+        norm_expr(F.slice(F.col(vec_col), 1, dims)).alias("ptn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        norm_expr(F.slice(F.col(vec_col), 1, dims)).alias("ctn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (dot_expr(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn"))).alias(
+                "cos_full"
+            ),
+            (
+                dot_expr(F.slice(F.col("pv"), 1, dims), F.slice(F.col("cv"), 1, dims))
+                / (F.col("ptn") * F.col("ctn"))
+            ).alias("cos_trunc"),
+        )
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("neighbor_id").asc()
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("rt", F.row_number().over(wt))
+        .withColumn("rf", F.row_number().over(wf))
+        .where((F.col("rt") == 1) | (F.col("rf") == 1))
+    )
+    return (
+        top.groupBy("probe_id")
+        .agg(
+            F.max(F.when(F.col("rt") == 1, F.col("neighbor_id"))).alias("trunc_top1"),
+            F.max(F.when(F.col("rf") == 1, F.col("neighbor_id"))).alias("full_top1"),
+            F.max(F.when(F.col("rt") == 1, F.col("cos_full"))).alias(
+                "full_cos_of_trunc_pick"
+            ),
+            F.max(F.when(F.col("rf") == 1, F.col("cos_full"))).alias("full_cos_best"),
+        )
+        .withColumn(
+            "agree", (F.col("trunc_top1") == F.col("full_top1")).cast("int")
+        )
+    )
+
+
 def _planes(spark, num_planes: int, dim: int, seed: int = 42) -> DataFrame:
     """Deterministic ±1 hyperplane components as a tiny broadcastable table.
 

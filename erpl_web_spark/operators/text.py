@@ -281,6 +281,64 @@ def pack_documents(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the splitting
+    complement to :func:`pack_documents` (packing concatenates short
+    documents up to a budget; chunking cuts long documents down to it —
+    RAG/context-window prep). Chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` in normalized token space,
+    ``stride = chunk_tokens - overlap``; windows start while
+    ``i*stride < n_tokens``, so the final chunk may be short and every
+    token appears in at least one chunk. Empty documents yield no rows.
+
+    Returns (id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
+
+    ENTIRELY map-side: tokens, chunk starts (a JVM ``sequence`` over
+    chunk indices — guarded by ``n_tokens >= 1``, the
+    descending-sequence hazard) and the slice per chunk are array
+    expressions; the only explode is one row per chunk. No shuffle —
+    at 100 TB this is a pure scan transform whose output partitioning
+    follows the input's.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
+        F.size("t") >= 1
+    )
+    n_chunks = F.floor((F.size("t") - 1) / stride) + 1
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("t"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("int").alias("start_tok"),
+            F.slice(F.col("t"), F.col("chunk_id") * stride + 1, chunk_tokens).alias(
+                "__c"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "start_tok",
+            F.size("__c").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+        )
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     id_col: str,

@@ -1894,6 +1894,85 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+    c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(floor((n - 1) / 48) AS BIGINT) + 1)) AS cid
+      FROM nn
+    )
+    SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           CAST(cid * 48 AS INT) AS start_tok,
+           CAST(len(t[cid * 48 + 1 : cid * 48 + 64]) AS INT) AS n_chunk_tokens,
+           array_to_string(t[cid * 48 + 1 : cid * 48 + 64], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, 16-token overlap) — the
+    splitting complement to pack_documents for RAG/context-window prep.
+    Pure map-side array expressions, one explode, zero shuffle
+    (operators.text.chunk_documents)."""
+    from erpl_web_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "embedding_matryoshka_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.emb, c.emb)
+               / (sqrt(list_dot_product(p.emb, p.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos_full,
+             list_dot_product(p.emb[1:16], c.emb[1:16])
+               / (sqrt(list_dot_product(p.emb[1:16], p.emb[1:16]))
+                  * sqrt(list_dot_product(c.emb[1:16], c.emb[1:16]))) AS cos_trunc
+      FROM v p JOIN v c ON p.vec_id < 50 AND p.vec_id <> c.vec_id
+    ), r AS (
+      SELECT probe_id, neighbor_id, cos_full,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_trunc DESC, neighbor_id) AS rt,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rf
+      FROM scored
+    )
+    SELECT probe_id,
+           MAX(CASE WHEN rt = 1 THEN neighbor_id END) AS trunc_top1,
+           MAX(CASE WHEN rf = 1 THEN neighbor_id END) AS full_top1,
+           CAST(MAX(CASE WHEN rt = 1 THEN neighbor_id END)
+                = MAX(CASE WHEN rf = 1 THEN neighbor_id END) AS INT) AS agree,
+           ROUND(MAX(CASE WHEN rt = 1 THEN cos_full END), 6) AS pick_cos_r,
+           ROUND(MAX(CASE WHEN rf = 1 THEN cos_full END), 6) AS best_cos_r
+    FROM r WHERE rt = 1 OR rf = 1
+    GROUP BY probe_id
+    """,
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncation retrieval audit (first 16 of 64
+    dims): per 50-probe set, the truncated-space top-1 vs the
+    full-precision top-1, with the full cosines of both picks bounding
+    the truncation regret. One corpus scan computes both cosines
+    (operators.similarity.matryoshka_audit)."""
+    from erpl_web_spark.operators.similarity import matryoshka_audit
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.where(F.col("vec_id") < 50)
+    out = matryoshka_audit(emb, probes, "vec_id", "embedding", dims=16)
+    return out.select(
+        "probe_id", "trunc_top1", "full_top1", "agree",
+        F.round("full_cos_of_trunc_pick", 6).alias("pick_cos_r"),
+        F.round("full_cos_best", 6).alias("best_cos_r"),
+    )
+
+
+@register(
     "dedup_winnow_scrub",
     oracle=f"""
     WITH g AS (

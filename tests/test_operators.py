@@ -2456,6 +2456,67 @@ def test_winnow_overlap_pairs_finds_planted_passage(spark):
     assert pairs == {(1, 2)}
 
 
+def test_chunk_documents_windows_cover_and_overlap(spark):
+    """Chunk windows: stride = chunk - overlap, every token covered,
+    consecutive chunks share exactly `overlap` tokens, final chunk may
+    be short, empty docs vanish, single-token docs yield one chunk."""
+    import pytest as _pytest
+
+    from erpl_web_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=10, overlap=4).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 6: starts 0,6,12,18,24 (24 < 25 so a final 1-token chunk)
+    assert [r["start_tok"] for r in d1] == [0, 6, 12, 18, 24]
+    assert [r["n_chunk_tokens"] for r in d1] == [10, 10, 10, 7, 1]
+    # consecutive chunks overlap by 4 tokens
+    assert d1[0]["chunk_text"].split()[-4:] == d1[1]["chunk_text"].split()[:4]
+    # full coverage: union of chunk tokens == all tokens
+    covered = set()
+    for r in d1:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words.split())
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "solo"
+    assert not [r for r in rows if r["doc_id"] == 3]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_matryoshka_audit_detects_truncation_flip(spark):
+    """Planted geometry: probe aligned with neighbor A on the prefix
+    dims but with neighbor B overall — the truncated pick is A, the
+    full pick is B, agree=0 and the regret columns expose the gap; a
+    probe whose best match dominates in both spaces agrees."""
+    from erpl_web_spark.operators.similarity import matryoshka_audit
+
+    rows = [
+        # probe 0: prefix points at A(10), full vector at B(11)
+        (0, [1.0, 0.0, 0.3, 0.3]),
+        (10, [1.0, 0.0, -0.5, -0.5]),   # prefix-identical, tail opposite
+        (11, [0.8, 0.1, 0.3, 0.3]),     # slightly off prefix, same tail
+        # probe 1: C(12) dominates in both spaces
+        (1, [0.0, 1.0, 0.2, 0.0]),
+        (12, [0.0, 1.0, 0.2, 0.0]),
+        (13, [0.5, -0.5, 0.0, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.where(F.col("vec_id") < 2)
+    out = {r["probe_id"]: r for r in matryoshka_audit(emb, probes, dims=2).collect()}
+    assert out[0]["trunc_top1"] == 10 and out[0]["full_top1"] == 11
+    assert out[0]["agree"] == 0
+    assert out[0]["full_cos_best"] > out[0]["full_cos_of_trunc_pick"]
+    assert out[1]["trunc_top1"] == 12 and out[1]["full_top1"] == 12
+    assert out[1]["agree"] == 1
+
+
 def test_winnow_targeted_scrub_scrubs_only_flagged_docs(spark):
     """The composed MOSS workflow: documents whose winnow-pair was
     flagged get their shared 10-token span scrubbed; an unflagged
