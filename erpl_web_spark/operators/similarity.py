@@ -236,9 +236,12 @@ def matryoshka_audit(
     ONE corpus scan: the broadcast probe cross-product computes the
     truncated AND full cosine per pair in the same projection (the
     truncated dot is a prefix fold — no second vector column is
-    materialized), two window ranks pick both top-1s, and a per-probe
-    aggregation collapses them. Ties break on neighbor id, so the
-    audit is deterministic.
+    materialized), and ONE partial-aggregable groupBy picks both
+    top-1s as struct maxima (cosine desc, neighbor id asc via negated
+    id) — no window, so no per-probe partition ever holds
+    corpus-sized row sets: the shuffle carries n_partitions x
+    n_probes pre-combined rows no matter how big the corpus is. Ties
+    break on neighbor id, so the audit is deterministic.
     """
     p = probes.select(
         F.col(id_col).alias("probe_id"),
@@ -267,30 +270,25 @@ def matryoshka_audit(
             ).alias("cos_trunc"),
         )
     )
-    wt = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_trunc").desc(), F.col("neighbor_id").asc()
+    agg = scored.groupBy("probe_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_trunc").alias("c"),
+                (-F.col("neighbor_id")).alias("nid"),
+                F.col("cos_full").alias("cf"),
+            )
+        ).alias("t"),
+        F.max(
+            F.struct(F.col("cos_full").alias("c"), (-F.col("neighbor_id")).alias("nid"))
+        ).alias("f"),
     )
-    wf = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_full").desc(), F.col("neighbor_id").asc()
-    )
-    top = (
-        scored.withColumn("rt", F.row_number().over(wt))
-        .withColumn("rf", F.row_number().over(wf))
-        .where((F.col("rt") == 1) | (F.col("rf") == 1))
-    )
-    return (
-        top.groupBy("probe_id")
-        .agg(
-            F.max(F.when(F.col("rt") == 1, F.col("neighbor_id"))).alias("trunc_top1"),
-            F.max(F.when(F.col("rf") == 1, F.col("neighbor_id"))).alias("full_top1"),
-            F.max(F.when(F.col("rt") == 1, F.col("cos_full"))).alias(
-                "full_cos_of_trunc_pick"
-            ),
-            F.max(F.when(F.col("rf") == 1, F.col("cos_full"))).alias("full_cos_best"),
-        )
-        .withColumn(
-            "agree", (F.col("trunc_top1") == F.col("full_top1")).cast("int")
-        )
+    return agg.select(
+        "probe_id",
+        (-F.col("t.nid")).alias("trunc_top1"),
+        (-F.col("f.nid")).alias("full_top1"),
+        (F.col("t.nid") == F.col("f.nid")).cast("int").alias("agree"),
+        F.col("t.cf").alias("full_cos_of_trunc_pick"),
+        F.col("f.c").alias("full_cos_best"),
     )
 
 
