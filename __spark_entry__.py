@@ -67,6 +67,7 @@ _SAMPLE_PRIORITY = [
     "dedup_winnow_scrub",
     "text_chunk_windows",
     "embedding_matryoshka_audit",
+    "similarity_knn_label_eval",
     # -- regression rotation: verified in r01/r02, not re-checked since --
     "asof_join_events",
     "window_rank_orders",

@@ -292,6 +292,61 @@ def matryoshka_audit(
     )
 
 
+def knn_label_eval(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN label classification eval — the standard intrinsic quality
+    check for an embedding space (does cosine neighborhood structure
+    recover the labels?): for each probe, the majority label among its
+    ``k`` nearest corpus neighbors (self excluded) vs its own label.
+
+    Returns (probe_id, true_label, pred_label, n_votes, correct).
+    Ties break deterministically: highest vote count, then smallest
+    label. Neighbor selection reuses :func:`cosine_top_k_blas` (corpus
+    scanned once, BLAS shortlist, exact re-score), so the eval's scale
+    posture is the shortlist path's; the vote is a (probe, label)
+    count aggregation plus one struct-max — both partial-aggregable,
+    no window.
+    """
+    top = cosine_top_k_blas(corpus, probes, id_col, vec_col, k=k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("probe_id", "nlabel")
+        .agg(F.count("*").cast("int").alias("votes"))
+        .groupBy("probe_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("votes").alias("v"), (-F.col("nlabel")).alias("nl")
+                )
+            ).alias("w")
+        )
+        .select(
+            "probe_id",
+            (-F.col("w.nl")).alias("pred_label"),
+            F.col("w.v").alias("n_votes"),
+        )
+    )
+    truth = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(label_col).alias("true_label")
+    )
+    return truth.join(votes, "probe_id").select(
+        "probe_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("true_label") == F.col("pred_label")).cast("int").alias("correct"),
+    )
+
+
 def _planes(spark, num_planes: int, dim: int, seed: int = 42) -> DataFrame:
     """Deterministic ±1 hyperplane components as a tiny broadcastable table.
 

@@ -1973,6 +1973,52 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_knn_label_eval",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+             list_dot_product(p.emb, c.emb)
+               / (sqrt(list_dot_product(p.emb, p.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+      FROM v p JOIN v c ON p.vec_id < 100 AND p.vec_id <> c.vec_id
+    ), topk AS (
+      SELECT probe_id, nlabel FROM (
+        SELECT probe_id, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 5
+    ), votes AS (
+      SELECT probe_id, nlabel, COUNT(*) AS votes
+      FROM topk GROUP BY probe_id, nlabel
+    ), pick AS (
+      SELECT probe_id, pred_label, votes FROM (
+        SELECT probe_id, nlabel AS pred_label, votes,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY votes DESC, nlabel ASC) AS rn
+        FROM votes) WHERE rn = 1
+    )
+    SELECT t.vec_id AS probe_id, t.label AS true_label, p.pred_label,
+           CAST(p.votes AS INT) AS n_votes,
+           CAST(t.label = p.pred_label AS INT) AS correct
+    FROM v t JOIN pick p ON p.probe_id = t.vec_id
+    """,
+)
+def similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label classification for a 100-probe set — the
+    intrinsic embedding-quality eval (cosine neighborhoods should
+    recover labels). Neighbors via the BLAS shortlist path; the vote
+    and its argmax are partial-aggregable, no window
+    (operators.similarity.knn_label_eval)."""
+    from erpl_web_spark.operators.similarity import knn_label_eval
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.where(F.col("vec_id") < 100)
+    return knn_label_eval(emb, probes, "vec_id", "embedding", "label", k=5)
+
+
+@register(
     "dedup_winnow_scrub",
     oracle=f"""
     WITH g AS (

@@ -2517,6 +2517,41 @@ def test_matryoshka_audit_detects_truncation_flip(spark):
     assert out[1]["agree"] == 1
 
 
+def test_knn_label_eval_majority_and_tie_break(spark):
+    """Planted neighborhoods: a probe surrounded by label-7 vectors
+    predicts 7; a probe with a 2-2 vote tie picks the SMALLER label;
+    correct flags compare against the probe's own label."""
+    from erpl_web_spark.operators.similarity import knn_label_eval
+
+    rows = [
+        # probe 0 (label 7): 3 label-7 neighbors nearby, 1 label-2 farther
+        (0, [1.0, 0.0, 0.0], 7),
+        (10, [0.99, 0.1, 0.0], 7),
+        (11, [0.98, 0.15, 0.0], 7),
+        (12, [0.97, 0.2, 0.0], 7),
+        (13, [0.5, 0.8, 0.0], 2),
+        # probe 1 (label 9): exactly two label-3 and two label-5 votes
+        (1, [0.0, 0.0, 1.0], 9),
+        (20, [0.0, 0.1, 0.99], 3),
+        (21, [0.0, 0.15, 0.98], 3),
+        (22, [0.0, 0.2, 0.97], 5),
+        (23, [0.0, 0.25, 0.96], 5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    probes = emb.where(F.col("vec_id") < 2)
+    out = {
+        r["probe_id"]: r
+        for r in knn_label_eval(emb, probes, k=4).collect()
+    }
+    assert out[0]["pred_label"] == 7 and out[0]["n_votes"] == 3
+    assert out[0]["correct"] == 1
+    # 2-2 tie: label 3 < label 5 wins; probe's own label is 9 -> wrong
+    assert out[1]["pred_label"] == 3 and out[1]["n_votes"] == 2
+    assert out[1]["correct"] == 0
+
+
 def test_winnow_targeted_scrub_scrubs_only_flagged_docs(spark):
     """The composed MOSS workflow: documents whose winnow-pair was
     flagged get their shared 10-token span scrubbed; an unflagged
