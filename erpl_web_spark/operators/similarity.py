@@ -237,8 +237,9 @@ def matryoshka_audit(
     truncated AND full cosine per pair in the same projection (the
     truncated dot is a prefix fold — no second vector column is
     materialized), and ONE partial-aggregable groupBy picks both
-    top-1s as struct maxima (cosine desc, neighbor id asc via negated
-    id) — no window, so no per-probe partition ever holds
+    top-1s via ``min_by`` on a (negated-cosine, neighbor id) ordering
+    struct (= cosine desc, id asc; ids of any orderable type)
+    — no window, so no per-probe partition ever holds
     corpus-sized row sets: the shuffle carries n_partitions x
     n_probes pre-combined rows no matter how big the corpus is. Ties
     break on neighbor id, so the audit is deterministic.
@@ -270,25 +271,30 @@ def matryoshka_audit(
             ).alias("cos_trunc"),
         )
     )
+    # min_by on (negated cosine, neighbor id) = cosine desc, id asc.
+    # Only the cosine (a double we computed) is negated — ids stay
+    # untouched, so string/GUID-keyed corpora work too.
     agg = scored.groupBy("probe_id").agg(
-        F.max(
+        F.min_by(
             F.struct(
-                F.col("cos_trunc").alias("c"),
-                (-F.col("neighbor_id")).alias("nid"),
-                F.col("cos_full").alias("cf"),
-            )
+                F.col("neighbor_id").alias("nid"), F.col("cos_full").alias("cf")
+            ),
+            F.struct((-F.col("cos_trunc")).alias("c"), F.col("neighbor_id").alias("n")),
         ).alias("t"),
-        F.max(
-            F.struct(F.col("cos_full").alias("c"), (-F.col("neighbor_id")).alias("nid"))
+        F.min_by(
+            F.struct(
+                F.col("neighbor_id").alias("nid"), F.col("cos_full").alias("cf")
+            ),
+            F.struct((-F.col("cos_full")).alias("c"), F.col("neighbor_id").alias("n")),
         ).alias("f"),
     )
     return agg.select(
         "probe_id",
-        (-F.col("t.nid")).alias("trunc_top1"),
-        (-F.col("f.nid")).alias("full_top1"),
+        F.col("t.nid").alias("trunc_top1"),
+        F.col("f.nid").alias("full_top1"),
         (F.col("t.nid") == F.col("f.nid")).cast("int").alias("agree"),
         F.col("t.cf").alias("full_cos_of_trunc_pick"),
-        F.col("f.c").alias("full_cos_best"),
+        F.col("f.cf").alias("full_cos_best"),
     )
 
 
@@ -317,22 +323,21 @@ def knn_label_eval(
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
     )
+    # Tie-break = (votes desc, label asc) via min_by on an ordering
+    # struct that negates only the COUNT (our own int) — never the
+    # label, which may be a string or any orderable type (a negated
+    # label crashes ANSI sessions on non-numeric labels).
     votes = (
         top.join(labels, "neighbor_id")
         .groupBy("probe_id", "nlabel")
         .agg(F.count("*").cast("int").alias("votes"))
         .groupBy("probe_id")
         .agg(
-            F.max(
-                F.struct(
-                    F.col("votes").alias("v"), (-F.col("nlabel")).alias("nl")
-                )
-            ).alias("w")
-        )
-        .select(
-            "probe_id",
-            (-F.col("w.nl")).alias("pred_label"),
-            F.col("w.v").alias("n_votes"),
+            F.min_by(
+                F.col("nlabel"),
+                F.struct((-F.col("votes")).alias("nv"), F.col("nlabel").alias("l")),
+            ).alias("pred_label"),
+            F.max("votes").alias("n_votes"),
         )
     )
     truth = probes.select(

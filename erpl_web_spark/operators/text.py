@@ -294,8 +294,12 @@ def chunk_documents(
     RAG/context-window prep). Chunk ``i`` covers tokens
     ``[i*stride, i*stride + chunk_tokens)`` in normalized token space,
     ``stride = chunk_tokens - overlap``; windows start while
-    ``i*stride < n_tokens``, so the final chunk may be short and every
-    token appears in at least one chunk. Empty documents yield no rows.
+    ``i*stride < max(n_tokens - overlap, 1)`` — the upper bound stops
+    BEFORE a start whose entire window would sit inside the previous
+    chunk (a start in the final overlap region adds no new tokens and
+    would emit a pure-duplicate suffix chunk), so the final chunk may
+    be short and every token appears in at least one chunk with no
+    fully-redundant chunks. Empty documents yield no rows.
 
     Returns (id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
 
@@ -312,7 +316,9 @@ def chunk_documents(
     toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
         F.size("t") >= 1
     )
-    n_chunks = F.floor((F.size("t") - 1) / stride) + 1
+    n_chunks = (
+        F.floor((F.greatest(F.size("t") - overlap, F.lit(1)) - 1) / stride) + 1
+    )
     return (
         toks.select(
             F.col(id_col),
@@ -979,6 +985,13 @@ def winnow_overlap_pairs(
     materializes a corpus-wide boilerplate fingerprint's multi-GB
     buffer on one task only to discard it (filtering AFTER the
     aggregation bounds retained lists but not built ones).
+
+    Cache lifetime: the fingerprint table is persisted internally (two
+    consumers) and — like every lazy-return operator here that
+    persists an intermediate — stays cached until the session ends or
+    the caller runs ``spark.catalog.clearCache()``; long-lived
+    streaming drivers calling this per batch should clear between
+    batches.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     if max_df is not None:
@@ -1042,7 +1055,10 @@ def with_bigram_coverage(
     pairs only. The exploded bigram frame feeds BOTH the corpus count
     and the join-back, so it is persisted — tokenization + explode (the
     dominant cost at scale) runs once, and the second consumer reads
-    the InMemoryRelation.
+    the InMemoryRelation. The cache lives until session end /
+    ``spark.catalog.clearCache()`` (same convention as the other
+    persisting operators); clear between batches on long-lived
+    drivers.
     """
     from pyspark import StorageLevel
 

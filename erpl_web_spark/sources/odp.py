@@ -154,9 +154,15 @@ class OdpSubscriptionRepository:
             with self._fs.open_append_stream(f"{self._root}/audit.jsonl") as f:
                 f.write(line.encode())
         except (NotImplementedError, OSError):
-            # append-less stores (S3/GCS): one immutable record per event
+            # append-less stores (S3/GCS): one immutable record per
+            # event — the uuid suffix keeps two events in the same
+            # clock tick from overwriting each other
+            import uuid
+
             self._fs.create_dir(f"{self._root}/audit", recursive=True)
-            name = f"{record['ts']:.6f}-{sub_id}".replace(".", "_")
+            name = f"{record['ts']:.6f}-{sub_id}-{uuid.uuid4().hex[:8]}".replace(
+                ".", "_"
+            )
             with self._fs.open_output_stream(f"{self._root}/audit/{name}.json") as f:
                 f.write(line.encode())
 

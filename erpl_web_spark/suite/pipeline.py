@@ -1900,7 +1900,8 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
     c AS (
       SELECT doc_id, t,
-             unnest(range(0, CAST(floor((n - 1) / 48) AS BIGINT) + 1)) AS cid
+             unnest(range(0, CAST(floor((greatest(n - 16, 1) - 1) / 48)
+                               AS BIGINT) + 1)) AS cid
       FROM nn
     )
     SELECT doc_id, CAST(cid AS INT) AS chunk_id,

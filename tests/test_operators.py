@@ -2473,9 +2473,10 @@ def test_chunk_documents_windows_cover_and_overlap(spark):
         key=lambda r: (r["doc_id"], r["chunk_id"]),
     )
     d1 = [r for r in rows if r["doc_id"] == 1]
-    # stride 6: starts 0,6,12,18,24 (24 < 25 so a final 1-token chunk)
-    assert [r["start_tok"] for r in d1] == [0, 6, 12, 18, 24]
-    assert [r["n_chunk_tokens"] for r in d1] == [10, 10, 10, 7, 1]
+    # stride 6: starts 0,6,12,18 — a start at 24 would chunk only
+    # tokens already inside chunk 3's overlap region (pure duplicate)
+    assert [r["start_tok"] for r in d1] == [0, 6, 12, 18]
+    assert [r["n_chunk_tokens"] for r in d1] == [10, 10, 10, 7]
     # consecutive chunks overlap by 4 tokens
     assert d1[0]["chunk_text"].split()[-4:] == d1[1]["chunk_text"].split()[:4]
     # full coverage: union of chunk tokens == all tokens
@@ -2551,6 +2552,20 @@ def test_knn_label_eval_majority_and_tie_break(spark):
     assert out[1]["pred_label"] == 3 and out[1]["n_votes"] == 2
     assert out[1]["correct"] == 0
 
+    # string labels must work on a default-conf ANSI session (the
+    # tie-break never negates the label column)
+    semb = spark.createDataFrame(
+        [(i, v, {7: "cat", 2: "dog", 9: "emu", 3: "ant", 5: "bee"}[l])
+         for i, v, l in rows],
+        "vec_id long, embedding array<float>, label string",
+    )
+    sout = {
+        r["probe_id"]: r
+        for r in knn_label_eval(semb, semb.where(F.col("vec_id") < 2), k=4).collect()
+    }
+    assert sout[0]["pred_label"] == "cat" and sout[0]["correct"] == 1
+    assert sout[1]["pred_label"] == "ant"  # 'ant' < 'bee' on the 2-2 tie
+
 
 def test_winnow_targeted_scrub_scrubs_only_flagged_docs(spark):
     """The composed MOSS workflow: documents whose winnow-pair was
@@ -2605,13 +2620,27 @@ def test_data_dirs_skips_vanished_manifest(spark, tmp_path, monkeypatch):
         f for f in os.listdir(f"{path}/_manifests") if f.startswith(".tmp")
     ]
 
-    # simulate the race: the listing still returns version 0 but its
-    # manifest is gone by payload-read time
+    # simulate a retract race: the first listing returns version 0 but
+    # its manifest is gone by payload-read time and a re-list confirms
+    # the retraction -> the version is skipped
     os.remove(f"{path}/_manifests/v-0.json")
-    monkeypatch.setattr(
-        manifests, "committed_versions", lambda *a, **kw: [0]
-    )
+    calls = {"n": 0}
+    real = manifests.committed_versions
+
+    def listing(*a, **kw):
+        calls["n"] += 1
+        return [0] if calls["n"] == 1 else real(*a, **kw)
+
+    monkeypatch.setattr(manifests, "committed_versions", listing)
     assert manifests.data_dirs(spark, path, "v") == []
+
+    # but a version that STAYS listed while its manifest is unreadable
+    # must raise, not silently vanish from the union
+    import pytest as _pytest
+
+    monkeypatch.setattr(manifests, "committed_versions", lambda *a, **kw: [0])
+    with _pytest.raises(IOError, match="committed manifest unreadable"):
+        manifests.data_dirs(spark, path, "v")
 
 
 def test_legacy_success_state_raises_until_adopted(spark, tmp_path):
