@@ -435,3 +435,39 @@ def test_pushdown_composition_soundness(rows, f):
             f"filter={f} row={row} expr={expr!r} "
             f"server={server_keeps} residual={residual_keeps} want={want}"
         )
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    chunk=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunk_window_arithmetic_properties(n, chunk, data):
+    """The chunk-window formula used by operators.text.chunk_documents
+    (n_chunks = floor((max(n - overlap, 1) - 1) / stride) + 1, chunk i
+    = tokens[i*stride : i*stride + chunk]) guarantees, for every
+    (n_tokens, chunk_tokens, overlap): full coverage of all token
+    positions, every chunk non-empty, every chunk after the first both
+    overlaps its predecessor by exactly `overlap` positions (when long
+    enough) AND contributes at least one NEW position — i.e. no
+    pure-duplicate suffix chunks (the round-6 review finding)."""
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    stride = chunk - overlap
+    if n == 0:
+        return  # empty docs are filtered before the expansion
+    n_chunks = (max(n - overlap, 1) - 1) // stride + 1
+    spans = [
+        (i * stride, min(i * stride + chunk, n)) for i in range(n_chunks)
+    ]
+    # non-empty chunks, full coverage, monotone starts
+    assert all(a < b for a, b in spans)
+    covered = set()
+    for a, b in spans:
+        covered.update(range(a, b))
+    assert covered == set(range(n))
+    # each later chunk adds >= 1 position not in any earlier chunk
+    seen: set[int] = set()
+    for a, b in spans:
+        assert set(range(a, b)) - seen, f"redundant chunk {(a, b)} n={n}"
+        seen.update(range(a, b))
