@@ -45,6 +45,14 @@ class CurationConfig:
     # but cheapest) or "best_quality" (highest quality_score, ties to the
     # smaller id — what production curation keeps)
     near_keep: str = "min_id"
+    # targeted span scrubbing (operators.dedup.winnow_targeted_scrub):
+    # REWRITES cross-document duplicated spans out of the surviving
+    # documents (winnow-gated, so only overlap-flagged docs pay the
+    # gram-table cost) instead of dropping whole docs. Note: scrubbed
+    # text is in normalized token space (lowercased, single-spaced).
+    scrub_spans: bool = False
+    scrub_min_shared: int = 2
+    scrub_token_k: int = 10
     # quality gate (>= 3 of 4 heuristics, operators.text.with_quality_score)
     quality_gate: bool = True
     # full Gopher rule battery (operators.text.with_gopher_rules,
@@ -85,6 +93,7 @@ def curate(
     ``report`` has one row per stage: (stage, n_dropped) plus an
     ``input``/``output`` row — the accounting that makes a curation run
     reviewable. Stage order: exact dedup -> near-dup clusters ->
+    targeted span scrub (optional; rewrites, counts modified docs) ->
     quality -> gopher rules (optional) -> boilerplate ->
     unigram-frequency floor -> eval
     decontamination (when a ``benchmark`` DataFrame of
@@ -182,6 +191,27 @@ def curate(
         cur, m = materialize("near_dedup", cur.join(drop, id_col, "left_anti"), cur)
         counts.append(("near_dedup_dropped", n - m))
         n = m
+
+    if cfg.scrub_spans:
+        from erpl_web_spark.operators.dedup import winnow_targeted_scrub
+
+        # placed AFTER dedup (scrub survivors only) and BEFORE the
+        # quality stages (they should score the scrubbed text). The
+        # scrub result is persisted so the modified-doc accounting and
+        # the text replacement share one winnow+scrub computation.
+        scrubbed = winnow_targeted_scrub(
+            cur, id_col, text_col,
+            min_shared=cfg.scrub_min_shared,
+            token_k=cfg.scrub_token_k,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        modified = scrubbed.where(F.col("n_removed") > 0).count()
+        replaced = cur.drop(text_col).join(
+            scrubbed.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        )
+        cur, m = materialize("scrub_spans", replaced, cur)
+        scrubbed.unpersist()
+        counts.append(("scrub_spans_modified", modified))
+        n = m  # row-preserving stage: every doc keeps exactly one row
 
     if cfg.quality_gate:
         gated = with_quality_score(cur, text_col=text_col).where(

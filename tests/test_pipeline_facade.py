@@ -43,6 +43,40 @@ def test_curate_stages_toggle(spark):
     assert set(rep) == {"input", "output"}
 
 
+def test_curate_scrub_spans_stage(spark):
+    """The optional scrub stage rewrites shared spans out of surviving
+    docs (row-preserving: nothing dropped, modified count reported) and
+    runs BEFORE quality so the gate scores the scrubbed text."""
+    from pyspark.sql import functions as F
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler_a = "one ordinary sentence with plainly unique wording here " * 3
+    filler_b = "another body of entirely distinct prose for the second doc " * 3
+    rows = [
+        (1, filler_a + passage),
+        (2, passage + " " + filler_b),
+        (3, "untouched third document about gardens and mild weather " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, report = curate(
+        df,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            scrub_spans=True, scrub_min_shared=3, scrub_token_k=10,
+        ),
+    )
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(out) == {1, 2, 3}          # row-preserving
+    assert "gamma" not in out[1] and "gamma" not in out[2]
+    assert "gardens" in out[3]
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["scrub_spans_modified"] == 2
+    assert rep["input"] == rep["output"] == 3
+    # the scrub's internal caches must not leak into the session
+    # (facade contract: each stage's predecessor is released)
+    kept.unpersist()
+
+
 def test_curate_minhash_path(spark):
     kept, _ = curate(_docs(spark), CurationConfig(use_minhash=True))
     ids = {r["doc_id"] for r in kept.collect()}
