@@ -167,6 +167,13 @@ def cosine_top_k_blas(
             out_p.extend([pids[pi]] * len(keep))
             out_n.extend(I[pi][keep].tolist())
             out_s.extend(S[pi][keep].tolist())
+        if not out_p:
+            # every candidate in this partition was a masked self-match
+            # (e.g. a small partition holding only probe vectors):
+            # yielding an empty frame here would hand Arrow a FLOAT64
+            # "vec" column (pandas' dtype for an empty list) that it
+            # cannot convert to list<float> — skip the batch instead
+            return
         out = {
             "probe_id": np.array(out_p, dtype=np.int64),
             "neighbor_id": np.array(out_n, dtype=np.int64),

@@ -2518,6 +2518,19 @@ def test_matryoshka_audit_detects_truncation_flip(spark):
     assert out[1]["agree"] == 1
 
 
+def test_blas_top_k_probe_only_partition_yields_empty_not_crash(spark):
+    """Regression: a shortlist batch whose every candidate is a masked
+    self-match must be SKIPPED, not yielded as an empty frame — pandas
+    types an empty list column float64 and Arrow cannot convert that to
+    list<float> (crashed any partition holding only probe vectors)."""
+    from erpl_web_spark.operators.similarity import cosine_top_k_blas
+
+    solo = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert cosine_top_k_blas(solo, solo, k=3).collect() == []
+
+
 def test_knn_label_eval_majority_and_tie_break(spark):
     """Planted neighborhoods: a probe surrounded by label-7 vectors
     predicts 7; a probe with a 2-2 vote tie picks the SMALLER label;
