@@ -68,6 +68,7 @@ _SAMPLE_PRIORITY = [
     "text_chunk_windows",
     "embedding_matryoshka_audit",
     "similarity_knn_label_eval",
+    "text_bigram_logprob",
     # -- regression rotation: verified in r01/r02, not re-checked since --
     "asof_join_events",
     "window_rank_orders",

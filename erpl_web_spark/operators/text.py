@@ -1100,3 +1100,74 @@ def with_bigram_coverage(
             ).alias("bigram_coverage"),
         )
     )
+
+
+def with_bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-k-smoothed
+    corpus bigram model — the model-free stand-in for the CCNet-style
+    perplexity filter: ``avg log2 P(w2|w1)`` where ``P(w2|w1) =
+    (C(w1,w2) + k) / (C(w1·) + k·V)``, ``C(w1·)`` the count of bigrams
+    headed by ``w1`` and ``V`` the continuation vocabulary size. Word
+    salad and shredded markup sit far below natural prose; unlike
+    ``with_bigram_coverage`` (a 0/1 threshold per adjacency) this is a
+    calibrated score that ranks documents.
+
+    Returns (id, n_bigrams, avg_log2p) — 0-bigram documents get 0.0.
+
+    Spark shape: the bigram expansion runs ONCE (persisted, both the
+    model counts and the join-back read the InMemoryRelation); head and
+    pair counts are map-side-combined aggregations; ``V`` rides in as a
+    broadcast 1-row crossJoin so nothing collects to the driver; the
+    per-doc roll-up shuffles (id, double) rows. Hyper-frequent heads
+    are the AQE skew-join case, as in the coverage score.
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.get("t", i - 1).alias("w1"), F.get("t", i).alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2").persist(StorageLevel.MEMORY_AND_DISK)
+    pair_counts = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("bn")
+    )
+    head_counts = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("hn"))
+    vocab = bg.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    per_doc = (
+        bg.join(pair_counts, ["w1", "w2"])
+        .join(head_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.avg(
+                F.log2(
+                    (F.col("bn") + F.lit(add_k))
+                    / (F.col("hn") + F.lit(add_k) * F.col("v"))
+                )
+            ).alias("avg_log2p"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("avg_log2p", F.lit(0.0)).alias("avg_log2p"),
+        )
+    )

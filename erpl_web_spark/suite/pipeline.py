@@ -1591,6 +1591,48 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), pc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bn FROM bg GROUP BY w1, w2
+    ), hc AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS hn FROM bg GROUP BY w1
+    ), vv AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg
+    ), per_doc AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             AVG(log2((p.bn + 0.5) / (h.hn + 0.5 * vv.v))) AS avg_log2p
+      FROM bg JOIN pc p USING (w1, w2) JOIN hc h USING (w1) CROSS JOIN vv
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           ROUND(COALESCE(p.avg_log2p, 0.0), 6) AS avg_log2p_r
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-0.5-smoothed bigram log2-probability per document — the
+    model-free CCNet-style perplexity-proxy filter; ranks documents
+    where the coverage score only thresholds. Single bigram expansion
+    (persisted), map-side-combined model counts, broadcast vocab scalar
+    (operators.text.with_bigram_logprob)."""
+    from erpl_web_spark.operators.text import with_bigram_logprob
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    out = with_bigram_logprob(docs, "doc_id", "text", add_k=0.5)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_log2p", 6).alias("avg_log2p_r")
+    )
+
+
+@register(
     "text_bigram_coverage",
     oracle=f"""
     WITH toks AS (

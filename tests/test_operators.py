@@ -2531,6 +2531,30 @@ def test_blas_top_k_probe_only_partition_yields_empty_not_crash(spark):
     assert cosine_top_k_blas(solo, solo, k=3).collect() == []
 
 
+def test_bigram_logprob_ranks_prose_above_salad(spark):
+    """The smoothed bigram LM score must rank text whose adjacencies
+    repeat across the corpus above never-repeated word salad, and give
+    0-bigram documents (empty / single-token) exactly 0.0."""
+    from erpl_web_spark.operators.text import with_bigram_logprob
+
+    prose = "the cat sat on the mat and the cat sat on the mat again"
+    rows = [
+        (1, prose),
+        (2, prose + " happily"),              # shares almost all adjacencies
+        (3, "zeppelin quartz flamingo ducat oboe warthog nimbus kelp"),
+        (4, "solo"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_bigram_logprob(df).collect()}
+    assert out[1]["avg_log2p"] > out[3]["avg_log2p"]
+    assert out[2]["avg_log2p"] > out[3]["avg_log2p"]
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_log2p"] == 0.0
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_log2p"] == 0.0
+    # probabilities: every smoothed log2 P is negative for real bigrams
+    assert out[3]["avg_log2p"] < 0
+
+
 def test_knn_label_eval_majority_and_tie_break(spark):
     """Planted neighborhoods: a probe surrounded by label-7 vectors
     predicts 7; a probe with a 2-2 vote tie picks the SMALLER label;
