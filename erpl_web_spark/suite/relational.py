@@ -1233,15 +1233,15 @@ def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-           (n * p_qp - s_q * s_p) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_pp - s_p * s_p)) AS pearson_r
+           ROUND((n * p_qp - s_q * s_p) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_pp - s_p * s_p)), 12) AS pearson_r
     FROM m
     UNION ALL
     SELECT 'l_quantity', 'l_discount',
-           (n * p_qd - s_q * s_d) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_dd - s_d * s_d))
+           ROUND((n * p_qd - s_q * s_d) / (sqrt(n * p_qq - s_q * s_q) * sqrt(n * p_dd - s_d * s_d)), 12)
     FROM m
     UNION ALL
     SELECT 'l_extendedprice', 'l_discount',
-           (n * p_pd - s_p * s_d) / (sqrt(n * p_pp - s_p * s_p) * sqrt(n * p_dd - s_d * s_d))
+           ROUND((n * p_pd - s_p * s_d) / (sqrt(n * p_pp - s_p * s_p) * sqrt(n * p_dd - s_d * s_d)), 12)
     FROM m
     """,
 )
@@ -1253,10 +1253,15 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not cross-engine comparable."""
     from erpl_web_spark.operators.relational import corr_matrix
 
-    return corr_matrix(
+    out = corr_matrix(
         load(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
+    # r rounded to 12 decimals on BOTH sides: the moment sums are exact
+    # decimals, but the final double expression drifts ~1e-16 relative
+    # between engines at sf0.1 row counts (caught by the round-6 sf0.1
+    # full-gate sweep).
+    return out.select("col_a", "col_b", F.round("pearson_r", 12).alias("pearson_r"))
 
 
 @register(
