@@ -203,16 +203,20 @@ def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[st
             payload = _manifest_payload(spark, path, kind, n)
         if payload is None:
             if n in committed_versions(spark, path, kind):
-                # still listed as committed but unreadable past the
-                # retry window (e.g. a throttled fallback replace):
-                # fail loudly — silently dropping a committed version
-                # would return an incomplete union (an index missing a
-                # whole delta admits duplicates with no error)
-                raise IOError(
-                    f"committed manifest unreadable: {path}/{_MANIFEST_DIR}/"
-                    f"{kind}-{n}.json"
-                )
-            continue  # retracted after the listing
+                # still listed as committed after the retry window — a
+                # replace may have landed just now, so give the payload
+                # ONE post-listing read before failing; if it is still
+                # unreadable, fail loudly: silently dropping a committed
+                # version would return an incomplete union (an index
+                # missing a whole delta admits duplicates with no error)
+                payload = _manifest_payload(spark, path, kind, n)
+                if payload is None:
+                    raise IOError(
+                        f"committed manifest unreadable: {path}/{_MANIFEST_DIR}/"
+                        f"{kind}-{n}.json"
+                    )
+            else:
+                continue  # retracted after the listing
         sub = payload.get("data") or f"{kind}={n}"
         out.append(f"{path}/{sub}")
     return out

@@ -377,6 +377,7 @@ def remove_duplicated_spans(
     text_col: str,
     k: int = 10,
     min_docs: int = 2,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Scrub cross-document duplicated spans from each document.
 
@@ -408,6 +409,8 @@ def remove_duplicated_spans(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_sink is not None:
+        cache_sink.append(gp)
     dup = (
         gp.select(id_col, "h")
         .distinct()
@@ -455,6 +458,7 @@ def winnow_targeted_scrub(
     max_df: int | None = 1000,
     token_k: int = 10,
     min_docs: int = 2,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Targeted span scrubbing: winnowing overlap candidates gate the
     substring scrubber — the reference-free MOSS workflow (detect local
@@ -477,12 +481,15 @@ def winnow_targeted_scrub(
     length >= ``char_k + w - 1`` shares a fingerprint, so pairs below
     ``min_shared`` shared fingerprints (or diluted past ``max_df``) are
     not scrubbed — the documented tradeoff vs the corpus-wide table.
-    Returns (id, clean_text, n_tokens, n_removed).
+    Returns (id, clean_text, n_tokens, n_removed). ``cache_sink``
+    collects the internal persisted frames (fingerprints, gram
+    positions) so a materializing caller can release them.
     """
     from erpl_web_spark.operators.text import winnow_overlap_pairs
 
     pairs = winnow_overlap_pairs(
-        df, id_col, text_col, k=char_k, w=w, min_shared=min_shared, max_df=max_df
+        df, id_col, text_col, k=char_k, w=w, min_shared=min_shared, max_df=max_df,
+        cache_sink=cache_sink,
     )
     involved = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -490,7 +497,9 @@ def winnow_targeted_scrub(
         .distinct()
     )
     flagged = df.join(involved, id_col, "left_semi")
-    scrubbed = remove_duplicated_spans(flagged, id_col, text_col, token_k, min_docs)
+    scrubbed = remove_duplicated_spans(
+        flagged, id_col, text_col, token_k, min_docs, cache_sink=cache_sink
+    )
     untouched = df.join(involved, id_col, "left_anti").select(
         F.col(id_col),
         F.concat_ws(" ", tokens_expr(text_col)).alias("clean_text"),

@@ -960,6 +960,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = 1000,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Candidate local-overlap pairs from shared winnowing fingerprints:
     (id_a, id_b, n_shared) for document pairs sharing at least
@@ -991,13 +992,17 @@ def winnow_overlap_pairs(
     persists an intermediate — stays cached until the session ends or
     the caller runs ``spark.catalog.clearCache()``; long-lived
     streaming drivers calling this per batch should clear between
-    batches.
+    batches, or pass ``cache_sink`` (a list) to receive the internal
+    persisted frames and ``unpersist()`` them once the result is
+    materialized (the ``curate()`` facade does this).
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     if max_df is not None:
         from pyspark import StorageLevel
 
         fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_sink is not None:
+            cache_sink.append(fps)
         hot = (
             fps.groupBy("fp")
             .agg(F.count("*").cast("bigint").alias("df_n"))
@@ -1026,6 +1031,35 @@ def winnow_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def _bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Persisted exploded bigram frame (id, w1, w2) — one row per
+    adjacent token pair, shared by the coverage and log-prob scores so
+    the sequence-hazard guard (size >= 2 BEFORE the index expansion)
+    lives in exactly one place. Persisted because every caller feeds it
+    to both a model-count aggregation and a join-back; cache lives
+    until session end / clearCache() (module convention)."""
+    from pyspark import StorageLevel
+
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
+        F.size("t") >= 2
+    )
+    return (
+        toks.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.get("t", i - 1).alias("w1"), F.get("t", i).alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -1060,22 +1094,7 @@ def with_bigram_coverage(
     persisting operators); clear between batches on long-lived
     drivers.
     """
-    from pyspark import StorageLevel
-
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
-        F.size("t") >= 2
-    )
-    bg = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.get("t", i - 1).alias("w1"), F.get("t", i).alias("w2")
-                ),
-            )
-        ).alias("p"),
-    ).select(id_col, "p.w1", "p.w2").persist(StorageLevel.MEMORY_AND_DISK)
+    bg = _bigram_frame(df, id_col, text_col)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bn"))
     per_doc = (
         bg.join(counts, ["w1", "w2"])
@@ -1119,34 +1138,29 @@ def with_bigram_logprob(
 
     Returns (id, n_bigrams, avg_log2p) — 0-bigram documents get 0.0.
 
-    Spark shape: the bigram expansion runs ONCE (persisted, both the
-    model counts and the join-back read the InMemoryRelation); head and
-    pair counts are map-side-combined aggregations; ``V`` rides in as a
-    broadcast 1-row crossJoin so nothing collects to the driver; the
-    per-doc roll-up shuffles (id, double) rows. Hyper-frequent heads
-    are the AQE skew-join case, as in the coverage score.
+    Spark shape: the bigram expansion runs ONCE (persisted via
+    ``_bigram_frame``, both the model counts and the join-back read the
+    InMemoryRelation); the pair-count table is the ONLY aggregation
+    over the full occurrence frame — head counts (``hn = sum bn``) and
+    the vocabulary size derive from the far smaller persisted
+    pair-count table instead of re-scanning occurrences; ``V`` rides
+    in as a broadcast 1-row crossJoin so nothing collects to the
+    driver; the per-doc roll-up shuffles (id, double) rows.
+    Hyper-frequent heads are the AQE skew-join case, as in the
+    coverage score.
     """
     from pyspark import StorageLevel
 
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
-        F.size("t") >= 2
+    bg = _bigram_frame(df, id_col, text_col)
+    pair_counts = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("bn"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bg = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.get("t", i - 1).alias("w1"), F.get("t", i).alias("w2")
-                ),
-            )
-        ).alias("p"),
-    ).select(id_col, "p.w1", "p.w2").persist(StorageLevel.MEMORY_AND_DISK)
-    pair_counts = bg.groupBy("w1", "w2").agg(
-        F.count("*").cast("bigint").alias("bn")
+    head_counts = pair_counts.groupBy("w1").agg(
+        F.sum("bn").cast("bigint").alias("hn")
     )
-    head_counts = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("hn"))
-    vocab = bg.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    vocab = pair_counts.agg(F.countDistinct("w2").cast("bigint").alias("v"))
     per_doc = (
         bg.join(pair_counts, ["w1", "w2"])
         .join(head_counts, "w1")

@@ -48,8 +48,11 @@ class CurationConfig:
     # targeted span scrubbing (operators.dedup.winnow_targeted_scrub):
     # REWRITES cross-document duplicated spans out of the surviving
     # documents (winnow-gated, so only overlap-flagged docs pay the
-    # gram-table cost) instead of dropping whole docs. Note: scrubbed
-    # text is in normalized token space (lowercased, single-spaced).
+    # gram-table cost) instead of dropping whole docs. Only documents
+    # that actually lost a span are rewritten — and those end up in
+    # normalized token space (lowercased, single-spaced, no line
+    # structure, so line-based Gopher rules see one line for them);
+    # every untouched document keeps its ORIGINAL text byte-for-byte.
     scrub_spans: bool = False
     scrub_min_shared: int = 2
     scrub_token_k: int = 10
@@ -198,19 +201,33 @@ def curate(
         # placed AFTER dedup (scrub survivors only) and BEFORE the
         # quality stages (they should score the scrubbed text). The
         # scrub result is persisted so the modified-doc accounting and
-        # the text replacement share one winnow+scrub computation.
+        # the text replacement share one winnow+scrub computation; the
+        # operator's internal fingerprint/gram caches are collected via
+        # cache_sink and released once the stage is materialized —
+        # honoring the facade's per-stage cache-release contract.
+        sink: list = []
         scrubbed = winnow_targeted_scrub(
             cur, id_col, text_col,
             min_shared=cfg.scrub_min_shared,
             token_k=cfg.scrub_token_k,
+            cache_sink=sink,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        modified = scrubbed.where(F.col("n_removed") > 0).count()
-        replaced = cur.drop(text_col).join(
-            scrubbed.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        # only docs that actually lost a span are rewritten (into
+        # normalized token space); everything else keeps its original
+        # text — a corpus-wide rewrite would strip line structure and
+        # casing from untouched documents for no dedup benefit
+        modified = scrubbed.where(F.col("n_removed") > 0).select(
+            id_col, F.col("clean_text").alias("__scrub_text")
         )
+        n_modified = modified.count()
+        replaced = cur.join(modified, id_col, "left").withColumn(
+            text_col, F.coalesce(F.col("__scrub_text"), F.col(text_col))
+        ).drop("__scrub_text")
         cur, m = materialize("scrub_spans", replaced, cur)
         scrubbed.unpersist()
-        counts.append(("scrub_spans_modified", modified))
+        for cached in sink:
+            cached.unpersist()
+        counts.append(("scrub_spans_modified", n_modified))
         n = m  # row-preserving stage: every doc keeps exactly one row
 
     if cfg.quality_gate:

@@ -52,12 +52,17 @@ def test_curate_scrub_spans_stage(spark):
     passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     filler_a = "one ordinary sentence with plainly unique wording here " * 3
     filler_b = "another body of entirely distinct prose for the second doc " * 3
+    original_3 = "Untouched THIRD document\nabout gardens and mild weather.\n" * 3
     rows = [
         (1, filler_a + passage),
         (2, passage + " " + filler_b),
-        (3, "untouched third document about gardens and mild weather " * 3),
+        (3, original_3),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = {
+        rdd.toString() for rdd in
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
     kept, report = curate(
         df,
         CurationConfig(
@@ -68,13 +73,21 @@ def test_curate_scrub_spans_stage(spark):
     out = {r["doc_id"]: r["text"] for r in kept.collect()}
     assert set(out) == {1, 2, 3}          # row-preserving
     assert "gamma" not in out[1] and "gamma" not in out[2]
-    assert "gardens" in out[3]
+    # untouched docs keep their ORIGINAL text byte-for-byte — casing,
+    # punctuation and line structure intact (round-6 review finding:
+    # a corpus-wide normalized rewrite would neuter line-based rules)
+    assert out[3] == original_3
     rep = {r["stage"]: r["n"] for r in report.collect()}
     assert rep["scrub_spans_modified"] == 2
     assert rep["input"] == rep["output"] == 3
-    # the scrub's internal caches must not leak into the session
-    # (facade contract: each stage's predecessor is released)
+    # the scrub's internal fingerprint/gram caches are released: only
+    # the returned stage cache may remain beyond what existed before
     kept.unpersist()
+    leaked = {
+        rdd.toString() for rdd in
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    } - before
+    assert not leaked, f"scrub stage leaked caches: {leaked}"
 
 
 def test_curate_minhash_path(spark):
