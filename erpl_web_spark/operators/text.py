@@ -1126,6 +1126,7 @@ def with_bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     add_k: float = 0.5,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under an add-k-smoothed
     corpus bigram model — the model-free stand-in for the CCNet-style
@@ -1157,6 +1158,8 @@ def with_bigram_logprob(
         .agg(F.count("*").cast("bigint").alias("bn"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_sink is not None:
+        cache_sink.extend([bg, pair_counts])
     head_counts = pair_counts.groupBy("w1").agg(
         F.sum("bn").cast("bigint").alias("hn")
     )

@@ -69,6 +69,11 @@ class CurationConfig:
     # frequency (operators.text.with_unigram_freq_score) falls below
     # this — the rare-token/noise filter (None = skip the stage)
     min_unigram_freq: float | None = None
+    # perplexity-proxy floor: drop docs whose mean smoothed bigram
+    # log2-probability (operators.text.with_bigram_logprob) falls
+    # below this — the CCNet-style LM filter without a model; typical
+    # values are negative, e.g. -14.0 (None = skip the stage)
+    min_bigram_logprob: float | None = None
     # eval decontamination (only when curate() is given a benchmark
     # DataFrame): drop docs containing >= this fraction of any single
     # benchmark item's shingles (operators.curation.pairwise_contamination)
@@ -98,7 +103,7 @@ def curate(
     reviewable. Stage order: exact dedup -> near-dup clusters ->
     targeted span scrub (optional; rewrites, counts modified docs) ->
     quality -> gopher rules (optional) -> boilerplate ->
-    unigram-frequency floor -> eval
+    unigram-frequency floor -> bigram-logprob floor (optional) -> eval
     decontamination (when a ``benchmark`` DataFrame of
     (cfg.bench_id_col, text_col) rows is supplied: drops any doc
     containing >= cfg.contamination_threshold of a single benchmark
@@ -275,6 +280,24 @@ def curate(
         )
         cur, m = materialize("unigram_freq", floored, cur)
         counts.append(("unigram_freq_dropped", n - m))
+        n = m
+
+    if cfg.min_bigram_logprob is not None:
+        from erpl_web_spark.operators.text import with_bigram_logprob
+
+        lp_sink: list = []
+        lp = with_bigram_logprob(
+            cur, id_col, text_col, cache_sink=lp_sink
+        ).select(id_col, "avg_log2p")
+        floored = (
+            cur.join(lp, id_col)
+            .where(F.col("avg_log2p") >= cfg.min_bigram_logprob)
+            .drop("avg_log2p")
+        )
+        cur, m = materialize("bigram_logprob", floored, cur)
+        for cached in lp_sink:
+            cached.unpersist()
+        counts.append(("bigram_logprob_dropped", n - m))
         n = m
 
     if benchmark is not None:

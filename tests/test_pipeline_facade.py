@@ -90,6 +90,40 @@ def test_curate_scrub_spans_stage(spark):
     assert not leaked, f"scrub stage leaked caches: {leaked}"
 
 
+def test_curate_bigram_logprob_floor(spark):
+    """The perplexity-proxy floor drops the word-salad doc whose
+    adjacencies never repeat, keeps prose whose adjacencies do, and
+    releases its internal bigram caches."""
+    prose = "the cat sat on the mat and the cat sat on the mat again"
+    rows = [
+        (1, prose),
+        (2, prose + " happily"),
+        (3, "zeppelin quartz flamingo ducat oboe warthog nimbus kelp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = {
+        rdd.toString() for rdd in
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
+    kept, report = curate(
+        df,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            min_bigram_logprob=-2.0,  # salad ~-2.5, prose ~-1.7 here
+        ),
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 2}
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["bigram_logprob_dropped"] == 1
+    kept.unpersist()
+    leaked = {
+        rdd.toString() for rdd in
+        spark.sparkContext._jsc.getPersistentRDDs().values()
+    } - before
+    assert not leaked, f"logprob stage leaked caches: {leaked}"
+
+
 def test_curate_minhash_path(spark):
     kept, _ = curate(_docs(spark), CurationConfig(use_minhash=True))
     ids = {r["doc_id"] for r in kept.collect()}
