@@ -69,6 +69,7 @@ _SAMPLE_PRIORITY = [
     "embedding_matryoshka_audit",
     "similarity_knn_label_eval",
     "text_bigram_logprob",
+    "multimodal_dhash_pairs",
     # -- regression rotation: verified in r01/r02, not re-checked since --
     "asof_join_events",
     "window_rank_orders",

@@ -165,6 +165,141 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def _stub_gray_grid(payload: bytes, cells: int = 72) -> list[int]:
+    """Deterministic stand-in for decode->grayscale->resize: the first
+    ``cells`` bytes of sha256(payload||'0') || sha256(payload||'1') ||
+    ... — same idea as ``_fake_feature``, DuckDB-reproducible
+    (sha256 over the utf-8 payload plus one ASCII suffix byte)."""
+    out: list[int] = []
+    i = 0
+    while len(out) < cells:
+        out.extend(hashlib.sha256(payload + str(i).encode()).digest())
+        i += 1
+    return out[:cells]
+
+
+def _pillow_gray_grid(payload: bytes, w: int = 9, h: int = 8) -> list[int]:
+    """Real perceptual grid (executors with Pillow): decode, grayscale,
+    resize to w x h, row-major intensities. Undecodable payloads fall
+    back to the hash stub (one corrupt blob must not kill the pass)."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return list(im.convert("L").resize((w, h), Image.BILINEAR).getdata())
+    except Exception:
+        return _stub_gray_grid(payload, w * h)
+
+
+def dhash_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """64-bit difference-hash (dHash) per media payload — the standard
+    perceptual image fingerprint: grayscale 9x8 grid, bit k (row r,
+    col c) set when grid[r][c+1] > grid[r][c]; near-identical images
+    (recompression, small crops/resizes) land within a few bits.
+
+    Returns (media_id, dhash_hi, dhash_lo): the 64 bits packed as two
+    unsigned 32-bit halves in BIGINT columns — avoids signed-overflow
+    edge cases and keeps the value cross-engine hashable. Kernel runs
+    in Arrow-batched ``mapInPandas`` (zero driver involvement);
+    ``decode_stub=True`` derives the grid from sha256 (deterministic,
+    oracle-checkable anywhere), ``decode_stub=False`` uses the real
+    Pillow decode and raises where Pillow is absent — both emit the
+    same schema, so downstream dedup plumbing is identical.
+    """
+    if not decode_stub and not pillow_available():
+        raise NotImplementedError(
+            "Real perceptual hashing requires Pillow, not available in "
+            "this environment. Use decode_stub=True for the stub grid."
+        )
+    grid_fn = _stub_gray_grid if decode_stub else _pillow_gray_grid
+
+    def hash_one(payload: bytes) -> tuple[int, int]:
+        g = grid_fn(payload)
+        hi = lo = 0
+        for r in range(8):
+            for c in range(8):
+                k = r * 8 + c
+                bit = 1 if g[r * 9 + c + 1] > g[r * 9 + c] else 0
+                if k < 32:
+                    hi |= bit << k
+                else:
+                    lo |= bit << (k - 32)
+        return hi, lo
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            hashes = [hash_one(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash_hi": [h[0] for h in hashes],
+                    "dhash_lo": [h[1] for h in hashes],
+                }
+            )
+
+    return df.mapInPandas(
+        batches, schema="media_id long, dhash_hi long, dhash_lo long"
+    )
+
+
+def dhash_dup_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Near-duplicate media pairs by dHash hamming distance — the
+    image twin of SimHash text near-dup, same scale posture: the 64
+    bits split into four 16-bit bands; by pigeonhole, any pair within
+    ``max_distance`` <= 3 bits shares at least one identical band, so
+    candidates come from four band-keyed equi-joins (bucketized
+    groupBy shape — never an all-pairs join) and the exact hamming
+    verify (``bit_count(xor)`` on each 32-bit half, pure JVM) runs on
+    candidates only. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 0 <= max_distance <= 3:
+        raise ValueError("band pigeonhole holds for max_distance in [0, 3]")
+    bands = hashes.select(
+        F.col("media_id"),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("dhash_hi" if b < 2 else "dhash_lo"),
+                            16 * (b % 2),
+                        ).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "dhash_hi", "dhash_lo", "bk.band", "bk.val")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("dhash_hi").alias("ha"),
+        F.col("dhash_lo").alias("la"), "band", "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("dhash_hi").alias("hb"),
+        F.col("dhash_lo").alias("lb"), "band", "val",
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def detect_media_format_expr(payload) -> F.Column:
     """Magic-byte media-format detection on a ``binary`` column —
     pure JVM expression (substring + binary equality, whole-stage

@@ -2016,6 +2016,67 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dhash_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, sha256(text || '0') AS d0, sha256(text || '1') AS d1,
+             sha256(text || '2') AS d2
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, list_transform(range(0, 72), i ->
+        CAST('0x' || substr(CASE WHEN i < 32 THEN d0
+                                 WHEN i < 64 THEN d1 ELSE d2 END,
+                            CAST((i % 32) * 2 + 1 AS INT), 2) AS INT)) AS g
+      FROM d
+    ), bits AS (
+      SELECT doc_id, list_transform(range(0, 64), k ->
+        CASE WHEN g[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                > g[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+             THEN 1 ELSE 0 END) AS b
+      FROM cells
+    ), h AS (
+      SELECT doc_id AS media_id,
+        CAST(list_sum(list_transform(range(0, 32),
+             k -> b[CAST(k + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+             AS BIGINT) AS dhash_hi,
+        CAST(list_sum(list_transform(range(0, 32),
+             k -> b[CAST(k + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+             AS BIGINT) AS dhash_lo
+      FROM bits
+    ), bands AS (
+      SELECT media_id, dhash_hi, dhash_lo, t.b,
+             CASE WHEN t.b < 2 THEN (dhash_hi >> CAST(16 * (t.b % 2) AS INT)) & 65535
+                  ELSE (dhash_lo >> CAST(16 * (t.b % 2) AS INT)) & 65535
+             END AS val
+      FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    )
+    SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+           CAST(bit_count(xor(x.dhash_hi, y.dhash_hi))
+                + bit_count(xor(x.dhash_lo, y.dhash_lo)) AS INT) AS hamming
+    FROM bands x JOIN bands y
+      ON x.b = y.b AND x.val = y.val AND x.media_id < y.media_id
+    WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
+          + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 3
+    """,
+)
+def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs: 64-bit dHash per
+    payload (Arrow mapInPandas; deterministic sha256 grid stub — the
+    real Pillow grayscale kernel swaps in where installed), then
+    16-bit-band pigeonhole candidates + exact bit_count(xor) hamming
+    verify — the image twin of SimHash text dedup, never all-pairs
+    (operators.multimodal.dhash_media / dhash_dup_pairs)."""
+    from erpl_web_spark.operators.multimodal import (
+        dhash_dup_pairs,
+        dhash_media,
+        documents_as_media,
+    )
+
+    media = documents_as_media(load(spark, sf_dir, "documents", spread=True))
+    return dhash_dup_pairs(dhash_media(media), max_distance=3)
+
+
+@register(
     "similarity_knn_label_eval",
     oracle="""
     WITH v AS (

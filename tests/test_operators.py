@@ -2531,6 +2531,52 @@ def test_blas_top_k_probe_only_partition_yields_empty_not_crash(spark):
     assert cosine_top_k_blas(solo, solo, k=3).collect() == []
 
 
+def test_dhash_media_pairs_end_to_end_and_pigeonhole(spark):
+    """dHash plumbing: identical payloads produce identical hashes and
+    a hamming-0 pair end-to-end; hand-built hashes within 3 bits pair
+    via the band pigeonhole even when the flipped bits span bands;
+    4-bit-distant hashes are candidate-generated but verify-filtered."""
+    from erpl_web_spark.operators.multimodal import (
+        dhash_dup_pairs,
+        dhash_media,
+        documents_as_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "identical payload body"), (2, "identical payload body"),
+         (3, "a completely different text")],
+        "doc_id long, text string",
+    )
+    hashes = dhash_media(documents_as_media(docs))
+    rows = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"]) for r in hashes.collect()}
+    assert rows[1] == rows[2] and rows[1] != rows[3]
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in rows.values())
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dhash_dup_pairs(hashes).collect()}
+    assert pairs == {(1, 2): 0}
+
+    # pigeonhole: 3 flipped bits spanning three different bands still
+    # share the fourth band; 4 flips in one band leave 3 shared bands
+    # but fail the hamming verify
+    base_hi, base_lo = 0x12345678, 0x9ABCDEF0
+    h3 = spark.createDataFrame(
+        [
+            (10, base_hi, base_lo),
+            (11, base_hi ^ 0x1 ^ 0x10000, base_lo ^ 0x1),   # 3 bits, 3 bands
+            (12, base_hi ^ 0xF, base_lo),                    # 4 bits, 1 band
+        ],
+        "media_id long, dhash_hi long, dhash_lo long",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dhash_dup_pairs(h3, max_distance=3).collect()}
+    assert got == {(10, 11): 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_dup_pairs(h3, max_distance=4)
+
+
 def test_bigram_logprob_ranks_prose_above_salad(spark):
     """The smoothed bigram LM score must rank text whose adjacencies
     repeat across the corpus above never-repeated word salad, and give
