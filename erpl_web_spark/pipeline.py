@@ -72,7 +72,8 @@ class CurationConfig:
     # perplexity-proxy floor: drop docs whose mean smoothed bigram
     # log2-probability (operators.text.with_bigram_logprob) falls
     # below this — the CCNet-style LM filter without a model; typical
-    # values are negative, e.g. -14.0 (None = skip the stage)
+    # values are negative, e.g. -14.0. Documents with no bigrams at
+    # all (empty / single-token) are dropped too (None = skip stage)
     min_bigram_logprob: float | None = None
     # eval decontamination (only when curate() is given a benchmark
     # DataFrame): drop docs containing >= this fraction of any single
@@ -288,11 +289,19 @@ def curate(
         lp_sink: list = []
         lp = with_bigram_logprob(
             cur, id_col, text_col, cache_sink=lp_sink
-        ).select(id_col, "avg_log2p")
+        ).select(id_col, "n_bigrams", "avg_log2p")
+        # 0-bigram documents (empty / single-token) carry the sentinel
+        # avg_log2p = 0.0 — the best possible score, since every real
+        # bigram scores strictly below 0. They are exactly the
+        # degenerate noise a perplexity floor targets, so the floor
+        # drops them rather than letting the sentinel outrank prose.
         floored = (
             cur.join(lp, id_col)
-            .where(F.col("avg_log2p") >= cfg.min_bigram_logprob)
-            .drop("avg_log2p")
+            .where(
+                (F.col("n_bigrams") >= 1)
+                & (F.col("avg_log2p") >= cfg.min_bigram_logprob)
+            )
+            .drop("n_bigrams", "avg_log2p")
         )
         cur, m = materialize("bigram_logprob", floored, cur)
         for cached in lp_sink:

@@ -2018,10 +2018,14 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_dhash_pairs",
     oracle="""
-    WITH d AS (
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20
+    ), d AS (
       SELECT doc_id, sha256(text || '0') AS d0, sha256(text || '1') AS d1,
              sha256(text || '2') AS d2
-      FROM documents
+      FROM corpus
     ), cells AS (
       SELECT doc_id, list_transform(range(0, 72), i ->
         CAST('0x' || substr(CASE WHEN i < 32 THEN d0
@@ -2065,14 +2069,22 @@ def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     real Pillow grayscale kernel swaps in where installed), then
     16-bit-band pigeonhole candidates + exact bit_count(xor) hamming
     verify — the image twin of SimHash text dedup, never all-pairs
-    (operators.multimodal.dhash_media / dhash_dup_pairs)."""
+    (operators.multimodal.dhash_media / dhash_dup_pairs). The corpus is
+    augmented with re-keyed copies of the first 20 documents so the
+    pairing path produces rows (and is value-hash-checked) at EVERY
+    scale factor — the raw corpus has no duplicate payloads at the
+    small SFs, which would make the oracle compare empty-to-empty."""
     from erpl_web_spark.operators.multimodal import (
         dhash_dup_pairs,
         dhash_media,
         documents_as_media,
     )
 
-    media = documents_as_media(load(spark, sf_dir, "documents", spread=True))
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    media = documents_as_media(docs.unionByName(planted))
     return dhash_dup_pairs(dhash_media(media), max_distance=3)
 
 

@@ -99,6 +99,7 @@ def test_curate_bigram_logprob_floor(spark):
         (1, prose),
         (2, prose + " happily"),
         (3, "zeppelin quartz flamingo ducat oboe warthog nimbus kelp"),
+        (4, "solo"),  # 0-bigram sentinel doc: the floor must drop it
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     before = {
@@ -115,7 +116,7 @@ def test_curate_bigram_logprob_floor(spark):
     ids = {r["doc_id"] for r in kept.collect()}
     assert ids == {1, 2}
     rep = {r["stage"]: r["n"] for r in report.collect()}
-    assert rep["bigram_logprob_dropped"] == 1
+    assert rep["bigram_logprob_dropped"] == 2  # salad + 0-bigram doc
     kept.unpersist()
     leaked = {
         rdd.toString() for rdd in
