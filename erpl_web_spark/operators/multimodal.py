@@ -245,19 +245,12 @@ def dhash_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
 
-def dhash_dup_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
-    """Near-duplicate media pairs by dHash hamming distance — the
-    image twin of SimHash text near-dup, same scale posture: the 64
-    bits split into four 16-bit bands; by pigeonhole, any pair within
-    ``max_distance`` <= 3 bits shares at least one identical band, so
-    candidates come from four band-keyed equi-joins (bucketized
-    groupBy shape — never an all-pairs join) and the exact hamming
-    verify (``bit_count(xor)`` on each 32-bit half, pure JVM) runs on
-    candidates only. Returns (id_a, id_b, hamming), id_a < id_b.
-    """
-    if not 0 <= max_distance <= 3:
-        raise ValueError("band pigeonhole holds for max_distance in [0, 3]")
-    bands = hashes.select(
+def _band_frame(hashes: DataFrame) -> DataFrame:
+    """Explode (media_id, dhash_hi, dhash_lo) into four 16-bit band
+    rows (media_id, dhash_hi, dhash_lo, band, val) — the equi-join key
+    frame shared by the self-join pair generator and the cross-set
+    index lookup."""
+    return hashes.select(
         F.col("media_id"),
         "dhash_hi",
         "dhash_lo",
@@ -276,6 +269,21 @@ def dhash_dup_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
             )
         ).alias("bk"),
     ).select("media_id", "dhash_hi", "dhash_lo", "bk.band", "bk.val")
+
+
+def dhash_dup_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Near-duplicate media pairs by dHash hamming distance — the
+    image twin of SimHash text near-dup, same scale posture: the 64
+    bits split into four 16-bit bands; by pigeonhole, any pair within
+    ``max_distance`` <= 3 bits shares at least one identical band, so
+    candidates come from four band-keyed equi-joins (bucketized
+    groupBy shape — never an all-pairs join) and the exact hamming
+    verify (``bit_count(xor)`` on each 32-bit half, pure JVM) runs on
+    candidates only. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 0 <= max_distance <= 3:
+        raise ValueError("band pigeonhole holds for max_distance in [0, 3]")
+    bands = _band_frame(hashes)
     a = bands.select(
         F.col("media_id").alias("id_a"), F.col("dhash_hi").alias("ha"),
         F.col("dhash_lo").alias("la"), "band", "val",
@@ -434,3 +442,120 @@ def tile_grid(
             F.least(F.lit(tile_h), F.col("meta.height") - F.col("tile_y") * sy).alias("px_h"),
         )
     )
+
+
+def read_media_index(spark, path: str, before: int | None = None):
+    """Union of manifest-committed media-index deltas
+    (``path/batch=N``, ``N < before``), or None when empty. Schema:
+    (media_id, dhash_hi, dhash_lo). Lists manifests only
+    (``core.manifests``): torn delta writes are invisible and ``path``
+    may be on any Hadoop-visible filesystem."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.read_committed_union(spark, path, "batch", before=before)
+
+
+def media_index_apply(
+    batch_df,
+    batch_id: int,
+    path: str,
+    max_distance: int = 3,
+    decode_stub: bool = True,
+) -> None:
+    """foreachBatch PERCEPTUAL near-dup dedup against a persisted dHash
+    index — the media twin of the lexical (``dedup.dedup_index_apply``)
+    and semantic (``similarity.embedding_index_apply``) incremental
+    indexes, completing the triple for continuously-arriving corpora.
+    ``batch_df`` must carry the media schema columns (media_id,
+    payload); each micro-batch dedups within itself (band-pigeonhole
+    pairs -> connected components, keep the minimum id) and against
+    every previously-kept item (band equi-join vs the stored hashes,
+    exact ``bit_count(xor)`` hamming verify), then appends only
+    survivors as ``path/batch=<batch_id>``.
+
+    Index rows carry only the two 32-bit hash halves — 16 bytes per
+    kept item, no payloads: at 10^9 media items the index is ~16 GB of
+    parquet, and the cross-batch lookup shuffles skinny (band, val,
+    id) rows, never payload bytes. Replay-safe like the other indexes:
+    decisions for batch N read deltas strictly below N, and a replayed
+    batch overwrites its own delta with identical content. The legacy
+    probe runs at FUNCTION ENTRY, before any write can create the
+    ``_manifests/`` marker. Decisions land at
+    ``path/decisions/batch=<batch_id>`` as
+    (media_id, status 'kept'|'dup_in_batch'|'dup_of_index', dup_of).
+    """
+    from pyspark import StorageLevel
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.graph import connected_components
+
+    spark = batch_df.sparkSession
+    manifests.assert_no_legacy_state(spark, path, "batch")
+    hashes = dhash_media(
+        batch_df.select("media_id", "payload"), decode_stub=decode_stub
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # (a) within-batch: banded pairs -> components -> min id kept
+    pairs = dhash_dup_pairs(hashes, max_distance).select("id_a", "id_b")
+    in_batch_drops = (
+        connected_components(pairs, "id_a", "id_b")
+        .where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("media_id"), F.col("component").alias("dup_of"))
+    )
+    survivors = hashes.join(
+        in_batch_drops.select("media_id"), "media_id", "left_anti"
+    )
+
+    # (b) against the index: shared-band candidates, exact hamming
+    index = read_media_index(spark, path, before=batch_id)
+    if index is not None:
+        nb = _band_frame(survivors).select(
+            F.col("media_id").alias("new_id"), F.col("dhash_hi").alias("nh"),
+            F.col("dhash_lo").alias("nl"), "band", "val",
+        )
+        ob = _band_frame(index).select(
+            F.col("media_id").alias("old_id"), F.col("dhash_hi").alias("oh"),
+            F.col("dhash_lo").alias("ol"), "band", "val",
+        )
+        index_dups = (
+            nb.join(ob, ["band", "val"])
+            .where(
+                F.bit_count(F.col("nh").bitwiseXOR(F.col("oh")))
+                + F.bit_count(F.col("nl").bitwiseXOR(F.col("ol")))
+                <= max_distance
+            )
+            .groupBy("new_id")
+            .agg(F.min("old_id").alias("dup_of"))
+        )
+    else:
+        index_dups = spark.createDataFrame([], "new_id long, dup_of long")
+    index_dups = index_dups.persist(StorageLevel.MEMORY_AND_DISK)
+
+    keepers = survivors.join(
+        index_dups.select(F.col("new_id").alias("media_id")), "media_id", "left_anti"
+    )
+    manifests.uncommit_version(spark, path, "batch", batch_id)
+    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+    manifests.commit_version(spark, path, "batch", batch_id)
+
+    decisions = (
+        batch_df.select("media_id")
+        .join(in_batch_drops, "media_id", "left")
+        .join(
+            index_dups.withColumnRenamed("new_id", "media_id")
+            .withColumnRenamed("dup_of", "__idx_of"),
+            "media_id",
+            "left",
+        )
+        .select(
+            "media_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup_in_batch"))
+            .when(F.col("__idx_of").isNotNull(), F.lit("dup_of_index"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(F.col("dup_of"), F.col("__idx_of")).alias("dup_of"),
+        )
+    )
+    decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
+    hashes.unpersist()
+    index_dups.unpersist()

@@ -2577,6 +2577,97 @@ def test_dhash_media_pairs_end_to_end_and_pigeonhole(spark):
         dhash_dup_pairs(h3, max_distance=4)
 
 
+def test_media_index_streaming_e2e(spark, tmp_path):
+    """The perceptual index behind a real checkpointed file stream: a
+    batch-1 payload identical to a batch-0 keeper is dropped against
+    the stored hashes, exactly as in the direct-call contract."""
+    from erpl_web_spark.operators.multimodal import (
+        media_index_apply,
+        read_media_index,
+    )
+
+    src = tmp_path / "msrc"
+    src.mkdir()
+    idx = str(tmp_path / "midx_s")
+    ckpt = str(tmp_path / "mckpt")
+    schema = "media_id long, payload binary"
+
+    def run_stream():
+        (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(lambda df, bid: media_index_apply(df, bid, idx))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    spark.createDataFrame(
+        [(1, b"payload alpha"), (2, b"payload beta")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert {r["media_id"] for r in read_media_index(spark, idx).collect()} == {1, 2}
+
+    spark.createDataFrame(
+        [(10, b"payload alpha"), (11, b"payload gamma")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()  # same checkpoint: only the new file forms batch 1
+    assert {r["media_id"] for r in read_media_index(spark, idx).collect()} == {1, 2, 11}
+
+
+def test_media_index_apply_dedups_within_and_across_batches(spark, tmp_path):
+    """The perceptual media index (the third incremental dedup index,
+    after lexical and semantic): within-batch dup dropped (min id
+    kept), cross-batch dup dropped against the stored hashes, replay
+    overwrites its own delta idempotently, and pre-manifest legacy
+    state raises at entry before any write."""
+    import os
+
+    import pytest as _pytest
+
+    from erpl_web_spark.operators.multimodal import (
+        documents_as_media,
+        media_index_apply,
+        read_media_index,
+    )
+
+    def media(rows):
+        return documents_as_media(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+
+    path = str(tmp_path / "midx")
+    b0 = media([(1, "first unique payload"), (2, "first unique payload"),
+                (3, "second distinct payload")])
+    media_index_apply(b0, 0, path)
+    assert {r["media_id"] for r in read_media_index(spark, path).collect()} == {1, 3}
+    dec0 = {r["media_id"]: (r["status"], r["dup_of"]) for r in
+            spark.read.parquet(f"{path}/decisions/batch=0").collect()}
+    assert dec0[2] == ("dup_in_batch", 1) and dec0[1][0] == "kept"
+
+    b1 = media([(10, "first unique payload"), (11, "a brand new payload")])
+    media_index_apply(b1, 1, path)
+    kept = {r["media_id"] for r in read_media_index(spark, path).collect()}
+    assert kept == {1, 3, 11}
+    dec1 = {r["media_id"]: (r["status"], r["dup_of"]) for r in
+            spark.read.parquet(f"{path}/decisions/batch=1").collect()}
+    assert dec1[10] == ("dup_of_index", 1)
+
+    # replay batch 1: identical content, no duplicate index rows
+    media_index_apply(b1, 1, path)
+    assert {r["media_id"] for r in read_media_index(spark, path).collect()} == kept
+
+    # legacy pre-manifest state raises at entry, before _manifests exists
+    legacy = str(tmp_path / "legacy_midx")
+    spark.createDataFrame(
+        [(5, 1, 2)], "media_id long, dhash_hi long, dhash_lo long"
+    ).write.parquet(f"{legacy}/batch=0")
+    with _pytest.raises(RuntimeError, match="adopt_success_markers"):
+        media_index_apply(b1, 1, legacy)
+    assert not os.path.exists(f"{legacy}/_manifests")
+
+
 def test_bigram_logprob_ranks_prose_above_salad(spark):
     """The smoothed bigram LM score must rank text whose adjacencies
     repeat across the corpus above never-repeated word salad, and give
