@@ -284,6 +284,57 @@ def assert_no_legacy_state(spark, path: str, kind: str) -> None:
         )
 
 
+def compact_versions(spark, path: str, kind: str, keep_latest: int = 1) -> int:
+    """Merge old committed versions of ``kind`` into one directory to
+    keep the read-side file count bounded as versions accumulate —
+    generic over any state whose reader unions whole rows (the three
+    dedup indexes all qualify).
+
+    All committed versions EXCEPT the ``keep_latest`` newest are
+    unioned (full-row ``dropDuplicates``) and rewritten into a new
+    generation directory; the OLDEST surviving version's manifest is
+    re-pointed at it (one atomic manifest replace) and only then are
+    the merged-away versions retracted. Version ids never move
+    FORWARD, so a replay guard of the form "batch N reads versions
+    strictly below N" still sees exactly the same rows (the newest —
+    only replayable — version is never merged when
+    ``keep_latest >= 1``). Crash-safe by redirection, never by
+    deletion order: the worst case (die between the redirect commit
+    and the retractions) shows merged-away rows TWICE until the next
+    compaction, which the full-row dedup makes self-healing. Returns
+    the number of directories merged (0 when nothing to do).
+    """
+    parts = committed_versions(spark, path, kind)
+    to_merge = parts[: max(0, len(parts) - keep_latest)]
+    if len(to_merge) < 2:
+        return 0
+    target = to_merge[0]
+    old_dirs = data_dirs(spark, path, kind, before=to_merge[-1] + 1)
+    old_dirs = old_dirs[: len(to_merge)]
+    # generation suffix from the newest merged id: never collides with
+    # a LATER compaction's directory; if a previous partial run already
+    # committed this generation, alternate the suffix so the write
+    # never overwrites the directory the live manifest points at
+    gen_dir = f"{kind}={target}.c{to_merge[-1]}"
+    current = manifest_payload(spark, path, kind, target).get("data")
+    if current == gen_dir:
+        gen_dir += "b"
+    merged = spark.read.parquet(*old_dirs).dropDuplicates()
+    merged.write.mode("overwrite").parquet(f"{path}/{gen_dir}")
+    # atomic switch: target now resolves to the merged generation
+    commit_version(spark, path, kind, target, {"data": gen_dir})
+    fs, jvm, _ = _fs(spark, path)
+    for n, d in zip(to_merge, old_dirs):
+        if n == target:
+            # retract only the stale data dir (manifest was re-pointed)
+            stale = jvm.org.apache.hadoop.fs.Path(d)
+            if d != f"{path}/{gen_dir}" and fs.exists(stale):
+                fs.delete(stale, True)
+        else:
+            retract_version(spark, path, kind, n, d[len(path) + 1:])
+    return len(to_merge)
+
+
 def adopt_success_markers(spark, path: str, kind: str) -> list[int]:
     """One-time migration: commit a manifest for every pre-manifest
     ``<kind>=<n>`` directory whose parquet ``_SUCCESS`` marker shows a

@@ -869,37 +869,11 @@ def dedup_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     their rows appear TWICE in the union until the next compaction;
     the merge therefore de-duplicates full rows, making a re-run
     self-healing. Index semantics tolerate the transient duplicates
-    (candidate verification is per-pair).
+    (candidate verification is per-pair). Delegates to the generic
+    ``core.manifests.compact_versions`` (the crash-ordering analysis
+    above lives with that implementation; the semantic and media
+    indexes share it).
     """
     from erpl_web_spark.core import manifests
-    from erpl_web_spark.core.manifests import _fs
 
-    parts = manifests.committed_versions(spark, path, "batch")
-    to_merge = parts[: max(0, len(parts) - keep_latest)]
-    if len(to_merge) < 2:
-        return 0
-    target = to_merge[0]
-    old_dirs = manifests.data_dirs(spark, path, "batch", before=to_merge[-1] + 1)
-    old_dirs = old_dirs[: len(to_merge)]
-    # generation suffix from the newest merged id: never collides with
-    # a LATER compaction's directory; if a previous partial run already
-    # committed this generation, alternate the suffix so the write
-    # never overwrites the directory the live manifest points at
-    gen_dir = f"batch={target}.c{to_merge[-1]}"
-    current = manifests.manifest_payload(spark, path, "batch", target).get("data")
-    if current == gen_dir:
-        gen_dir += "b"
-    merged = spark.read.parquet(*old_dirs).dropDuplicates()
-    merged.write.mode("overwrite").parquet(f"{path}/{gen_dir}")
-    # atomic switch: target now resolves to the merged generation
-    manifests.commit_version(spark, path, "batch", target, {"data": gen_dir})
-    fs, jvm, _ = _fs(spark, path)
-    for n, d in zip(to_merge, old_dirs):
-        if n == target:
-            # retract only the stale data dir (manifest was re-pointed)
-            stale = jvm.org.apache.hadoop.fs.Path(d)
-            if d != f"{path}/{gen_dir}" and fs.exists(stale):
-                fs.delete(stale, True)
-        else:
-            manifests.retract_version(spark, path, "batch", n, d[len(path) + 1:])
-    return len(to_merge)
+    return manifests.compact_versions(spark, path, "batch", keep_latest)

@@ -559,3 +559,13 @@ def media_index_apply(
     decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
     hashes.unpersist()
     index_dups.unpersist()
+
+
+def media_index_compact(spark, path: str, keep_latest: int = 1) -> int:
+    """Bound the media index's delta-file count: generic whole-row
+    manifest-redirect compaction (``core.manifests.compact_versions``)
+    over the (media_id, dhash_hi, dhash_lo) deltas — same replay guard
+    and crash-ordering story as the lexical index's compaction."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.compact_versions(spark, path, "batch", keep_latest)

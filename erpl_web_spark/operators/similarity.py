@@ -1168,3 +1168,14 @@ def embedding_index_apply(
     decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
     assigned.unpersist()
     index_dups.unpersist()
+
+
+def embedding_index_compact(spark, path: str, keep_latest: int = 1) -> int:
+    """Bound the semantic index's delta-file count: generic whole-row
+    manifest-redirect compaction (``core.manifests.compact_versions``)
+    over the (id, vec, nrm, cell) deltas. The stored quantizer
+    (``kind='centroids'``) is untouched — cell assignments in merged
+    rows remain valid because the quantizer is stable by contract."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.compact_versions(spark, path, "batch", keep_latest)

@@ -2577,6 +2577,35 @@ def test_dhash_media_pairs_end_to_end_and_pigeonhole(spark):
         dhash_dup_pairs(h3, max_distance=4)
 
 
+def test_media_and_embedding_index_compact(spark, tmp_path):
+    """The generic manifest-redirect compaction works for the media and
+    semantic indexes too: deltas merge into a redirected generation,
+    the index union is unchanged, and the newest delta survives."""
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.multimodal import (
+        documents_as_media,
+        media_index_apply,
+        media_index_compact,
+        read_media_index,
+    )
+
+    idx = str(tmp_path / "midx_c")
+    for bid, txt in enumerate(["payload one", "payload two", "payload three"]):
+        media_index_apply(
+            documents_as_media(
+                spark.createDataFrame([(bid * 10, txt)], "doc_id long, text string")
+            ),
+            bid,
+            idx,
+        )
+    want = {0, 10, 20}
+    assert {r["media_id"] for r in read_media_index(spark, idx).collect()} == want
+    assert media_index_compact(spark, idx, keep_latest=1) == 2
+    assert {r["media_id"] for r in read_media_index(spark, idx).collect()} == want
+    assert manifests.manifest_payload(spark, idx, "batch", 0).get("data")
+    assert manifests.committed_versions(spark, idx, "batch") == [0, 2]
+
+
 def test_media_index_streaming_e2e(spark, tmp_path):
     """The perceptual index behind a real checkpointed file stream: a
     batch-1 payload identical to a batch-0 keeper is dropped against
