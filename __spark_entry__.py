@@ -70,6 +70,7 @@ _SAMPLE_PRIORITY = [
     "similarity_knn_label_eval",
     "text_bigram_logprob",
     "multimodal_dhash_pairs",
+    "multimodal_dhash_values",
     # -- regression rotation: verified in r01/r02, not re-checked since --
     "asof_join_events",
     "window_rank_orders",

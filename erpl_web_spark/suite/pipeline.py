@@ -2016,6 +2016,48 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dhash_values",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, sha256(text || '0') AS d0, sha256(text || '1') AS d1,
+             sha256(text || '2') AS d2
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, list_transform(range(0, 72), i ->
+        CAST('0x' || substr(CASE WHEN i < 32 THEN d0
+                                 WHEN i < 64 THEN d1 ELSE d2 END,
+                            CAST((i % 32) * 2 + 1 AS INT), 2) AS INT)) AS g
+      FROM d
+    ), bits AS (
+      SELECT doc_id, list_transform(range(0, 64), k ->
+        CASE WHEN g[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                > g[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+             THEN 1 ELSE 0 END) AS b
+      FROM cells
+    )
+    SELECT doc_id AS media_id,
+      CAST(list_sum(list_transform(range(0, 32),
+           k -> b[CAST(k + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+           AS BIGINT) AS dhash_hi,
+      CAST(list_sum(list_transform(range(0, 32),
+           k -> b[CAST(k + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+           AS BIGINT) AS dhash_lo
+    FROM bits
+    """,
+)
+def multimodal_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media 64-bit dHash halves, value-hash-checked for EVERY
+    document (the pairs entry only exercises hashes that collide into
+    shared bands): the mapInPandas stub kernel vs DuckDB's sha256-hex
+    rendering of the same grid, bit packing and all
+    (operators.multimodal.dhash_media)."""
+    from erpl_web_spark.operators.multimodal import dhash_media, documents_as_media
+
+    media = documents_as_media(load(spark, sf_dir, "documents", spread=True))
+    return dhash_media(media)
+
+
+@register(
     "multimodal_dhash_pairs",
     oracle="""
     WITH corpus AS (
