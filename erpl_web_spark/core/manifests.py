@@ -303,7 +303,18 @@ def compact_versions(spark, path: str, kind: str, keep_latest: int = 1) -> int:
     and the retractions) shows merged-away rows TWICE until the next
     compaction, which the full-row dedup makes self-healing. Returns
     the number of directories merged (0 when nothing to do).
+
+    ``keep_latest`` must be >= 1: merging the NEWEST version would let
+    a crashed-then-replayed batch N see its own rows through the merged
+    generation (every keeper would self-match as ``dup_of_index`` and
+    the rewritten delta would come back empty) — the replay invariant
+    only holds while the one replayable version is never merged.
     """
+    if keep_latest < 1:
+        raise ValueError(
+            "keep_latest must be >= 1: the newest (only replayable) "
+            "version must never be merged"
+        )
     parts = committed_versions(spark, path, kind)
     to_merge = parts[: max(0, len(parts) - keep_latest)]
     if len(to_merge) < 2:

@@ -818,28 +818,13 @@ def dedup_index_apply(
     keepers = survivors.join(
         index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
-    from erpl_web_spark.core import manifests
+    # replay guard + manifest-last commit + decisions: the shared tail
+    from erpl_web_spark.operators.index_commit import commit_index_batch
 
-    # replay guard: retract a previous attempt's manifest before the
-    # overwrite; manifest re-written last, so the delta is never
-    # reader-visible while half-written
-    manifests.uncommit_version(spark, path, "batch", batch_id)
-    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
-    manifests.commit_version(spark, path, "batch", batch_id)
-
-    decisions = (
-        batch_ids.join(in_batch_drops, id_col, "left")
-        .join(index_dups.withColumnRenamed("new_id", id_col).withColumnRenamed("dup_of", "__idx_of"), id_col, "left")
-        .select(
-            id_col,
-            F.when(F.col("dup_of").isNotNull(), F.lit("dup_in_batch"))
-            .when(F.col("__idx_of").isNotNull(), F.lit("dup_of_index"))
-            .otherwise(F.lit("kept"))
-            .alias("status"),
-            F.coalesce(F.col("dup_of"), F.col("__idx_of")).alias("dup_of"),
-        )
+    commit_index_batch(
+        spark, path, batch_id, keepers, batch_ids, in_batch_drops, index_dups,
+        id_col,
     )
-    decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
     hashed.unpersist()
     new.unpersist()
     index_dups.unpersist()

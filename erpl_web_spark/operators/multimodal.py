@@ -534,29 +534,12 @@ def media_index_apply(
     keepers = survivors.join(
         index_dups.select(F.col("new_id").alias("media_id")), "media_id", "left_anti"
     )
-    manifests.uncommit_version(spark, path, "batch", batch_id)
-    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
-    manifests.commit_version(spark, path, "batch", batch_id)
+    from erpl_web_spark.operators.index_commit import commit_index_batch
 
-    decisions = (
-        batch_df.select("media_id")
-        .join(in_batch_drops, "media_id", "left")
-        .join(
-            index_dups.withColumnRenamed("new_id", "media_id")
-            .withColumnRenamed("dup_of", "__idx_of"),
-            "media_id",
-            "left",
-        )
-        .select(
-            "media_id",
-            F.when(F.col("dup_of").isNotNull(), F.lit("dup_in_batch"))
-            .when(F.col("__idx_of").isNotNull(), F.lit("dup_of_index"))
-            .otherwise(F.lit("kept"))
-            .alias("status"),
-            F.coalesce(F.col("dup_of"), F.col("__idx_of")).alias("dup_of"),
-        )
+    commit_index_batch(
+        spark, path, batch_id, keepers,
+        batch_df.select("media_id"), in_batch_drops, index_dups, "media_id",
     )
-    decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
     hashes.unpersist()
     index_dups.unpersist()
 

@@ -1142,30 +1142,13 @@ def embedding_index_apply(
     keepers = survivors.join(
         index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
-    # replay guard + manifest-last commit, same as the lexical index
-    manifests.uncommit_version(spark, path, "batch", batch_id)
-    keepers.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
-    manifests.commit_version(spark, path, "batch", batch_id)
+    # replay guard + manifest-last commit + decisions: the shared tail
+    from erpl_web_spark.operators.index_commit import commit_index_batch
 
-    decisions = (
-        batch_df.select(id_col)
-        .join(in_batch_drops, id_col, "left")
-        .join(
-            index_dups.withColumnRenamed("new_id", id_col)
-            .withColumnRenamed("dup_of", "__idx_of"),
-            id_col,
-            "left",
-        )
-        .select(
-            id_col,
-            F.when(F.col("dup_of").isNotNull(), F.lit("dup_in_batch"))
-            .when(F.col("__idx_of").isNotNull(), F.lit("dup_of_index"))
-            .otherwise(F.lit("kept"))
-            .alias("status"),
-            F.coalesce(F.col("dup_of"), F.col("__idx_of")).alias("dup_of"),
-        )
+    commit_index_batch(
+        spark, path, batch_id, keepers,
+        batch_df.select(id_col), in_batch_drops, index_dups, id_col,
     )
-    decisions.write.mode("overwrite").parquet(f"{path}/decisions/batch={batch_id}")
     assigned.unpersist()
     index_dups.unpersist()
 

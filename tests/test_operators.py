@@ -2604,6 +2604,33 @@ def test_media_and_embedding_index_compact(spark, tmp_path):
     assert {r["media_id"] for r in read_media_index(spark, idx).collect()} == want
     assert manifests.manifest_payload(spark, idx, "batch", 0).get("data")
     assert manifests.committed_versions(spark, idx, "batch") == [0, 2]
+    # merging the newest (only replayable) version is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_latest"):
+        media_index_compact(spark, idx, keep_latest=0)
+
+    # semantic index: same generic compaction, co-located with the
+    # 'centroids' kind under the same _manifests dir (must be untouched)
+    from erpl_web_spark.operators.similarity import (
+        embedding_index_apply,
+        embedding_index_compact,
+        read_embedding_index,
+    )
+
+    vidx = str(tmp_path / "vidx_c")
+    vs = [(0, [1.0, 0.0]), (50, [0.0, 1.0]), (77, [0.6, 0.8])]
+    for bid, row in enumerate(vs):
+        embedding_index_apply(
+            spark.createDataFrame([row], "vec_id long, embedding array<float>"),
+            bid, vidx, threshold=0.99,
+        )
+    vwant = {0, 50, 77}
+    assert {r["vec_id"] for r in read_embedding_index(spark, vidx).collect()} == vwant
+    assert embedding_index_compact(spark, vidx, keep_latest=1) == 2
+    assert {r["vec_id"] for r in read_embedding_index(spark, vidx).collect()} == vwant
+    # quantizer manifest survives compaction of the batch kind
+    assert manifests.committed_versions(spark, vidx, "centroids") == [0]
 
 
 def test_media_index_streaming_e2e(spark, tmp_path):
@@ -2922,8 +2949,11 @@ def test_dedup_index_compact_redirect_and_self_heal(spark, tmp_path):
     assert dup.count() == 5
     assert {r["doc_id"] for r in dup.collect()} == want  # but nothing lost
 
-    # next compaction self-heals: full-row dedup restores exact counts
-    dedup_index_compact(spark, idx, keep_latest=0)
+    # next compaction self-heals: keep_latest=1 merges exactly the two
+    # duplicate-content versions (the newest, only-replayable version
+    # is never merged — keep_latest=0 is refused by the guard) and the
+    # full-row dedup restores exact counts
+    dedup_index_compact(spark, idx, keep_latest=1)
     healed = read_dedup_index(spark, idx)
     assert healed.count() == len(want)
     assert {r["doc_id"] for r in healed.collect()} == want
