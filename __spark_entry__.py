@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY = [
     "text_bigram_logprob",
     "multimodal_dhash_pairs",
     "multimodal_dhash_values",
+    "text_html_strip",
     # -- regression rotation: verified in r01/r02, not re-checked since --
     "asof_join_events",
     "window_rank_orders",

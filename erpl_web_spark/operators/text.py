@@ -1034,6 +1034,32 @@ def winnow_overlap_pairs(
     )
 
 
+def strip_html_expr(col) -> Column:
+    """HTML -> text as a pure column expression (web-crawl ingest's
+    first step): drop ``<script>``/``<style>`` blocks and comments
+    whole, replace remaining tags with spaces, decode the six common
+    entities, collapse whitespace. Every pattern stays inside the
+    regex subset Java (Spark) and RE2 (DuckDB) evaluate identically —
+    no backreferences, no lookaround — so the transform is value-hash
+    oracle-checkable cross-engine; it is a cleaner, not a parser
+    (malformed nesting degrades to extra whitespace, never to lost
+    non-markup text).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, r"&lt;", "<")
+    c = F.regexp_replace(c, r"&gt;", ">")
+    c = F.regexp_replace(c, r"&quot;", '"')
+    c = F.regexp_replace(c, r"&#39;", "'")
+    c = F.regexp_replace(c, r"&nbsp;", " ")
+    c = F.regexp_replace(c, r"&amp;", "&")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def _bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Persisted exploded bigram frame (id, w1, w2) — one row per
     adjacent token pair, shared by the coverage and log-prob scores so

