@@ -190,10 +190,16 @@ def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[st
     the default dir holds pre-redirect content). Instead the read is
     retried briefly (a replace lands within milliseconds) and the
     version is treated as no-longer-committed if the manifest stays
-    gone."""
+    gone. The confirm re-listing is cached per call (one extra
+    ``_manifests/`` listing no matter how many versions miss — a racing
+    cleanup retracting many versions at once must not cost O(versions)
+    directory listings), with one fresh listing taken on the would-fail
+    path so a version retracted after the cache was taken is skipped
+    rather than reported as unreadable."""
     import time
 
     out = []
+    recheck: set[int] | None = None  # lazily-taken confirm listing
     for n in committed_versions(spark, path, kind, before=before):
         payload = _manifest_payload(spark, path, kind, n)
         for _ in range(4):
@@ -202,7 +208,9 @@ def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[st
             time.sleep(0.05)
             payload = _manifest_payload(spark, path, kind, n)
         if payload is None:
-            if n in committed_versions(spark, path, kind):
+            if recheck is None:
+                recheck = set(committed_versions(spark, path, kind))
+            if n in recheck:
                 # still listed as committed after the retry window — a
                 # replace may have landed just now, so give the payload
                 # ONE post-listing read before failing; if it is still
@@ -211,6 +219,12 @@ def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[st
                 # missing a whole delta admits duplicates with no error)
                 payload = _manifest_payload(spark, path, kind, n)
                 if payload is None:
+                    # the cached confirm listing may predate a racing
+                    # retraction of THIS version — take one fresh
+                    # listing before failing so a genuinely-retracted
+                    # version is skipped, not mis-reported
+                    if n not in committed_versions(spark, path, kind):
+                        continue
                     raise IOError(
                         f"committed manifest unreadable: {path}/{_MANIFEST_DIR}/"
                         f"{kind}-{n}.json"
@@ -321,7 +335,17 @@ def compact_versions(spark, path: str, kind: str, keep_latest: int = 1) -> int:
         return 0
     target = to_merge[0]
     old_dirs = data_dirs(spark, path, kind, before=to_merge[-1] + 1)
-    old_dirs = old_dirs[: len(to_merge)]
+    if len(old_dirs) != len(to_merge):
+        # the protocol is single-writer: a listing that disagrees with
+        # the versions we just resolved means another process retracted
+        # or committed concurrently. Truncating would misalign
+        # zip(to_merge, old_dirs) and retract a LIVE directory under a
+        # different version — fail loudly instead.
+        raise RuntimeError(
+            f"concurrent writer detected during compaction of {path} "
+            f"({kind}): resolved {len(old_dirs)} data dirs for "
+            f"{len(to_merge)} versions {to_merge}"
+        )
     # generation suffix from the newest merged id: never collides with
     # a LATER compaction's directory; if a previous partial run already
     # committed this generation, alternate the suffix so the write

@@ -178,22 +178,31 @@ def _stub_gray_grid(payload: bytes, cells: int = 72) -> list[int]:
     return out[:cells]
 
 
-def _pillow_gray_grid(payload: bytes, w: int = 9, h: int = 8) -> list[int]:
+def _pillow_gray_grid(payload: bytes, w: int = 9, h: int = 8) -> tuple[list[int], bool]:
     """Real perceptual grid (executors with Pillow): decode, grayscale,
-    resize to w x h, row-major intensities. Undecodable payloads fall
-    back to the hash stub (one corrupt blob must not kill the pass)."""
+    resize to w x h, row-major intensities; returns (grid, decoded).
+    Undecodable payloads fall back to the hash stub with
+    ``decoded=False`` (one corrupt blob must not kill the pass, but the
+    degradation is SURFACED — a stub-hashed corrupt image can never
+    match its true near-duplicates, so callers need the flag to exclude
+    or audit those rows rather than trust a pseudo-random hash)."""
     import io
 
     from PIL import Image
 
     try:
         with Image.open(io.BytesIO(payload)) as im:
-            return list(im.convert("L").resize((w, h), Image.BILINEAR).getdata())
+            return (
+                list(im.convert("L").resize((w, h), Image.BILINEAR).getdata()),
+                True,
+            )
     except Exception:
-        return _stub_gray_grid(payload, w * h)
+        return _stub_gray_grid(payload, w * h), False
 
 
-def dhash_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+def dhash_media(
+    df: DataFrame, decode_stub: bool = True, with_decoded: bool = False
+) -> DataFrame:
     """64-bit difference-hash (dHash) per media payload — the standard
     perceptual image fingerprint: grayscale 9x8 grid, bit k (row r,
     col c) set when grid[r][c+1] > grid[r][c]; near-identical images
@@ -207,16 +216,28 @@ def dhash_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     oracle-checkable anywhere), ``decode_stub=False`` uses the real
     Pillow decode and raises where Pillow is absent — both emit the
     same schema, so downstream dedup plumbing is identical.
+
+    ``with_decoded=True`` appends a ``decoded`` boolean: True only when
+    a real image library produced the grid. On the Pillow path an
+    undecodable payload falls back to the stub grid — a pseudo-random
+    hash that can never match the image's true near-duplicates — and
+    the flag lets callers exclude or audit those rows instead of
+    silently treating them as perceptual hashes. On the stub path the
+    flag is False for every row (nothing was decoded). Default off to
+    keep the 3-column schema the dedup plumbing and oracles pin.
     """
     if not decode_stub and not pillow_available():
         raise NotImplementedError(
             "Real perceptual hashing requires Pillow, not available in "
             "this environment. Use decode_stub=True for the stub grid."
         )
-    grid_fn = _stub_gray_grid if decode_stub else _pillow_gray_grid
+    if decode_stub:
+        grid_fn = lambda p: (_stub_gray_grid(p), False)  # noqa: E731
+    else:
+        grid_fn = _pillow_gray_grid
 
-    def hash_one(payload: bytes) -> tuple[int, int]:
-        g = grid_fn(payload)
+    def hash_one(payload: bytes) -> tuple[int, int, bool]:
+        g, ok = grid_fn(payload)
         hi = lo = 0
         for r in range(8):
             for c in range(8):
@@ -226,23 +247,25 @@ def dhash_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                     hi |= bit << k
                 else:
                     lo |= bit << (k - 32)
-        return hi, lo
+        return hi, lo, ok
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
             hashes = [hash_one(p) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "dhash_hi": [h[0] for h in hashes],
-                    "dhash_lo": [h[1] for h in hashes],
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "dhash_hi": [h[0] for h in hashes],
+                "dhash_lo": [h[1] for h in hashes],
+            }
+            if with_decoded:
+                out["decoded"] = [h[2] for h in hashes]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        batches, schema="media_id long, dhash_hi long, dhash_lo long"
-    )
+    schema = "media_id long, dhash_hi long, dhash_lo long"
+    if with_decoded:
+        schema += ", decoded boolean"
+    return df.mapInPandas(batches, schema=schema)
 
 
 def _band_frame(hashes: DataFrame) -> DataFrame:

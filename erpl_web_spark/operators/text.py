@@ -1041,15 +1041,19 @@ def strip_html_expr(col) -> Column:
     entities, collapse whitespace. Every pattern stays inside the
     regex subset Java (Spark) and RE2 (DuckDB) evaluate identically —
     no backreferences, no lookaround — so the transform is value-hash
-    oracle-checkable cross-engine; it is a cleaner, not a parser
-    (malformed nesting degrades to extra whitespace, never to lost
-    non-markup text).
+    oracle-checkable cross-engine; it is a cleaner, not a parser.
+    Contract edges: the tag pattern requires a letter, ``/`` or ``!``
+    after ``<``, so bare angle-bracket prose like ``x < y > z``
+    survives, but a tag-shaped span like ``<y>`` in prose is stripped;
+    malformed nesting degrades to extra whitespace; only the six named
+    entities are decoded — numeric ``&#NN;``/``&#xNN;`` forms pass
+    through as literal text.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
-    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, r"<[a-zA-Z/!][^>]*>", " ")
     c = F.regexp_replace(c, r"&lt;", "<")
     c = F.regexp_replace(c, r"&gt;", ">")
     c = F.regexp_replace(c, r"&quot;", '"')

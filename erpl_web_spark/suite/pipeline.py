@@ -2023,7 +2023,7 @@ def _sql_strip_html(expr: str) -> str:
         (r"(?is)<script[^>]*>.*?</script>", " "),
         (r"(?is)<style[^>]*>.*?</style>", " "),
         (r"(?s)<!--.*?-->", " "),
-        (r"<[^>]+>", " "),
+        (r"<[a-zA-Z/!][^>]*>", " "),
         (r"&lt;", "<"),
         (r"&gt;", ">"),
         (r"&quot;", '"'),
@@ -2116,7 +2116,8 @@ def multimodal_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 20
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+      FROM documents WHERE doc_id < 20
     ), d AS (
       SELECT doc_id, sha256(text || '0') AS d0, sha256(text || '1') AS d1,
              sha256(text || '2') AS d2
@@ -2168,7 +2169,11 @@ def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented with re-keyed copies of the first 20 documents so the
     pairing path produces rows (and is value-hash-checked) at EVERY
     scale factor — the raw corpus has no duplicate payloads at the
-    small SFs, which would make the oracle compare empty-to-empty."""
+    small SFs, which would make the oracle compare empty-to-empty.
+    The re-key offset is max(doc_id)+1 (broadcast 1-row scalar, not a
+    fixed constant) so planted ids are collision-free at every scale
+    factor — a fixed 10M offset would collide with real ids once the
+    corpus passes 10M documents."""
     from erpl_web_spark.operators.multimodal import (
         dhash_dup_pairs,
         dhash_media,
@@ -2176,8 +2181,11 @@ def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_base"))
+    planted = (
+        docs.where(F.col("doc_id") < 20)
+        .crossJoin(F.broadcast(base))
+        .select((F.col("doc_id") + F.col("_base")).alias("doc_id"), "text")
     )
     media = documents_as_media(docs.unionByName(planted))
     return dhash_dup_pairs(dhash_media(media), max_distance=3)
@@ -2459,7 +2467,7 @@ def match_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              lang, source
       FROM documents WHERE doc_id % 10 <> 0
       UNION ALL
-      SELECT doc_id + 10000000, text, lang, source
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text, lang, source
       FROM documents WHERE doc_id % 13 = 0
     ), oh AS (
       SELECT doc_id, md5(concat(
@@ -2501,8 +2509,12 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
         ).otherwise(F.col("text")),
     )
-    added = docs.where(F.col("doc_id") % 13 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 10_000_000
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_base"))
+    added = (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .crossJoin(F.broadcast(base))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_base"))
+        .drop("_base")
     )
     return snapshot_diff(
         docs, new.unionByName(added), "doc_id", ["text", "lang", "source"]

@@ -2574,7 +2574,25 @@ def test_dhash_media_pairs_end_to_end_and_pigeonhole(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="pigeonhole"):
-        dhash_dup_pairs(h3, max_distance=4)
+        dhash_dup_pairs(h3, max_distance=8)
+
+
+def test_dhash_media_decoded_flag(spark):
+    """with_decoded surfaces whether a REAL image decode produced the
+    grid: on the stub path every row reports decoded=False (nothing
+    was decoded — the hash is the deterministic sha256 stand-in), and
+    the default 3-column schema is unchanged so oracle-pinned callers
+    never see the extra column."""
+    from erpl_web_spark.operators.multimodal import dhash_media, documents_as_media
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    media = documents_as_media(docs)
+    assert dhash_media(media).columns == ["media_id", "dhash_hi", "dhash_lo"]
+    flagged = dhash_media(media, with_decoded=True)
+    assert flagged.columns == ["media_id", "dhash_hi", "dhash_lo", "decoded"]
+    assert [r["decoded"] for r in flagged.collect()] == [False, False]
 
 
 def test_media_and_embedding_index_compact(spark, tmp_path):
@@ -2738,6 +2756,7 @@ def test_strip_html_expr_cleans_markup(spark):
         (3, "plain text stays &quot;as&quot; it&#39;s"),
         (4, "<div class='open.. no close   lots\n of \t space"),
         (5, "<!-- secret -->visible<!-- more\nsecret -->"),
+        (6, "compare: x < y > z and 1<2 but <em>this</em> strips"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -2751,6 +2770,9 @@ def test_strip_html_expr_cleans_markup(spark):
     assert out[3] == 'plain text stays "as" it\'s'
     assert out[4] == "open.. no close lots of space" or "open" in out[4]
     assert out[5] == "visible"
+    # bare angle brackets in prose are NOT tags (narrowed pattern
+    # requires a letter, '/' or '!' after '<'); tag-shaped spans strip
+    assert out[6] == "compare: x < y > z and 1<2 but this strips"
 
 
 def test_bigram_logprob_ranks_prose_above_salad(spark):
