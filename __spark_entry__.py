@@ -31,70 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 6: the 20 entries with no green driver row lead — first the 4
-# whose latest driver row is a stale r01/r04 err (fixed and judge-verified
-# locally, needs a green hash row), then the 16 never driver-sampled
-# (oracle-backed first, the rows-only text_bpe_merges last). The remaining
-# ~30 slots of the prefix-50 interleave the OLDEST previously-verified
-# names (last sampled in r01/r02) so the sample keeps regression-detection
-# power instead of only maximizing first-time coverage. Names are stable;
-# unlisted entries keep registration order after these.
+# Round 7: every entry now has a green driver row (r6 union milestone),
+# so the policy is pure regression rotation — OLDEST latest-green first.
+# The 25 entries whose latest green row is r01 (16) or r03 (9) lead, in
+# registration order; entries NEW this round follow (first-time rows);
+# the rest of the prefix-50 backfills with the oldest r04-latest names.
+# Names are stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    # -- stale driver errs, fixed locally, need a green row --
-    "array_funcs",
-    "map_funcs",
-    "odata_expand_nested",
-    "embedding_pca_project",
-    # -- never driver-sampled, oracle-backed --
-    "q02_min_cost_supplier",
-    "q09_product_type_profit",
-    "q11_important_stock",
-    "q12_shipping_modes",
-    "q16_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "pivot_order_status",
-    "analytics_rfm_segments",
-    "analytics_market_basket",
-    "analytics_event_transitions",
-    "text_hashed_features",
-    "text_winnow_fingerprints",
-    "dedup_winnow_overlap",
-    "text_bigram_coverage",
-    # -- never driver-sampled, rows-only (golden-fixture pinned) --
-    "text_bpe_merges",
-    # -- new this round --
-    "dedup_winnow_scrub",
-    "text_chunk_windows",
-    "embedding_matryoshka_audit",
-    "similarity_knn_label_eval",
-    "text_bigram_logprob",
-    "multimodal_dhash_pairs",
-    "multimodal_dhash_values",
-    "text_html_strip",
-    # -- regression rotation: verified in r01/r02, not re-checked since --
-    "asof_join_events",
-    "window_rank_orders",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_theta_pairs",
-    "join_broadcast_dims",
-    "window_lag_lead",
-    "window_moving_frame",
-    "window_sessionize",
-    "sort_topk",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "distinct_projection",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "json_funcs",
-    "odata_select_filter_top",
-    "cdc_delta_batch",
-    "filter_in_case_coalesce",
+    # -- latest driver green is r01 --
     "subquery_scalar_avg",
     "having_groups",
     "union_all_tagged",
@@ -103,6 +47,49 @@ _SAMPLE_PRIORITY = [
     "window_distribution",
     "agg_stats_exact",
     "join_salted_skew",
+    "events_window_rollup",
+    "regex_funcs",
+    "struct_funcs",
+    "subquery_correlated_exists",
+    "agg_percentiles",
+    "q06_revenue_delta",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    # -- latest driver green is r03 --
+    "q01_pricing_summary",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_avg_int",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "join_left_counts",
+    # -- new in round 7 (first driver rows) --
+    # -- backfill: oldest r04-latest names --
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_lang_profile",
+    "text_unigram_freq",
+    "similarity_cosine_top3",
+    "embedding_covariance",
+    "similarity_hard_negatives",
+    "pipeline_length_buckets",
+    "similarity_ann_lsh",
+    "multimodal_decode",
+    "similarity_ann_ivf",
+    "dedup_embedding",
+    "text_redact_pii",
+    "text_repetition",
+    "pipeline_hash_split",
+    "embedding_centroid",
+    "pipeline_pack_documents",
 ]
 
 
