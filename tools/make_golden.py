@@ -56,6 +56,32 @@ def canonical_rows(df) -> list[list]:
     return {"columns": cols, "rows": rows}
 
 
+def build_fixture(spark, name: str, queries=None) -> dict:
+    """The full fixture payload for one golden query on the CURRENT
+    tree: exact canonical rows at every EXACT_SFS plus the COUNT_SF
+    row count. Shared by ``main`` and the byte-for-byte regeneration
+    guard in tests/test_golden_fixtures.py (a seed/banding edit that
+    forgets to rerun this tool must fail a unit test, not sail through
+    the driver's rows-only check)."""
+    if queries is None:
+        from erpl_web_spark.suite import all_queries
+
+        queries = all_queries()
+    fixture = {"query": name, "exact": {}, "counts": {}}
+    for sf in EXACT_SFS:
+        df = queries[name].fn(spark, f"/root/testdata/sf{sf}")
+        fixture["exact"][sf] = canonical_rows(df)
+    df = queries[name].fn(spark, f"/root/testdata/sf{COUNT_SF}")
+    fixture["counts"][COUNT_SF] = df.count()
+    return fixture
+
+
+def serialize(fixture: dict) -> str:
+    """The exact on-disk rendering — byte-comparable with the
+    checked-in ``tests/fixtures/golden/*.json``."""
+    return json.dumps(fixture, indent=1, default=str)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -76,17 +102,13 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"not golden queries: {unknown}")
     for name in names:
-        fixture = {"query": name, "exact": {}, "counts": {}}
+        fixture = build_fixture(spark, name, queries)
         for sf in EXACT_SFS:
-            df = queries[name].fn(spark, f"/root/testdata/sf{sf}")
-            fixture["exact"][sf] = canonical_rows(df)
             print(f"{name} sf{sf}: {len(fixture['exact'][sf]['rows'])} rows")
-        df = queries[name].fn(spark, f"/root/testdata/sf{COUNT_SF}")
-        fixture["counts"][COUNT_SF] = df.count()
         print(f"{name} sf{COUNT_SF}: count={fixture['counts'][COUNT_SF]}")
         path = os.path.join(OUT_DIR, f"{name}.json")
         with open(path, "w") as f:
-            json.dump(fixture, f, indent=1, default=str)
+            f.write(serialize(fixture))
         print(f"wrote {path}")
 
 
