@@ -33,6 +33,7 @@ from erpl_web_spark.operators.text import (
     with_quality_score,
     token_count_expr,
 )
+from erpl_web_spark.operators._cache import release_tracked, tracked_count
 from erpl_web_spark.operators.graph import component_summary, connected_components
 from erpl_web_spark.operators.cdc import (
     apply_cdc_changes,
@@ -80,4 +81,6 @@ __all__ = [
     "seeded_shuffle_key",
     "token_budget_sample",
     "write_training_shards",
+    "release_tracked",
+    "tracked_count",
 ]

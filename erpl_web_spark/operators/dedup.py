@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from erpl_web_spark.operators._cache import track_persist
 from erpl_web_spark.operators.text import tokens_expr
 
 
@@ -156,6 +157,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     broadcast_candidates: bool = True,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -186,8 +188,10 @@ def minhash_lsh_pairs(
     run exact dedup first (as any production pipeline does); the exact
     stage removes identical texts and with them every degenerate bucket.
     """
-    hashed = hashed_shingles(df, id_col, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    hashed = track_persist(
+        hashed_shingles(df, id_col, text_col, shingle_k),
+        "minhash_lsh_pairs",
+        cache_sink,
     )
     sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
     banded = sigs.select(
@@ -212,11 +216,12 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    cand = (
+    cand = track_persist(
         buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        "minhash_lsh_pairs",
+        cache_sink,
     )
     ha = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
@@ -294,6 +299,7 @@ def substring_dup_report(
     text_col: str,
     k: int = 10,
     min_docs: int = 2,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring report at token k-gram granularity.
 
@@ -334,12 +340,13 @@ def substring_dup_report(
 
     Identical to string-span grouping up to a ~2^-64 xxhash64 collision.
     """
-    inst = (
+    inst = track_persist(
         df.select(F.col(id_col), F.explode(grams_expr(text_col, k)).alias("g"))
         .select(F.col(id_col), F.xxhash64("g").alias("h"))
         .groupBy(id_col, "h")
-        .agg(F.count("*").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count("*").alias("cnt")),
+        "substring_dup_report",
+        cache_sink,
     )
     dup = (
         inst.groupBy("h")
@@ -398,19 +405,17 @@ def remove_duplicated_spans(
     flagged starts). Identical to string-span grouping up to a ~2^-64
     xxhash64 collision.
     """
-    gp = (
+    gp = track_persist(
         df.select(
             F.col(id_col), F.posexplode(grams_expr(text_col, k)).alias("pos0", "g")
-        )
-        .select(
+        ).select(
             F.col(id_col),
             (F.col("pos0") + 1).alias("pos"),
             F.xxhash64("g").alias("h"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        "scrub_duplicated_spans",
+        cache_sink,
     )
-    if cache_sink is not None:
-        cache_sink.append(gp)
     dup = (
         gp.select(id_col, "h")
         .distinct()

@@ -998,11 +998,9 @@ def winnow_overlap_pairs(
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     if max_df is not None:
-        from pyspark import StorageLevel
+        from erpl_web_spark.operators._cache import track_persist
 
-        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
-        if cache_sink is not None:
-            cache_sink.append(fps)
+        fps = track_persist(fps, "winnow_overlap_pairs", cache_sink)
         hot = (
             fps.groupBy("fp")
             .agg(F.count("*").cast("bigint").alias("df_n"))
@@ -1064,19 +1062,23 @@ def strip_html_expr(col) -> Column:
     return F.trim(c)
 
 
-def _bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _bigram_frame(
+    df: DataFrame, id_col: str, text_col: str, cache_sink: list | None = None
+) -> DataFrame:
     """Persisted exploded bigram frame (id, w1, w2) — one row per
     adjacent token pair, shared by the coverage and log-prob scores so
     the sequence-hazard guard (size >= 2 BEFORE the index expansion)
     lives in exactly one place. Persisted because every caller feeds it
-    to both a model-count aggregation and a join-back; cache lives
-    until session end / clearCache() (module convention)."""
-    from pyspark import StorageLevel
+    to both a model-count aggregation and a join-back; lifetime routes
+    through ``_cache.track_persist`` — caller-owned via ``cache_sink``,
+    else registry-tracked (loud on accumulation, releasable via
+    ``operators.release_tracked()``)."""
+    from erpl_web_spark.operators._cache import track_persist
 
     toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t")).where(
         F.size("t") >= 2
     )
-    return (
+    return track_persist(
         toks.select(
             id_col,
             F.explode(
@@ -1087,9 +1089,9 @@ def _bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     ),
                 )
             ).alias("p"),
-        )
-        .select(id_col, "p.w1", "p.w2")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).select(id_col, "p.w1", "p.w2"),
+        "_bigram_frame",
+        cache_sink,
     )
 
 
@@ -1098,6 +1100,7 @@ def with_bigram_coverage(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 3,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Bigram corpus-coverage scoring — the adjacency-level sibling of
     ``with_unigram_freq_score``: per document, the fraction of its
@@ -1119,12 +1122,12 @@ def with_bigram_coverage(
     pairs only. The exploded bigram frame feeds BOTH the corpus count
     and the join-back, so it is persisted — tokenization + explode (the
     dominant cost at scale) runs once, and the second consumer reads
-    the InMemoryRelation. The cache lives until session end /
-    ``spark.catalog.clearCache()`` (same convention as the other
-    persisting operators); clear between batches on long-lived
-    drivers.
+    the InMemoryRelation. Cache lifetime: caller-owned via
+    ``cache_sink``, else registry-tracked (loud on accumulation —
+    ``operators.release_tracked()`` clears between batches on
+    long-lived drivers).
     """
-    bg = _bigram_frame(df, id_col, text_col)
+    bg = _bigram_frame(df, id_col, text_col, cache_sink)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bn"))
     per_doc = (
         bg.join(counts, ["w1", "w2"])
@@ -1180,16 +1183,14 @@ def with_bigram_logprob(
     Hyper-frequent heads are the AQE skew-join case, as in the
     coverage score.
     """
-    from pyspark import StorageLevel
+    from erpl_web_spark.operators._cache import track_persist
 
-    bg = _bigram_frame(df, id_col, text_col)
-    pair_counts = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").cast("bigint").alias("bn"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    bg = _bigram_frame(df, id_col, text_col, cache_sink)
+    pair_counts = track_persist(
+        bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bn")),
+        "with_bigram_logprob",
+        cache_sink,
     )
-    if cache_sink is not None:
-        cache_sink.extend([bg, pair_counts])
     head_counts = pair_counts.groupBy("w1").agg(
         F.sum("bn").cast("bigint").alias("hn")
     )

@@ -2742,6 +2742,49 @@ def test_media_index_apply_dedups_within_and_across_batches(spark, tmp_path):
     assert not os.path.exists(f"{legacy}/_manifests")
 
 
+def test_internal_cache_tracking_is_loud_and_releasable(spark):
+    """A 100-batch foreachBatch-style loop calling a persisting operator
+    without cache_sink must NOT accumulate caches silently: the tracking
+    registry warns once (RuntimeWarning naming the operator) as frames
+    pile up, release_tracked() unpersists everything and re-arms, and
+    the cache_sink path stays untracked (caller owns the lifetime)."""
+    import warnings as _warnings
+
+    from erpl_web_spark.operators import release_tracked, tracked_count
+    from erpl_web_spark.operators._cache import WARN_AT
+    from erpl_web_spark.operators.text import with_bigram_coverage
+
+    release_tracked()  # isolate from caches earlier tests left behind
+    batch = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the log")],
+        "doc_id long, text string",
+    )
+    with _warnings.catch_warnings(record=True) as seen:
+        _warnings.simplefilter("always")
+        for _ in range(100):
+            with_bigram_coverage(batch).count()
+        loud = [w for w in seen if issubclass(w.category, RuntimeWarning)
+                and "cache_sink" in str(w.message)]
+    assert tracked_count() == 100
+    assert len(loud) == 1, "accumulation warning must fire exactly once"
+    assert "_bigram_frame" in str(loud[0].message)
+    assert release_tracked() == 100 and tracked_count() == 0
+
+    # caller-owned lifetime: sink receives the frame, registry stays
+    # empty, no warning even past the threshold
+    with _warnings.catch_warnings(record=True) as seen:
+        _warnings.simplefilter("always")
+        for _ in range(WARN_AT + 2):
+            sink = []
+            with_bigram_coverage(batch, cache_sink=sink).count()
+            assert len(sink) == 1
+            for f in sink:
+                f.unpersist()
+        assert tracked_count() == 0
+        assert not [w for w in seen if issubclass(w.category, RuntimeWarning)
+                    and "cache_sink" in str(w.message)]
+
+
 def test_strip_html_expr_cleans_markup(spark):
     """HTML cleaner contract: script/style/comment bodies vanish
     wholesale, tags become whitespace, the six common entities decode

@@ -156,7 +156,10 @@ def main():
 
     names = args.names or sorted(qs)
     failures = []
+    from erpl_web_spark.operators import release_tracked
+
     for name in names:
+        release_tracked()  # drop the previous query's internal caches
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
