@@ -66,6 +66,7 @@ _SAMPLE_PRIORITY = [
     "q05_local_supplier_volume",
     "join_left_counts",
     # -- new in round 7 (first driver rows) --
+    "multimodal_dhash_pairs_d7",
     # -- backfill: oldest r04-latest names --
     "dedup_exact",
     "dedup_fingerprint",

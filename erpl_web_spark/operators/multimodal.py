@@ -303,14 +303,45 @@ def dhash_dup_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
     groupBy shape — never an all-pairs join) and the exact hamming
     verify (``bit_count(xor)`` on each 32-bit half, pure JVM) runs on
     candidates only. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    ``max_distance`` 4..7 switches to 1-bit MULTI-PROBE on the same
+    four 16-bit bands: if every band differed in >= 2 bits the total
+    would be >= 8, so any pair within 7 bits has a band differing in
+    AT MOST 1 bit — probing each band key plus its 16 one-bit flips
+    (17 keys, probe side only; flips are symmetric so one direction
+    suffices) recovers exactly those pairs while keeping the 16-bit
+    key selectivity that eight 8-bit bands would destroy (256 distinct
+    values saturate into quadratic buckets almost immediately). Cost:
+    17x probe-side rows of skinny (id, band, key) — candidate volume
+    still tracks duplicate density while distinct band values exceed
+    corpus size; past ~2^16 media per band value, widen the hash (the
+    64-bit dHash itself saturates there) rather than the probe radius.
     """
-    if not 0 <= max_distance <= 3:
-        raise ValueError("band pigeonhole holds for max_distance in [0, 3]")
+    if not 0 <= max_distance <= 7:
+        raise ValueError(
+            "band pigeonhole (with 1-bit multi-probe) holds for "
+            "max_distance in [0, 7]"
+        )
     bands = _band_frame(hashes)
-    a = bands.select(
-        F.col("media_id").alias("id_a"), F.col("dhash_hi").alias("ha"),
-        F.col("dhash_lo").alias("la"), "band", "val",
-    )
+    if max_distance <= 3:
+        a = bands.select(
+            F.col("media_id").alias("id_a"), F.col("dhash_hi").alias("ha"),
+            F.col("dhash_lo").alias("la"), "band", "val",
+        )
+    else:
+        a = bands.select(
+            F.col("media_id").alias("id_a"), F.col("dhash_hi").alias("ha"),
+            F.col("dhash_lo").alias("la"), "band",
+            F.explode(
+                F.array(
+                    F.col("val"),
+                    *[
+                        F.col("val").bitwiseXOR(F.lit(1 << k))
+                        for k in range(16)
+                    ],
+                )
+            ).alias("val"),
+        )
     b = bands.select(
         F.col("media_id").alias("id_b"), F.col("dhash_hi").alias("hb"),
         F.col("dhash_lo").alias("lb"), "band", "val",

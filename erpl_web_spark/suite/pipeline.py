@@ -2192,6 +2192,100 @@ def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dhash_pairs_d7",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, sha256(text || '0') AS d0, sha256(text || '1') AS d1,
+             sha256(text || '2') AS d2
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, list_transform(range(0, 72), i ->
+        CAST('0x' || substr(CASE WHEN i < 32 THEN d0
+                                 WHEN i < 64 THEN d1 ELSE d2 END,
+                            CAST((i % 32) * 2 + 1 AS INT), 2) AS INT)) AS g
+      FROM d
+    ), bits AS (
+      SELECT doc_id, list_transform(range(0, 64), k ->
+        CASE WHEN g[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                > g[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+             THEN 1 ELSE 0 END) AS b
+      FROM cells
+    ), h AS (
+      SELECT doc_id AS media_id,
+        CAST(list_sum(list_transform(range(0, 32),
+             k -> b[CAST(k + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+             AS BIGINT) AS dhash_hi,
+        CAST(list_sum(list_transform(range(0, 32),
+             k -> b[CAST(k + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+             AS BIGINT) AS dhash_lo
+      FROM bits
+    ), var AS (
+      SELECT media_id, dhash_hi, dhash_lo FROM h
+      UNION ALL
+      SELECT media_id + m.i * (SELECT MAX(doc_id) + 1 FROM documents),
+             xor(dhash_hi, CASE m.i WHEN 1 THEN 65539 ELSE 196611 END),
+             xor(dhash_lo, CASE m.i WHEN 3 THEN 65539 ELSE 65537 END)
+      FROM h CROSS JOIN (SELECT unnest(range(1, 4)) AS i) m
+      WHERE media_id < 20
+    ), bands AS (
+      SELECT media_id, dhash_hi, dhash_lo, t.b,
+             CASE WHEN t.b < 2 THEN (dhash_hi >> CAST(16 * (t.b % 2) AS INT)) & 65535
+                  ELSE (dhash_lo >> CAST(16 * (t.b % 2) AS INT)) & 65535
+             END AS val
+      FROM var CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    ), probes AS (
+      SELECT media_id, dhash_hi, dhash_lo, b,
+             unnest(list_prepend(val, list_transform(range(0, 16),
+                    k -> xor(val, CAST(1 AS BIGINT) << CAST(k AS INT))))) AS val
+      FROM bands
+    )
+    SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+           CAST(bit_count(xor(x.dhash_hi, y.dhash_hi))
+                + bit_count(xor(x.dhash_lo, y.dhash_lo)) AS INT) AS hamming
+    FROM probes x JOIN bands y
+      ON x.b = y.b AND x.val = y.val AND x.media_id < y.media_id
+    WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
+          + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 7
+    """,
+)
+def multimodal_dhash_pairs_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moderately-edited near-duplicate media at hamming distance up to
+    7 — past the plain 4x16-band pigeonhole (<= 3), via 1-bit
+    multi-probe on the same bands (any <= 7-bit pair has a band
+    differing in at most 1 bit, so probing each band key plus its 16
+    one-bit flips recovers it; 17x skinny probe rows, key selectivity
+    intact). Planting: each of the first 20 documents' HASHES gets
+    three re-keyed variants at exactly 5, 6 and 7 flipped bits, spread
+    so every band differs (invisible to the exact band join — this
+    entry is vacuous without multi-probe); variant ids offset by
+    i * (max id + 1), collision-free at any scale factor
+    (operators.multimodal.dhash_dup_pairs)."""
+    from erpl_web_spark.operators.multimodal import (
+        dhash_dup_pairs,
+        dhash_media,
+        documents_as_media,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    hashes = dhash_media(documents_as_media(docs))
+    base = hashes.agg((F.max("media_id") + F.lit(1)).alias("_base"))
+    orig = hashes.where(F.col("media_id") < 20).crossJoin(F.broadcast(base))
+    masks = [(1, 0x10003, 0x10001), (2, 0x30003, 0x10001), (3, 0x30003, 0x10003)]
+    variants = [
+        orig.select(
+            (F.col("media_id") + F.lit(i) * F.col("_base")).alias("media_id"),
+            F.col("dhash_hi").bitwiseXOR(F.lit(mh)).alias("dhash_hi"),
+            F.col("dhash_lo").bitwiseXOR(F.lit(ml)).alias("dhash_lo"),
+        )
+        for i, mh, ml in masks
+    ]
+    planted = hashes
+    for v in variants:
+        planted = planted.unionByName(v)
+    return dhash_dup_pairs(planted, max_distance=7)
+
+
+@register(
     "similarity_knn_label_eval",
     oracle="""
     WITH v AS (

@@ -2571,6 +2571,28 @@ def test_dhash_media_pairs_end_to_end_and_pigeonhole(spark):
            for r in dhash_dup_pairs(h3, max_distance=3).collect()}
     assert got == {(10, 11): 3}
 
+    # multi-probe (distance 4..7): 5 flips spread so EVERY band differs
+    # (2,1,1,1) — invisible to the exact band join, caught by the
+    # 1-bit probe ring; 8 flips arranged 2-per-band are not even
+    # candidate-generated (each band differs by 2 > probe radius)
+    h7 = spark.createDataFrame(
+        [
+            (20, base_hi, base_lo),
+            (21, base_hi ^ 0x10003, base_lo ^ 0x10001),  # 5 bits: 2,1,1,1
+            (22, base_hi ^ 0x30003, base_lo ^ 0x10003),  # 7 bits: 2,2,1,2
+            (23, base_hi ^ 0x30003, base_lo ^ 0x30003),  # 8 bits: 2,2,2,2
+        ],
+        "media_id long, dhash_hi long, dhash_lo long",
+    )
+    assert dhash_dup_pairs(h7.where("media_id in (20, 21)"),
+                           max_distance=3).count() == 0
+    got7 = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in dhash_dup_pairs(h7, max_distance=7).collect()}
+    assert got7[(20, 21)] == 5 and got7[(20, 22)] == 7
+    assert (20, 23) not in got7  # 2 flips in every band: outside probes
+    # variants pair with each other too (xor of masks is small)
+    assert got7[(21, 22)] == 2 and got7[(22, 23)] == 1 and got7[(21, 23)] == 3
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="pigeonhole"):
