@@ -45,6 +45,16 @@ class CurationConfig:
     # but cheapest) or "best_quality" (highest quality_score, ties to the
     # smaller id — what production curation keeps)
     near_keep: str = "min_id"
+    # perceptual media dedup (operators.multimodal.dhash_media /
+    # dhash_dup_pairs): rows whose ``media_payload_col`` is non-null
+    # are dHashed, near-duplicates within ``media_max_distance`` bits
+    # cluster (connected components) and only the min-id representative
+    # survives — mixed text+media corpora dedup in ONE facade call;
+    # text-only rows (null payload) pass through untouched. Distances
+    # 4..7 engage 1-bit multi-probe banding automatically.
+    media_dedup: bool = False
+    media_payload_col: str = "payload"
+    media_max_distance: int = 3
     # targeted span scrubbing (operators.dedup.winnow_targeted_scrub):
     # REWRITES cross-document duplicated spans out of the surviving
     # documents (winnow-gated, so only overlap-flagged docs pay the
@@ -102,6 +112,8 @@ def curate(
     ``report`` has one row per stage: (stage, n_dropped) plus an
     ``input``/``output`` row — the accounting that makes a curation run
     reviewable. Stage order: exact dedup -> near-dup clusters ->
+    perceptual media dedup (optional; dHash clusters over non-null
+    payloads, text-only rows untouched) ->
     targeted span scrub (optional; rewrites, counts modified docs) ->
     quality -> gopher rules (optional) -> boilerplate ->
     unigram-frequency floor -> bigram-logprob floor (optional) -> eval
@@ -199,6 +211,33 @@ def curate(
             )
         cur, m = materialize("near_dedup", cur.join(drop, id_col, "left_anti"), cur)
         counts.append(("near_dedup_dropped", n - m))
+        n = m
+
+    if cfg.media_dedup:
+        from erpl_web_spark.operators.multimodal import (
+            dhash_dup_pairs,
+            dhash_media,
+        )
+
+        # perceptual near-dup over the rows that carry a media payload;
+        # the pair set and cluster labels are (long, long) rows — the
+        # payload bytes never shuffle past the one mapInPandas hash pass
+        payload = cfg.media_payload_col
+        media = cur.where(F.col(payload).isNotNull()).select(
+            F.col(id_col).alias("media_id"), F.col(payload).alias("payload")
+        )
+        mpairs = dhash_dup_pairs(
+            dhash_media(media), max_distance=cfg.media_max_distance
+        )
+        mdrop = (
+            connected_components(mpairs, "id_a", "id_b")
+            .where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+        cur, m = materialize(
+            "media_dedup", cur.join(mdrop, id_col, "left_anti"), cur
+        )
+        counts.append(("media_dedup_dropped", n - m))
         n = m
 
     if cfg.scrub_spans:
