@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from erpl_web_spark.operators import release_tracked
 from erpl_web_spark.session import get_spark
 from erpl_web_spark.suite import all_queries
 
@@ -46,6 +47,7 @@ def main() -> None:
     # per-plan codegen JIT (see module docstring).
     for q in queries.values():
         force(q.fn(spark, sf_dir))
+        release_tracked()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
@@ -55,6 +57,11 @@ def main() -> None:
             t0 = time.perf_counter()
             force(q.fn(spark, sf_dir))
             dt = time.perf_counter() - t0
+            # operator-internal persists are per-invocation (a fresh run
+            # never reuses the previous rep's frames) — release them
+            # OUTSIDE the timed region so memory doesn't accumulate
+            # across the suite and no query is perturbed by leftovers
+            release_tracked()
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 

@@ -195,7 +195,9 @@ def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[st
     cleanup retracting many versions at once must not cost O(versions)
     directory listings), with one fresh listing taken on the would-fail
     path so a version retracted after the cache was taken is skipped
-    rather than reported as unreadable."""
+    rather than reported as unreadable; the fresh listing replaces the
+    cached set, so later versions of the same mass-retraction reuse it
+    instead of re-listing."""
     import time
 
     out = []
@@ -222,8 +224,13 @@ def data_dirs(spark, path: str, kind: str, before: int | None = None) -> list[st
                     # the cached confirm listing may predate a racing
                     # retraction of THIS version — take one fresh
                     # listing before failing so a genuinely-retracted
-                    # version is skipped, not mis-reported
-                    if n not in committed_versions(spark, path, kind):
+                    # version is skipped, not mis-reported. The fresh
+                    # listing REPLACES the cached confirm set: a
+                    # cleanup retracting many versions at once then
+                    # costs one listing total, not one per retracted
+                    # version (the O(1)-listings contract above).
+                    recheck = set(committed_versions(spark, path, kind))
+                    if n not in recheck:
                         continue
                     raise IOError(
                         f"committed manifest unreadable: {path}/{_MANIFEST_DIR}/"

@@ -753,8 +753,14 @@ def dedup_index_apply(
         .select(id_col)
     )
     in_batch = batch_df.join(exact_keep, id_col, "left_semi")
+    # connected_components is eager, so the pair operator's internal
+    # caches are fully consumed when it returns — release them here
+    # rather than letting them accumulate across micro-batches on a
+    # long-lived streaming driver
+    pair_sink: list = []
     pairs = minhash_lsh_pairs(
-        in_batch, id_col, text_col, num_hashes, bands, shingle_k, threshold
+        in_batch, id_col, text_col, num_hashes, bands, shingle_k, threshold,
+        cache_sink=pair_sink,
     )
     near_drop = (
         connected_components(pairs, "id_a", "id_b")
@@ -763,6 +769,8 @@ def dedup_index_apply(
             F.col("id").alias(id_col), F.col("component").alias("dup_of")
         )
     )
+    for cached in pair_sink:
+        cached.unpersist()
     batch_ids = batch_df.select(id_col)
     in_batch_drops = (
         batch_ids.join(exact_keep, id_col, "left_anti")

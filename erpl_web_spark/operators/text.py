@@ -427,7 +427,10 @@ def with_boilerplate_ratio(
 
 
 def with_unigram_freq_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int | None = None,
 ) -> DataFrame:
     """Corpus-frequency document scoring — the CCNet-style quality
     signal with the LM replaced by the corpus's own unigram counts so
@@ -445,18 +448,33 @@ def with_unigram_freq_score(
 
     Shuffle posture at 100 TB: tokens explode map-side; the count
     aggregation is map-side combined on (token); the count join back to
-    occurrences is token-keyed, where hyper-frequent tokens are exactly
-    the AQE skew-join case (same posture as ``with_boilerplate_ratio``
-    — a window over grams would pin hot tokens to one partition with no
-    mitigation); the final roll-up shuffles (doc_id, long) pairs only.
+    occurrences is token-keyed, where hyper-frequent tokens are the
+    natural heavy hitters (the Zipf head: "the" is ~7% of all English
+    occurrences); the final roll-up shuffles (doc_id, long) pairs only.
     The corpus total rides a 1-row cross join (broadcast), not a
     driver collect.
+
+    ``salt`` fans each token's occurrences over ``salt`` reducers via
+    ``relational.salted_join`` (identical rows, one extra broadcast of
+    the replicated count table). Measured (tools/skew_bench.py --zipf,
+    SCALING.md round 8): AQE's skew-join split does NOT engage in this
+    plan shape — the per-doc roll-up directly above the join blocks
+    ``OptimizeSkewedJoin``, and the skinny (tok, id) hot partition
+    compresses below the byte-based trigger anyway — so explicit
+    salting is the ONLY mitigation when one token dominates; default
+    ``None`` keeps the plain oracle-checked plan.
     """
     toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tok_n"))
     total = counts.agg(F.sum("tok_n").cast("bigint").alias("corpus_total"))
+    if salt:
+        from erpl_web_spark.operators.relational import salted_join
+
+        joined = salted_join(toks, counts, "tok", salt=salt)
+    else:
+        joined = toks.join(counts, "tok")
     per_doc = (
-        toks.join(counts, "tok")
+        joined
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_toks"),
@@ -1040,8 +1058,10 @@ def strip_html_expr(col) -> Column:
     regex subset Java (Spark) and RE2 (DuckDB) evaluate identically —
     no backreferences, no lookaround — so the transform is value-hash
     oracle-checkable cross-engine; it is a cleaner, not a parser.
-    Contract edges: the tag pattern requires a letter, ``/`` or ``!``
-    after ``<``, so bare angle-bracket prose like ``x < y > z``
+    Contract edges: the tag pattern requires a letter, ``/``, ``!`` or
+    ``?`` after ``<`` (the last covering processing-instruction /
+    declaration spans like ``<?xml version="1.0"?>`` and inline
+    ``<?php ... ?>``), so bare angle-bracket prose like ``x < y > z``
     survives, but a tag-shaped span like ``<y>`` in prose is stripped;
     malformed nesting degrades to extra whitespace; only the six named
     entities are decoded — numeric ``&#NN;``/``&#xNN;`` forms pass
@@ -1051,7 +1071,7 @@ def strip_html_expr(col) -> Column:
     c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
-    c = F.regexp_replace(c, r"<[a-zA-Z/!][^>]*>", " ")
+    c = F.regexp_replace(c, r"<[a-zA-Z/!?][^>]*>", " ")
     c = F.regexp_replace(c, r"&lt;", "<")
     c = F.regexp_replace(c, r"&gt;", ">")
     c = F.regexp_replace(c, r"&quot;", '"')
@@ -1101,6 +1121,7 @@ def with_bigram_coverage(
     text_col: str = "text",
     min_count: int = 3,
     cache_sink: list | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Bigram corpus-coverage scoring — the adjacency-level sibling of
     ``with_unigram_freq_score``: per document, the fraction of its
@@ -1117,8 +1138,12 @@ def with_bigram_coverage(
 
     Shuffle posture: bigrams explode map-side; the count aggregation is
     map-side combined on (w1, w2); the count join back to occurrences
-    is bigram-keyed — hyper-frequent bigrams are the AQE skew-join
-    case, same as the unigram score; the roll-up shuffles (id, long)
+    is bigram-keyed — hyper-frequent bigrams ("of the") are the heavy
+    hitters, and as in ``with_unigram_freq_score`` AQE's skew split is
+    measured NOT to engage under the roll-up (SCALING.md round 8):
+    ``salt`` is the explicit mitigation, fanning each bigram over
+    ``salt`` reducers with identical output rows; the roll-up
+    shuffles (id, long)
     pairs only. The exploded bigram frame feeds BOTH the corpus count
     and the join-back, so it is persisted — tokenization + explode (the
     dominant cost at scale) runs once, and the second consumer reads
@@ -1129,8 +1154,14 @@ def with_bigram_coverage(
     """
     bg = _bigram_frame(df, id_col, text_col, cache_sink)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bn"))
+    if salt:
+        from erpl_web_spark.operators.relational import salted_join
+
+        joined = salted_join(bg, counts, ["w1", "w2"], salt=salt)
+    else:
+        joined = bg.join(counts, ["w1", "w2"])
     per_doc = (
-        bg.join(counts, ["w1", "w2"])
+        joined
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -1160,6 +1191,7 @@ def with_bigram_logprob(
     text_col: str = "text",
     add_k: float = 0.5,
     cache_sink: list | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under an add-k-smoothed
     corpus bigram model — the model-free stand-in for the CCNet-style
@@ -1180,8 +1212,10 @@ def with_bigram_logprob(
     pair-count table instead of re-scanning occurrences; ``V`` rides
     in as a broadcast 1-row crossJoin so nothing collects to the
     driver; the per-doc roll-up shuffles (id, double) rows.
-    Hyper-frequent heads are the AQE skew-join case, as in the
-    coverage score.
+    Hyper-frequent pairs AND heads are the heavy hitters; AQE's skew
+    split is measured not to engage under the roll-up (SCALING.md
+    round 8), so ``salt`` salts BOTH join-backs (pair- and
+    head-keyed) — identical output rows, two extra broadcasts.
     """
     from erpl_web_spark.operators._cache import track_persist
 
@@ -1195,9 +1229,17 @@ def with_bigram_logprob(
         F.sum("bn").cast("bigint").alias("hn")
     )
     vocab = pair_counts.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    if salt:
+        from erpl_web_spark.operators.relational import salted_join
+
+        joined = salted_join(
+            salted_join(bg, pair_counts, ["w1", "w2"], salt=salt),
+            head_counts, "w1", salt=salt,
+        )
+    else:
+        joined = bg.join(pair_counts, ["w1", "w2"]).join(head_counts, "w1")
     per_doc = (
-        bg.join(pair_counts, ["w1", "w2"])
-        .join(head_counts, "w1")
+        joined
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

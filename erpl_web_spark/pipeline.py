@@ -55,6 +55,18 @@ class CurationConfig:
     media_dedup: bool = False
     media_payload_col: str = "payload"
     media_max_distance: int = 3
+    # hash kernel selection: None (default) auto-picks the real Pillow
+    # grayscale kernel when Pillow is importable, else the deterministic
+    # sha256 stub grid; True forces the stub, False forces the real
+    # kernel (raises where Pillow is absent). UNDER THE STUB the hash is
+    # pseudo-random per DISTINCT payload byte-string, so the stage
+    # degrades to exact-byte payload dedup — re-encoded/resized
+    # near-duplicates never cluster and ``media_max_distance`` is
+    # effectively inert. On the real kernel, payloads Pillow cannot
+    # decode are EXCLUDED from pairing (their fallback stub hashes can
+    # never match the image's true near-duplicates) rather than
+    # clustered on pseudo-random bits.
+    media_decode_stub: bool | None = None
     # targeted span scrubbing (operators.dedup.winnow_targeted_scrub):
     # REWRITES cross-document duplicated spans out of the surviving
     # documents (winnow-gated, so only overlap-flagged docs pay the
@@ -79,6 +91,14 @@ class CurationConfig:
     # frequency (operators.text.with_unigram_freq_score) falls below
     # this — the rare-token/noise filter (None = skip the stage)
     min_unigram_freq: float | None = None
+    # Zipf-head salting for the token/bigram count join-backs inside
+    # the unigram-frequency and bigram-logprob stages: fan each hot
+    # key over this many reducers (relational.salted_join; identical
+    # rows). AQE's skew split is measured NOT to engage in the
+    # join-under-rollup shape these stages use (SCALING.md round 8) —
+    # set this when one token/bigram dominates the corpus (boilerplate
+    # floods); None keeps the plain plans.
+    text_join_salt: int | None = None
     # perplexity-proxy floor: drop docs whose mean smoothed bigram
     # log2-probability (operators.text.with_bigram_logprob) falls
     # below this — the CCNet-style LM filter without a model; typical
@@ -175,9 +195,11 @@ def curate(
     comp = None  # near-dup cluster labels, shared by dedup AND split
     want_clusters = cfg.near_dedup or cfg.split_weights is not None
     if want_clusters:
+        pair_sink: list = []
         if cfg.use_minhash:
             pairs = minhash_lsh_pairs(
-                cur, id_col, text_col, threshold=cfg.near_threshold
+                cur, id_col, text_col, threshold=cfg.near_threshold,
+                cache_sink=pair_sink,
             )
         else:
             pairs = ngram_jaccard_pairs(
@@ -191,6 +213,13 @@ def curate(
             # the dedup stage and the final split assignment share one
             # component computation
             comp = comp.persist(StorageLevel.MEMORY_AND_DISK)
+        # connected_components is eager (labels localCheckpoint per
+        # round), so the pair operator's internal caches were fully
+        # consumed by the time it returns — release them here rather
+        # than letting them accumulate in the module registry across
+        # curate() calls (the scrub stage's cache_sink contract)
+        for cached in pair_sink:
+            cached.unpersist()
 
     if cfg.near_dedup:
         if cfg.near_keep == "best_quality":
@@ -217,18 +246,28 @@ def curate(
         from erpl_web_spark.operators.multimodal import (
             dhash_dup_pairs,
             dhash_media,
+            pillow_available,
         )
 
         # perceptual near-dup over the rows that carry a media payload;
         # the pair set and cluster labels are (long, long) rows — the
         # payload bytes never shuffle past the one mapInPandas hash pass
+        stub = cfg.media_decode_stub
+        if stub is None:
+            stub = not pillow_available()
         payload = cfg.media_payload_col
         media = cur.where(F.col(payload).isNotNull()).select(
             F.col(id_col).alias("media_id"), F.col(payload).alias("payload")
         )
-        mpairs = dhash_dup_pairs(
-            dhash_media(media), max_distance=cfg.media_max_distance
-        )
+        hashes = dhash_media(media, decode_stub=stub, with_decoded=not stub)
+        if not stub:
+            # real kernel: payloads Pillow could not decode fell back to
+            # the pseudo-random stub grid — a hash that can never match
+            # the image's true near-duplicates. Exclude them from
+            # pairing (they pass through undeduped) instead of
+            # clustering corrupt bytes on random collisions.
+            hashes = hashes.where(F.col("decoded")).drop("decoded")
+        mpairs = dhash_dup_pairs(hashes, max_distance=cfg.media_max_distance)
         mdrop = (
             connected_components(mpairs, "id_a", "id_b")
             .where(F.col("id") != F.col("component"))
@@ -310,9 +349,9 @@ def curate(
         n = m
 
     if cfg.min_unigram_freq is not None:
-        scores = with_unigram_freq_score(cur, id_col, text_col).select(
-            id_col, "avg_unigram_freq"
-        )
+        scores = with_unigram_freq_score(
+            cur, id_col, text_col, salt=cfg.text_join_salt
+        ).select(id_col, "avg_unigram_freq")
         floored = (
             cur.join(scores, id_col)
             .where(F.col("avg_unigram_freq") >= cfg.min_unigram_freq)
@@ -327,7 +366,8 @@ def curate(
 
         lp_sink: list = []
         lp = with_bigram_logprob(
-            cur, id_col, text_col, cache_sink=lp_sink
+            cur, id_col, text_col, cache_sink=lp_sink,
+            salt=cfg.text_join_salt,
         ).select(id_col, "n_bigrams", "avg_log2p")
         # 0-bigram documents (empty / single-token) carry the sentinel
         # avg_log2p = 0.0 — the best possible score, since every real

@@ -39,6 +39,19 @@ from erpl_web_spark.suite import load, register
 _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+# DuckDB rendering of operators.text.with_quality_score's keep rule
+# (>= 3 of 4 heuristics over the ``text`` column of the enclosing FROM) —
+# shared by the curation-facade composition oracles.
+_SQL_QUALITY_KEEP = f"""((len({_SQL_TOKS}) >= 5 AND len({_SQL_TOKS}) <= 100000)::INT
+              + (CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+                   / GREATEST(len({_SQL_TOKS}), 1) >= 2.0
+                 AND CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+                   / GREATEST(len({_SQL_TOKS}), 1) <= 12.0)::INT
+              + (CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) <= 0.2)::INT
+              + (CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / GREATEST(LENGTH(text), 1) <= 0.3)::INT) >= 3"""
+
 
 @register(
     "dedup_exact",
@@ -1128,16 +1141,7 @@ def similarity_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id AS doc_id FROM components WHERE id <> component
     ),
     quality AS (
-      SELECT doc_id,
-             ((len({_SQL_TOKS}) >= 5 AND len({_SQL_TOKS}) <= 100000)::INT
-              + (CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
-                   / GREATEST(len({_SQL_TOKS}), 1) >= 2.0
-                 AND CAST(list_sum(list_transform({_SQL_TOKS}, t -> LENGTH(t))) AS DOUBLE)
-                   / GREATEST(len({_SQL_TOKS}), 1) <= 12.0)::INT
-              + (CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
-                   / GREATEST(LENGTH(text), 1) <= 0.2)::INT
-              + (CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                   / GREATEST(LENGTH(text), 1) <= 0.3)::INT) >= 3 AS keep
+      SELECT doc_id, {_SQL_QUALITY_KEEP} AS keep
       FROM documents
     )
     SELECT d.lang,
@@ -1188,6 +1192,136 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text").cast("bigint")).alias("total_chars"),
         F.sum(F.size(tokens_expr(F.col("text"))).cast("bigint")).alias("total_tokens"),
     )
+
+
+@register(
+    "pipeline_curate_media",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, text AS ptext FROM documents
+      UNION ALL
+      SELECT d.doc_id + b.base,
+             'planted media duplicate variant row ' || CAST(d.doc_id AS VARCHAR),
+             d.text
+      FROM documents d
+      CROSS JOIN (SELECT MAX(doc_id) + 1 AS base FROM documents) b
+      WHERE d.doc_id < 12
+    ), exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5({_SQL_NORM})
+    ), esurv AS (
+      SELECT c.* FROM corpus c JOIN exact_keep k ON c.doc_id = k.doc_id
+    ), dh AS (
+      SELECT doc_id, sha256(ptext || '0') AS d0, sha256(ptext || '1') AS d1,
+             sha256(ptext || '2') AS d2
+      FROM esurv
+    ), cells AS (
+      SELECT doc_id, list_transform(range(0, 72), i ->
+        CAST('0x' || substr(CASE WHEN i < 32 THEN d0
+                                 WHEN i < 64 THEN d1 ELSE d2 END,
+                            CAST((i % 32) * 2 + 1 AS INT), 2) AS INT)) AS g
+      FROM dh
+    ), bits AS (
+      SELECT doc_id, list_transform(range(0, 64), k ->
+        CASE WHEN g[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                > g[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+             THEN 1 ELSE 0 END) AS b
+      FROM cells
+    ), h AS (
+      SELECT doc_id AS media_id,
+        CAST(list_sum(list_transform(range(0, 32),
+             k -> b[CAST(k + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+             AS BIGINT) AS dhash_hi,
+        CAST(list_sum(list_transform(range(0, 32),
+             k -> b[CAST(k + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(k AS INT))))
+             AS BIGINT) AS dhash_lo
+      FROM bits
+    ), bands AS (
+      SELECT media_id, dhash_hi, dhash_lo, t.b,
+             CASE WHEN t.b < 2 THEN (dhash_hi >> CAST(16 * (t.b % 2) AS INT)) & 65535
+                  ELSE (dhash_lo >> CAST(16 * (t.b % 2) AS INT)) & 65535
+             END AS val
+      FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    ), mpairs AS (
+      SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.val = y.val AND x.media_id < y.media_id
+      WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
+            + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 3
+    ), cc_edges AS (
+      SELECT id_a AS u, id_b AS v FROM mpairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM mpairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM cc_edges
+      UNION
+      SELECT e.v, r.comp FROM reach r JOIN cc_edges e ON e.u = r.id
+    ), mcomp AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    ), msurv AS (
+      SELECT e.* FROM esurv e
+      WHERE e.doc_id NOT IN (SELECT id FROM mcomp WHERE id <> component)
+    ), qsurv AS (
+      SELECT doc_id FROM msurv
+      WHERE {_SQL_QUALITY_KEEP}
+    )
+    SELECT 'input' AS stage, CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'exact_dedup_dropped',
+           (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM esurv)
+    UNION ALL
+    SELECT 'media_dedup_dropped',
+           (SELECT COUNT(*) FROM esurv) - (SELECT COUNT(*) FROM msurv)
+    UNION ALL
+    SELECT 'quality_dropped',
+           (SELECT COUNT(*) FROM msurv) - (SELECT COUNT(*) FROM qsurv)
+    UNION ALL
+    SELECT 'output', (SELECT COUNT(*) FROM qsurv)
+    """,
+)
+def pipeline_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate() facade's mixed text+media composition, per-stage
+    accounting oracle-checked: exact text dedup -> perceptual media
+    dedup (dHash over the payload column; stub kernel forced so the
+    hashes are the deterministic sha256 grid both engines compute) ->
+    quality gate, returning the facade's (stage, n) report. Planting:
+    each of the first 12 documents gets a re-keyed twin with a FRESH
+    text (unique, quality-passing) but the ORIGINAL document's payload
+    bytes — invisible to both text stages, caught only by the media
+    stage (min-id original survives, twin drops), so
+    ``media_dedup_dropped`` is non-vacuous at every scale factor; twin
+    ids offset by max(doc_id)+1, collision-free at any scale. The
+    oracle replays all three stages including the full dHash banding
+    arithmetic, so even improbable band-collision pairs agree
+    (erpl_web_spark.pipeline.curate, media stage pipeline.py)."""
+    from erpl_web_spark.pipeline import CurationConfig, curate
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_base"))
+    planted = (
+        docs.where(F.col("doc_id") < 12)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("doc_id") + F.col("_base")).alias("doc_id"),
+            F.concat(
+                F.lit("planted media duplicate variant row "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    corpus = docs.select(
+        "doc_id", "text", F.col("text").cast("binary").alias("payload")
+    ).unionByName(planted)
+    kept, report = curate(
+        corpus,
+        CurationConfig(
+            near_dedup=False,
+            media_dedup=True,
+            media_decode_stub=True,
+        ),
+    )
+    kept.unpersist()  # only the accounting is under test here
+    return report.select("stage", F.col("n").cast("bigint").alias("n"))
 
 
 @register(
@@ -2023,7 +2157,7 @@ def _sql_strip_html(expr: str) -> str:
         (r"(?is)<script[^>]*>.*?</script>", " "),
         (r"(?is)<style[^>]*>.*?</style>", " "),
         (r"(?s)<!--.*?-->", " "),
-        (r"<[a-zA-Z/!][^>]*>", " "),
+        (r"<[a-zA-Z/!?][^>]*>", " "),
         (r"&lt;", "<"),
         (r"&gt;", ">"),
         (r"&quot;", '"'),
@@ -2039,7 +2173,7 @@ def _sql_strip_html(expr: str) -> str:
 
 
 _HTML_PRE = (
-    '<html><head><style>p{color:red}</style></head>'
+    '<?xml version="1.0"?><html><head><style>p{color:red}</style></head>'
     '<body><!-- header --><p class="x">'
 )
 _HTML_POST = '</p><script>var a = 1 &amp;&amp; 2;</script>&nbsp;&amp; tail</body></html>'

@@ -2822,6 +2822,7 @@ def test_strip_html_expr_cleans_markup(spark):
         (4, "<div class='open.. no close   lots\n of \t space"),
         (5, "<!-- secret -->visible<!-- more\nsecret -->"),
         (6, "compare: x < y > z and 1<2 but <em>this</em> strips"),
+        (7, '<?xml version="1.0"?>decl gone<?php echo "x"; ?>tail'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -2836,8 +2837,10 @@ def test_strip_html_expr_cleans_markup(spark):
     assert out[4] == "open.. no close lots of space" or "open" in out[4]
     assert out[5] == "visible"
     # bare angle brackets in prose are NOT tags (narrowed pattern
-    # requires a letter, '/' or '!' after '<'); tag-shaped spans strip
+    # requires a letter, '/', '!' or '?' after '<'); tag-shaped spans strip
     assert out[6] == "compare: x < y > z and 1<2 but this strips"
+    # processing-instruction / declaration spans strip like tags
+    assert out[7] == "decl gone tail"
 
 
 def test_bigram_logprob_ranks_prose_above_salad(spark):
@@ -3096,3 +3099,41 @@ def test_bigram_coverage_contract(spark):
     assert got[4]["n_covered"] == 0 and got[4]["bigram_coverage"] == 0.0
     assert got[5]["n_bigrams"] == 0 and got[5]["bigram_coverage"] == 0.0
     assert len(got) == 5
+
+
+def test_text_joinback_salting_identical_rows(spark):
+    """``salt=`` fans the token/bigram count join-backs over salt
+    reducers with identical results — the explicit Zipf-head
+    mitigation (AQE's skew split is measured NOT to engage in this
+    join-under-rollup plan shape; tools/skew_bench.py --zipf)."""
+    from erpl_web_spark.operators.text import (
+        with_bigram_coverage,
+        with_bigram_logprob,
+        with_unigram_freq_score,
+    )
+
+    prose = "the cat sat on the mat and the dog sat on the rug "
+    rows = [(i, prose * (1 + i % 3) + f"tail{i}") for i in range(8)] + [(99, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain_u = with_unigram_freq_score(df).orderBy("doc_id").collect()
+    assert with_unigram_freq_score(df, salt=4).orderBy("doc_id").collect() == plain_u
+
+    sink: list = []
+    plain_c = with_bigram_coverage(df, cache_sink=sink).orderBy("doc_id").collect()
+    assert (
+        with_bigram_coverage(df, cache_sink=sink, salt=4).orderBy("doc_id").collect()
+        == plain_c
+    )
+
+    # avg over doubles is order-sensitive in the last ulp: compare the
+    # float column rounded, the exact-integer column exactly
+    plain_l = with_bigram_logprob(df, cache_sink=sink).orderBy("doc_id").collect()
+    salted_l = with_bigram_logprob(df, cache_sink=sink, salt=4).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["n_bigrams"]) for r in salted_l] == [
+        (r["doc_id"], r["n_bigrams"]) for r in plain_l
+    ]
+    for a, b in zip(plain_l, salted_l):
+        assert abs(a["avg_log2p"] - b["avg_log2p"]) < 1e-9
+    for cached in sink:
+        cached.unpersist()

@@ -290,3 +290,95 @@ def test_curate_gopher_stage(spark):
     rep = {r["stage"]: r["n"] for r in report.collect()}
     assert rep["gopher_dropped"] == 1
     assert "gopher_keep" not in kept.columns
+
+
+def test_curate_media_dedup_stage(spark):
+    """The media stage clusters rows whose payloads dHash-collide
+    (identical bytes under the forced stub kernel), keeps the min-id
+    representative, passes text-only (null-payload) rows through
+    untouched, and reports the drop count."""
+    shared = b"shared-media-payload-bytes-0123456789"
+    rows = [
+        (1, "first caption entirely unlike the others", bytearray(shared)),
+        (2, "second caption with different wording here", bytearray(shared)),
+        (3, "third caption about another subject matter", bytearray(b"unique-media-bytes")),
+        (4, "fourth document is text only with no media", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+    kept, report = curate(
+        docs,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            media_dedup=True, media_decode_stub=True,
+        ),
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["media_dedup_dropped"] == 1
+    assert rep["input"] - rep["media_dedup_dropped"] == rep["output"]
+    kept.unpersist()
+
+
+def test_curate_media_real_kernel_excludes_undecodable(spark, monkeypatch):
+    """On the real-decode path (media_decode_stub=False) payloads the
+    image library cannot decode are EXCLUDED from pairing — identical
+    corrupt byte-strings must NOT cluster on their fallback stub
+    hashes — while decodable near-duplicates cluster by perceptual
+    grid even when their bytes differ."""
+    from erpl_web_spark.operators import multimodal
+
+    def fake_grid(payload):
+        p = bytes(payload)
+        if p.startswith(b"IMG"):
+            # "decodes": grid depends only on the scene byte, so two
+            # different encodings of the same scene hash identically
+            seed = p[3]
+            return [(seed * (i + 7)) % 251 for i in range(72)], True
+        return multimodal._stub_gray_grid(p), False
+
+    monkeypatch.setattr(multimodal, "pillow_available", lambda: True)
+    monkeypatch.setattr(multimodal, "_pillow_gray_grid", fake_grid)
+
+    rows = [
+        (1, "caption one with its own words", bytearray(b"IMGA-first-encoding")),
+        (2, "caption two quite different text", bytearray(b"IMGA-other-bytes-entirely")),
+        (3, "caption three more prose here", bytearray(b"corrupt-not-an-image")),
+        (4, "caption four distinct wording", bytearray(b"corrupt-not-an-image")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+    kept, report = curate(
+        docs,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            media_dedup=True, media_decode_stub=False,
+        ),
+    )
+    # 2 clusters with 1 (same scene, different bytes); 3/4 share bytes
+    # but are undecodable -> excluded from pairing, both kept
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["media_dedup_dropped"] == 1
+    kept.unpersist()
+
+
+def test_curate_media_real_kernel_requires_pillow(spark):
+    """media_decode_stub=False without Pillow fails loudly instead of
+    silently degrading to the stub."""
+    import pytest
+
+    from erpl_web_spark.operators import multimodal
+
+    if multimodal.pillow_available():
+        pytest.skip("Pillow installed; the guard only fires without it")
+    docs = spark.createDataFrame(
+        [(1, "a few plain words", bytearray(b"xx"))],
+        "doc_id long, text string, payload binary",
+    )
+    with pytest.raises(NotImplementedError):
+        curate(
+            docs,
+            CurationConfig(
+                exact_dedup=False, near_dedup=False, quality_gate=False,
+                media_dedup=True, media_decode_stub=False,
+            ),
+        )

@@ -67,12 +67,16 @@ def build_fixture(spark, name: str, queries=None) -> dict:
         from erpl_web_spark.suite import all_queries
 
         queries = all_queries()
+    from erpl_web_spark.operators import release_tracked
+
     fixture = {"query": name, "exact": {}, "counts": {}}
     for sf in EXACT_SFS:
         df = queries[name].fn(spark, f"/root/testdata/sf{sf}")
         fixture["exact"][sf] = canonical_rows(df)
+        release_tracked()  # drop this evaluation's internal caches
     df = queries[name].fn(spark, f"/root/testdata/sf{COUNT_SF}")
     fixture["counts"][COUNT_SF] = df.count()
+    release_tracked()
     return fixture
 
 
