@@ -31,66 +31,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 7: every entry now has a green driver row (r6 union milestone),
-# so the policy is pure regression rotation — OLDEST latest-green first.
-# The 25 entries whose latest green row is r01 (16) or r03 (9) lead, in
-# registration order; entries NEW this round follow (first-time rows);
-# the rest of the prefix-50 backfills with the oldest r04-latest names.
+# Round 8: pure regression rotation continues — OLDEST latest-green
+# first. After r07 (which re-confirmed all r01/r03-latest rows green),
+# the oldest band is the 25 r04-latest names; they lead in registration
+# order, the round-8 entry pipeline_curate_media follows (first driver
+# row), and the prefix-50 backfills with the oldest r05-latest names.
 # Names are stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    # -- latest driver green is r01 --
-    "subquery_scalar_avg",
-    "having_groups",
-    "union_all_tagged",
-    "pivot_status_counts",
-    "explode_words",
-    "window_distribution",
-    "agg_stats_exact",
-    "join_salted_skew",
-    "events_window_rollup",
-    "regex_funcs",
-    "struct_funcs",
-    "subquery_correlated_exists",
-    "agg_percentiles",
-    "q06_revenue_delta",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    # -- latest driver green is r03 --
-    "q01_pricing_summary",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_avg_int",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "join_left_counts",
-    # -- new in round 7 (first driver rows) --
-    "multimodal_dhash_pairs_d7",
-    # -- backfill: oldest r04-latest names --
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_lang_profile",
-    "text_unigram_freq",
-    "similarity_cosine_top3",
-    "embedding_covariance",
-    "similarity_hard_negatives",
-    "pipeline_length_buckets",
-    "similarity_ann_lsh",
-    "multimodal_decode",
-    "similarity_ann_ivf",
-    "dedup_embedding",
-    "text_redact_pii",
-    "text_repetition",
-    "pipeline_hash_split",
-    "embedding_centroid",
-    "pipeline_pack_documents",
+    # -- latest driver green is r04 (oldest band after the r07 rotation) --
+    "multimodal_frames",
+    "udtf_chunk_tokens",
+    "chunk_tokens_native",
+    "curation_cap_per_source",
+    "curation_diverse_sample",
+    "curation_contamination",
+    "curation_stratified_sample",
+    "text_token_diversity",
+    "dedup_cluster_components",
+    "dedup_cluster_summary",
+    "embedding_quantize_stats",
+    "similarity_ann_ivf_int8",
+    "pipeline_curate_corpus",
+    "pipeline_shuffle_order",
+    "cdc_apply_merge",
+    "text_boilerplate_ngrams",
+    "text_boilerplate_ratio",
+    "multimodal_tiles",
+    "curation_mixture_upsample",
+    "cdc_incremental_agg",
+    "text_vocab_topk",
+    "curation_token_budget",
+    "dedup_substring_kgram",
+    "dedup_containment",
+    "curation_contamination_pairs",
+    # -- new in round 8 (needs its first driver row) --
+    "pipeline_curate_media",
+    # -- backfill: oldest r05-latest names --
+    "embedding_cluster_semantic",
+    "dedup_substring_scrub",
+    "dedup_keep_best",
+    "match_fuzzy_parts",
+    "match_resolve_parts",
+    "cdc_snapshot_diff",
+    "pipeline_split_leak_safe",
+    "curation_decontaminate_semantic",
+    "text_bpe_pairs",
+    "similarity_threshold_sweep",
+    "dedup_source_overlap",
+    "multimodal_audio_chunks",
+    "curation_temperature_mixture",
+    "text_tfidf_topk",
+    "pipeline_corpus_report",
+    "text_lang_confusion",
+    "text_gopher_rules",
+    "text_clean_lines",
+    "similarity_recall_at_k",
+    "text_bigram_topk",
+    "set_except_all",
+    "set_intersect_all",
+    "odata_apply_groupby",
+    "funnel_stages",
 ]
 
 

@@ -151,8 +151,15 @@ def main():
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        # driver testdata ships single files; locally-synthesized SFs
+        # (tools' sf1) are Spark-written part-file directories — glob
+        # those so DuckDB reads them too
+        p = f"{args.sf}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     names = args.names or sorted(qs)
     failures = []
