@@ -5,8 +5,9 @@ Every filesystem mutation the protocol performs — manifest ``mkdirs`` /
 ``core.manifests._fs``, plus each ``DataFrameWriter.parquet`` delta
 write — is an ordering point where the writer can die. These tests kill
 the writer immediately BEFORE each such point in turn (publish+replay
-for all three incremental dedup indexes, redirect compaction, legacy
-adoption) and assert the reader invariants after every crash:
+for all three incremental dedup indexes, the CDC snapshot sink with
+retention retracts, redirect compaction, legacy adoption) and assert
+the reader invariants after every crash:
 
 - **no torn read**: the committed-union readers always succeed and
   every directory they resolve is fully readable;
@@ -360,3 +361,65 @@ def test_adoption_crash_points(spark, tmp_path):
         # recovery: adoption resumes where it stopped
         manifests.adopt_success_markers(spark, work, "batch")
         assert rows(work) == full, f"crash@{k}: resume did not converge"
+
+
+def test_snapshot_sink_crash_points(spark, tmp_path):
+    """The CDC snapshot sink (uncommit -> overwrite -> commit-last ->
+    retention retract) killed before every FS mutation: the latest
+    readable snapshot is always a complete version (the pre- or
+    post-batch state, never a torn merge), and replaying the crashed
+    batch converges — including the retention retracts."""
+    from erpl_web_spark.operators.cdc import (
+        merge_to_parquet_snapshots,
+        read_latest_snapshot,
+    )
+
+    schema = "k long, val string, op string, seq long"
+
+    def apply(path, batch_id, rows, retain=None):
+        merge_to_parquet_snapshots(
+            spark.createDataFrame(rows, schema), batch_id, path,
+            keys=["k"], op_col="op", seq_cols=["seq"],
+            retain_versions=retain,
+        )
+
+    def setup(path):
+        apply(path, 0, [(1, "a0", "U", 0), (2, "b0", "U", 0)])
+        apply(path, 1, [(2, "b1", "U", 1), (3, "c1", "U", 1)])
+
+    def snap(path):
+        df = read_latest_snapshot(spark, path)
+        return None if df is None else {
+            (r["k"], r["val"]) for r in df.select("k", "val").collect()
+        }
+
+    state1 = {(1, "a0"), (2, "b1"), (3, "c1")}
+    batch2 = [(1, "a2", "U", 2), (3, "c1", "D", 2), (4, "d2", "U", 2)]
+    state2 = {(1, "a2"), (2, "b1"), (4, "d2")}
+
+    # dry run: op list + expected end state (retain=1 exercises the
+    # retention retracts as crash points too)
+    dry = str(tmp_path / "snap_dry")
+    setup(dry)
+    gate = CrashGate(None)
+    with gated(gate):
+        apply(dry, 2, batch2, retain=1)
+    ops = gate.ops
+    assert snap(dry) == state2
+    assert len(ops) >= 5, f"expected >=5 mutation ops, saw {ops}"
+
+    for k in range(1, len(ops) + 1):
+        work = str(tmp_path / f"snap_k{k}")
+        setup(work)
+        assert snap(work) == state1
+        with pytest.raises(InjectedCrash):
+            with gated(CrashGate(crash_at=k)):
+                apply(work, 2, batch2, retain=1)
+        got = snap(work)
+        assert got in (state1, state2), (
+            f"crash@{k} ({ops[k-1]}): torn snapshot {got}"
+        )
+        # recovery: Spark replays the batch; the merge re-derives v=2
+        # from v=1, never from its own half-written directory
+        apply(work, 2, batch2, retain=1)
+        assert snap(work) == state2, f"crash@{k}: replay diverged"
