@@ -64,8 +64,9 @@ _SAMPLE_PRIORITY = [
     "dedup_substring_kgram",
     "dedup_containment",
     "curation_contamination_pairs",
-    # -- new in round 8 (needs its first driver row) --
+    # -- new in round 8 (need their first driver rows) --
     "pipeline_curate_media",
+    "text_unigram_freq_salted",
     # -- backfill: oldest r05-latest names --
     "embedding_cluster_semantic",
     "dedup_substring_scrub",

@@ -253,9 +253,7 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_unigram_freq",
-    oracle=f"""
+_SQL_UNIGRAM_FREQ = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
     ), cnt AS (
@@ -271,17 +269,37 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_unigram_freq
     FROM tok t JOIN cnt c USING (tok)
     GROUP BY t.doc_id
-    """,
-)
+    """
+
+
+@register("text_unigram_freq", oracle=_SQL_UNIGRAM_FREQ)
 def text_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency document scoring (CCNet-style quality signal with
     exact integer sums instead of log-probs, so it value-hash matches any
-    engine). Token-keyed count join is the AQE skew-join posture; final
+    engine). The token-keyed count join is the Zipf-head hot spot; final
     division is ONE double op over exact integers."""
     from erpl_web_spark.operators.text import with_unigram_freq_score
 
     docs = load(spark, sf_dir, "documents", spread=True)
     return with_unigram_freq_score(docs, "doc_id", "text")
+
+
+@register("text_unigram_freq_salted", oracle=_SQL_UNIGRAM_FREQ)
+def text_unigram_freq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME score through the salted join-back (``salt=8``): each
+    hot token fans over 8 reducers via ``relational.salted_join`` while
+    the result stays value-hash identical — the same oracle SQL checks
+    both plans, so the skew mitigation's correctness gets its own
+    driver row. Shipped because AQE's skew split is measured NOT to
+    engage in this join-under-rollup shape (SCALING.md round 8): at
+    web scale the Zipf head ("the" ≈ 7% of occurrences) would pin ~7%
+    of the corpus on one reducer with no runtime rescue, so the salted
+    plan is the production path for dominant-token corpora; exact
+    integer sums make the fan-out order-insensitive."""
+    from erpl_web_spark.operators.text import with_unigram_freq_score
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return with_unigram_freq_score(docs, "doc_id", "text", salt=8)
 
 
 @register(

@@ -32,6 +32,19 @@ def secrets_file():
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Each test is a 'batch' on the session-scoped driver: release any
+    operator-internal persisted frames it left in the module registry
+    so accumulation (and the loud RuntimeWarning at 8 frames) never
+    crosses test boundaries. Tests that assert the warning/registry
+    behavior manage the registry explicitly inside their own body."""
+    yield
+    from erpl_web_spark.operators import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from erpl_web_spark.session import get_spark
