@@ -34,8 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 8: pure regression rotation continues — OLDEST latest-green
 # first. After r07 (which re-confirmed all r01/r03-latest rows green),
 # the oldest band is the 25 r04-latest names; they lead in registration
-# order, the round-8 entry pipeline_curate_media follows (first driver
-# row), and the prefix-50 backfills with the oldest r05-latest names.
+# order, the two round-8 entries follow (pipeline_curate_media,
+# text_unigram_freq_salted — first driver rows), and the prefix-50
+# backfills with the 23 oldest r05-latest names (50 exactly).
 # Names are stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
@@ -91,7 +92,6 @@ _SAMPLE_PRIORITY = [
     "set_except_all",
     "set_intersect_all",
     "odata_apply_groupby",
-    "funnel_stages",
 ]
 
 

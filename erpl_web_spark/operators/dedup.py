@@ -731,116 +731,126 @@ def dedup_index_apply(
     from erpl_web_spark.operators.graph import connected_components
 
     spark = batch_df.sparkSession
-    hashed = hashed_shingles(batch_df, id_col, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
-    new = (
-        hashed.join(
-            sigs.select(
-                F.col(id_col), band_keys_expr(num_hashes, bands).alias("band_keys")
-            ),
-            id_col,
+    pair_sink: list = []   # minhash-internal caches (released early on success)
+    own: list = []         # this function's persisted frames
+    try:
+        hashed = hashed_shingles(batch_df, id_col, text_col, shingle_k).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # (a) within-batch: exact digests first (hot-bucket guard), then
-    # LSH pairs -> components; keep the minimum id per cluster.
-    exact_keep = (
-        batch_df.groupBy(F.md5(normalized_text_expr(text_col)).alias("__d"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    in_batch = batch_df.join(exact_keep, id_col, "left_semi")
-    # connected_components is eager, so the pair operator's internal
-    # caches are fully consumed when it returns — release them here
-    # rather than letting them accumulate across micro-batches on a
-    # long-lived streaming driver
-    pair_sink: list = []
-    pairs = minhash_lsh_pairs(
-        in_batch, id_col, text_col, num_hashes, bands, shingle_k, threshold,
-        cache_sink=pair_sink,
-    )
-    near_drop = (
-        connected_components(pairs, "id_a", "id_b")
-        .where(F.col("id") != F.col("component"))
-        .select(
-            F.col("id").alias(id_col), F.col("component").alias("dup_of")
-        )
-    )
-    for cached in pair_sink:
-        cached.unpersist()
-    batch_ids = batch_df.select(id_col)
-    in_batch_drops = (
-        batch_ids.join(exact_keep, id_col, "left_anti")
-        .join(
-            batch_df.groupBy(F.md5(normalized_text_expr(text_col)).alias("__d"))
-            .agg(F.min(id_col).alias("dup_of"))
-            .join(
-                batch_df.select(
-                    F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("__d")
+        own.append(hashed)
+        sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
+        new = (
+            hashed.join(
+                sigs.select(
+                    F.col(id_col), band_keys_expr(num_hashes, bands).alias("band_keys")
                 ),
-                "__d",
+                id_col,
             )
-            .select(id_col, "dup_of"),
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        own.append(new)
+
+        # (a) within-batch: exact digests first (hot-bucket guard), then
+        # LSH pairs -> components; keep the minimum id per cluster.
+        exact_keep = (
+            batch_df.groupBy(F.md5(normalized_text_expr(text_col)).alias("__d"))
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        in_batch = batch_df.join(exact_keep, id_col, "left_semi")
+        # connected_components is eager, so the pair operator's internal
+        # caches are fully consumed when it returns — released early
+        # (below) so they don't sit through the index join, and again
+        # in the finally for the exception path
+        pairs = minhash_lsh_pairs(
+            in_batch, id_col, text_col, num_hashes, bands, shingle_k, threshold,
+            cache_sink=pair_sink,
+        )
+        near_drop = (
+            connected_components(pairs, "id_a", "id_b")
+            .where(F.col("id") != F.col("component"))
+            .select(
+                F.col("id").alias(id_col), F.col("component").alias("dup_of")
+            )
+        )
+        for cached in pair_sink:
+            cached.unpersist()
+        batch_ids = batch_df.select(id_col)
+        in_batch_drops = (
+            batch_ids.join(exact_keep, id_col, "left_anti")
+            .join(
+                batch_df.groupBy(F.md5(normalized_text_expr(text_col)).alias("__d"))
+                .agg(F.min(id_col).alias("dup_of"))
+                .join(
+                    batch_df.select(
+                        F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("__d")
+                    ),
+                    "__d",
+                )
+                .select(id_col, "dup_of"),
+                id_col,
+                "left",
+            )
+            .select(id_col, "dup_of")
+            .unionByName(near_drop)
+        )
+
+        survivors = new.join(in_batch_drops.select(id_col), id_col, "left_anti")
+
+        # (b) against the index: band-key equi-join, exact Jaccard verify.
+        index = read_dedup_index(spark, path, before=batch_id)
+        if index is not None:
+            nb = survivors.select(
+                F.col(id_col).alias("new_id"),
+                F.col("hs").alias("hs_new"),
+                F.explode("band_keys").alias("band_key"),
+            )
+            ob = index.select(
+                F.col(id_col).alias("old_id"),
+                F.col("hs").alias("hs_old"),
+                F.explode("band_keys").alias("band_key"),
+            )
+            cand = (
+                nb.join(ob, "band_key")
+                .select("new_id", "hs_new", "old_id", "hs_old")
+                .dropDuplicates(["new_id", "old_id"])
+            )
+            index_dups = (
+                cand.select(
+                    "new_id",
+                    "old_id",
+                    (
+                        F.size(F.array_intersect("hs_new", "hs_old"))
+                        / F.size(F.array_union("hs_new", "hs_old"))
+                    ).alias("jaccard"),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .groupBy("new_id")
+                .agg(F.min("old_id").alias("dup_of"))
+            )
+        else:
+            index_dups = spark.createDataFrame([], f"new_id long, dup_of long")
+
+        index_dups = index_dups.persist(StorageLevel.MEMORY_AND_DISK)
+        own.append(index_dups)
+        keepers = survivors.join(
+            index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+        )
+        # replay guard + manifest-last commit + decisions: the shared tail
+        from erpl_web_spark.operators.index_commit import commit_index_batch
+
+        commit_index_batch(
+            spark, path, batch_id, keepers, batch_ids, in_batch_drops, index_dups,
             id_col,
-            "left",
         )
-        .select(id_col, "dup_of")
-        .unionByName(near_drop)
-    )
 
-    survivors = new.join(in_batch_drops.select(id_col), id_col, "left_anti")
-
-    # (b) against the index: band-key equi-join, exact Jaccard verify.
-    index = read_dedup_index(spark, path, before=batch_id)
-    if index is not None:
-        nb = survivors.select(
-            F.col(id_col).alias("new_id"),
-            F.col("hs").alias("hs_new"),
-            F.explode("band_keys").alias("band_key"),
-        )
-        ob = index.select(
-            F.col(id_col).alias("old_id"),
-            F.col("hs").alias("hs_old"),
-            F.explode("band_keys").alias("band_key"),
-        )
-        cand = (
-            nb.join(ob, "band_key")
-            .select("new_id", "hs_new", "old_id", "hs_old")
-            .dropDuplicates(["new_id", "old_id"])
-        )
-        index_dups = (
-            cand.select(
-                "new_id",
-                "old_id",
-                (
-                    F.size(F.array_intersect("hs_new", "hs_old"))
-                    / F.size(F.array_union("hs_new", "hs_old"))
-                ).alias("jaccard"),
-            )
-            .where(F.col("jaccard") >= threshold)
-            .groupBy("new_id")
-            .agg(F.min("old_id").alias("dup_of"))
-        )
-    else:
-        index_dups = spark.createDataFrame([], f"new_id long, dup_of long")
-
-    index_dups = index_dups.persist(StorageLevel.MEMORY_AND_DISK)
-    keepers = survivors.join(
-        index_dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
-    )
-    # replay guard + manifest-last commit + decisions: the shared tail
-    from erpl_web_spark.operators.index_commit import commit_index_batch
-
-    commit_index_batch(
-        spark, path, batch_id, keepers, batch_ids, in_batch_drops, index_dups,
-        id_col,
-    )
-    hashed.unpersist()
-    new.unpersist()
-    index_dups.unpersist()
+    finally:
+        # exception-safe release: a failed micro-batch (non-convergent
+        # components, a dying executor, a write error) must not leak
+        # cached frames on a long-lived streaming driver — unpersist is
+        # a no-op on frames already released in the happy path above
+        for cached in (*own, *pair_sink):
+            cached.unpersist()
 
 
 def dedup_index_compact(spark, path: str, keep_latest: int = 1) -> int:

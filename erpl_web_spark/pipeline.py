@@ -164,6 +164,13 @@ def curate(
     )
 
     cfg = cfg or CurationConfig()
+    cleanup: list = []        # every frame this call persisted
+    sink_lists: list = []     # operator-internal cache sinks
+
+    def new_sink() -> list:
+        s: list = []
+        sink_lists.append(s)
+        return s
     id_col, text_col = cfg.id_col, cfg.text_col
     counts: list[tuple[str, int]] = []
 
@@ -174,6 +181,7 @@ def curate(
             # this is the plan the count below executes.
             plan = stage_df._jdf.queryExecution().optimizedPlan().toString()
         cached = stage_df.persist(StorageLevel.MEMORY_AND_DISK)
+        cleanup.append(cached)
         m = cached.count()
         if prev is not None:
             prev.unpersist()
@@ -181,253 +189,269 @@ def curate(
             stage_trace.append((name, cached, plan))
         return cached, m
 
-    cur, n = materialize("input", df, None)
-    counts.append(("input", n))
+    try:
+        cur, n = materialize("input", df, None)
+        counts.append(("input", n))
 
-    if cfg.exact_dedup:
-        keepers = exact_dedup_report(cur, id_col, text_col).select(
-            F.col("keep_id").alias(id_col)
-        )
-        cur, m = materialize("exact_dedup", cur.join(keepers, id_col, "left_semi"), cur)
-        counts.append(("exact_dedup_dropped", n - m))
-        n = m
-
-    comp = None  # near-dup cluster labels, shared by dedup AND split
-    want_clusters = cfg.near_dedup or cfg.split_weights is not None
-    if want_clusters:
-        pair_sink: list = []
-        if cfg.use_minhash:
-            pairs = minhash_lsh_pairs(
-                cur, id_col, text_col, threshold=cfg.near_threshold,
-                cache_sink=pair_sink,
-            )
-        else:
-            pairs = ngram_jaccard_pairs(
-                cur, id_col, text_col,
-                block_cols=cfg.block_cols,
-                threshold=cfg.near_threshold,
-            )
-        comp = connected_components(pairs, "id_a", "id_b")
-        if cfg.split_weights is not None:
-            # the label table is tiny next to the corpus; persist it so
-            # the dedup stage and the final split assignment share one
-            # component computation
-            comp = comp.persist(StorageLevel.MEMORY_AND_DISK)
-        # connected_components is eager (labels localCheckpoint per
-        # round), so the pair operator's internal caches were fully
-        # consumed by the time it returns — release them here rather
-        # than letting them accumulate in the module registry across
-        # curate() calls (the scrub stage's cache_sink contract)
-        for cached in pair_sink:
-            cached.unpersist()
-
-    if cfg.near_dedup:
-        if cfg.near_keep == "best_quality":
-            from erpl_web_spark.operators.graph import component_best
-
-            scored = with_quality_score(cur, text_col=text_col).select(
-                id_col, "quality_score"
-            )
-            keep = component_best(comp, scored, id_col, "quality_score").select(
+        if cfg.exact_dedup:
+            keepers = exact_dedup_report(cur, id_col, text_col).select(
                 F.col("keep_id").alias(id_col)
             )
-            drop = comp.select(F.col("id").alias(id_col)).join(
-                keep, id_col, "left_anti"
+            cur, m = materialize("exact_dedup", cur.join(keepers, id_col, "left_semi"), cur)
+            counts.append(("exact_dedup_dropped", n - m))
+            n = m
+
+        comp = None  # near-dup cluster labels, shared by dedup AND split
+        want_clusters = cfg.near_dedup or cfg.split_weights is not None
+        if want_clusters:
+            pair_sink = new_sink()
+            if cfg.use_minhash:
+                pairs = minhash_lsh_pairs(
+                    cur, id_col, text_col, threshold=cfg.near_threshold,
+                    cache_sink=pair_sink,
+                )
+            else:
+                pairs = ngram_jaccard_pairs(
+                    cur, id_col, text_col,
+                    block_cols=cfg.block_cols,
+                    threshold=cfg.near_threshold,
+                )
+            comp = connected_components(pairs, "id_a", "id_b")
+            if cfg.split_weights is not None:
+                # the label table is tiny next to the corpus; persist it so
+                # the dedup stage and the final split assignment share one
+                # component computation
+                comp = comp.persist(StorageLevel.MEMORY_AND_DISK)
+                cleanup.append(comp)
+            # connected_components is eager (labels localCheckpoint per
+            # round), so the pair operator's internal caches were fully
+            # consumed by the time it returns — release them here rather
+            # than letting them accumulate in the module registry across
+            # curate() calls (the scrub stage's cache_sink contract)
+            for cached in pair_sink:
+                cached.unpersist()
+
+        if cfg.near_dedup:
+            if cfg.near_keep == "best_quality":
+                from erpl_web_spark.operators.graph import component_best
+
+                scored = with_quality_score(cur, text_col=text_col).select(
+                    id_col, "quality_score"
+                )
+                keep = component_best(comp, scored, id_col, "quality_score").select(
+                    F.col("keep_id").alias(id_col)
+                )
+                drop = comp.select(F.col("id").alias(id_col)).join(
+                    keep, id_col, "left_anti"
+                )
+            else:
+                drop = comp.where(F.col("id") != F.col("component")).select(
+                    F.col("id").alias(id_col)
+                )
+            cur, m = materialize("near_dedup", cur.join(drop, id_col, "left_anti"), cur)
+            counts.append(("near_dedup_dropped", n - m))
+            n = m
+
+        if cfg.media_dedup:
+            from erpl_web_spark.operators.multimodal import (
+                dhash_dup_pairs,
+                dhash_media,
+                pillow_available,
             )
-        else:
-            drop = comp.where(F.col("id") != F.col("component")).select(
-                F.col("id").alias(id_col)
+
+            # perceptual near-dup over the rows that carry a media payload;
+            # the pair set and cluster labels are (long, long) rows — the
+            # payload bytes never shuffle past the one mapInPandas hash pass
+            stub = cfg.media_decode_stub
+            if stub is None:
+                stub = not pillow_available()
+            payload = cfg.media_payload_col
+            media = cur.where(F.col(payload).isNotNull()).select(
+                F.col(id_col).alias("media_id"), F.col(payload).alias("payload")
             )
-        cur, m = materialize("near_dedup", cur.join(drop, id_col, "left_anti"), cur)
-        counts.append(("near_dedup_dropped", n - m))
-        n = m
-
-    if cfg.media_dedup:
-        from erpl_web_spark.operators.multimodal import (
-            dhash_dup_pairs,
-            dhash_media,
-            pillow_available,
-        )
-
-        # perceptual near-dup over the rows that carry a media payload;
-        # the pair set and cluster labels are (long, long) rows — the
-        # payload bytes never shuffle past the one mapInPandas hash pass
-        stub = cfg.media_decode_stub
-        if stub is None:
-            stub = not pillow_available()
-        payload = cfg.media_payload_col
-        media = cur.where(F.col(payload).isNotNull()).select(
-            F.col(id_col).alias("media_id"), F.col(payload).alias("payload")
-        )
-        hashes = dhash_media(media, decode_stub=stub, with_decoded=not stub)
-        if not stub:
-            # real kernel: payloads Pillow could not decode fell back to
-            # the pseudo-random stub grid — a hash that can never match
-            # the image's true near-duplicates. Exclude them from
-            # pairing (they pass through undeduped) instead of
-            # clustering corrupt bytes on random collisions.
-            hashes = hashes.where(F.col("decoded")).drop("decoded")
-        mpairs = dhash_dup_pairs(hashes, max_distance=cfg.media_max_distance)
-        mdrop = (
-            connected_components(mpairs, "id_a", "id_b")
-            .where(F.col("id") != F.col("component"))
-            .select(F.col("id").alias(id_col))
-        )
-        cur, m = materialize(
-            "media_dedup", cur.join(mdrop, id_col, "left_anti"), cur
-        )
-        counts.append(("media_dedup_dropped", n - m))
-        n = m
-
-    if cfg.scrub_spans:
-        from erpl_web_spark.operators.dedup import winnow_targeted_scrub
-
-        # placed AFTER dedup (scrub survivors only) and BEFORE the
-        # quality stages (they should score the scrubbed text). The
-        # scrub result is persisted so the modified-doc accounting and
-        # the text replacement share one winnow+scrub computation; the
-        # operator's internal fingerprint/gram caches are collected via
-        # cache_sink and released once the stage is materialized —
-        # honoring the facade's per-stage cache-release contract.
-        sink: list = []
-        scrubbed = winnow_targeted_scrub(
-            cur, id_col, text_col,
-            min_shared=cfg.scrub_min_shared,
-            token_k=cfg.scrub_token_k,
-            cache_sink=sink,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # only docs that actually lost a span are rewritten (into
-        # normalized token space); everything else keeps its original
-        # text — a corpus-wide rewrite would strip line structure and
-        # casing from untouched documents for no dedup benefit
-        modified = scrubbed.where(F.col("n_removed") > 0).select(
-            id_col, F.col("clean_text").alias("__scrub_text")
-        )
-        n_modified = modified.count()
-        replaced = cur.join(modified, id_col, "left").withColumn(
-            text_col, F.coalesce(F.col("__scrub_text"), F.col(text_col))
-        ).drop("__scrub_text")
-        cur, m = materialize("scrub_spans", replaced, cur)
-        scrubbed.unpersist()
-        for cached in sink:
-            cached.unpersist()
-        counts.append(("scrub_spans_modified", n_modified))
-        n = m  # row-preserving stage: every doc keeps exactly one row
-
-    if cfg.quality_gate:
-        gated = with_quality_score(cur, text_col=text_col).where(
-            F.col("quality_keep")
-        ).drop("quality_score", "quality_keep")
-        cur, m = materialize("quality", gated, cur)
-        counts.append(("quality_dropped", n - m))
-        n = m
-
-    if cfg.gopher_rules:
-        from erpl_web_spark.operators.text import (
-            GOPHER_RULE_COLS,
-            with_gopher_rules,
-        )
-
-        gated = with_gopher_rules(cur, text_col=text_col).where(
-            F.col("gopher_keep")
-        ).drop(*GOPHER_RULE_COLS)
-        cur, m = materialize("gopher", gated, cur)
-        counts.append(("gopher_dropped", n - m))
-        n = m
-
-    if cfg.max_boilerplate_ratio is not None:
-        ratios = with_boilerplate_ratio(cur, id_col, text_col).select(
-            id_col, "boiler_ratio"
-        )
-        capped = (
-            cur.join(ratios, id_col)
-            .where(F.col("boiler_ratio") <= cfg.max_boilerplate_ratio)
-            .drop("boiler_ratio")
-        )
-        cur, m = materialize("boilerplate", capped, cur)
-        counts.append(("boilerplate_dropped", n - m))
-        n = m
-
-    if cfg.min_unigram_freq is not None:
-        scores = with_unigram_freq_score(
-            cur, id_col, text_col, salt=cfg.text_join_salt
-        ).select(id_col, "avg_unigram_freq")
-        floored = (
-            cur.join(scores, id_col)
-            .where(F.col("avg_unigram_freq") >= cfg.min_unigram_freq)
-            .drop("avg_unigram_freq")
-        )
-        cur, m = materialize("unigram_freq", floored, cur)
-        counts.append(("unigram_freq_dropped", n - m))
-        n = m
-
-    if cfg.min_bigram_logprob is not None:
-        from erpl_web_spark.operators.text import with_bigram_logprob
-
-        lp_sink: list = []
-        lp = with_bigram_logprob(
-            cur, id_col, text_col, cache_sink=lp_sink,
-            salt=cfg.text_join_salt,
-        ).select(id_col, "n_bigrams", "avg_log2p")
-        # 0-bigram documents (empty / single-token) carry the sentinel
-        # avg_log2p = 0.0 — the best possible score, since every real
-        # bigram scores strictly below 0. They are exactly the
-        # degenerate noise a perplexity floor targets, so the floor
-        # drops them rather than letting the sentinel outrank prose.
-        floored = (
-            cur.join(lp, id_col)
-            .where(
-                (F.col("n_bigrams") >= 1)
-                & (F.col("avg_log2p") >= cfg.min_bigram_logprob)
+            hashes = dhash_media(media, decode_stub=stub, with_decoded=not stub)
+            if not stub:
+                # real kernel: payloads Pillow could not decode fell back to
+                # the pseudo-random stub grid — a hash that can never match
+                # the image's true near-duplicates. Exclude them from
+                # pairing (they pass through undeduped) instead of
+                # clustering corrupt bytes on random collisions.
+                hashes = hashes.where(F.col("decoded")).drop("decoded")
+            mpairs = dhash_dup_pairs(hashes, max_distance=cfg.media_max_distance)
+            mdrop = (
+                connected_components(mpairs, "id_a", "id_b")
+                .where(F.col("id") != F.col("component"))
+                .select(F.col("id").alias(id_col))
             )
-            .drop("n_bigrams", "avg_log2p")
-        )
-        cur, m = materialize("bigram_logprob", floored, cur)
-        for cached in lp_sink:
-            cached.unpersist()
-        counts.append(("bigram_logprob_dropped", n - m))
-        n = m
+            cur, m = materialize(
+                "media_dedup", cur.join(mdrop, id_col, "left_anti"), cur
+            )
+            counts.append(("media_dedup_dropped", n - m))
+            n = m
 
-    if benchmark is not None:
-        from erpl_web_spark.operators.curation import pairwise_contamination
+        if cfg.scrub_spans:
+            from erpl_web_spark.operators.dedup import winnow_targeted_scrub
 
-        leaks = (
-            pairwise_contamination(
+            # placed AFTER dedup (scrub survivors only) and BEFORE the
+            # quality stages (they should score the scrubbed text). The
+            # scrub result is persisted so the modified-doc accounting and
+            # the text replacement share one winnow+scrub computation; the
+            # operator's internal fingerprint/gram caches are collected via
+            # cache_sink and released once the stage is materialized —
+            # honoring the facade's per-stage cache-release contract.
+            sink = new_sink()
+            scrubbed = winnow_targeted_scrub(
+                cur, id_col, text_col,
+                min_shared=cfg.scrub_min_shared,
+                token_k=cfg.scrub_token_k,
+                cache_sink=sink,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup.append(scrubbed)
+            # only docs that actually lost a span are rewritten (into
+            # normalized token space); everything else keeps its original
+            # text — a corpus-wide rewrite would strip line structure and
+            # casing from untouched documents for no dedup benefit
+            modified = scrubbed.where(F.col("n_removed") > 0).select(
+                id_col, F.col("clean_text").alias("__scrub_text")
+            )
+            n_modified = modified.count()
+            replaced = cur.join(modified, id_col, "left").withColumn(
+                text_col, F.coalesce(F.col("__scrub_text"), F.col(text_col))
+            ).drop("__scrub_text")
+            cur, m = materialize("scrub_spans", replaced, cur)
+            scrubbed.unpersist()
+            for cached in sink:
+                cached.unpersist()
+            counts.append(("scrub_spans_modified", n_modified))
+            n = m  # row-preserving stage: every doc keeps exactly one row
+
+        if cfg.quality_gate:
+            gated = with_quality_score(cur, text_col=text_col).where(
+                F.col("quality_keep")
+            ).drop("quality_score", "quality_keep")
+            cur, m = materialize("quality", gated, cur)
+            counts.append(("quality_dropped", n - m))
+            n = m
+
+        if cfg.gopher_rules:
+            from erpl_web_spark.operators.text import (
+                GOPHER_RULE_COLS,
+                with_gopher_rules,
+            )
+
+            gated = with_gopher_rules(cur, text_col=text_col).where(
+                F.col("gopher_keep")
+            ).drop(*GOPHER_RULE_COLS)
+            cur, m = materialize("gopher", gated, cur)
+            counts.append(("gopher_dropped", n - m))
+            n = m
+
+        if cfg.max_boilerplate_ratio is not None:
+            ratios = with_boilerplate_ratio(cur, id_col, text_col).select(
+                id_col, "boiler_ratio"
+            )
+            capped = (
+                cur.join(ratios, id_col)
+                .where(F.col("boiler_ratio") <= cfg.max_boilerplate_ratio)
+                .drop("boiler_ratio")
+            )
+            cur, m = materialize("boilerplate", capped, cur)
+            counts.append(("boilerplate_dropped", n - m))
+            n = m
+
+        if cfg.min_unigram_freq is not None:
+            scores = with_unigram_freq_score(
+                cur, id_col, text_col, salt=cfg.text_join_salt
+            ).select(id_col, "avg_unigram_freq")
+            floored = (
+                cur.join(scores, id_col)
+                .where(F.col("avg_unigram_freq") >= cfg.min_unigram_freq)
+                .drop("avg_unigram_freq")
+            )
+            cur, m = materialize("unigram_freq", floored, cur)
+            counts.append(("unigram_freq_dropped", n - m))
+            n = m
+
+        if cfg.min_bigram_logprob is not None:
+            from erpl_web_spark.operators.text import with_bigram_logprob
+
+            lp_sink = new_sink()
+            lp = with_bigram_logprob(
+                cur, id_col, text_col, cache_sink=lp_sink,
+                salt=cfg.text_join_salt,
+            ).select(id_col, "n_bigrams", "avg_log2p")
+            # 0-bigram documents (empty / single-token) carry the sentinel
+            # avg_log2p = 0.0 — the best possible score, since every real
+            # bigram scores strictly below 0. They are exactly the
+            # degenerate noise a perplexity floor targets, so the floor
+            # drops them rather than letting the sentinel outrank prose.
+            floored = (
+                cur.join(lp, id_col)
+                .where(
+                    (F.col("n_bigrams") >= 1)
+                    & (F.col("avg_log2p") >= cfg.min_bigram_logprob)
+                )
+                .drop("n_bigrams", "avg_log2p")
+            )
+            cur, m = materialize("bigram_logprob", floored, cur)
+            for cached in lp_sink:
+                cached.unpersist()
+            counts.append(("bigram_logprob_dropped", n - m))
+            n = m
+
+        if benchmark is not None:
+            from erpl_web_spark.operators.curation import pairwise_contamination
+
+            leaks = (
+                pairwise_contamination(
+                    cur,
+                    benchmark,
+                    id_col,
+                    text_col,
+                    bench_id_col=cfg.bench_id_col,
+                    threshold=cfg.contamination_threshold,
+                )
+                .select(id_col)
+                .distinct()
+            )
+            cur, m = materialize(
+                "decontaminate", cur.join(leaks, id_col, "left_anti"), cur
+            )
+            counts.append(("decontaminate_dropped", n - m))
+            n = m
+
+        if cfg.split_weights is not None:
+            # assign splits on the cluster label (own id when unclustered),
+            # reusing the components already computed above instead of
+            # re-running pair generation — same split_by_cluster rule as
+            # operators.curation.leak_safe_split
+            from erpl_web_spark.operators.curation import split_by_cluster
+
+            split_df = split_by_cluster(
                 cur,
-                benchmark,
                 id_col,
-                text_col,
-                bench_id_col=cfg.bench_id_col,
-                threshold=cfg.contamination_threshold,
-            )
-            .select(id_col)
-            .distinct()
-        )
-        cur, m = materialize(
-            "decontaminate", cur.join(leaks, id_col, "left_anti"), cur
-        )
-        counts.append(("decontaminate_dropped", n - m))
-        n = m
+                comp,
+                cfg.split_weights,
+                seed=cfg.split_seed,
+                out=cfg.split_col,
+                method=cfg.split_method,
+            ).drop("group_key")
+            cur, _ = materialize("split", split_df, cur)
+            comp.unpersist()
 
-    if cfg.split_weights is not None:
-        # assign splits on the cluster label (own id when unclustered),
-        # reusing the components already computed above instead of
-        # re-running pair generation — same split_by_cluster rule as
-        # operators.curation.leak_safe_split
-        from erpl_web_spark.operators.curation import split_by_cluster
-
-        split_df = split_by_cluster(
-            cur,
-            id_col,
-            comp,
-            cfg.split_weights,
-            seed=cfg.split_seed,
-            out=cfg.split_col,
-            method=cfg.split_method,
-        ).drop("group_key")
-        cur, _ = materialize("split", split_df, cur)
-        comp.unpersist()
-
-    counts.append(("output", n))
-    report = df.sparkSession.createDataFrame(counts, "stage string, n long")
-    return cur, report
+        counts.append(("output", n))
+        report = df.sparkSession.createDataFrame(counts, "stage string, n long")
+        return cur, report
+    except BaseException:
+        # a failed curate() must not leak cached frames on the
+        # driver: release every stage cache, cluster-label persist
+        # and operator-internal sink this call created (unpersist is
+        # a no-op for frames already released per stage above), then
+        # re-raise. On success the final corpus STAYS persisted for
+        # the caller (see module docstring).
+        for cached in cleanup:
+            cached.unpersist()
+        for s in sink_lists:
+            for cached in s:
+                cached.unpersist()
+        raise

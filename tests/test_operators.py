@@ -3137,3 +3137,26 @@ def test_text_joinback_salting_identical_rows(spark):
         assert abs(a["avg_log2p"] - b["avg_log2p"]) < 1e-9
     for cached in sink:
         cached.unpersist()
+
+
+def test_dedup_index_apply_failure_releases_caches(spark, tmp_path, monkeypatch):
+    """A micro-batch that dies before its commit (here: the shared
+    protocol tail raises) must not leak the shingle/band/verdict
+    persists on a long-lived streaming driver."""
+    import pytest
+
+    from erpl_web_spark.operators import index_commit
+    from erpl_web_spark.operators.dedup import dedup_index_apply
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(index_commit, "commit_index_batch", boom)
+    spark.catalog.clearCache()
+    b0 = spark.createDataFrame(
+        [(1, "some ordinary words repeated some ordinary words")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        dedup_index_apply(b0, 0, str(tmp_path / "fidx"))
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

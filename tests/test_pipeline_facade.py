@@ -382,3 +382,17 @@ def test_curate_media_real_kernel_requires_pillow(spark):
                 media_dedup=True, media_decode_stub=False,
             ),
         )
+
+
+def test_curate_failure_releases_all_caches(spark):
+    """A curate() that dies mid-pipeline (here: a benchmark frame
+    missing the text column, failing the decontaminate stage AFTER
+    several stages have persisted) must release every cached frame —
+    stage caches, cluster labels, operator sinks — before re-raising."""
+    import pytest
+
+    spark.catalog.clearCache()
+    bad_bench = spark.createDataFrame([(1,)], "bench_id long")  # no text
+    with pytest.raises(Exception):
+        curate(_docs(spark), CurationConfig(use_minhash=False), benchmark=bad_bench)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
