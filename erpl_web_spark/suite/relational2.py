@@ -294,7 +294,12 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+        # idx=0 (whole match) explicitly: PySpark defaults idx to 1, and
+        # a group-less pattern with idx=1 CRASHES on the first row whose
+        # text actually matches — invisible on digit-free test corpora,
+        # caught by the round-8 sf1 gate (synthesized texts carry digit
+        # suffixes). DuckDB's regexp_extract_all defaults to group 0.
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_numbers"),
         F.regexp_extract("text", "([A-Za-z]{6,})", 1).alias("first_long_word"),
         F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
         F.col("text").rlike("(?i)data").alias("mentions_data"),
