@@ -56,17 +56,36 @@ _SQL_QUALITY_KEEP = f"""((len({_SQL_TOKS}) >= 5 AND len({_SQL_TOKS}) <= 100000):
 @register(
     "dedup_exact",
     oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+      FROM documents WHERE doc_id < 10
+    )
     SELECT md5({_SQL_NORM}) AS digest,
            COUNT(*) AS n_copies,
            MIN(doc_id) AS keep_id
-    FROM documents
+    FROM corpus
     GROUP BY 1
     """,
     headline=True,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: shuffle on a 16-byte digest, never on document bodies."""
-    return exact_dedup_report(load(spark, sf_dir, "documents"), "doc_id", "text")
+    """Exact dedup: shuffle on a 16-byte digest, never on document
+    bodies. The corpus is augmented with re-keyed copies of the first
+    10 documents (max(doc_id)+1 offset, collision-free at any scale) so
+    the grouping is NON-VACUOUS at every SF — the raw test corpus has
+    no exact duplicates, which left n_copies constant at 1 and the
+    keeper rule (min id per digest) unexercised by the driver check
+    (round-8 vacuity audit, tools/vacuity_audit.py)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_base"))
+    planted = (
+        docs.where(F.col("doc_id") < 10)
+        .crossJoin(F.broadcast(base))
+        .select((F.col("doc_id") + F.col("_base")).alias("doc_id"), "text")
+    )
+    return exact_dedup_report(docs.unionByName(planted), "doc_id", "text")
 
 
 @register(
@@ -214,7 +233,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                / GREATEST(LENGTH(text), 1) AS punct_ratio,
              CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
                / GREATEST(LENGTH(text), 1) AS digit_ratio
-      FROM documents
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT (SELECT MAX(doc_id) + 1 FROM documents) + v.off, v.t
+        FROM (VALUES (0, '87 55 13'), (1, 'a b'), (2, '!! ?? ,,')) v(off, t)
+      )
     )
     SELECT doc_id,
            CAST(((toks >= 5 AND toks <= 100000)::INT
@@ -229,7 +253,21 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_quality_score(load(spark, sf_dir, "documents", spread=True)).select(
+    """Heuristic quality gate. Three planted low-quality rows (digit
+    flood / too short / punct flood, re-keyed past max(doc_id)) make
+    the FALSE path of quality_keep non-vacuous at every SF — the raw
+    corpus passes all four heuristics everywhere, which left
+    quality_score constant at 1.0 in the driver check (round-8
+    vacuity audit)."""
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+    bad = spark.createDataFrame(
+        [(0, "87 55 13"), (1, "a b"), (2, "!! ?? ,,")], "off long, t string"
+    )
+    planted = bad.crossJoin(F.broadcast(base)).select(
+        (F.col("off") + F.col("_b")).alias("doc_id"), F.col("t").alias("text")
+    )
+    return with_quality_score(docs.unionByName(planted)).select(
         "doc_id", "quality_score", "quality_keep"
     )
 
@@ -623,21 +661,45 @@ _PII_SQL = r"""
 @register(
     "text_redact_pii",
     oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.1.2.3 code 123-45-6789 tel'
+                  || ' +1 415 555 0133'
+                  || repeat(' backup 10.9.8.7', CAST(doc_id % 3 AS INT))
+               AS text
+      FROM documents
+    )
     SELECT doc_id, {_PII_SQL} AS redacted,
            CAST(len(string_split({_PII_SQL}, '[EMAIL]')) - 1
               + len(string_split({_PII_SQL}, '[IPV4]')) - 1
               + len(string_split({_PII_SQL}, '[PHONE]')) - 1
               + len(string_split({_PII_SQL}, '[SSN_LIKE]')) - 1 AS INT) AS redacted_n_hits
-    FROM documents
+    FROM aug
     """,
 )
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails/IPs/phone-like runs/SSN shapes) as a
-    map-only JVM regex chain; same RE dialect evaluates in DuckDB."""
+    map-only JVM regex chain; same RE dialect evaluates in DuckDB.
+    Every document gets a planted PII tail (an email carrying its
+    doc_id, an IPv4, an SSN shape, a phone, plus doc_id%3 extra IPs so
+    the hit count VARIES) — the raw corpus contains no PII at all,
+    which left every redaction pattern unexercised by the driver check
+    (redacted_n_hits was constant 0; round-8 vacuity audit)."""
     from erpl_web_spark.operators.text import redact_pii
 
     d = load(spark, sf_dir, "documents", spread=True)
-    return redact_pii(d, "text").select("doc_id", "redacted", "redacted_n_hits")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.1.2.3 code 123-45-6789 tel +1 415 555 0133"),
+            F.repeat(F.lit(" backup 10.9.8.7"), (F.col("doc_id") % 3).cast("int")),
+        ),
+    )
+    return redact_pii(aug, "text").select("doc_id", "redacted", "redacted_n_hits")
 
 
 @register(
@@ -715,8 +777,8 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_pack_documents",
     oracle=f"""
     SELECT doc_id, source, n_tokens,
-           CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id,
-           CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+           CAST(FLOOR(cum_before / 256) AS BIGINT) AS pack_id,
+           CAST(cum_before % 256 AS BIGINT) AS pack_offset
     FROM (
       SELECT doc_id, source,
              CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
@@ -728,11 +790,16 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic concat-and-chunk sequence packing (2048-token
-    budget, packed per source shard)."""
+    """Deterministic concat-and-chunk sequence packing, packed per
+    source shard. Budget 256 (not the production-typical 2048): each
+    source shard's documents total under 2048 tokens on the test
+    corpus, so the larger budget left pack_id constant at 0 — the
+    pack-boundary arithmetic was vacuous in the driver check (round-8
+    vacuity audit). 256 forces multiple packs per shard at every SF;
+    the operator is budget-agnostic."""
     from erpl_web_spark.operators.text import pack_documents
 
-    return pack_documents(load(spark, sf_dir, "documents"), budget=2048)
+    return pack_documents(load(spark, sf_dir, "documents"), budget=256)
 
 
 @register(
@@ -955,9 +1022,13 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_diversity(load(spark, sf_dir, "documents", spread=True))
 
 
-_SQL_JACCARD_EDGES = f"""
+def _sql_jaccard_edges(src: str = "documents") -> str:
+    """The shared exact-Jaccard edge + components fragment, with the
+    corpus table parameterized so entries can run it over an augmented
+    (planted) corpus CTE."""
+    return f"""
     toks AS (
-      SELECT doc_id, lang, {_SQL_TOKS} AS __toks FROM documents
+      SELECT doc_id, lang, {_SQL_TOKS} AS __toks FROM {src}
     ), sh AS (
       SELECT doc_id, lang, {_SQL_SHINGLES} AS sh FROM toks
     ), pairs AS (
@@ -977,6 +1048,9 @@ _SQL_JACCARD_EDGES = f"""
       SELECT id, MIN(comp) AS component FROM reach GROUP BY id
     )
 """
+
+
+_SQL_JACCARD_EDGES = _sql_jaccard_edges()
 
 
 @register(
@@ -1501,27 +1575,46 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_tiles",
     oracle="""
     WITH m AS (
-      SELECT doc_id AS media_id, CAST(LENGTH(text) AS INT) AS w FROM documents
+      SELECT doc_id AS media_id,
+             CAST(CEIL(LENGTH(text) / 8.0) AS INT) AS w,
+             CAST((1 + doc_id % 3) * 8 AS INT) AS h
+      FROM documents
     ), t AS (
-      SELECT media_id, w,
+      SELECT media_id, w, h,
              CAST(unnest(range(0, GREATEST(CAST(CEIL((w - 16) / 16.0) AS INT) + 1, 1)))
                AS INT) AS tile_x
       FROM m
+    ), t2 AS (
+      SELECT media_id, w, h, tile_x,
+             CAST(unnest(range(0, GREATEST(CAST(CEIL((h - 16) / 16.0) AS INT) + 1, 1)))
+               AS INT) AS tile_y
+      FROM t
     )
-    SELECT media_id, tile_x, CAST(0 AS INT) AS tile_y,
-           CAST(tile_x * 16 AS INT) AS px_x, CAST(0 AS INT) AS px_y,
-           CAST(LEAST(16, w - tile_x * 16) AS INT) AS px_w, CAST(1 AS INT) AS px_h
-    FROM t
+    SELECT media_id, tile_x, tile_y,
+           CAST(tile_x * 16 AS INT) AS px_x, CAST(tile_y * 16 AS INT) AS px_y,
+           CAST(LEAST(16, w - tile_x * 16) AS INT) AS px_w,
+           CAST(LEAST(16, h - tile_y * 16) AS INT) AS px_h
+    FROM t2
     """,
 )
 def multimodal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ViT-style patch-grid fan-out over the fake image metadata
-    (width = byte length, height = 1): a 2-D explode over JVM-computed
+    """ViT-style patch-grid fan-out: a 2-D explode over JVM-computed
     sequences — the distributed shape of a tiling preprocessor, decode
-    kernel stubbed as elsewhere."""
-    from erpl_web_spark.operators.multimodal import documents_as_media, tile_grid
+    kernel stubbed as elsewhere. The fake metadata is 2-D (width =
+    ceil(len/8), height = 8/16/24 cycling by doc_id) so the Y axis of
+    the grid — second explode, tile_y arithmetic, ragged bottom tiles —
+    is non-vacuous at every SF; the previous height=1 metadata left
+    tile_y/px_y/px_h all constant (round-8 vacuity audit)."""
+    from erpl_web_spark.operators.multimodal import tile_grid
 
-    media = documents_as_media(load(spark, sf_dir, "documents"), media_type="image")
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.ceil(F.length("text") / 8.0).cast("int").alias("width"),
+            ((F.lit(1) + F.col("doc_id") % 3) * 8).cast("int").alias("height"),
+        ).alias("meta"),
+    )
     t = tile_grid(media, tile_w=16, tile_h=16)
     return t.select(
         "media_id", "tile_x", "tile_y",
@@ -1919,8 +2012,15 @@ def dedup_substring_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang, {_SQL_TOKS} AS __toks FROM documents
+    WITH ct_corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + (SELECT MAX(doc_id) + 1 FROM documents), d.lang,
+             substr(d.text, 1, 200) || ' zq' || CAST(d.doc_id AS VARCHAR)
+               || ' unique appended filler words trailing here'
+      FROM documents d WHERE d.doc_id < 5
+    ), toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS __toks FROM ct_corpus
     ), sh AS (
       SELECT doc_id, lang, {_SQL_SHINGLES} AS sh FROM toks
     )
@@ -1939,12 +2039,35 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (|A∩B| / min(|A|,|B|)): catches a
     short document quoted verbatim inside a longer one, which Jaccard
     scores arbitrarily low. Blocked by language — same confined-quadratic
-    posture as the exact Jaccard verifier."""
+    posture as the exact Jaccard verifier. Each of the first 5 documents
+    gets a planted PARTIAL quote (its 200-char prefix plus a unique
+    tail, re-keyed past max id) so containment values strictly between
+    the 0.6 threshold and 1.0 appear at every SF — the raw corpus only
+    yields containment = 1.0 pairs, leaving the asymmetric ratio itself
+    vacuous (round-8 vacuity audit)."""
     from erpl_web_spark.operators.dedup import containment_pairs
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "lang", "text"
+    )
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+    planted = (
+        docs.where(F.col("doc_id") < 5)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("doc_id") + F.col("_b")).alias("doc_id"),
+            "lang",
+            F.concat(
+                F.substring(F.col("text"), 1, 200),
+                F.lit(" zq"),
+                F.col("doc_id").cast("string"),
+                F.lit(" unique appended filler words trailing here"),
+            ).alias("text"),
+        )
+    )
     return containment_pairs(
-        docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.6
+        docs.unionByName(planted), "doc_id", "text",
+        block_cols=["lang"], shingle_k=3, threshold=0.6,
     )
 
 
@@ -2571,7 +2694,17 @@ def dedup_winnow_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QSCORE = f"""
+_KB_BASE = ("orange violet maroon silver copper golden walnut cedar maple "
+            "aspen birch hazel juniper laurel magnolia poplar rowan spruce "
+            "willow alder")
+_KB_TAILS = (
+    "1111111111 2222222222 3333333333 4444444444 5555555555 6666666666 7777777777",
+    "8888888888 9999999999 1010101010 2020202020 3030303030 4040404040 5050505050",
+)
+
+
+def _sql_qscore(src: str = "documents") -> str:
+    return f"""
     qs AS (
       SELECT doc_id,
              CAST(((toks >= 5 AND toks <= 100000)::INT
@@ -2587,16 +2720,24 @@ _SQL_QSCORE = f"""
                  / GREATEST(LENGTH(text), 1) AS punct_ratio,
                CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
                  / GREATEST(LENGTH(text), 1) AS digit_ratio
-        FROM documents
+        FROM {src}
       )
     )
 """
 
 
+_SQL_QSCORE = _sql_qscore()
+
+
 @register(
     "dedup_keep_best",
     oracle=f"""
-    WITH RECURSIVE {_SQL_JACCARD_EDGES}, {_SQL_QSCORE}
+    WITH RECURSIVE kb_corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT (SELECT MAX(doc_id) + 1 FROM documents) + v.off, 'zz', {_KB_BASE!r} || ' ' || v.t
+      FROM (VALUES (0, {_KB_TAILS[0]!r}), (1, {_KB_TAILS[1]!r})) v(off, t)
+    ), {_sql_jaccard_edges("kb_corpus")}, {_sql_qscore("kb_corpus")}
     SELECT component, keep_id, best_score FROM (
       SELECT c.component, c.id AS keep_id, qs.quality_score AS best_score,
              ROW_NUMBER() OVER (PARTITION BY c.component
@@ -2609,10 +2750,28 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster representatives: for each near-dup cluster,
     keep the HIGHEST-quality member (ties to the smaller id) instead of
     the arbitrary min-id — what production curation actually does. One
-    join + a WindowGroupLimit-pruned rank over the component key."""
+    join + a WindowGroupLimit-pruned rank over the component key.
+    A planted pair of digit-flooded near-dups (own 'zz' lang block,
+    Jaccard 0.56, quality 0.75 each) gives one cluster whose winner
+    scores BELOW 1.0 — on the raw corpus every cluster member is
+    perfect quality, leaving the quality comparison itself vacuous
+    (best_score was constant; round-8 vacuity audit)."""
     from erpl_web_spark.operators.graph import component_best, connected_components
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "lang", "text"
+    )
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+    bad = spark.createDataFrame(
+        [(i, f"{_KB_BASE} {t}") for i, t in enumerate(_KB_TAILS)],
+        "off long, t string",
+    )
+    planted = bad.crossJoin(F.broadcast(base)).select(
+        (F.col("off") + F.col("_b")).alias("doc_id"),
+        F.lit("zz").alias("lang"),
+        F.col("t").alias("text"),
+    )
+    docs = docs.unionByName(planted)
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
     )
@@ -3178,7 +3337,16 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
              LENGTH(regexp_replace(text, '[^#]', '', 'g'))
                + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_symbols
-      FROM documents
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT (SELECT MAX(doc_id) + 1 FROM documents) + v.off, v.t
+        FROM (VALUES
+          (0, '## ## ## ## ##'),
+          (1, '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || '- d'),
+          (2, 'first line...' || chr(10) || 'second line...' || chr(10) || 'third plain line here')
+        ) v(off, t)
+      )
     ), m AS (
       SELECT doc_id,
              len(toks) AS n_words,
@@ -3215,10 +3383,27 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule battery (operators.text.with_gopher_rules;
     Rae et al. 2021 A1.1) — per-document booleans for each published
     MassiveWeb rule plus the conjunction. Map-only regex/HOF; the
-    thresholds are the paper's."""
+    thresholds are the paper's. Three planted violators (symbol/short-
+    word flood, all-bullet doc, ellipsis-heavy doc; re-keyed past
+    max(doc_id)) make the FALSE path of five rules non-vacuous at
+    every SF — the raw corpus violates only the word-count floor
+    (round-8 vacuity audit)."""
     from erpl_web_spark.operators.text import with_gopher_rules
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    corpus = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    base = corpus.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+    bad = spark.createDataFrame(
+        [
+            (0, "## ## ## ## ##"),
+            (1, "- a\n- b\n- c\n- d"),
+            (2, "first line...\nsecond line...\nthird plain line here"),
+        ],
+        "off long, t string",
+    )
+    planted = bad.crossJoin(F.broadcast(base)).select(
+        (F.col("off") + F.col("_b")).alias("doc_id"), F.col("t").alias("text")
+    )
+    docs = corpus.unionByName(planted)
     return with_gopher_rules(docs).select(
         "doc_id", "g_word_count", "g_mean_word_len", "g_symbol_ratio",
         "g_bullet_ratio", "g_ellipsis_ratio", "g_alpha_ratio",
@@ -3229,10 +3414,19 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_clean_lines",
     oracle="""
-    WITH s AS (
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'enable javascript to continue here'
+                  || chr(10) || 'too short'
+                  || chr(10) || 'this ordinary closing sentence has plenty of tokens'
+                  || repeat(chr(10) || 'extra filler line with some tokens',
+                            CAST(doc_id % 2 AS INT))
+               AS text
+      FROM documents
+    ), s AS (
       SELECT doc_id,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
-      FROM documents
+      FROM aug
     ), k AS (
       SELECT doc_id, lines,
              list_filter(lines, l ->
@@ -3253,10 +3447,29 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line filtering (operators.text.clean_lines): keep lines
     with >= 3 tokens and no javascript/cookie/rights-reserved
     boilerplate, rebuild the document. Pure map, zero shuffle — the
-    rule-based complement of the cross-document span scrubber."""
+    rule-based complement of the cross-document span scrubber. Every
+    document gets a planted 3-line tail (a javascript boilerplate line,
+    a 2-token line, a keepable sentence) — the raw corpus is
+    single-line, which left the line splitting/filtering vacuous in
+    the driver check (n_lines was constant 1; round-8 vacuity
+    audit)."""
     from erpl_web_spark.operators.text import clean_lines
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    docs = load(spark, sf_dir, "documents", spread=True).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nenable javascript to continue here"
+                "\ntoo short"
+                "\nthis ordinary closing sentence has plenty of tokens"
+            ),
+            F.repeat(
+                F.lit("\nextra filler line with some tokens"),
+                (F.col("doc_id") % 2).cast("int"),
+            ),
+        ),
+    )
     return clean_lines(docs).select(
         "doc_id", "n_lines", "n_lines_kept", "clean_text"
     )

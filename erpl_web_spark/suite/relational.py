@@ -608,16 +608,26 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders WHERE o_custkey % 3 <> 0
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    """EXCEPT DISTINCT with a right side that overlaps but never covers
+    the left (ordering customers NOT divisible by 3), so both the drop
+    path and the keep path are exercised and the result is non-empty
+    at every SF — the previous operands (customer nations minus
+    supplier nations) compared empty-to-empty, a vacuous check
+    (round-8 vacuity audit)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 3 != 0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     # subtract == EXCEPT DISTINCT (set semantics), unlike exceptAll.
-    return c.subtract(s)
+    return c.subtract(o)
 
 
 @register(

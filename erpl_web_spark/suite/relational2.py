@@ -279,20 +279,37 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "regex_funcs",
     oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' ref ' || CAST(doc_id * 7 AS VARCHAR)
+                  || repeat(' 42', CAST(doc_id % 4 AS INT)) AS text
+      FROM documents
+    )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
            regexp_extract(text, '([A-Za-z]{6,})', 1) AS first_long_word,
            regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
            CAST(regexp_matches(text, '(?i)data') AS BOOLEAN) AS mentions_data
-    FROM documents
+    FROM aug
     """,
 )
 def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp surface: extract_all/extract/replace/match — same regex
     dialect (RE2-compatible subset) evaluates identically in both
-    engines."""
+    engines. Each document gets a digit tail (' ref <7*doc_id>' plus
+    doc_id%4 repeats of ' 42') — the raw corpus is digit-free, which
+    left n_numbers vacuously 0 and masked untouched for seven rounds,
+    hiding the group-index crash below (round-8 vacuity audit)."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" ref "),
+            (F.col("doc_id") * 7).cast("string"),
+            F.repeat(F.lit(" 42"), (F.col("doc_id") % 4).cast("int")),
+        ),
+    )
+    return aug.select(
         "doc_id",
         # idx=0 (whole match) explicitly: PySpark defaults idx to 1, and
         # a group-less pattern with idx=1 CRASHES on the first row whose
