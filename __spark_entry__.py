@@ -31,14 +31,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 8: pure regression rotation continues — OLDEST latest-green
-# first. After r07 (which re-confirmed all r01/r03-latest rows green),
-# the oldest band is the 25 r04-latest names; they lead in registration
-# order, the two round-8 entries follow (pipeline_curate_media,
-# text_unigram_freq_salted — first driver rows), and the prefix-50
-# backfills with the 23 oldest r05-latest names (50 exactly).
-# Names are stable; unlisted entries keep registration order after these.
+# Round 8: CHANGED-semantics entries outrank the regression rotation —
+# the 11 vacuity-audit remediations planted new corpora, so their old
+# green rows verified a version that no longer exists; they lead,
+# followed by the two brand-new round-8 entries, then the regression
+# bands (r04-latest in registration order, r05-latest backfill; r07
+# already re-confirmed all r01/r03-latest rows green). Names are
+# stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
+    # -- round-8 vacuity-audit remediations: the planted corpora CHANGED
+    # these entries' values, so each needs a fresh driver row proving the
+    # non-vacuous version green (old rows verified the vacuous version) --
+    "dedup_exact",
+    "text_redact_pii",
+    "regex_funcs",
+    "text_quality",
+    "set_except",
+    "pipeline_pack_documents",
+    "multimodal_tiles",
+    "dedup_containment",
+    "dedup_keep_best",
+    "text_gopher_rules",
+    "text_clean_lines",
+    # -- new in round 8 (need their first driver rows) --
+    "pipeline_curate_media",
+    "text_unigram_freq_salted",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",
@@ -57,21 +74,15 @@ _SAMPLE_PRIORITY = [
     "cdc_apply_merge",
     "text_boilerplate_ngrams",
     "text_boilerplate_ratio",
-    "multimodal_tiles",
     "curation_mixture_upsample",
     "cdc_incremental_agg",
     "text_vocab_topk",
     "curation_token_budget",
     "dedup_substring_kgram",
-    "dedup_containment",
     "curation_contamination_pairs",
-    # -- new in round 8 (need their first driver rows) --
-    "pipeline_curate_media",
-    "text_unigram_freq_salted",
     # -- backfill: oldest r05-latest names --
     "embedding_cluster_semantic",
     "dedup_substring_scrub",
-    "dedup_keep_best",
     "match_fuzzy_parts",
     "match_resolve_parts",
     "cdc_snapshot_diff",
@@ -85,8 +96,6 @@ _SAMPLE_PRIORITY = [
     "text_tfidf_topk",
     "pipeline_corpus_report",
     "text_lang_confusion",
-    "text_gopher_rules",
-    "text_clean_lines",
     "similarity_recall_at_k",
     "text_bigram_topk",
     "set_except_all",
