@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 
 WARN_AT = 8
 
-_TRACKED: list[tuple[str, DataFrame]] = []
+_TRACKED: list[tuple[str, DataFrame, int | None]] = []
 _warned = False
 
 
@@ -53,10 +53,26 @@ def track_persist(
     if cache_sink is not None:
         cache_sink.append(p)
         return p
-    _TRACKED.append((operator, p))
+    # A re-run of the same operator over the same inputs builds a fresh
+    # DataFrame whose plan the CacheManager resolves to the ALREADY
+    # cached relation (the persist() above is then a no-op). Registering
+    # it again would multi-count one physical cache entry toward WARN_AT
+    # — a bench rep loop over a persisting query would warn on phantom
+    # accumulation inside the timed region. Exact-plan dedup
+    # (sameSemantics == Catalyst sameResult, no false positives) keeps
+    # the registry 1:1 with physical cache entries; genuinely new plans
+    # (e.g. per-batch frames in a stream) still accumulate and warn.
+    try:
+        h = p.semanticHash()
+        for _, existing, eh in _TRACKED:
+            if eh == h and p.sameSemantics(existing):
+                return p
+    except Exception:
+        h = None  # plan not hashable — track unconditionally
+    _TRACKED.append((operator, p, h))
     if len(_TRACKED) >= WARN_AT and not _warned:
         _warned = True
-        ops = sorted({name for name, _ in _TRACKED})
+        ops = sorted({name for name, _, _ in _TRACKED})
         warnings.warn(
             f"{len(_TRACKED)} operator-internal cached frames have "
             f"accumulated without a cache_sink (operators: {ops}). On a "
@@ -74,7 +90,7 @@ def release_tracked() -> int:
     re-arm the accumulation warning. Returns the number released."""
     global _warned
     n = len(_TRACKED)
-    for _, df in _TRACKED:
+    for _, df, _ in _TRACKED:
         try:
             df.unpersist()
         except Exception:

@@ -61,6 +61,19 @@ def _scan_bytes(path: str) -> int | None:
     return None
 
 
+def duckdb_parquet_src(path: str) -> str:
+    """Quoted DuckDB source expression for a parquet path: driver
+    testdata ships single files, locally-synthesized SFs (tools' sf1)
+    are Spark-written part-file directories — glob those so DuckDB
+    reads them too. Non-local URIs pass through as-is (os.path.isdir is
+    False for them; DuckDB's httpfs handles globbing remotely). One
+    shared helper so the oracle gate and the loopback OData server
+    never diverge on the same layout."""
+    import os
+
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+
 def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> DataFrame:
     """Read one driver table. ``spread=True`` rebalances a too-coarse scan
     up to the session's default parallelism — the test parquet is a single

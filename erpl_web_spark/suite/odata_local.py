@@ -74,14 +74,11 @@ def _eval_apply(rows: list[dict], expr: str) -> list[dict]:
 
 
 def _start(sf_dir: str, table: str, entity: str) -> str:
-    import os
-
     import duckdb
 
-    # driver testdata ships single parquet files; locally-synthesized
-    # SFs (tools' sf1) are Spark-written part-file directories — glob
-    p = f"{sf_dir}/{table}.parquet"
-    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    from erpl_web_spark.suite import duckdb_parquet_src
+
+    src = duckdb_parquet_src(f"{sf_dir}/{table}.parquet")
     rel = duckdb.sql(f"SELECT * FROM {src}")
     cols = [d[0] for d in rel.description]
     data = [dict(zip(cols, row)) for row in rel.fetchall()]

@@ -2777,20 +2777,40 @@ def test_internal_cache_tracking_is_loud_and_releasable(spark):
     from erpl_web_spark.operators.text import with_bigram_coverage
 
     release_tracked()  # isolate from caches earlier tests left behind
-    batch = spark.createDataFrame(
-        [(1, "the cat sat on the mat"), (2, "the dog sat on the log")],
-        "doc_id long, text string",
-    )
+
+    def make_batch(i: int):
+        # each micro-batch is a DISTINCT frame (real foreachBatch
+        # semantics — per-batch source offsets make per-batch plans)
+        return spark.createDataFrame(
+            [(i * 2 + 1, f"the cat {i} sat on the mat"),
+             (i * 2 + 2, f"the dog {i} sat on the log")],
+            "doc_id long, text string",
+        )
+
     with _warnings.catch_warnings(record=True) as seen:
         _warnings.simplefilter("always")
-        for _ in range(100):
-            with_bigram_coverage(batch).count()
+        for i in range(100):
+            with_bigram_coverage(make_batch(i)).count()
         loud = [w for w in seen if issubclass(w.category, RuntimeWarning)
                 and "cache_sink" in str(w.message)]
     assert tracked_count() == 100
     assert len(loud) == 1, "accumulation warning must fire exactly once"
     assert "_bigram_frame" in str(loud[0].message)
     assert release_tracked() == 100 and tracked_count() == 0
+
+    # re-running the SAME plan (a bench rep loop) must not multi-count:
+    # the CacheManager resolves the re-persist to the existing cache
+    # entry, so the registry dedups it and the warning never fires on
+    # phantom accumulation
+    batch = make_batch(0)
+    with _warnings.catch_warnings(record=True) as seen:
+        _warnings.simplefilter("always")
+        for _ in range(WARN_AT + 2):
+            with_bigram_coverage(batch).count()
+        assert tracked_count() == 1
+        assert not [w for w in seen if issubclass(w.category, RuntimeWarning)
+                    and "cache_sink" in str(w.message)]
+    assert release_tracked() == 1
 
     # caller-owned lifetime: sink receives the frame, registry stays
     # empty, no warning even past the threshold

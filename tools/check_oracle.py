@@ -151,14 +151,10 @@ def main():
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
-    import os
+    from erpl_web_spark.suite import duckdb_parquet_src
 
     for t in TABLES:
-        # driver testdata ships single files; locally-synthesized SFs
-        # (tools' sf1) are Spark-written part-file directories — glob
-        # those so DuckDB reads them too
-        p = f"{args.sf}/{t}.parquet"
-        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        src = duckdb_parquet_src(f"{args.sf}/{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     names = args.names or sorted(qs)

@@ -118,7 +118,14 @@ def main() -> None:
         try:
             df = qs[name](spark, args.sf)
             # one aggregation pass: row count + per-column distinct
-            # (complex types via their JSON rendering)
+            # (complex types via their JSON rendering). NULL counts as
+            # its own state: countDistinct ignores NULLs, so a column
+            # holding {NULL, 7} is genuinely two-state (a join-miss path
+            # plus a hit path, both exercised) and must not be flagged;
+            # coalesce guards the empty-result case (max over 0 rows is
+            # NULL). The displayed value is the first NON-null (unique
+            # when the column is flagged, hence deterministic; an
+            # all-NULL column prints None).
             aggs = [F.count(F.lit(1)).alias("__n")]
             for f in df.schema.fields:
                 c = (
@@ -126,8 +133,13 @@ def main() -> None:
                     if isinstance(f.dataType, (ArrayType, MapType, StructType))
                     else F.col(f.name)
                 )
-                aggs.append(F.countDistinct(c).alias(f"d_{f.name}"))
-                aggs.append(F.first(c, ignorenulls=False).alias(f"v_{f.name}"))
+                aggs.append(
+                    (
+                        F.countDistinct(c)
+                        + F.coalesce(F.max(F.isnull(c).cast("int")), F.lit(0))
+                    ).alias(f"d_{f.name}")
+                )
+                aggs.append(F.first(c, ignorenulls=True).alias(f"v_{f.name}"))
             row = df.agg(*aggs).first()
         except Exception as e:  # noqa: BLE001 — audit must keep going
             print(json.dumps({"query": name, "error": str(e)[:200]}))
