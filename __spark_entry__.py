@@ -56,6 +56,7 @@ _SAMPLE_PRIORITY = [
     # -- new in round 8 (need their first driver rows) --
     "pipeline_curate_media",
     "text_unigram_freq_salted",
+    "dedup_allpairs_prefix",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

@@ -270,10 +270,17 @@ def ngram_jaccard_pairs(
     The self-join key is the block — quadratic cost is confined per block,
     which is the standard way to keep exact pairwise dedup feasible.
     Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Empty shingle sets (texts shorter than the shingle width) are
+    dropped before the join: they cannot reach a positive threshold,
+    and keeping them makes the Jaccard denominator 0 when BOTH members
+    of a block pair are empty — an ANSI DIVIDE_BY_ZERO crash on real
+    data (join predicates in degenerate single-block plans may evaluate
+    the division before the id guard).
     """
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], shingles_expr(text_col, shingle_k).alias("sh")
-    )
+    ).where(F.size("sh") > 0)
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -287,6 +294,102 @@ def ngram_jaccard_pairs(
             (
                 F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
                 / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def allpairs_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    cache_sink: list | None = None,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering
+    (AllPairs / PPJoin family) — no blocking column, no approximation.
+
+    MinHash-LSH (``minhash_lsh_pairs``) is the probabilistic scale path;
+    ``ngram_jaccard_pairs`` is exact but quadratic inside caller-chosen
+    blocks. This operator is the third point in the design space: exact
+    AND globally scalable. Candidate generation exploits the prefix
+    theorem: order every document's shingle set by a canonical global
+    order (ascending document frequency, rarest first), take the first
+    ``|d| - ceil(t*|d|) + 1`` shingles; any pair with Jaccard >= t MUST
+    share at least one prefix shingle. The candidate join key is thus
+    biased toward the RAREST shingles in the corpus — fan-out per key
+    stays small by construction, the opposite of a Zipf-head join — and
+    the frequent-shingle tail never enters the shuffle. A length filter
+    (``min(|a|,|b|) >= t*max(|a|,|b|)``, implied by Jaccard >= t) prunes
+    incompatible sizes inside the join condition before the exact
+    verify.
+
+    Shuffle posture: (1) shingle-frequency groupBy (partial-aggregable),
+    (2) frequency join back on shingle + per-doc sort (one shuffle
+    each), (3) skinny candidate self-join on (prefix shingle) carrying
+    only (id, n), (4) exact verify joins the DISTINCT candidate pairs
+    back to the cached shingle-set table — document bodies and full
+    shingle arrays never enter the candidate shuffle. False-positive
+    candidates are killed by the exact verify; false negatives are
+    impossible (prefix theorem), so output == brute-force all-pairs at
+    every scale. Shingle strings (not 64-bit hashes) are used as keys:
+    hashing would narrow the shuffle rows but a hash collision can
+    LOWER a pair's hash-set Jaccard below t and lose a true pair — with
+    exactness as the contract, strings are the honest choice.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    Reference semantics: same exact-Jaccard contract as
+    ``ngram_jaccard_pairs`` without its per-block confinement.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_k).alias("sh")
+    ).where(F.size("sh") > 0)
+    sh = track_persist(sh, "allpairs_jaccard_join", cache_sink)
+
+    ex = sh.select("__id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(freq, "s")
+        .groupBy("__id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("os"))
+    )
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + F.lit(1)
+    pre = ordered.select(
+        "__id", "n", F.explode(F.slice("os", F.lit(1), prefix_len)).alias("ps")
+    ).select("__id", "n", F.col("ps.s").alias("s"))
+    # both self-join sides read the prefix frame — without a persist the
+    # whole explode -> frequency-join -> per-doc-sort chain executes
+    # twice (visible as two ObjectHashAggregate chains in the plan)
+    pre = track_persist(pre, "allpairs_jaccard_join", cache_sink)
+
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -533,12 +636,17 @@ def containment_pairs(
     pairwise cost stays confined per block; at scale the MinHash path
     generates candidates and this is the precise verifier. Returns
     (id_a, id_b, containment, jaccard), id_a < id_b, ordered-pair safe.
+
+    Empty shingle sets are dropped before the join: a SINGLE sub-width
+    text in a block makes ``least(|a|,|b|)`` zero for every pair it
+    joins into — an ANSI DIVIDE_BY_ZERO crash on real data — and an
+    empty set cannot reach a positive containment threshold anyway.
     """
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         shingles_expr(text_col, shingle_k).alias("sh"),
-    )
+    ).where(F.size("sh") > 0)
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from erpl_web_spark.operators.dedup import (
+    allpairs_jaccard_join,
     exact_dedup_report,
     fingerprint_documents,
     minhash_lsh_pairs,
@@ -137,6 +138,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
+    )
+
+
+@register(
+    "dedup_allpairs_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS __toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+      WHERE len({_SQL_SHINGLES}) > 0
+    ), ex AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS DOUBLE)
+             / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING CAST(COUNT(*) AS DOUBLE)
+             / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+    """,
+    headline=False,
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global Jaccard >= 0.5 pairs via prefix filtering (AllPairs)
+    — no lang blocking, no MinHash approximation; the candidate join
+    keys are each document's rarest shingles, so key fan-out stays small
+    at any corpus size. The oracle is the independent inverted-index
+    brute force: explode shingles, count shared shingles per pair,
+    exact Jaccard from the intersection count — pairs sharing zero
+    shingles have Jaccard 0 and cannot reach the threshold, so both
+    sides enumerate identical pair sets. Values must agree exactly
+    (count ratios, no float summation)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return allpairs_jaccard_join(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
     )
 
 

@@ -72,6 +72,52 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert lsh_pairs <= exact_pairs  # no false positives vs exact
 
 
+def test_allpairs_prefix_join_is_exact(spark):
+    """Prefix-filtered all-pairs Jaccard must equal the unblocked exact
+    brute force — same pairs, same values — including pairs whose ONLY
+    shared shingles are corpus-frequent (the case a naive 'join on rare
+    tokens only' heuristic would lose, but the prefix theorem must not),
+    and docs shorter than the shingle width (empty sets, no pairs)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("delta", "lambda", 1)  # one mutation -> j >= 0.5
+    rows = [(1, base), (2, near), (3, base.replace("alpha", "mu"))] + [
+        (i, f"unrelated text block {i} " + f"filler{i} words{i} more{i} " * 8)
+        for i in range(4, 12)
+    ] + [(99, "too short")]  # < 3 tokens of 3-gram width -> empty shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from erpl_web_spark.operators.dedup import (
+        allpairs_jaccard_join,
+        ngram_jaccard_pairs,
+    )
+
+    sink: list = []
+    got = allpairs_jaccard_join(
+        df, "doc_id", "text", shingle_k=3, threshold=0.5, cache_sink=sink
+    ).collect()
+    # brute force: ngram_jaccard_pairs with one global block
+    exact = ngram_jaccard_pairs(
+        df.withColumn("blk", F.lit(1)), "doc_id", "text", ["blk"], threshold=0.5
+    ).collect()
+    for f in sink:
+        f.unpersist()
+    got_m = {(p["id_a"], p["id_b"]): p["jaccard"] for p in got}
+    exact_m = {(p["id_a"], p["id_b"]): p["jaccard"] for p in exact}
+    assert got_m.keys() == exact_m.keys() and {(1, 2), (1, 3)} <= got_m.keys()
+    for k, v in exact_m.items():
+        assert abs(got_m[k] - v) < 1e-12
+    assert all(a < b for a, b in got_m)
+    assert not any(99 in k for k in got_m)
+    # the sub-width doc must not crash the blocked pairwise operators
+    # either (regression: empty shingle sets made the containment
+    # denominator least(|a|,|b|) zero -> ANSI DIVIDE_BY_ZERO)
+    from erpl_web_spark.operators.dedup import containment_pairs
+
+    cont = containment_pairs(
+        df.withColumn("blk", F.lit(1)), "doc_id", "text", ["blk"], threshold=0.8
+    ).collect()
+    assert not any(99 in (p["id_a"], p["id_b"]) for p in cont)
+
+
 def test_simhash_hamming_near_dups(spark):
     base = "spark engine query optimizer shuffle partition broadcast join " * 8
     near = base.replace("shuffle", "shuffles", 1)
