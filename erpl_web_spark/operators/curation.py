@@ -51,6 +51,45 @@ def cap_per_group(
     )
 
 
+def quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` reaches their group's q-quantile —
+    the per-language quality-floor stage of web-corpus pipelines
+    (CCNet/FineWeb style: drop the weakest q of every language rather
+    than one global cutoff that silently empties low-resource groups).
+
+    Scale posture: the cutoff is computed as a per-group AGGREGATE and
+    broadcast back — value-threshold semantics, NOT a per-group
+    rank/sort, so no group's rows ever concentrate in one task (the
+    window-rank formulation would put each language's whole corpus
+    through a single partition's sort). Ties at the cutoff are all
+    kept: "at least the quantile value" is the contract, which keeps
+    the filter a pure row-local predicate after the broadcast.
+
+    ``exact=True`` uses sort-based ``percentile`` (small/medium group
+    counts, oracle-parity testing); at 100 TB switch ``exact=False``
+    for ``approx_percentile`` (t-digest, partial-aggregable, no
+    per-group sort). The cutoff is rounded to 6 decimals so an
+    integer-valued score column can never land ulp-close to the
+    boundary (interpolated cutoffs are midpoints between integers;
+    rounding removes cross-engine interpolation-formula noise).
+
+    Returns the kept rows with a ``cutoff`` column appended.
+    """
+    fn = F.percentile if exact else (lambda c, p: F.approx_percentile(c, F.lit(p)))
+    cuts = df.groupBy(group_col).agg(
+        F.round(fn(F.col(score_col), q), 6).alias("cutoff")
+    )
+    return df.join(F.broadcast(cuts), group_col).where(
+        F.col(score_col) >= F.col("cutoff")
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

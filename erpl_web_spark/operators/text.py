@@ -916,6 +916,59 @@ def hashed_features(
     )
 
 
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    weight_mod: int = 997,
+) -> DataFrame:
+    """Fasttext-style linear text-classifier INFERENCE, entirely
+    JVM-side: score = sigmoid(mean of per-token hashed-bucket weights).
+    This is the quality-model scoring stage of corpus pipelines
+    (fasttext/DSIR-style: a linear model over hashed bag-of-words
+    features scores every document; downstream filters threshold on
+    the probability) — demonstrated here with a deterministic
+    pseudo-random weight table computed as an EXPRESSION of the bucket
+    index, so inference needs no weight-table join at all. A trained
+    model would broadcast its (num_buckets) weight array instead; the
+    shuffle posture is identical.
+
+    Numeric determinism: weights are INTEGER-scaled
+    (``(bucket*2654435761) % weight_mod - (weight_mod-1)//2``), so the
+    per-document weighted sum is an exact bigint aggregate — no
+    float-summation-order drift between engines or between cluster
+    sizes; floats appear only in the final scalar division and
+    sigmoid, and ``p_keep`` is rounded to 9 decimals to absorb libm
+    exp() ulp differences. The only shuffle is the (id, bucket) count
+    combine inherited from :func:`hashed_features`; everything after
+    is a partial-aggregable per-doc sum.
+
+    Returns (id, n_toks, margin in [-0.5, 0.5], p_keep, keep).
+    """
+    half = (weight_mod - 1) // 2
+    feats = hashed_features(df, id_col, text_col, num_buckets)
+    w_int = (
+        F.col("bucket").cast("bigint") * F.lit(2654435761) % F.lit(weight_mod)
+        - F.lit(half)
+    )
+    per_doc = feats.groupBy(id_col).agg(
+        F.sum(w_int * F.col("cnt")).alias("__num"),
+        F.sum("cnt").alias("n_toks"),
+    )
+    margin = F.round(
+        F.col("__num") / (F.lit(float(weight_mod)) * F.col("n_toks")), 12
+    )
+    return (
+        per_doc.select(F.col(id_col), "n_toks", margin.alias("margin"))
+        .withColumn(
+            "p_keep",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 9),
+        )
+        .withColumn("keep", F.col("p_keep") >= F.lit(0.5))
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

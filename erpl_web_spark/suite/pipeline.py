@@ -909,6 +909,35 @@ def chunk_tokens_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
+    "curation_quantile_filter",
+    oracle="""
+    WITH c AS (
+      SELECT lang, ROUND(quantile_cont(n_chars, 0.3), 6) AS cutoff
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, c.cutoff
+    FROM documents d JOIN c USING (lang)
+    WHERE d.n_chars >= c.cutoff
+    """,
+)
+def curation_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length floor (CCNet/FineWeb-style quality stage):
+    drop every language's shortest 30% by n_chars. The cutoff is a
+    per-group aggregate broadcast back as a row-local predicate — NOT a
+    per-group rank, so no language concentrates in one task at scale.
+    Integer scores + ROUND(cutoff, 6) keep the boundary comparison
+    engine-stable: interpolated cutoffs are midpoints between integers
+    (Spark percentile vs DuckDB quantile_cont), never ulp-close to a
+    doc's integer score."""
+    from erpl_web_spark.operators.curation import quantile_filter
+
+    d = load(spark, sf_dir, "documents")
+    return quantile_filter(d, "lang", "n_chars", q=0.3, exact=True).select(
+        "doc_id", "lang", "n_chars", "cutoff"
+    )
+
+
+@register(
     "curation_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM (
@@ -1777,6 +1806,43 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True).where(F.col("doc_id") < 100)
     return hashed_features(d, "doc_id", "text", num_buckets=64)
+
+
+@register(
+    "text_quality_linear",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY doc_id, bucket
+    ), m AS (
+      SELECT doc_id,
+             SUM(((CAST(bucket AS BIGINT) * 2654435761) % 997 - 498) * cnt) AS num,
+             CAST(SUM(cnt) AS BIGINT) AS n_toks
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks,
+           ROUND(num / (997.0 * n_toks), 12) AS margin,
+           ROUND(1.0 / (1.0 + EXP(-ROUND(num / (997.0 * n_toks), 12))), 9) AS p_keep,
+           ROUND(1.0 / (1.0 + EXP(-ROUND(num / (997.0 * n_toks), 12))), 9) >= 0.5 AS keep
+    FROM m
+    """,
+)
+def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference over hashed bag-of-words
+    features (fasttext/DSIR-style scoring stage), fully JVM-side with
+    a weight table computed as an expression of the bucket index.
+    Integer-scaled weights make the per-doc weighted sum an exact
+    bigint in BOTH engines — value-hash-checkable with no
+    float-summation-order caveat (operators.text.linear_quality_score).
+    """
+    from erpl_web_spark.operators.text import linear_quality_score
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return linear_quality_score(d, "doc_id", "text", num_buckets=64)
 
 
 @register(

@@ -478,6 +478,73 @@ def test_pack_documents_custom_text_col(spark):
     assert out[4]["pack_id"] == 0 and out[4]["pack_offset"] == 0
 
 
+def test_linear_quality_score_math(spark):
+    """Hand-checkable inference: a one-token doc's margin is exactly its
+    bucket weight w/997 (integer-scaled, no float sum), p_keep is the
+    sigmoid of that, keep mirrors p_keep >= 0.5, and an empty doc emits
+    no row (no features, not a zero score)."""
+    import hashlib
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello hello world"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    from erpl_web_spark.operators.text import linear_quality_score
+
+    out = {r["doc_id"]: r for r in linear_quality_score(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # whitespace-only doc 3 has no tokens
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    def w_int(b: int) -> int:
+        return (b * 2654435761) % 997 - 498
+
+    m1 = round(w_int(bucket("hello")) / 997.0, 12)
+    assert out[1]["n_toks"] == 1 and abs(out[1]["margin"] - m1) < 1e-15
+    p1 = round(1.0 / (1.0 + math.exp(-m1)), 9)
+    assert abs(out[1]["p_keep"] - p1) < 1e-15
+    assert out[1]["keep"] == (p1 >= 0.5)
+    # two tokens, exact integer numerator
+    m2 = round(
+        (2 * w_int(bucket("hello")) + w_int(bucket("world"))) / (997.0 * 3), 12
+    )
+    assert out[2]["n_toks"] == 3 and abs(out[2]["margin"] - m2) < 1e-15
+
+
+def test_quantile_filter_per_group_floor(spark):
+    """Each group's cutoff is computed from ITS OWN distribution — a
+    low-score group keeps its strongest rows instead of being emptied
+    by a global cutoff; ties at the cutoff are all kept; the approx
+    path returns a superset-compatible cutoff column."""
+    rows = [("en", i, i * 10) for i in range(1, 11)] + [
+        ("lo", 100 + i, i) for i in range(1, 5)  # scores 1..4, all << en
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score long")
+    from erpl_web_spark.operators.curation import quantile_filter
+
+    kept = quantile_filter(df, "lang", "score", q=0.5, exact=True).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # en: median of 10..100 = 55 -> keep 60..100 (5 rows)
+    assert by_lang["en"] == {6, 7, 8, 9, 10}
+    # lo survives with its own floor: median of 1..4 = 2.5 -> keep 3,4
+    assert by_lang["lo"] == {103, 104}
+    # ties at the cutoff are kept: integral quantile index hits a value
+    df2 = spark.createDataFrame(
+        [("x", 1, 5), ("x", 2, 5), ("x", 3, 5), ("x", 4, 9), ("x", 5, 1)],
+        "lang string, doc_id long, score long",
+    )
+    kept2 = quantile_filter(df2, "lang", "score", q=0.4, exact=True).collect()
+    # 0.4-quantile of [1,5,5,5,9] (index 1.6 -> between 5 and 5) = 5
+    assert {r["doc_id"] for r in kept2} == {1, 2, 3, 4}
+    # approx path executes and agrees on this tiny frame
+    kept3 = quantile_filter(df2, "lang", "score", q=0.4, exact=False).collect()
+    assert {r["doc_id"] for r in kept3} == {1, 2, 3, 4}
+
+
 def test_cap_per_group_and_stratified_sample(spark):
     from erpl_web_spark.operators.curation import cap_per_group, stratified_sample
     from pyspark.sql import functions as F
