@@ -57,6 +57,8 @@ _SAMPLE_PRIORITY = [
     "pipeline_curate_media",
     "text_unigram_freq_salted",
     "dedup_allpairs_prefix",
+    "curation_quantile_filter",
+    "text_quality_linear",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",
