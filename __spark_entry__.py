@@ -59,6 +59,7 @@ _SAMPLE_PRIORITY = [
     "dedup_allpairs_prefix",
     "curation_quantile_filter",
     "text_quality_linear",
+    "text_line_dedup",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

@@ -880,6 +880,93 @@ def clean_lines(
     )
 
 
+def line_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    keep_first: bool = False,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """CROSS-document line deduplication (C4 §2.2 / RefinedWeb /
+    MassiveText): a trimmed line appearing in MORE THAN ``max_docs``
+    distinct documents is corpus boilerplate (nav bars, cookie banners,
+    license footers) and is removed from every document —
+    ``keep_first=True`` instead keeps its one globally-first occurrence
+    (min ``(id, pos)``), C4's exact policy. The per-document rule
+    battery (:func:`clean_lines`) needs no second document; this is its
+    corpus-frequency complement, and the line-granularity sibling of
+    the span scrubber (``dedup.winnow_targeted_scrub``).
+
+    Scale posture (the reason this isn't a groupBy on the line text):
+
+    - the document-frequency count groups on ``md5(trim(line))`` — a
+      32-byte digest, not the line body — via a two-level aggregate
+      ((digest, id) then digest), both partial-aggregable, so the
+      Zipf-hot boilerplate lines that motivate the operator combine
+      map-side instead of skewing one reducer;
+    - the hot set is ≤ total_lines / max_docs entries of (digest,
+      winner) by construction — broadcast by default so line BODIES
+      never shuffle for the membership test; ``broadcast_hot=False``
+      switches to a shuffle join when the hot set exceeds the
+      broadcast budget (the digest join is still skinny);
+    - bodies shuffle exactly once, keyed by ``id_col``, to reassemble
+      documents — irreducible for a rebuild.
+
+    Output: (id, ``n_lines``, ``n_lines_kept``, ``clean_text``) with
+    trimmed lines re-joined by ``\\n`` in original order. Documents
+    whose text has no non-empty line produce NO row (no lines to
+    count — same contract as the tokenizer-family operators on empty
+    docs); a document that loses every line keeps its row with
+    ``n_lines_kept = 0`` and empty ``clean_text``.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select(id_col, "pos", F.trim("raw").alias("line"))
+        .where(F.col("line") != "")
+        .withColumn("digest", F.md5(F.col("line").cast("binary")))
+    )
+    per_doc = lines.groupBy("digest", id_col).agg(
+        F.min("pos").alias("first_pos")
+    )
+    hot = (
+        per_doc.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.struct(F.col(id_col), F.col("first_pos"))).alias("winner"),
+        )
+        .where(F.col("n_docs") > max_docs)
+        .select("digest", "winner")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    j = lines.join(hot, "digest", "left")
+    survive = F.col("winner").isNull()
+    if keep_first:
+        survive = survive | (
+            (F.col("winner")[id_col] == F.col(id_col))
+            & (F.col("winner")["first_pos"] == F.col("pos"))
+        )
+    kept_struct = F.when(survive, F.struct("pos", "line"))
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(kept_struct).cast("int").alias("n_lines_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+
+
 def hashed_features(
     df: DataFrame,
     id_col: str = "doc_id",

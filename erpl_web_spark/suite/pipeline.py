@@ -3580,6 +3580,83 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_line_dedup",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'all rights reserved global footer'
+                  || chr(10) || 'shared navigation for ' || source
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'promo banner seen on every third page'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 <> 0
+                          THEN chr(10) || 'unique closing line for document ' || doc_id
+                          ELSE '' END
+               AS text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+    ), l AS (
+      SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+             trim(lines[generate_subscripts(lines, 1)]) AS line
+      FROM s
+    ), le AS (
+      SELECT doc_id, pos, line FROM l WHERE line <> ''
+    ), stats AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM le GROUP BY line
+    ), j AS (
+      SELECT le.doc_id, le.pos, le.line, st.n_docs
+      FROM le JOIN stats st USING (line)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE n_docs <= 1) AS INT) AS n_lines_kept,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE n_docs <= 1), '') AS clean_text
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document line dedup (C4 §2.2 / RefinedWeb:
+    operators.text.line_dedup_corpus): any trimmed line present in >1
+    distinct documents is corpus boilerplate and drops from every
+    document. Document-frequency counts group on md5 digests (32-byte
+    shuffle keys, two-level partial-aggregable so Zipf-hot boilerplate
+    combines map-side); the hot set broadcasts back, so line bodies
+    shuffle only once (reassembly by doc). The raw corpus is
+    single-line-unique, so every doc gets a planted 4-part tail: a
+    global footer (hot everywhere), a per-source nav line (hot within
+    source), a promo line on every third doc (hot), and a unique
+    closing line on 4-of-5 docs (never hot) — n_lines 3..5 and
+    n_lines_kept 1..2 both vary."""
+    from erpl_web_spark.operators.text import line_dedup_corpus
+
+    docs = load(spark, sf_dir, "documents", spread=True).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nall rights reserved global footer"),
+            F.lit("\nshared navigation for "),
+            F.col("source"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\npromo banner seen on every third page"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(
+                    F.lit("\nunique closing line for document "),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return line_dedup_corpus(docs, max_docs=1).select(
+        "doc_id", "n_lines", "n_lines_kept", "clean_text"
+    )
+
+
+@register(
     "similarity_recall_at_k",
     oracle=_SQL_IVF_ASSIGNED
     + """

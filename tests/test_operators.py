@@ -513,6 +513,53 @@ def test_linear_quality_score_math(spark):
     assert out[2]["n_toks"] == 3 and abs(out[2]["margin"] - m2) < 1e-15
 
 
+def test_line_dedup_corpus_policies(spark):
+    """Cross-doc hot lines drop from every doc (default) or keep their
+    single globally-first occurrence (keep_first); within-doc repeats of
+    a non-hot line survive; whitespace-only docs emit no row; a doc that
+    loses every line keeps its row with empty clean_text."""
+    from erpl_web_spark.operators.text import line_dedup_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "footer\nalpha one\nfooter"),   # hot line repeated in-doc
+            (2, "beta two\nfooter"),
+            (3, "gamma three\ngamma three"),     # in-doc repeat, not hot
+            (4, "footer"),                       # loses everything
+            (5, "   \n  "),                      # no non-empty lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup_corpus(df, max_docs=1).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 has no lines -> no row
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (3, 1)
+    assert out[1]["clean_text"] == "alpha one"
+    assert out[2]["clean_text"] == "beta two"
+    # in-doc repeat of a line seen in ONE doc is kept (df counts docs)
+    assert (out[3]["n_lines"], out[3]["n_lines_kept"]) == (2, 2)
+    assert out[3]["clean_text"] == "gamma three\ngamma three"
+    assert (out[4]["n_lines_kept"], out[4]["clean_text"]) == (0, "")
+
+    first = {
+        r["doc_id"]: r
+        for r in line_dedup_corpus(df, max_docs=1, keep_first=True).collect()
+    }
+    # winner is min (doc_id, pos): doc 1 pos 0 keeps its ONE occurrence;
+    # the in-doc repeat at pos 2 and docs 2/4's copies still drop
+    assert first[1]["clean_text"] == "footer\nalpha one"
+    assert first[1]["n_lines_kept"] == 2
+    assert first[2]["clean_text"] == "beta two"
+    assert first[4]["n_lines_kept"] == 0
+    # shuffle-join path agrees with the broadcast path
+    shuf = {
+        r["doc_id"]: r
+        for r in line_dedup_corpus(df, max_docs=1, broadcast_hot=False).collect()
+    }
+    assert {k: v["clean_text"] for k, v in shuf.items()} == {
+        k: v["clean_text"] for k, v in out.items()
+    }
+
+
 def test_quantile_filter_per_group_floor(spark):
     """Each group's cutoff is computed from ITS OWN distribution — a
     low-score group keeps its strongest rows instead of being emptied
