@@ -60,6 +60,7 @@ _SAMPLE_PRIORITY = [
     "curation_quantile_filter",
     "text_quality_linear",
     "text_line_dedup",
+    "pipeline_curate_lines",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

@@ -67,6 +67,18 @@ class CurationConfig:
     # never match the image's true near-duplicates) rather than
     # clustered on pseudo-random bits.
     media_decode_stub: bool | None = None
+    # cross-document line dedup (operators.text.line_dedup_corpus):
+    # REWRITES documents dropping any trimmed line that appears in more
+    # than ``line_max_docs`` distinct documents (C4/RefinedWeb corpus-
+    # boilerplate rule; ``line_keep_first`` keeps the one globally-first
+    # occurrence instead). Row-preserving: docs that lose every line
+    # survive with empty text — enable the quality gate to drop them.
+    # Only docs that actually lost a line are rewritten (into trimmed
+    # single-spaced line space); untouched docs keep their original
+    # text byte-for-byte, mirroring the scrub stage's contract.
+    line_dedup: bool = False
+    line_max_docs: int = 1
+    line_keep_first: bool = False
     # targeted span scrubbing (operators.dedup.winnow_targeted_scrub):
     # REWRITES cross-document duplicated spans out of the surviving
     # documents (winnow-gated, so only overlap-flagged docs pay the
@@ -134,6 +146,7 @@ def curate(
     reviewable. Stage order: exact dedup -> near-dup clusters ->
     perceptual media dedup (optional; dHash clusters over non-null
     payloads, text-only rows untouched) ->
+    cross-doc line dedup (optional; rewrites, counts modified docs) ->
     targeted span scrub (optional; rewrites, counts modified docs) ->
     quality -> gopher rules (optional) -> boilerplate ->
     unigram-frequency floor -> bigram-logprob floor (optional) -> eval
@@ -288,6 +301,32 @@ def curate(
             )
             counts.append(("media_dedup_dropped", n - m))
             n = m
+
+        if cfg.line_dedup:
+            from erpl_web_spark.operators.text import line_dedup_corpus
+
+            # placed AFTER the document-level dedups (count frequencies
+            # over survivors only) and BEFORE span scrub / quality (they
+            # should see the boilerplate-free text). Persisted so the
+            # modified-doc accounting and the text replacement share one
+            # digest-count + reassembly computation.
+            deduped = line_dedup_corpus(
+                cur, id_col, text_col,
+                max_docs=cfg.line_max_docs,
+                keep_first=cfg.line_keep_first,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup.append(deduped)
+            modified = deduped.where(
+                F.col("n_lines_kept") < F.col("n_lines")
+            ).select(id_col, F.col("clean_text").alias("__line_text"))
+            n_modified = modified.count()
+            replaced = cur.join(modified, id_col, "left").withColumn(
+                text_col, F.coalesce(F.col("__line_text"), F.col(text_col))
+            ).drop("__line_text")
+            cur, m = materialize("line_dedup", replaced, cur)
+            deduped.unpersist()
+            counts.append(("line_dedup_modified", n_modified))
+            n = m  # row-preserving: every doc keeps exactly one row
 
         if cfg.scrub_spans:
             from erpl_web_spark.operators.dedup import winnow_targeted_scrub

@@ -1484,6 +1484,117 @@ def pipeline_curate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curate_lines",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'all rights reserved footer boilerplate'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'promo banner on every third page'
+                       ELSE '' END
+               || chr(10) || 'unique closing line for document ' || doc_id
+               AS text
+      FROM documents
+      UNION ALL
+      SELECT (SELECT MAX(doc_id) + 1 FROM documents) + v.off, v.t
+      FROM (VALUES (0, '87 55 13'), (1, 'a b'), (2, '!! ?? ,,')) v(off, t)
+    ), s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+    ), l AS (
+      SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+             trim(lines[generate_subscripts(lines, 1)]) AS line
+      FROM s
+    ), le AS (
+      SELECT doc_id, pos, line FROM l WHERE line <> ''
+    ), stats AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM le GROUP BY line
+    ), j AS (
+      SELECT le.doc_id, le.pos, le.line, st.n_docs
+      FROM le JOIN stats st USING (line)
+    ), rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_lines,
+             CAST(COUNT(*) FILTER (WHERE n_docs <= 1) AS INT) AS n_kept,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE n_docs <= 1), '') AS clean_text
+      FROM j GROUP BY doc_id
+    ), after AS (
+      SELECT a.doc_id,
+             CASE WHEN r.n_kept < r.n_lines THEN r.clean_text ELSE a.text END
+               AS text
+      FROM aug a JOIN rebuilt r USING (doc_id)
+    ), qsurv AS (
+      SELECT doc_id FROM after WHERE {_SQL_QUALITY_KEEP}
+    )
+    SELECT 'input' AS stage, CAST((SELECT COUNT(*) FROM aug) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'line_dedup_modified',
+           (SELECT COUNT(*) FROM rebuilt WHERE n_kept < n_lines)
+    UNION ALL
+    SELECT 'quality_dropped',
+           (SELECT COUNT(*) FROM after) - (SELECT COUNT(*) FROM qsurv)
+    UNION ALL
+    SELECT 'output', (SELECT COUNT(*) FROM qsurv)
+    """,
+)
+def pipeline_curate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate() facade's line-dedup composition, per-stage
+    accounting oracle-checked: cross-document line dedup (rewrite) ->
+    quality gate scoring the REBUILT text, returning the facade's
+    (stage, n) report. Planting: every doc gets a unique closing line
+    (never hot), even docs a shared footer and every third doc a promo
+    line (both hot -> dropped, so ``line_dedup_modified`` covers 2/3
+    of the corpus and varies by SF), plus the three re-keyed
+    low-quality rows from text_quality (single-line, untouched by the
+    line stage, dropped by the gate) so ``quality_dropped`` is
+    non-vacuous. The oracle replays the full digest-count -> rebuild ->
+    quality-on-rebuilt chain (erpl_web_spark.pipeline.curate,
+    line_dedup stage)."""
+    from erpl_web_spark.pipeline import CurationConfig, curate
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nall rights reserved footer boilerplate"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\npromo banner on every third page"),
+            ).otherwise(F.lit("")),
+            F.lit("\nunique closing line for document "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+    bad = (
+        spark.createDataFrame(
+            [(0, "87 55 13"), (1, "a b"), (2, "!! ?? ,,")], "off long, t string"
+        )
+        .crossJoin(F.broadcast(base))
+        .select((F.col("_b") + F.col("off")).alias("doc_id"), F.col("t").alias("text"))
+    )
+    corpus = aug.unionByName(bad)
+    kept, report = curate(
+        corpus,
+        CurationConfig(
+            exact_dedup=False,
+            near_dedup=False,
+            line_dedup=True,
+            quality_gate=True,
+        ),
+    )
+    kept.unpersist()  # only the accounting is under test here
+    return report.select("stage", F.col("n").cast("bigint").alias("n"))
+
+
+@register(
     "pipeline_shuffle_order",
     oracle="""
     SELECT doc_id,

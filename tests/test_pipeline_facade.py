@@ -292,6 +292,56 @@ def test_curate_gopher_stage(spark):
     assert "gopher_keep" not in kept.columns
 
 
+def test_curate_line_dedup_stage(spark):
+    """The line-dedup stage rewrites only docs that lost a hot line
+    (cross-doc boilerplate), leaves untouched docs byte-identical, is
+    row-preserving (a doc losing every line survives with empty text),
+    and reports the modified-doc count."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha unique body\nshared footer line"),
+            (2, "beta unique body\nshared footer line"),
+            (3, "gamma stands alone with original   spacing"),
+            (4, "shared footer line"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, report = curate(
+        docs,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            line_dedup=True,
+        ),
+    )
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(out) == {1, 2, 3, 4}  # row-preserving
+    assert out[1] == "alpha unique body"
+    assert out[2] == "beta unique body"
+    # untouched doc keeps ORIGINAL text (internal spacing intact)
+    assert out[3] == "gamma stands alone with original   spacing"
+    assert out[4] == ""  # lost every line, still present
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["line_dedup_modified"] == 3
+    assert rep["output"] == rep["input"]
+    kept.unpersist()
+
+    # keep_first: the globally-first occurrence (min (id, pos)) survives
+    kept2, report2 = curate(
+        docs,
+        CurationConfig(
+            exact_dedup=False, near_dedup=False, quality_gate=False,
+            line_dedup=True, line_keep_first=True,
+        ),
+    )
+    out2 = {r["doc_id"]: r["text"] for r in kept2.collect()}
+    assert out2[1] == "alpha unique body\nshared footer line"
+    assert out2[2] == "beta unique body"
+    assert out2[4] == ""
+    rep2 = {r["stage"]: r["n"] for r in report2.collect()}
+    assert rep2["line_dedup_modified"] == 2
+    kept2.unpersist()
+
+
 def test_curate_media_dedup_stage(spark):
     """The media stage clusters rows whose payloads dHash-collide
     (identical bytes under the forced stub kernel), keeps the min-id
