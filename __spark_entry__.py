@@ -61,6 +61,7 @@ _SAMPLE_PRIORITY = [
     "text_quality_linear",
     "text_line_dedup",
     "pipeline_curate_lines",
+    "text_bpe_encode",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

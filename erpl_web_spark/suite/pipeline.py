@@ -3272,6 +3272,96 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=12, min_pair_count=2)
 
 
+# Fixed literal merge table for the oracle-checked BPE ENCODE entry:
+# chosen so merges chain (2 needs 1, 3 needs 2, 8 needs 7 needs 6) and
+# fire on the corpus vocabulary ('the', 'row', 'fast', 'hash' ...).
+_BPE_ENC_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "s"),
+    ("as", "t"), ("r", "o"), ("ro", "w"), ("row", "</w>"),
+]
+
+
+def _sql_bpe_chain(merges: list[tuple[str, str]]) -> str:
+    """DuckDB replay of bpe_encode's greedy left-to-right merge fold
+    (operators.text._apply_merge) for a LITERAL merge list: one
+    list_reduce per merge, accumulator = chr(31)-joined symbol string
+    (symbols never contain chr(31)), tail-element match via exact /
+    ends_with(sep || left). Verified symbol-for-symbol identical to the
+    Spark fold on chaining cases ('throw' -> [th, row</w>])."""
+    expr = "list_append(string_split(word, ''), '</w>')"
+    for left, right in merges:
+        merged = left + right
+        expr = (
+            "string_split(list_reduce(" + expr + ", (acc, x) -> CASE "
+            f"WHEN (acc = '{left}' OR ends_with(acc, chr(31) || '{left}'))"
+            f" AND x = '{right}' "
+            f"THEN CASE WHEN acc = '{left}' THEN '{merged}' "
+            f"ELSE substr(acc, 1, length(acc) - {len(left)}) || '{merged}' END "
+            "ELSE acc || chr(31) || x END), chr(31))"
+        )
+    return expr
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+    ), dw AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, word
+    ), dict AS (
+      SELECT DISTINCT word FROM dw
+    ), enc AS (
+      SELECT word, {_sql_bpe_chain(_BPE_ENC_MERGES)} AS syms FROM dict
+    ), stats AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS k,
+             CAST(len(list_filter(syms, s -> s = 'the</w>')) AS BIGINT) AS kt,
+             CAST(len(list_filter(syms, s -> s = 'row</w>')) AS BIGINT) AS kr
+      FROM enc
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * k) AS BIGINT) AS n_syms,
+           CAST(SUM(c * kt) AS BIGINT) AS n_the,
+           CAST(SUM(c * kr) AS BIGINT) AS n_row
+    FROM dw JOIN stats USING (word) GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with a fixed literal merge table
+    (operators.text.bpe_encode): the apply half of the tokenizer loop,
+    value-hash-checked — the iterative TRAINER stays rows-only
+    (text_bpe_merges), but encoding against a known vocabulary is
+    deterministic and both engines replay the same greedy
+    left-to-right merge fold (the oracle nests one list_reduce per
+    merge). Eight chaining merges (t+h -> th+e -> the+</w>; r+o ->
+    ro+w -> row+</w>) prove rank-order application: 'throw' encodes to
+    [th, row</w>] only if merges apply in order. Per-doc outputs:
+    word count, encoded symbol count, and fully-merged 'the'/'row'
+    hits (all vary by doc). Encoding is map-only JVM folds — no
+    shuffle beyond the final per-doc aggregation, no Python in the
+    row path; a production 32k-merge table uses the same operator
+    with checkpointed fold depth (text.py _CHECKPOINT_EVERY)."""
+    from erpl_web_spark.operators.text import bpe_encode, tokens_expr
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    enc = bpe_encode(
+        docs, [(i + 1, l, r, 0) for i, (l, r) in enumerate(_BPE_ENC_MERGES)]
+    )
+    return enc.where(F.size(tokens_expr("text")) > 0).select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_words"),
+        F.size("bpe_syms").cast("bigint").alias("n_syms"),
+        F.size(F.filter(F.col("bpe_syms"), lambda s: s == F.lit("the</w>")))
+        .cast("bigint")
+        .alias("n_the"),
+        F.size(F.filter(F.col("bpe_syms"), lambda s: s == F.lit("row</w>")))
+        .cast("bigint")
+        .alias("n_row"),
+    )
+
+
 @register(
     "similarity_threshold_sweep",
     oracle=_SQL_IVF_ASSIGNED
