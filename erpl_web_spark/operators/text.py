@@ -886,7 +886,6 @@ def line_dedup_corpus(
     text_col: str = "text",
     max_docs: int = 1,
     keep_first: bool = False,
-    broadcast_hot: bool = True,
 ) -> DataFrame:
     """CROSS-document line deduplication (C4 §2.2 / RefinedWeb /
     MassiveText): a trimmed line appearing in MORE THAN ``max_docs``
@@ -898,20 +897,26 @@ def line_dedup_corpus(
     corpus-frequency complement, and the line-granularity sibling of
     the span scrubber (``dedup.winnow_targeted_scrub``).
 
-    Scale posture (the reason this isn't a groupBy on the line text):
+    Scale posture — line BODIES never enter a shuffle:
 
     - the document-frequency count groups on ``md5(trim(line))`` — a
       32-byte digest, not the line body — via a two-level aggregate
       ((digest, id) then digest), both partial-aggregable, so the
       Zipf-hot boilerplate lines that motivate the operator combine
       map-side instead of skewing one reducer;
-    - the hot set is ≤ total_lines / max_docs entries of (digest,
-      winner) by construction — broadcast by default so line BODIES
-      never shuffle for the membership test; ``broadcast_hot=False``
-      switches to a shuffle join when the hot set exceeds the
-      broadcast budget (the digest join is still skinny);
-    - bodies shuffle exactly once, keyed by ``id_col``, to reassemble
-      documents — irreducible for a rebuild.
+    - the hot set is NOT assumed broadcastable (with ``max_docs=1`` it
+      is bounded only by half the corpus's line occurrences — a heavily
+      duplicated web crawl can make it arbitrarily large), so the
+      membership test is a shuffle equi-join of two SKINNY frames:
+      (id, pos, digest) occurrences against (digest, winner) hot keys.
+      AQE downgrades it to a broadcast join at runtime when the hot
+      side measures small — the common case — without the operator
+      betting on it;
+    - surviving documents are REBUILT from the original text: the drop
+      positions aggregate to one int-array row per affected doc and
+      join back on ``id_col``, where AQE again broadcasts when few
+      docs are affected. Worst case the doc table shuffles once; best
+      case (sparse boilerplate) zero body movement.
 
     Output: (id, ``n_lines``, ``n_lines_kept``, ``clean_text``) with
     trimmed lines re-joined by ``\\n`` in original order. Documents
@@ -920,16 +925,16 @@ def line_dedup_corpus(
     docs); a document that loses every line keeps its row with
     ``n_lines_kept = 0`` and empty ``clean_text``.
     """
-    lines = (
+    arr = F.split(F.col(text_col), "\n")
+    occurrences = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+            F.posexplode(arr).alias("pos", "raw"),
         )
-        .select(id_col, "pos", F.trim("raw").alias("line"))
-        .where(F.col("line") != "")
-        .withColumn("digest", F.md5(F.col("line").cast("binary")))
+        .select(id_col, "pos", F.md5(F.trim("raw").cast("binary")).alias("digest"))
+        .where(F.trim(F.col("raw")) != "")
     )
-    per_doc = lines.groupBy("digest", id_col).agg(
+    per_doc = occurrences.groupBy("digest", id_col).agg(
         F.min("pos").alias("first_pos")
     )
     hot = (
@@ -941,29 +946,32 @@ def line_dedup_corpus(
         .where(F.col("n_docs") > max_docs)
         .select("digest", "winner")
     )
-    if broadcast_hot:
-        hot = F.broadcast(hot)
-    j = lines.join(hot, "digest", "left")
-    survive = F.col("winner").isNull()
+    dropped = occurrences.join(hot, "digest")
     if keep_first:
-        survive = survive | (
-            (F.col("winner")[id_col] == F.col(id_col))
-            & (F.col("winner")["first_pos"] == F.col("pos"))
+        dropped = dropped.where(
+            ~(
+                (F.col("winner")[id_col] == F.col(id_col))
+                & (F.col("winner")["first_pos"] == F.col("pos"))
+            )
         )
-    kept_struct = F.when(survive, F.struct("pos", "line"))
-    return j.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_lines"),
-        F.count(kept_struct).cast("int").alias("n_lines_kept"),
-        F.coalesce(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ),
-            F.lit(""),
-        ).alias("clean_text"),
+    drops = dropped.groupBy(id_col).agg(F.collect_list("pos").alias("__drop_pos"))
+
+    rebuilt = df.join(drops, id_col, "left")
+    keep_raw = F.filter(
+        arr,
+        lambda x, i: (F.trim(x) != "")
+        & ~F.coalesce(F.array_contains(F.col("__drop_pos"), i), F.lit(False)),
+    )
+    kept = F.transform(keep_raw, lambda x: F.trim(x))
+    n_lines = F.size(F.filter(arr, lambda x: F.trim(x) != ""))
+    return (
+        rebuilt.select(
+            F.col(id_col),
+            n_lines.cast("int").alias("n_lines"),
+            F.size(kept).cast("int").alias("n_lines_kept"),
+            F.array_join(kept, "\n").alias("clean_text"),
+        )
+        .where(F.col("n_lines") > 0)
     )
 
 

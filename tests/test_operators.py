@@ -550,14 +550,12 @@ def test_line_dedup_corpus_policies(spark):
     assert first[1]["n_lines_kept"] == 2
     assert first[2]["clean_text"] == "beta two"
     assert first[4]["n_lines_kept"] == 0
-    # shuffle-join path agrees with the broadcast path
-    shuf = {
-        r["doc_id"]: r
-        for r in line_dedup_corpus(df, max_docs=1, broadcast_hot=False).collect()
+    # max_docs=2 tolerates the 2-doc line; only the 3-doc footer... there
+    # is none here, so nothing is hot and every doc keeps all its lines
+    tol = {
+        r["doc_id"]: r for r in line_dedup_corpus(df, max_docs=3).collect()
     }
-    assert {k: v["clean_text"] for k, v in shuf.items()} == {
-        k: v["clean_text"] for k, v in out.items()
-    }
+    assert all(r["n_lines_kept"] == r["n_lines"] for r in tol.values())
 
 
 def test_quantile_filter_per_group_floor(spark):
