@@ -64,12 +64,13 @@ def quantile_filter(
     than one global cutoff that silently empties low-resource groups).
 
     Scale posture: the cutoff is computed as a per-group AGGREGATE and
-    broadcast back — value-threshold semantics, NOT a per-group
-    rank/sort, so no group's rows ever concentrate in one task (the
-    window-rank formulation would put each language's whole corpus
-    through a single partition's sort). Ties at the cutoff are all
-    kept: "at least the quantile value" is the contract, which keeps
-    the filter a pure row-local predicate after the broadcast.
+    joined back (AQE broadcasts the tiny side) — value-threshold
+    semantics, NOT a per-group rank/sort, so no group's rows ever
+    concentrate in one task (the window-rank formulation would put
+    each language's whole corpus through a single partition's sort).
+    Ties at the cutoff are all kept: "at least the quantile value" is
+    the contract, which keeps the filter a pure row-local predicate
+    after the join.
 
     ``exact=True`` uses sort-based ``percentile`` (small/medium group
     counts, oracle-parity testing); at 100 TB switch ``exact=False``
@@ -85,9 +86,11 @@ def quantile_filter(
     cuts = df.groupBy(group_col).agg(
         F.round(fn(F.col(score_col), q), 6).alias("cutoff")
     )
-    return df.join(F.broadcast(cuts), group_col).where(
-        F.col(score_col) >= F.col("cutoff")
-    )
+    # no forced broadcast: the cutoff table has one row per group, tiny
+    # for language-like groupings but potentially huge for per-domain
+    # ones — AQE picks the broadcast join at runtime when it measures
+    # small instead of the operator betting on group cardinality
+    return df.join(cuts, group_col).where(F.col(score_col) >= F.col("cutoff"))
 
 
 def contamination_report(

@@ -923,7 +923,8 @@ def chunk_tokens_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length floor (CCNet/FineWeb-style quality stage):
     drop every language's shortest 30% by n_chars. The cutoff is a
-    per-group aggregate broadcast back as a row-local predicate — NOT a
+    per-group aggregate joined back as a row-local predicate (AQE
+    broadcasts the tiny cutoff side) — NOT a
     per-group rank, so no language concentrates in one task at scale.
     Integer scores + ROUND(cutoff, 6) keep the boundary comparison
     engine-stable: interpolated cutoffs are midpoints between integers
