@@ -558,6 +558,74 @@ def test_line_dedup_corpus_policies(spark):
     assert all(r["n_lines_kept"] == r["n_lines"] for r in tol.values())
 
 
+def test_line_dedup_corpus_matches_python_model(spark):
+    """Property check against a pure-Python reference model: random
+    small corpora drawn from a tiny line alphabet (forcing cross-doc
+    repeats, in-doc repeats, trim-to-empty lines) must agree with the
+    Spark operator on every (n_lines, n_lines_kept, clean_text) row for
+    both policies and both max_docs values. Runs a bounded number of
+    drawn examples (Spark round-trip per example keeps this a seconds-
+    scale test, not hypothesis' default volume)."""
+    import random
+
+    from erpl_web_spark.operators.text import line_dedup_corpus
+
+    alphabet = ["alpha", "beta b", " gamma ", "", "  ", "delta d", "alpha"]
+
+    def model(docs, max_docs, keep_first):
+        from collections import defaultdict
+
+        docs_per_line: dict = defaultdict(set)
+        first: dict = {}
+        for i, t in docs.items():
+            for p, raw in enumerate(t.split("\n")):
+                line = raw.strip(" ")
+                if not line:
+                    continue
+                docs_per_line[line].add(i)
+                if line not in first or (i, p) < first[line]:
+                    first[line] = (i, p)
+        out = {}
+        for i, t in docs.items():
+            lines = [
+                (p, raw.strip(" "))
+                for p, raw in enumerate(t.split("\n"))
+                if raw.strip(" ")
+            ]
+            if not lines:
+                continue
+            kept = [
+                line
+                for p, line in lines
+                if len(docs_per_line[line]) <= max_docs
+                or (keep_first and first[line] == (i, p))
+            ]
+            out[i] = (len(lines), len(kept), "\n".join(kept))
+        return out
+
+    rng = random.Random(20260815)
+    for _ in range(6):
+        docs = {
+            i: "\n".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(0, 6))
+            )
+            for i in range(rng.randrange(1, 7))
+        }
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        for max_docs in (1, 2):
+            for keep_first in (False, True):
+                got = {
+                    r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["clean_text"])
+                    for r in line_dedup_corpus(
+                        df, max_docs=max_docs, keep_first=keep_first
+                    ).collect()
+                }
+                want = model(docs, max_docs, keep_first)
+                assert got == want, (docs, max_docs, keep_first)
+
+
 def test_quantile_filter_per_group_floor(spark):
     """Each group's cutoff is computed from ITS OWN distribution — a
     low-score group keeps its strongest rows instead of being emptied
