@@ -26,6 +26,11 @@ from erpl_web_spark.operators.similarity import (
 )
 from erpl_web_spark.operators.text import (
     boilerplate_ngrams,
+    bpe_encode,
+    bpe_train,
+    clean_lines,
+    line_dedup_corpus,
+    linear_quality_score,
     hash_split,
     with_boilerplate_ratio,
     with_text_stats,
@@ -42,6 +47,7 @@ from erpl_web_spark.operators.cdc import (
 )
 from erpl_web_spark.operators.curation import (
     mixture_upsample,
+    quantile_filter,
     seeded_shuffle_key,
     token_budget_sample,
     write_training_shards,
@@ -58,6 +64,12 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_documents",
     "simhash_near_dup_pairs",
+    "bpe_encode",
+    "bpe_train",
+    "clean_lines",
+    "line_dedup_corpus",
+    "linear_quality_score",
+    "quantile_filter",
     "ann_top_k_ivf",
     "ann_top_k_ivf_rerank",
     "ann_top_k_lsh",
