@@ -62,6 +62,7 @@ _SAMPLE_PRIORITY = [
     "text_line_dedup",
     "pipeline_curate_lines",
     "text_bpe_encode",
+    "text_normalize",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

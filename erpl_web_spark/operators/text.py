@@ -880,6 +880,42 @@ def clean_lines(
     )
 
 
+# engine-portable typographic map: curly quotes, en/em dash, NBSP
+_NORM_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+_NORM_TO = "''\"\"-- "
+# C0 controls except \t(09) \n(0A) \r(0D), plus DEL
+_CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "norm_text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Conservative, engine-portable text normalization — the cleanup
+    pass web pipelines run BEFORE hashing/dedup so that typographic
+    variants of the same content collide: map curly quotes / en- and
+    em-dashes / non-breaking spaces to their ASCII forms (pure 1:1
+    codepoint ``translate``), strip C0 control characters and DEL
+    (keeping tab/newline/CR), collapse horizontal whitespace runs to a
+    single space, and trim the ends. Full Unicode NFKC needs ICU and is
+    deliberately out of scope — every rule here is a JVM built-in with
+    an exact DuckDB equivalent, so normalized-text dedup stays
+    oracle-checkable. Pure map, zero shuffle.
+
+    Adds ``{out}`` and ``changed`` (whether normalization altered the
+    text — the audit column: a high changed-rate flags an encoding
+    problem upstream, not a cleaning success)."""
+    c = F.col(text_col)
+    n = F.translate(c, _NORM_FROM, _NORM_TO)
+    n = F.regexp_replace(n, _CTRL_RE, "")
+    n = F.trim(F.regexp_replace(n, "[ \\t]+", " "))
+    if lowercase:
+        n = F.lower(n)
+    return df.withColumn(out, n).withColumn("changed", F.col(out) != c)
+
+
 def line_dedup_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

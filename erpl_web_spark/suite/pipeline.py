@@ -3782,6 +3782,60 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' ' || chr(8220) || 'styled' || chr(8221) || ' '
+                    || chr(8212) || ' quote' || chr(8217) || 's'
+                    || chr(1) || '  and' || chr(160) || 'nbsp  tail'
+               ELSE '' END AS text
+      FROM documents
+    ), n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 translate(text,
+                   chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                     || chr(8211) || chr(8212) || chr(160),
+                   chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '),
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '[ \\t]+', ' ', 'g')) AS norm_text
+      FROM aug
+    )
+    SELECT doc_id, norm_text, norm_text <> text AS changed FROM n
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable text normalization
+    (operators.text.normalize_text): curly quotes/dashes/NBSP to ASCII
+    via 1:1 codepoint translate, C0-control strip (tab/newline/CR
+    kept), horizontal-whitespace collapse, trim — the pre-hash cleanup
+    that makes typographic variants collide in dedup. Pure map, zero
+    shuffle. Every third doc gets a planted messy tail (curly quotes,
+    em-dash, \\x01 control byte, NBSP, double spaces) so ``changed``
+    and the rewrite paths are all non-vacuous; the other docs prove
+    the identity path (changed = false, byte-identical text)."""
+    from erpl_web_spark.operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents", spread=True).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    " “styled” — quote’s"
+                    "\x01  and\u00a0nbsp  tail"
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return normalize_text(docs).select("doc_id", "norm_text", "changed")
+
+
+@register(
     "text_line_dedup",
     oracle="""
     WITH aug AS (

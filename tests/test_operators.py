@@ -513,6 +513,30 @@ def test_linear_quality_score_math(spark):
     assert out[2]["n_toks"] == 3 and abs(out[2]["margin"] - m2) < 1e-15
 
 
+def test_normalize_text_rules(spark):
+    """Each normalization rule lands: typographic map, control strip
+    (tab/newline survive), whitespace collapse, trim, changed flag, and
+    the identity path leaves clean text byte-identical."""
+    from erpl_web_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "“quoted” — it’s here"),
+        (2, "ctl\x01\x02byte\tkeep\nlines"),
+        (3, "  spaced   out\t \ttext  "),
+        (4, "already clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    # translate is 1:1 per codepoint: em-dash maps to a single '-'
+    assert out[1]["norm_text"] == "\"quoted\" - it's here"
+    assert out[2]["norm_text"] == "ctlbyte keep\nlines"
+    assert out[3]["norm_text"] == "spaced out text"
+    assert out[4]["norm_text"] == "already clean text"
+    assert [out[i]["changed"] for i in (1, 2, 3, 4)] == [True, True, True, False]
+    low = normalize_text(df, lowercase=True).where("doc_id = 4").collect()[0]
+    assert low["norm_text"] == "already clean text"
+
+
 def test_line_dedup_corpus_policies(spark):
     """Cross-doc hot lines drop from every doc (default) or keep their
     single globally-first occurrence (keep_first); within-doc repeats of
