@@ -73,9 +73,10 @@ class CurationConfig:
     # boilerplate rule; ``line_keep_first`` keeps the one globally-first
     # occurrence instead). Row-preserving: docs that lose every line
     # survive with empty text — enable the quality gate to drop them.
-    # Only docs that actually lost a line are rewritten (into trimmed
-    # single-spaced line space); untouched docs keep their original
-    # text byte-for-byte, mirroring the scrub stage's contract.
+    # Only docs that actually lost a line are rewritten (surviving
+    # lines edge-trimmed, internal spacing preserved); untouched docs
+    # keep their original text byte-for-byte, mirroring the scrub
+    # stage's contract.
     line_dedup: bool = False
     line_max_docs: int = 1
     line_keep_first: bool = False
