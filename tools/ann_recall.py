@@ -1,0 +1,88 @@
+"""IVF ANN recall/cost sweep against exact brute-force ground truth.
+
+`similarity_recall_at_k` pins ONE operating point (nprobe=2) as an
+oracle-checked value; this tool draws the whole recall-vs-cost curve so
+the nprobe default is a measured choice, not a guess: for each nprobe
+it runs `ann_top_k_ivf` on the same probes, joins against the exact
+`cosine_top_k` neighbor set, and reports recall@k next to the fraction
+of the corpus actually scored (the cost proxy — candidate rows scored
+per probe / corpus size; brute force = 1.0).
+
+Usage: python tools/ann_recall.py [--sf /root/testdata/sf0.01]
+                                  [--k 5] [--stride 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+NPROBES = [1, 2, 4, 8]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--stride", type=int, default=50)
+    args = ap.parse_args()
+
+    from erpl_web_spark.operators.similarity import (
+        ann_top_k_ivf,
+        cosine_top_k,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from erpl_web_spark.session import get_spark
+    from erpl_web_spark.suite import load
+
+    spark = get_spark("ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
+    n_corpus = emb.count()
+    probes = emb.where(F.col("vec_id") % 37 == 0)
+    n_probes = probes.count()
+
+    exact = (
+        cosine_top_k(emb, probes, k=args.k)
+        .select("probe_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.count()
+    print(
+        f"# corpus={n_corpus} probes={n_probes} k={args.k} "
+        f"stride={args.stride} exact-neighbor rows={n_exact}"
+    )
+
+    # cell population histogram once (cost accounting)
+    cents = ivf_centroids(emb, "vec_id", "embedding", args.stride)
+    sizes = {
+        r["cell"]: r["n"]
+        for r in ivf_assign(emb, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    avg_cell = sum(sizes.values()) / max(len(sizes), 1)
+    print(f"# cells={len(sizes)} avg_cell={avg_cell:.1f}")
+    print("nprobe  recall@k  scored_frac (scored/corpus per probe)")
+    for nprobe in NPROBES:
+        ann = ann_top_k_ivf(
+            emb, probes, k=args.k, stride=args.stride, nprobe=nprobe
+        ).select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+        hits = (
+            exact.join(ann, ["probe_id", "neighbor_id"], "left")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("h"))
+            .collect()[0]["h"]
+        )
+        scored_frac = min(nprobe * avg_cell / n_corpus, 1.0)
+        print(f"{nprobe:6d}  {hits / n_exact:.3f}     {scored_frac:.3f}")
+    exact.unpersist()
+
+
+if __name__ == "__main__":
+    main()
