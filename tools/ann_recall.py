@@ -8,6 +8,10 @@ it runs `ann_top_k_ivf` on the same probes, joins against the exact
 of the corpus actually scored (the cost proxy — candidate rows scored
 per probe / corpus size; brute force = 1.0).
 
+Relation to tools/ann_bench.py: that tool compares VARIANTS (exact /
+IVF / IVF+int8-rerank) at one operating point for latency+recall; this
+one sweeps nprobe for the recall-vs-scan-fraction CURVE.
+
 Usage: python tools/ann_recall.py [--sf /root/testdata/sf0.01]
                                   [--k 5] [--stride 50]
 """

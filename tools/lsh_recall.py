@@ -16,6 +16,13 @@ texts), so every even-id document gets a twin with every ``stride``-th
 token dropped, stride cycling 9/13/19/29/43/71 by doc_id — the
 resulting shingle-set Jaccards spread over ~[0.45, 0.95].
 
+Relation to tools/recall_bench.py (round 5): that harness measures
+banding recall against PLANTED pairs only (ground truth = the pairs it
+injected); this one uses the exact all-pairs prefix join (round 8) as
+COMPLETE ground truth, so organically-similar pairs the plant never
+created count against recall too — the stronger check, kept alongside
+the planted harness which runs without the all-pairs cost.
+
 Usage: python tools/lsh_recall.py [--sf /root/testdata/sf0.01]
 """
 
