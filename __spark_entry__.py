@@ -63,6 +63,7 @@ _SAMPLE_PRIORITY = [
     "pipeline_curate_lines",
     "text_bpe_encode",
     "text_normalize",
+    "text_line_dedup_keepfirst",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

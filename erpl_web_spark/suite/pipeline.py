@@ -3782,6 +3782,75 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_line_dedup_keepfirst",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'all rights reserved global footer'
+                  || chr(10) || 'shared navigation for ' || source
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'promo banner seen on every third page'
+                          ELSE '' END
+               AS text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+    ), l AS (
+      SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+             trim(lines[generate_subscripts(lines, 1)]) AS line
+      FROM s
+    ), le AS (
+      SELECT doc_id, pos, line FROM l WHERE line <> ''
+    ), stats AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(ROW(doc_id, pos)) AS winner
+      FROM le GROUP BY line
+    ), j AS (
+      SELECT le.doc_id, le.pos, le.line, st.n_docs,
+             st.winner = ROW(le.doc_id, le.pos) AS is_winner
+      FROM le JOIN stats st USING (line)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE n_docs <= 1 OR is_winner) AS INT)
+             AS n_lines_kept,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE n_docs <= 1 OR is_winner), '')
+             AS clean_text
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_line_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's exact keep-one policy for cross-document line dedup
+    (operators.text.line_dedup_corpus keep_first=True): a hot line's
+    single globally-first occurrence — min (id, pos) — survives; every
+    other copy drops. The oracle replays the winner election with
+    MIN(ROW(doc_id, pos)) so the 1-pos-0 tie-breaks are value-checked,
+    not just unit-tested. Plants only the footer (winner: the minimum
+    doc_id, where it sits at pos 1) and the per-source nav line (one
+    winner per source), so exactly max(1, n_sources+1) planted lines
+    survive corpus-wide and every other doc drops both."""
+    from erpl_web_spark.operators.text import line_dedup_corpus
+
+    docs = load(spark, sf_dir, "documents", spread=True).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nall rights reserved global footer"),
+            F.lit("\nshared navigation for "),
+            F.col("source"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\npromo banner seen on every third page"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return line_dedup_corpus(docs, max_docs=1, keep_first=True).select(
+        "doc_id", "n_lines", "n_lines_kept", "clean_text"
+    )
+
+
+@register(
     "text_normalize",
     oracle="""
     WITH aug AS (
