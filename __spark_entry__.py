@@ -64,6 +64,7 @@ _SAMPLE_PRIORITY = [
     "text_bpe_encode",
     "text_normalize",
     "text_line_dedup_keepfirst",
+    "text_paragraph_dedup",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

@@ -922,6 +922,8 @@ def line_dedup_corpus(
     text_col: str = "text",
     max_docs: int = 1,
     keep_first: bool = False,
+    sep_pattern: str = "\n",
+    join_sep: str = "\n",
 ) -> DataFrame:
     """CROSS-document line deduplication (C4 §2.2 / RefinedWeb /
     MassiveText): a trimmed line appearing in MORE THAN ``max_docs``
@@ -960,8 +962,13 @@ def line_dedup_corpus(
     count — same contract as the tokenizer-family operators on empty
     docs); a document that loses every line keeps its row with
     ``n_lines_kept = 0`` and empty ``clean_text``.
+
+    Granularity is a knob: the default splits on single newlines
+    (lines); ``sep_pattern="\\n{2,}", join_sep="\n\n"`` dedups at
+    PARAGRAPH level (Dolma-style) — units keep internal newlines, the
+    digest still normalizes only edge spaces.
     """
-    arr = F.split(F.col(text_col), "\n")
+    arr = F.split(F.col(text_col), sep_pattern)
     occurrences = (
         df.select(
             F.col(id_col),
@@ -1005,7 +1012,7 @@ def line_dedup_corpus(
             F.col(id_col),
             n_lines.cast("int").alias("n_lines"),
             F.size(kept).cast("int").alias("n_lines_kept"),
-            F.array_join(kept, "\n").alias("clean_text"),
+            F.array_join(kept, join_sep).alias("clean_text"),
         )
         .where(F.col("n_lines") > 0)
     )

@@ -3782,6 +3782,87 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || chr(10)
+                  || 'standard license paragraph' || chr(10)
+                  || 'reproduced verbatim across documents'
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN chr(10) || chr(10) || 'quarterly insert block'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 <> 0
+                          THEN chr(10) || chr(10)
+                               || 'closing paragraph unique to ' || doc_id
+                               || chr(10) || 'with a second line'
+                          ELSE '' END
+               AS text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, string_split_regex(text, chr(10) || '{2,}') AS paras
+      FROM aug
+    ), l AS (
+      SELECT doc_id, generate_subscripts(paras, 1) AS pos,
+             trim(paras[generate_subscripts(paras, 1)]) AS para
+      FROM s
+    ), le AS (
+      SELECT doc_id, pos, para FROM l WHERE para <> ''
+    ), stats AS (
+      SELECT para, COUNT(DISTINCT doc_id) AS n_docs FROM le GROUP BY para
+    ), j AS (
+      SELECT le.doc_id, le.pos, le.para, st.n_docs
+      FROM le JOIN stats st USING (para)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE n_docs <= 1) AS INT) AS n_lines_kept,
+           COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                      FILTER (WHERE n_docs <= 1), '') AS clean_text
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level cross-document dedup (Dolma-style;
+    operators.text.line_dedup_corpus with sep_pattern='\\n{2,}'):
+    blank-line-separated units dedup as wholes — internal single
+    newlines stay inside the unit, so the planted two-line license
+    block drops as ONE paragraph everywhere while the two-line closing
+    paragraph (unique id inside, planted on 4-of-5 docs) survives
+    intact and n_lines_kept varies 1..2. Every fourth
+    doc also carries a hot one-line insert block, varying n_lines 3..4
+    and exercising multi-paragraph reassembly with the '\\n\\n'
+    join."""
+    from erpl_web_spark.operators.text import line_dedup_corpus
+
+    docs = load(spark, sf_dir, "documents", spread=True).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\n\nstandard license paragraph"
+                "\nreproduced verbatim across documents"
+            ),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\n\nquarterly insert block"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(
+                    F.lit("\n\nclosing paragraph unique to "),
+                    F.col("doc_id").cast("string"),
+                    F.lit("\nwith a second line"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return line_dedup_corpus(
+        docs, max_docs=1, sep_pattern="\n{2,}", join_sep="\n\n"
+    ).select("doc_id", "n_lines", "n_lines_kept", "clean_text")
+
+
+@register(
     "text_line_dedup_keepfirst",
     oracle="""
     WITH aug AS (
