@@ -65,6 +65,7 @@ _SAMPLE_PRIORITY = [
     "text_normalize",
     "text_line_dedup_keepfirst",
     "text_paragraph_dedup",
+    "pipeline_curate_normalize",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

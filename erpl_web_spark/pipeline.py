@@ -32,6 +32,12 @@ from pyspark.sql import functions as F
 class CurationConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
+    # typographic normalization (operators.text.normalize_text) as the
+    # FIRST stage: curly quotes/dashes/NBSP to ASCII, control strip,
+    # whitespace collapse — so typographic variants of the same content
+    # collide in every downstream dedup stage. Row-preserving rewrite;
+    # only changed docs are rewritten (audit row: normalize_modified).
+    normalize: bool = False
     # exact dedup: keep the minimum id per normalized-text digest
     exact_dedup: bool = True
     # near-dup clustering: Jaccard threshold over word-3-gram shingles,
@@ -144,7 +150,9 @@ def curate(
 
     ``report`` has one row per stage: (stage, n_dropped) plus an
     ``input``/``output`` row — the accounting that makes a curation run
-    reviewable. Stage order: exact dedup -> near-dup clusters ->
+    reviewable. Stage order: typographic normalization (optional;
+    rewrite, so variants collide downstream) -> exact dedup ->
+    near-dup clusters ->
     perceptual media dedup (optional; dHash clusters over non-null
     payloads, text-only rows untouched) ->
     cross-doc line dedup (optional; rewrites, counts modified docs) ->
@@ -206,6 +214,21 @@ def curate(
     try:
         cur, n = materialize("input", df, None)
         counts.append(("input", n))
+
+        if cfg.normalize:
+            from erpl_web_spark.operators.text import normalize_text
+
+            # map-only rewrite; the changed flag doubles as the audit
+            # count, so no extra pass beyond the stage materialization
+            normed = normalize_text(cur, text_col, out="__norm_text")
+            n_modified = normed.where(F.col("changed")).count()
+            replaced = (
+                normed.withColumn(text_col, F.col("__norm_text"))
+                .drop("__norm_text", "changed")
+            )
+            cur, m = materialize("normalize", replaced, cur)
+            counts.append(("normalize_modified", n_modified))
+            n = m  # row-preserving
 
         if cfg.exact_dedup:
             keepers = exact_dedup_report(cur, id_col, text_col).select(

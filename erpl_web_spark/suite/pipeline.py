@@ -3782,6 +3782,71 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curate_normalize",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT (SELECT MAX(doc_id) + 1 FROM documents) + doc_id,
+             translate(text, ' ', chr(160))
+      FROM documents WHERE doc_id < 10
+    ), n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 translate(text,
+                   chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                     || chr(8211) || chr(8212) || chr(160),
+                   chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '),
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '[ \\t]+', ' ', 'g')) AS norm_text
+      FROM corpus
+    ), ek AS (
+      SELECT MIN(doc_id) AS keep_id FROM n
+      GROUP BY md5(trim(regexp_replace(lower(norm_text), '\\s+', ' ', 'g')))
+    )
+    SELECT 'input' AS stage, CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'normalize_modified',
+           (SELECT COUNT(*) FROM n WHERE norm_text <> text)
+    UNION ALL
+    SELECT 'exact_dedup_dropped',
+           (SELECT COUNT(*) FROM n) - (SELECT COUNT(*) FROM ek)
+    UNION ALL
+    SELECT 'output', (SELECT COUNT(*) FROM ek)
+    """,
+)
+def pipeline_curate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate() facade's normalize -> exact-dedup composition,
+    accounting oracle-checked: each of the first 10 docs gets a twin
+    with every space turned into a non-breaking space — INVISIBLE to
+    the exact-dedup normalizer (neither Java nor RE2 counts NBSP in
+    \\s), so the twins survive dedup unless the normalization stage
+    runs first and maps NBSP back to space. The oracle replays
+    normalize (translate + control strip + collapse) then the min-id
+    digest dedup on the NORMALIZED text
+    (erpl_web_spark.pipeline.curate, normalize stage)."""
+    from erpl_web_spark.pipeline import CurationConfig, curate
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+    twins = (
+        docs.where(F.col("doc_id") < 10)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("_b") + F.col("doc_id")).alias("doc_id"),
+            F.translate(F.col("text"), " ", "\u00a0").alias("text"),
+        )
+    )
+    kept, report = curate(
+        docs.unionByName(twins),
+        CurationConfig(normalize=True, near_dedup=False, quality_gate=False),
+    )
+    kept.unpersist()  # only the accounting is under test here
+    return report.select("stage", F.col("n").cast("bigint").alias("n"))
+
+
+@register(
     "text_paragraph_dedup",
     oracle="""
     WITH aug AS (

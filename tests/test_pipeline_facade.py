@@ -292,6 +292,37 @@ def test_curate_gopher_stage(spark):
     assert "gopher_keep" not in kept.columns
 
 
+def test_curate_normalize_stage(spark):
+    """normalize=True rewrites only typographically-dirty docs (audit
+    row counts them), and makes curly-quote variants collide in the
+    downstream exact dedup — the composition the stage exists for."""
+    docs = spark.createDataFrame(
+        [
+            (1, 'same content "quoted" here'),
+            (2, "same content “quoted” here"),   # curly twin of 1
+            (3, "plain unique document"),
+        ],
+        "doc_id long, text string",
+    )
+    # without normalization the twins don't collide
+    kept0, _ = curate(
+        docs, CurationConfig(near_dedup=False, quality_gate=False)
+    )
+    assert {r["doc_id"] for r in kept0.collect()} == {1, 2, 3}
+    kept0.unpersist()
+    kept, report = curate(
+        docs,
+        CurationConfig(normalize=True, near_dedup=False, quality_gate=False),
+    )
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(out) == {1, 3}  # min-id twin survives, post-normalize text
+    assert out[1] == 'same content "quoted" here'
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    assert rep["normalize_modified"] == 1  # only doc 2 was dirty
+    assert rep["exact_dedup_dropped"] == 1
+    kept.unpersist()
+
+
 def test_curate_line_dedup_stage(spark):
     """The line-dedup stage rewrites only docs that lost a hot line
     (cross-doc boilerplate), leaves untouched docs byte-identical, is
