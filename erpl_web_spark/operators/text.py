@@ -924,6 +924,7 @@ def line_dedup_corpus(
     keep_first: bool = False,
     sep_pattern: str = "\n",
     join_sep: str = "\n",
+    salt: int | None = None,
 ) -> DataFrame:
     """CROSS-document line deduplication (C4 §2.2 / RefinedWeb /
     MassiveText): a trimmed line appearing in MORE THAN ``max_docs``
@@ -954,7 +955,13 @@ def line_dedup_corpus(
       positions aggregate to one int-array row per affected doc and
       join back on ``id_col``, where AQE again broadcasts when few
       docs are affected. Worst case the doc table shuffles once; best
-      case (sparse boilerplate) zero body movement.
+      case (sparse boilerplate) zero body movement;
+    - a single mega-hot line (a footer in most of the corpus)
+      concentrates its occurrence rows on one reducer inside the
+      membership join — the join-under-rollup shape where AQE's skew
+      split is measured NOT to engage (SCALING.md round 8); pass
+      ``salt`` to fan it over that many reducers (identical rows,
+      relational.salted_join).
 
     Output: (id, ``n_lines``, ``n_lines_kept``, ``clean_text``) with
     trimmed lines re-joined by ``\\n`` in original order. Documents
@@ -989,7 +996,19 @@ def line_dedup_corpus(
         .where(F.col("n_docs") > max_docs)
         .select("digest", "winner")
     )
-    dropped = occurrences.join(hot, "digest")
+    if salt:
+        from erpl_web_spark.operators.relational import salted_join
+
+        # one mega-hot line (a footer in most of the corpus) lands every
+        # matching occurrence row on ONE reducer in the membership join;
+        # AQE's skew split is measured NOT to engage in this
+        # join-under-rollup shape (SCALING.md round-8 Zipf measurement —
+        # same plan shape as the token join-backs), so salting is the
+        # explicit mitigation: identical rows, hot digest fanned over
+        # ``salt`` reducers.
+        dropped = salted_join(occurrences, hot, "digest", salt=salt)
+    else:
+        dropped = occurrences.join(hot, "digest")
     if keep_first:
         dropped = dropped.where(
             ~(

@@ -111,12 +111,13 @@ class CurationConfig:
     # this — the rare-token/noise filter (None = skip the stage)
     min_unigram_freq: float | None = None
     # Zipf-head salting for the token/bigram count join-backs inside
-    # the unigram-frequency and bigram-logprob stages: fan each hot
-    # key over this many reducers (relational.salted_join; identical
-    # rows). AQE's skew split is measured NOT to engage in the
-    # join-under-rollup shape these stages use (SCALING.md round 8) —
-    # set this when one token/bigram dominates the corpus (boilerplate
-    # floods); None keeps the plain plans.
+    # the unigram-frequency and bigram-logprob stages, AND the line
+    # dedup stage's digest membership join (same join-under-rollup
+    # shape): fan each hot key over this many reducers
+    # (relational.salted_join; identical rows). AQE's skew split is
+    # measured NOT to engage in this shape (SCALING.md round 8) — set
+    # this when one token/bigram/boilerplate-line dominates the corpus;
+    # None keeps the plain plans.
     text_join_salt: int | None = None
     # perplexity-proxy floor: drop docs whose mean smoothed bigram
     # log2-probability (operators.text.with_bigram_logprob) falls
@@ -338,6 +339,7 @@ def curate(
                 cur, id_col, text_col,
                 max_docs=cfg.line_max_docs,
                 keep_first=cfg.line_keep_first,
+                salt=cfg.text_join_salt,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             cleanup.append(deduped)
             modified = deduped.where(

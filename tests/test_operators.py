@@ -580,6 +580,15 @@ def test_line_dedup_corpus_policies(spark):
         r["doc_id"]: r for r in line_dedup_corpus(df, max_docs=3).collect()
     }
     assert all(r["n_lines_kept"] == r["n_lines"] for r in tol.values())
+    # salted membership join returns identical rows (both policies)
+    assert {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup_corpus(df, max_docs=1, salt=4).collect()
+    } == {k: v["clean_text"] for k, v in out.items()}
+    assert {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup_corpus(df, max_docs=1, keep_first=True, salt=4).collect()
+    } == {k: v["clean_text"] for k, v in first.items()}
 
 
 def test_line_dedup_corpus_matches_python_model(spark):
