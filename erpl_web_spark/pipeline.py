@@ -27,6 +27,13 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Stage-boundary lineage truncation interval — see materialize() in
+# curate(). Measured per-stage analyzed-plan growth is up to ~7x (the
+# bigram stage references its input four times), so a window of 3
+# bounds the plan to ~7^3 copies of a ~1 KB stage plan (~350 KB string,
+# measured 36 MB at a window of 5 — tools/plan probe, round 8).
+_TRUNCATE_EVERY = 3
+
 
 @dataclass
 class CurationConfig:
@@ -197,7 +204,10 @@ def curate(
     id_col, text_col = cfg.id_col, cfg.text_col
     counts: list[tuple[str, int]] = []
 
+    stage_no = 0
+
     def materialize(name: str, stage_df: DataFrame, prev: DataFrame | None) -> tuple[DataFrame, int]:
+        nonlocal stage_no
         if stage_trace is not None:
             # Capture the plan before this stage is itself registered in
             # the cache manager and before the predecessor is released:
@@ -210,6 +220,25 @@ def curate(
             prev.unpersist()
         if stage_trace is not None:
             stage_trace.append((name, cached, plan))
+        # LINEAGE BARRIER every few stages: persist caches DATA but the
+        # logical plan keeps full lineage, and the self-joining stages
+        # (scrub / boilerplate / unigram / line dedup) each embed the
+        # upstream plan 2-3x — an ALL-stages run grows the analyzed plan
+        # tree multiplicatively until the driver itself OOMs building
+        # it (found by the round-8 kitchen-sink run: ~3^k nodes by
+        # stage k, dead at 12g heap on an 8 MB corpus). localCheckpoint
+        # truncates the plan to the materialized blocks, bounding every
+        # window to at most _TRUNCATE_EVERY stages of branching. The
+        # barrier copy is pinned until downstream frames are GC'd (it
+        # is their recompute source), so it runs every K stages, not
+        # every stage; the persisted `cached` copy is released once the
+        # checkpoint is taken.
+        stage_no += 1
+        if stage_no % _TRUNCATE_EVERY == 0:
+            truncated = cached.localCheckpoint(eager=True)
+            cached.unpersist()
+            cleanup.pop()  # the persist handle just released
+            return truncated, m
         return cached, m
 
     try:
@@ -506,6 +535,13 @@ def curate(
 
         counts.append(("output", n))
         report = df.sparkSession.createDataFrame(counts, "stage string, n long")
+        if not (cur.storageLevel.useMemory or cur.storageLevel.useDisk):
+            # the last stage landed on a lineage barrier (checkpointed,
+            # not persisted) — re-persist so the caller contract holds:
+            # storageLevel observable, unpersist() releases it. Lazy and
+            # reads the checkpoint blocks, so no recompute.
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup.append(cur)
         return cur, report
     except BaseException:
         # a failed curate() must not leak cached frames on the

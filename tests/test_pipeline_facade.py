@@ -171,8 +171,13 @@ def test_curate_caches_each_stage(spark):
     names = [n for n, _, _ in trace]
     assert names == ["input", "exact_dedup", "near_dedup", "quality"]
     for name, _, plan in trace[1:]:
-        assert "InMemoryRelation" in plan, (
-            f"stage {name} does not read its predecessor from cache:\n{plan}"
+        # the predecessor must be read from MATERIALIZED data, never
+        # recomputed from source: an InMemoryRelation (persisted stage)
+        # or a LogicalRDD (localCheckpoint lineage barrier, taken every
+        # _TRUNCATE_EVERY stages to bound plan growth) both satisfy it
+        assert "InMemoryRelation" in plan or "LogicalRDD" in plan, (
+            f"stage {name} does not read its predecessor from"
+            f" materialized data:\n{plan}"
         )
     # final stage is the returned corpus and is still persisted
     assert trace[-1][1] is kept
@@ -290,6 +295,38 @@ def test_curate_gopher_stage(spark):
     rep = {r["stage"]: r["n"] for r in report.collect()}
     assert rep["gopher_dropped"] == 1
     assert "gopher_keep" not in kept.columns
+
+
+def test_curate_plan_growth_bounded(spark):
+    """ALL stages on: the analyzed plan of the returned corpus must stay
+    bounded. persist caches data but keeps full lineage, and the
+    self-joining stages each embed the upstream plan 2-3x — without the
+    every-K-stages localCheckpoint barrier the plan tree grows
+    multiplicatively (the round-8 kitchen-sink run OOMed a 12 GB driver
+    building the plan STRING on an 8 MB corpus). Plan size is
+    data-independent, so a 12-doc corpus reproduces the hazard."""
+    rows = [
+        (i, f"u{i} v{i} " + " ".join(f"w{j} x{j} common words here" for j in range(6)))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, report = curate(
+        docs,
+        CurationConfig(
+            normalize=True, exact_dedup=True, near_dedup=True,
+            line_dedup=True, scrub_spans=True, quality_gate=True,
+            gopher_rules=False, max_boilerplate_ratio=0.9,
+            min_unigram_freq=0.0, min_bigram_logprob=-30.0,
+            split_weights={"train": 0.8, "val": 0.2},
+        ),
+    )
+    n_stages = report.count()
+    assert n_stages >= 11  # the full battery actually ran
+    plan = kept._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 300_000, (
+        f"analyzed plan grew to {len(plan)} chars — lineage barrier broken"
+    )
+    kept.unpersist()
 
 
 def test_curate_normalize_stage(spark):
