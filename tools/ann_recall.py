@@ -28,11 +28,43 @@ from pyspark.sql import functions as F  # noqa: E402
 NPROBES = [1, 2, 4, 8]
 
 
+def clustered_vectors(spark, n: int, dim: int = 32, n_clusters: int = 20):
+    """Synthesize label-STRUCTURED vectors (the testdata embeddings are
+    measured near-random — IVF's worst case): cluster c's center is a
+    deterministic ±1 sign pattern of md5(c, d); each vector is its
+    cluster center plus small deterministic per-coordinate noise, so
+    within-cluster cosine is high and cross-cluster ~0 — the favorable
+    case the worst-case sweep can't show. Pure expressions, any size."""
+    ids = spark.range(n).withColumnRenamed("id", "vec_id")
+    c = (F.col("vec_id") % n_clusters).cast("int")
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def h(*parts):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", *parts).cast("binary")), 1, 8),
+            16, 10,
+        ).cast("bigint")
+
+    vec = F.transform(
+        dims,
+        lambda d: (
+            F.when(h(c.cast("string"), d.cast("string")) % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            + (h(F.col("vec_id").cast("string"), d.cast("string")) % 41
+               - F.lit(20)).cast("double") / F.lit(50.0)
+        ).cast("float"),
+    )
+    return ids.select("vec_id", vec.alias("embedding"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--stride", type=int, default=50)
+    ap.add_argument("--clustered", type=int, default=0, metavar="N",
+                    help="ignore --sf; sweep over N synthesized "
+                         "cluster-structured vectors instead")
     args = ap.parse_args()
 
     from erpl_web_spark.operators.similarity import (
@@ -46,7 +78,10 @@ def main() -> None:
 
     spark = get_spark("ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
+    if args.clustered:
+        emb = clustered_vectors(spark, args.clustered).persist()
+    else:
+        emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
     n_corpus = emb.count()
     probes = emb.where(F.col("vec_id") % 37 == 0)
     n_probes = probes.count()
