@@ -66,6 +66,7 @@ _SAMPLE_PRIORITY = [
     "text_line_dedup_keepfirst",
     "text_paragraph_dedup",
     "pipeline_curate_normalize",
+    "text_line_dedup_salted",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

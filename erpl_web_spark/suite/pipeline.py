@@ -4050,9 +4050,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs).select("doc_id", "norm_text", "changed")
 
 
-@register(
-    "text_line_dedup",
-    oracle="""
+_SQL_LINE_DEDUP = """
     WITH aug AS (
       SELECT doc_id,
              text || chr(10) || 'all rights reserved global footer'
@@ -4085,8 +4083,10 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(string_agg(line, chr(10) ORDER BY pos)
                       FILTER (WHERE n_docs <= 1), '') AS clean_text
     FROM j GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("text_line_dedup", oracle=_SQL_LINE_DEDUP)
 def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-document line dedup (C4 §2.2 / RefinedWeb:
     operators.text.line_dedup_corpus): any trimmed line present in >1
@@ -4123,6 +4123,43 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return line_dedup_corpus(docs, max_docs=1).select(
+        "doc_id", "n_lines", "n_lines_kept", "clean_text"
+    )
+
+
+@register("text_line_dedup_salted", oracle=_SQL_LINE_DEDUP)
+def text_line_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME cross-document line dedup through the salted membership
+    join (``salt=8``): the hot footer digest fans over 8 reducers via
+    ``relational.salted_join`` while the rows stay value-hash identical
+    — the same oracle SQL checks both plans, so the skew mitigation's
+    correctness gets its own driver row (the ``text_unigram_freq_salted``
+    pattern). Production path when one boilerplate line floods the
+    corpus: AQE's skew split is measured NOT to engage in this
+    join-under-rollup shape (SCALING.md round 8)."""
+    from erpl_web_spark.operators.text import line_dedup_corpus
+
+    docs = load(spark, sf_dir, "documents", spread=True).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nall rights reserved global footer"),
+            F.lit("\nshared navigation for "),
+            F.col("source"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\npromo banner seen on every third page"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(
+                    F.lit("\nunique closing line for document "),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return line_dedup_corpus(docs, max_docs=1, salt=8).select(
         "doc_id", "n_lines", "n_lines_kept", "clean_text"
     )
 
