@@ -67,6 +67,7 @@ _SAMPLE_PRIORITY = [
     "text_paragraph_dedup",
     "pipeline_curate_normalize",
     "text_line_dedup_salted",
+    "pipeline_line_index_batches",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

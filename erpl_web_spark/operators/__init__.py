@@ -45,6 +45,12 @@ from erpl_web_spark.operators.cdc import (
     incremental_agg_update,
     merge_to_parquet_snapshots,
 )
+from erpl_web_spark.operators.line_index import (
+    line_index_apply,
+    line_index_compact,
+    read_clean_batches,
+    read_line_counts,
+)
 from erpl_web_spark.operators.curation import (
     mixture_upsample,
     quantile_filter,
@@ -70,6 +76,10 @@ __all__ = [
     "line_dedup_corpus",
     "linear_quality_score",
     "quantile_filter",
+    "line_index_apply",
+    "line_index_compact",
+    "read_clean_batches",
+    "read_line_counts",
     "ann_top_k_ivf",
     "ann_top_k_ivf_rerank",
     "ann_top_k_lsh",

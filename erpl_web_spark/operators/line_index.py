@@ -1,0 +1,191 @@
+"""Incremental cross-batch LINE dedup — the fourth incremental index.
+
+The lexical / semantic / media indexes answer "is this NEW document a
+duplicate of anything kept before?"; this one answers the C4/RefinedWeb
+line question incrementally: "which LINES of this new batch are corpus
+boilerplate, counting every batch seen so far?" State is the
+accumulated per-line document frequency; each micro-batch is rewritten
+against (prior counts + its own counts) and the batch's count INCREMENT
+is appended under the same manifest commit protocol the other indexes
+use (``core.manifests``), so torn writes are invisible and replays are
+deterministic.
+
+FORWARD-ONLY semantics, stated loudly: a line that becomes hot in batch
+N is dropped from batch N and every LATER batch, but batches < N are
+already published and are NOT retroactively rewritten — the price of
+incremental publishing. (The batch operator ``text.line_dedup_corpus``
+is the retroactive whole-corpus form; re-running it over the
+accumulated corpus is the periodic "repave" that reconciles history.)
+
+Scale posture matches the batch operator: count increments are
+(digest-32B, bigint) rows, two-level partial-aggregable within the
+batch; the hot-set membership test is a skinny shuffle join AQE
+downgrades to broadcast; line bodies never shuffle (documents rebuild
+from per-doc drop-position arrays). Increment rows carry their source
+batch id so ``manifests.compact_versions``'s full-row dropDuplicates
+can never merge two batches' identical (digest, n_docs) facts into one.
+
+Crash safety: two manifest-committed kinds per batch — ``counts=N``
+(the DF increment) then ``clean=N`` (the rewritten documents) — each
+published data-first, manifest-last, with the replay guard
+(``uncommit_version`` before overwrite). A crash between the two
+commits leaves a replayable state: counts-without-clean is still a
+true fact about batch N's content, and the replay rewrites both
+deterministically because decisions for batch N read only counts
+strictly below N. Covered by the fault-injection harness
+(tests/test_fault_injection.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _occurrences(batch_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Skinny (id, pos, digest) line occurrences — trimmed, non-empty,
+    md5-digested; identical normalization to text.line_dedup_corpus."""
+    return (
+        batch_df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select(
+            id_col, "pos", F.md5(F.trim("raw").cast("binary")).alias("digest")
+        )
+        .where(F.trim(F.col("raw")) != "")
+    )
+
+
+def read_line_counts(spark, path: str, before: int | None = None):
+    """Accumulated (digest, n_docs) document frequencies over every
+    committed increment (``path/counts=N``, N < ``before``), or None
+    when the index is empty. Only the manifest listing is consulted."""
+    from erpl_web_spark.core import manifests
+
+    inc = manifests.read_committed_union(spark, path, "counts", before=before)
+    if inc is None:
+        return None
+    return inc.groupBy("digest").agg(F.sum("n_docs").alias("n_docs"))
+
+
+def read_clean_batches(spark, path: str, before: int | None = None):
+    """Union of the rewritten batches (``path/clean=N``), or None."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.read_committed_union(spark, path, "clean", before=before)
+
+
+def line_index_apply(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+) -> None:
+    """foreachBatch cross-batch line dedup: rewrite ``batch_df`` against
+    the accumulated line document frequencies (prior committed batches
+    PLUS this batch's own counts — a line shared by two docs of the
+    same batch is already boilerplate), then publish the batch's count
+    increment (``counts=<batch_id>``) and its rewritten documents
+    (``clean=<batch_id>``: id, n_lines, n_lines_kept, clean_text) under
+    the manifest commit protocol.
+
+    Documents with no non-empty line produce no clean row (no lines to
+    count); a document that loses every line keeps its row with empty
+    ``clean_text`` — the batch operator's exact contract. Replay-safe:
+    batch N reads only counts with version < N, so a replayed batch
+    recomputes an identical hot set and overwrites both directories
+    with identical content.
+    """
+    from pyspark import StorageLevel
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators._cache import track_persist
+
+    spark = batch_df.sparkSession
+    own: list = []
+    try:
+        occ = track_persist(
+            _occurrences(batch_df, id_col, text_col), "line_index_apply", own,
+            level=StorageLevel.MEMORY_AND_DISK,
+        )
+        batch_counts = (
+            occ.select("digest", id_col).distinct()
+            .groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        batch_counts = track_persist(
+            batch_counts, "line_index_apply", own,
+            level=StorageLevel.MEMORY_AND_DISK,
+        )
+        prev = read_line_counts(spark, path, before=batch_id)
+        if prev is not None:
+            totals = (
+                batch_counts.withColumnRenamed("n_docs", "n_new")
+                .join(prev.withColumnRenamed("n_docs", "n_prev"), "digest", "full")
+                .select(
+                    "digest",
+                    (
+                        F.coalesce("n_new", F.lit(0))
+                        + F.coalesce("n_prev", F.lit(0))
+                    ).alias("n_total"),
+                )
+            )
+        else:
+            totals = batch_counts.withColumnRenamed("n_docs", "n_total")
+        hot = totals.where(F.col("n_total") > max_docs).select("digest")
+
+        drops = (
+            occ.join(hot, "digest")
+            .groupBy(id_col)
+            .agg(F.collect_list("pos").alias("__drop_pos"))
+        )
+        arr = F.split(F.col(text_col), "\n")
+        keep_raw = F.filter(
+            arr,
+            lambda x, i: (F.trim(x) != "")
+            & ~F.coalesce(F.array_contains(F.col("__drop_pos"), i), F.lit(False)),
+        )
+        kept = F.transform(keep_raw, lambda x: F.trim(x))
+        n_lines = F.size(F.filter(arr, lambda x: F.trim(x) != ""))
+        clean = (
+            batch_df.join(drops, id_col, "left")
+            .select(
+                F.col(id_col),
+                n_lines.cast("int").alias("n_lines"),
+                F.size(kept).cast("int").alias("n_lines_kept"),
+                F.array_join(kept, "\n").alias("clean_text"),
+            )
+            .where(F.col("n_lines") > 0)
+        )
+
+        # publish: replay guard on BOTH kinds first, then counts
+        # (data-first, manifest-last), then clean. A crash between the
+        # commits leaves counts-without-clean — a true fact about the
+        # batch, made whole by the replay.
+        manifests.uncommit_version(spark, path, "counts", batch_id)
+        manifests.uncommit_version(spark, path, "clean", batch_id)
+        (
+            batch_counts.withColumn("batch_src", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{path}/counts={batch_id}")
+        )
+        manifests.commit_version(spark, path, "counts", batch_id)
+        clean.write.mode("overwrite").parquet(f"{path}/clean={batch_id}")
+        manifests.commit_version(spark, path, "clean", batch_id)
+    finally:
+        for cached in own:
+            cached.unpersist()
+
+
+def line_index_compact(spark, path: str, keep_latest: int = 1) -> int:
+    """Bound the read-side file count of the count increments:
+    ``manifests.compact_versions`` over the ``counts`` kind (rows carry
+    ``batch_src``, so the full-row dropDuplicates merge is lossless for
+    these additive facts). ``clean`` batches are terminal outputs and
+    are not compacted here. Returns the number of versions merged."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.compact_versions(spark, path, "counts", keep_latest)

@@ -3782,6 +3782,107 @@ def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_line_index_batches",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared global footer line'
+                  || CASE WHEN doc_id IN (0, 1)
+                          THEN chr(10) || 'cross batch rare line'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 <> 0
+                          THEN chr(10) || 'unique closing line for document '
+                               || doc_id
+                          ELSE '' END
+               AS text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, doc_id % 2 AS b, string_split(text, chr(10)) AS lines
+      FROM aug
+    ), l AS (
+      SELECT doc_id, b, generate_subscripts(lines, 1) AS pos,
+             trim(lines[generate_subscripts(lines, 1)]) AS line
+      FROM s
+    ), le AS (
+      SELECT doc_id, b, pos, line FROM l WHERE line <> ''
+    ), c0 AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n FROM le WHERE b = 0
+      GROUP BY line
+    ), c1 AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n FROM le WHERE b = 1
+      GROUP BY line
+    ), tot AS (
+      SELECT COALESCE(c0.line, c1.line) AS line,
+             COALESCE(c0.n, 0) + COALESCE(c1.n, 0) AS n
+      FROM c0 FULL JOIN c1 ON c0.line = c1.line
+    ), j AS (
+      SELECT le.doc_id, le.pos, le.line,
+             CASE WHEN le.b = 0 THEN (SELECT c0.n FROM c0
+                                      WHERE c0.line = le.line)
+                  ELSE (SELECT tot.n FROM tot WHERE tot.line = le.line)
+             END AS n_eff
+      FROM le
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE n_eff <= 1) AS INT) AS n_lines_kept,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE n_eff <= 1), '') AS clean_text
+    FROM j GROUP BY doc_id
+    """,
+)
+def pipeline_line_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental line-dedup index (operators.line_index) replayed
+    as a deterministic two-batch sequence: even-id docs arrive as batch
+    0, odd-id docs as batch 1; each batch is rewritten against the
+    ACCUMULATED line document frequencies (its own plus every earlier
+    batch) and its count increment is manifest-committed. The oracle
+    replays both phases, pinning the forward-only contract by value:
+    the planted 'cross batch rare line' lives on exactly docs 0 and 1,
+    so batch 0 (doc 0) KEEPS it — unique at publish time — while batch
+    1 (doc 1) DROPS it (accumulated df = 2); the shared footer is hot
+    from batch 0 onward. The entry writes to a per-invocation temp
+    index, collects the contract-small clean union back to a local
+    relation and removes the index — suite runs stay stateless."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        read_clean_batches,
+    )
+
+    aug = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared global footer line"),
+            F.when(
+                F.col("doc_id").isin(0, 1),
+                F.lit("\ncross batch rare line"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(
+                    F.lit("\nunique closing line for document "),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="lineidx_suite_")
+    try:
+        line_index_apply(aug.where(F.col("doc_id") % 2 == 0), 0, path)
+        line_index_apply(aug.where(F.col("doc_id") % 2 == 1), 1, path)
+        rows = read_clean_batches(spark, path).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_lines int, n_lines_kept int, clean_text string"
+    )
+
+
+@register(
     "pipeline_curate_normalize",
     oracle="""
     WITH corpus AS (

@@ -423,3 +423,96 @@ def test_snapshot_sink_crash_points(spark, tmp_path):
         # from v=1, never from its own half-written directory
         apply(work, 2, batch2, retain=1)
         assert snap(work) == state2, f"crash@{k}: replay diverged"
+
+
+def test_line_index_crash_points(spark, tmp_path):
+    """The fourth index (incremental line dedup) publishes TWO kinds per
+    batch — counts=N then clean=N, each data-first manifest-last. Kill
+    the writer before every mutation op of batch 1's apply and assert:
+    readers never tear, batch-0 state is never lost, the only visible
+    intermediate is counts-committed-without-clean (a true fact about
+    the batch), and replay converges to the no-crash end state for BOTH
+    the accumulated counts and the rewritten documents."""
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        read_clean_batches,
+        read_line_counts,
+    )
+
+    schema = "doc_id long, text string"
+
+    def setup(path):
+        b0 = spark.createDataFrame(
+            [(1, "alpha body\nshared footer"),
+             (2, "beta body\nshared footer"),
+             (3, "gamma body\nlate bloomer")],
+            schema,
+        )
+        line_index_apply(b0, 0, path)
+
+    def step(path):
+        b1 = spark.createDataFrame(
+            [(10, "delta body\nlate bloomer"),
+             (11, "epsilon body\nshared footer")],
+            schema,
+        )
+        line_index_apply(b1, 1, path)
+
+    def clean_map(path):
+        df = read_clean_batches(spark, path)
+        return (
+            {}
+            if df is None
+            else {r["doc_id"]: r["clean_text"] for r in df.collect()}
+        )
+
+    def counts_map(path):
+        df = read_line_counts(spark, path)
+        return (
+            {}
+            if df is None
+            else {r["digest"]: r["n_docs"] for r in df.collect()}
+        )
+
+    template = str(tmp_path / "li_t")
+    setup(template)
+    clean0, counts0 = clean_map(template), counts_map(template)
+    assert clean0[1] == "alpha body"  # in-batch hot footer dropped
+
+    dry = str(tmp_path / "li_dry")
+    shutil.copytree(template, dry)
+    gate = CrashGate(None)
+    with gated(gate):
+        step(dry)
+    ops = gate.ops
+    clean_full, counts_full = clean_map(dry), counts_map(dry)
+    assert clean_full[10] == "delta body"       # forward-only: hot now
+    assert clean_full[3] == "gamma body\nlate bloomer"  # batch 0 untouched
+    assert len(ops) >= 6, f"expected >=6 mutation ops, saw {ops}"
+
+    for k in range(1, len(ops) + 1):
+        work = str(tmp_path / f"li_k{k}")
+        shutil.copytree(template, work)
+        with pytest.raises(InjectedCrash):
+            with gated(CrashGate(crash_at=k)):
+                step(work)
+        got_clean, got_counts = clean_map(work), counts_map(work)
+        assert set(clean0) <= set(got_clean), (
+            f"crash@{k} ({ops[k-1]}): lost committed clean rows"
+        )
+        assert got_clean in (clean0, clean_full), (
+            f"crash@{k} ({ops[k-1]}): torn clean state"
+        )
+        assert got_counts in (counts0, counts_full), (
+            f"crash@{k} ({ops[k-1]}): torn counts state"
+        )
+        if got_clean == clean_full:
+            # clean commits AFTER counts: clean-new without counts-new
+            # must be impossible
+            assert got_counts == counts_full, (
+                f"crash@{k} ({ops[k-1]}): clean committed before counts"
+            )
+        # recovery: replay converges for both kinds
+        step(work)
+        assert clean_map(work) == clean_full, f"crash@{k}: clean replay diverged"
+        assert counts_map(work) == counts_full, f"crash@{k}: counts replay diverged"

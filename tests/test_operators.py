@@ -513,6 +513,118 @@ def test_linear_quality_score_math(spark):
     assert out[2]["n_toks"] == 3 and abs(out[2]["margin"] - m2) < 1e-15
 
 
+def test_line_index_apply_forward_only(spark, tmp_path):
+    """The incremental line index: within-batch hot lines drop in their
+    own batch; a line seen once in batch 0 and once in batch 1 survives
+    batch 0's publish but drops from batch 1 (FORWARD-ONLY — batch 0 is
+    not rewritten); counts accumulate across commits; a replayed batch
+    rewrites identical content (idempotence)."""
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        read_clean_batches,
+        read_line_counts,
+    )
+
+    path = str(tmp_path / "lineidx")
+    b0 = spark.createDataFrame(
+        [
+            (1, "alpha body\nshared footer"),
+            (2, "beta body\nshared footer"),
+            (3, "gamma body\nlate bloomer"),
+        ],
+        "doc_id long, text string",
+    )
+    line_index_apply(b0, 0, path)
+    clean0 = {
+        r["doc_id"]: r for r in read_clean_batches(spark, path).collect()
+    }
+    # footer hot WITHIN batch 0 (2 docs) -> dropped; 'late bloomer' df=1 kept
+    assert clean0[1]["clean_text"] == "alpha body"
+    assert clean0[3]["clean_text"] == "gamma body\nlate bloomer"
+
+    b1 = spark.createDataFrame(
+        [
+            (10, "delta body\nlate bloomer"),      # 2nd sighting -> hot now
+            (11, "epsilon body\nshared footer"),   # already hot from batch 0
+        ],
+        "doc_id long, text string",
+    )
+    line_index_apply(b1, 1, path)
+    all_clean = {
+        r["doc_id"]: r for r in read_clean_batches(spark, path).collect()
+    }
+    # forward-only: batch 0's doc 3 still carries 'late bloomer'...
+    assert all_clean[3]["clean_text"] == "gamma body\nlate bloomer"
+    # ...but batch 1's doc 10 loses it (accumulated df = 2 > 1)
+    assert all_clean[10]["clean_text"] == "delta body"
+    assert all_clean[11]["clean_text"] == "epsilon body"
+    counts = {
+        r["digest"]: r["n_docs"]
+        for r in read_line_counts(spark, path).collect()
+    }
+    assert sum(counts.values()) == 6 + 4  # 6 doc-line facts b0, 4 b1
+
+    # replay batch 1: identical outputs, no double-counted facts
+    line_index_apply(b1, 1, path)
+    replay = {
+        r["doc_id"]: r for r in read_clean_batches(spark, path).collect()
+    }
+    assert {k: v["clean_text"] for k, v in replay.items()} == {
+        k: v["clean_text"] for k, v in all_clean.items()
+    }
+    counts2 = {
+        r["digest"]: r["n_docs"]
+        for r in read_line_counts(spark, path).collect()
+    }
+    assert counts2 == counts
+
+
+def test_line_index_compact_preserves_counts(spark, tmp_path):
+    """Compacting the count increments must be LOSSLESS for additive
+    facts: identical (digest, n_docs) rows from different batches carry
+    batch_src, so the merge's dropDuplicates cannot collapse them. The
+    accumulated frequencies and the next batch's decisions are
+    byte-identical after compaction."""
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        line_index_compact,
+        read_clean_batches,
+        read_line_counts,
+    )
+
+    path = str(tmp_path / "lineidx")
+    # the same single-doc batch shape three times: each contributes the
+    # IDENTICAL (digest('recurring line'), n_docs=1) fact
+    for b, doc_id in ((0, 1), (1, 2), (2, 3)):
+        df = spark.createDataFrame(
+            [(doc_id, f"unique body {doc_id}\nrecurring line")],
+            "doc_id long, text string",
+        )
+        line_index_apply(df, b, path)
+    before = {
+        r["digest"]: r["n_docs"]
+        for r in read_line_counts(spark, path).collect()
+    }
+    assert 3 in before.values()  # the recurring line accumulated to 3
+    merged = line_index_compact(spark, path, keep_latest=1)
+    assert merged >= 2
+    after = {
+        r["digest"]: r["n_docs"]
+        for r in read_line_counts(spark, path).collect()
+    }
+    assert after == before
+    # next batch still sees the accumulated frequency (drops the line)
+    b3 = spark.createDataFrame(
+        [(9, "fresh body\nrecurring line")], "doc_id long, text string"
+    )
+    line_index_apply(b3, 3, path)
+    clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in read_clean_batches(spark, path).collect()
+    }
+    assert clean[9] == "fresh body"
+
+
 def test_normalize_text_rules(spark):
     """Each normalization rule lands: typographic map, control strip
     (tab/newline survive), whitespace collapse, trim, changed flag, and
