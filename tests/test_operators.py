@@ -579,6 +579,50 @@ def test_line_index_apply_forward_only(spark, tmp_path):
     assert counts2 == counts
 
 
+def test_line_index_streaming_e2e(spark, tmp_path):
+    """The line index behind a real checkpointed file stream: batch 1's
+    copy of a line first seen in batch 0 is dropped against the stored
+    counts, exactly as in the direct-call contract (forward-only)."""
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        read_clean_batches,
+    )
+
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    idx = str(tmp_path / "lidx_s")
+    ckpt = str(tmp_path / "lckpt")
+    schema = "doc_id long, text string"
+
+    def run_stream():
+        (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(lambda df, bid: line_index_apply(df, bid, idx))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    spark.createDataFrame(
+        [(1, "alpha body\nseen once line")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    clean = {r["doc_id"]: r["clean_text"]
+             for r in read_clean_batches(spark, idx).collect()}
+    assert clean[1] == "alpha body\nseen once line"
+
+    spark.createDataFrame(
+        [(10, "delta body\nseen once line")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()  # same checkpoint: only the new file forms batch 1
+    clean = {r["doc_id"]: r["clean_text"]
+             for r in read_clean_batches(spark, idx).collect()}
+    assert clean[1] == "alpha body\nseen once line"  # forward-only
+    assert clean[10] == "delta body"
+
+
 def test_line_index_compact_preserves_counts(spark, tmp_path):
     """Compacting the count increments must be LOSSLESS for additive
     facts: identical (digest, n_docs) rows from different batches carry
