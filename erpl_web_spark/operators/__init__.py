@@ -31,6 +31,7 @@ from erpl_web_spark.operators.text import (
     clean_lines,
     line_dedup_corpus,
     linear_quality_score,
+    normalize_text,
     hash_split,
     with_boilerplate_ratio,
     with_text_stats,
@@ -75,6 +76,7 @@ __all__ = [
     "clean_lines",
     "line_dedup_corpus",
     "linear_quality_score",
+    "normalize_text",
     "quantile_filter",
     "line_index_apply",
     "line_index_compact",

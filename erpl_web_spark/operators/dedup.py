@@ -173,8 +173,8 @@ def minhash_lsh_pairs(
     output has no false positives; banding parameters control recall —
     MEASURED against the exact all-pairs ground truth
     (tools/lsh_recall.py, SCALING.md round 8): the default 64×16
-    banding sits on the theoretical s-curve (0.78 recall in the
-    0.5-Jaccard decile, 1.0 from 0.8 up); bands=32 reaches 1.0 across
+    banding sits on the theoretical s-curve (0.80 recall in the
+    0.5-Jaccard decile, 1.0 from 0.7 up); bands=32 reaches 1.0 across
     the spectrum at ~30× the false-candidate verify cost.
     Returns (id_a, id_b, jaccard), id_a < id_b.
 

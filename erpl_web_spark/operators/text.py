@@ -892,6 +892,7 @@ def normalize_text(
     text_col: str = "text",
     out: str = "norm_text",
     lowercase: bool = False,
+    changed_col: str = "changed",
 ) -> DataFrame:
     """Conservative, engine-portable text normalization — the cleanup
     pass web pipelines run BEFORE hashing/dedup so that typographic
@@ -904,16 +905,17 @@ def normalize_text(
     an exact DuckDB equivalent, so normalized-text dedup stays
     oracle-checkable. Pure map, zero shuffle.
 
-    Adds ``{out}`` and ``changed`` (whether normalization altered the
-    text — the audit column: a high changed-rate flags an encoding
-    problem upstream, not a cleaning success)."""
+    Adds ``{out}`` and ``{changed_col}`` (whether normalization altered
+    the text — the audit column: a high changed-rate flags an encoding
+    problem upstream, not a cleaning success; rename it when the input
+    already carries a ``changed`` column)."""
     c = F.col(text_col)
     n = F.translate(c, _NORM_FROM, _NORM_TO)
     n = F.regexp_replace(n, _CTRL_RE, "")
     n = F.trim(F.regexp_replace(n, "[ \\t]+", " "))
     if lowercase:
         n = F.lower(n)
-    return df.withColumn(out, n).withColumn("changed", F.col(out) != c)
+    return df.withColumn(out, n).withColumn(changed_col, F.col(out) != c)
 
 
 def line_dedup_corpus(

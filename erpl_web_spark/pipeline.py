@@ -9,14 +9,19 @@ the two artifacts every training-data run needs.
 
 Design for 100 TB: every stage is a DataFrame transformation (digests
 and (long, long) labels shuffle, never bodies); stages toggle off
-independently. Each stage's survivor set is persisted
-(MEMORY_AND_DISK) before its count and the predecessor's cache is
+independently. Each stage's survivor set is materialized
+(MEMORY_AND_DISK persist, or a localCheckpoint lineage barrier every
+``_TRUNCATE_EVERY``-th stage — persist keeps full lineage and the
+self-joining stages grow the analyzed plan multiplicatively, see
+materialize()) before its count, and the predecessor's cache is
 released, so the per-stage accounting costs ONE materialization per
 stage — the expensive upstream operators (exact dedup, MinHash-LSH,
 connected components) run exactly once regardless of how many stages
-follow them. The final corpus is returned still persisted so the
-caller's first action reads the cache, not the source; callers that
-are done with it should ``unpersist()``.
+follow them. Barrier blocks have no recompute lineage: an executor
+loss after a barrier fails the call (rerun it) — the price of a
+bounded driver plan. The final corpus is returned persisted so the
+caller's first action reads materialized data; callers that are done
+with it should ``unpersist()``.
 """
 
 from __future__ import annotations
@@ -213,32 +218,33 @@ def curate(
             # the cache manager and before the predecessor is released:
             # this is the plan the count below executes.
             plan = stage_df._jdf.queryExecution().optimizedPlan().toString()
-        cached = stage_df.persist(StorageLevel.MEMORY_AND_DISK)
-        cleanup.append(cached)
+        # LINEAGE BARRIER every few stages: persist caches DATA but the
+        # logical plan keeps full lineage, and the self-joining stages
+        # (scrub / boilerplate / unigram / line dedup) each embed the
+        # upstream plan 2-4x — an ALL-stages run grows the analyzed plan
+        # tree multiplicatively until the driver itself OOMs building
+        # it (found by the round-8 kitchen-sink run: 36 MB of plan
+        # string by the bigram stage, dead at 12g heap on an 8 MB
+        # corpus). localCheckpoint truncates the plan to the
+        # materialized blocks, bounding every window to at most
+        # _TRUNCATE_EVERY stages of branching. Barrier stages
+        # checkpoint DIRECTLY (one materialization — a persist copy
+        # would be discarded the moment the checkpoint is taken);
+        # tradeoff, stated plainly: checkpoint blocks have no lineage,
+        # so an executor loss after a barrier fails the curate() job
+        # instead of recomputing — rerun the call (stage caches made
+        # it cheap); the alternative was an unbounded driver plan.
+        stage_no += 1
+        if stage_no % _TRUNCATE_EVERY == 0:
+            cached = stage_df.localCheckpoint(eager=True)
+        else:
+            cached = stage_df.persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup.append(cached)
         m = cached.count()
         if prev is not None:
             prev.unpersist()
         if stage_trace is not None:
             stage_trace.append((name, cached, plan))
-        # LINEAGE BARRIER every few stages: persist caches DATA but the
-        # logical plan keeps full lineage, and the self-joining stages
-        # (scrub / boilerplate / unigram / line dedup) each embed the
-        # upstream plan 2-3x — an ALL-stages run grows the analyzed plan
-        # tree multiplicatively until the driver itself OOMs building
-        # it (found by the round-8 kitchen-sink run: ~3^k nodes by
-        # stage k, dead at 12g heap on an 8 MB corpus). localCheckpoint
-        # truncates the plan to the materialized blocks, bounding every
-        # window to at most _TRUNCATE_EVERY stages of branching. The
-        # barrier copy is pinned until downstream frames are GC'd (it
-        # is their recompute source), so it runs every K stages, not
-        # every stage; the persisted `cached` copy is released once the
-        # checkpoint is taken.
-        stage_no += 1
-        if stage_no % _TRUNCATE_EVERY == 0:
-            truncated = cached.localCheckpoint(eager=True)
-            cached.unpersist()
-            cleanup.pop()  # the persist handle just released
-            return truncated, m
         return cached, m
 
     try:
@@ -250,11 +256,15 @@ def curate(
 
             # map-only rewrite; the changed flag doubles as the audit
             # count, so no extra pass beyond the stage materialization
-            normed = normalize_text(cur, text_col, out="__norm_text")
-            n_modified = normed.where(F.col("changed")).count()
+            # private audit/output column names: a user corpus may
+            # legitimately carry its own 'changed' column
+            normed = normalize_text(
+                cur, text_col, out="__norm_text", changed_col="__norm_changed"
+            )
+            n_modified = normed.where(F.col("__norm_changed")).count()
             replaced = (
                 normed.withColumn(text_col, F.col("__norm_text"))
-                .drop("__norm_text", "changed")
+                .drop("__norm_text", "__norm_changed")
             )
             cur, m = materialize("normalize", replaced, cur)
             counts.append(("normalize_modified", n_modified))

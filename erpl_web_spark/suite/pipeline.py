@@ -3842,8 +3842,12 @@ def pipeline_line_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     so batch 0 (doc 0) KEEPS it — unique at publish time — while batch
     1 (doc 1) DROPS it (accumulated df = 2); the shared footer is hot
     from batch 0 onward. The entry writes to a per-invocation temp
-    index, collects the contract-small clean union back to a local
-    relation and removes the index — suite runs stay stateless."""
+    index, collects the clean union back to a local relation and
+    removes the index — suite runs stay stateless. The collect is
+    O(corpus text) on the DRIVER: fine for the suite-gate corpora
+    (MBs; verified through sf1), deliberately NOT the production
+    read path — production consumes ``read_clean_batches`` lazily
+    from a durable index path."""
     import shutil
     import tempfile
 

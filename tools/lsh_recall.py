@@ -45,9 +45,12 @@ def build_corpus(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+    # twins exist only for EVEN doc_ids: index by (doc_id/2) mod 6 so
+    # all six strides are reachable (doc_id % 6 of an even id only hits
+    # 0/2/4 — the original cycle silently dropped strides 13/29/71)
     stride = F.element_at(
         F.array(*[F.lit(s) for s in STRIDES]),
-        (F.col("doc_id") % len(STRIDES) + 1).cast("int"),
+        ((F.col("doc_id") / 2).cast("bigint") % len(STRIDES) + 1).cast("int"),
     )
     twins = (
         docs.where(F.col("doc_id") % 2 == 0)
