@@ -68,6 +68,7 @@ _SAMPLE_PRIORITY = [
     "pipeline_curate_normalize",
     "text_line_dedup_salted",
     "pipeline_line_index_batches",
+    "text_countmin_topk",
     # -- latest driver green is r04 (oldest band after the r07 rotation) --
     "multimodal_frames",
     "udtf_chunk_tokens",

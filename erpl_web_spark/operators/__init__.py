@@ -32,6 +32,8 @@ from erpl_web_spark.operators.text import (
     line_dedup_corpus,
     linear_quality_score,
     normalize_text,
+    countmin_sketch,
+    countmin_lookup,
     hash_split,
     with_boilerplate_ratio,
     with_text_stats,
@@ -77,6 +79,8 @@ __all__ = [
     "line_dedup_corpus",
     "linear_quality_score",
     "normalize_text",
+    "countmin_sketch",
+    "countmin_lookup",
     "quantile_filter",
     "line_index_apply",
     "line_index_compact",

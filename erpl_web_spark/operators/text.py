@@ -1128,6 +1128,89 @@ def linear_quality_score(
     )
 
 
+def countmin_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of the corpus token frequencies (Cormode &
+    Muthukrishnan 2005): ``depth`` independent hash rows of ``width``
+    counters — the bounded-memory frequency summary for streams/corpora
+    whose vocabulary doesn't fit anywhere. Output is (d, w, cnt) rows,
+    at most depth*width of them REGARDLESS of corpus size; the count
+    aggregate is partial-aggregable, so the Zipf head combines map-side
+    and the shuffle carries at most depth*width rows per map task.
+
+    Buckets come from the md5-derived integer hash (the
+    ``hashed_features`` trick), so the sketch is bit-identical across
+    engines — a DuckDB oracle can rebuild it exactly, which makes the
+    ±εN error CONTRACT value-hash-checkable rather than asserted.
+    Point estimates via :func:`countmin_lookup` (min over rows —
+    never undercounts, overcounts by at most εN = e/width · N with
+    probability 1-δ = 1-e^-depth)."""
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("tok"))
+    rows = toks.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "tok"
+    ).select(
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("d").cast("string"), F.col("tok"))
+                        .cast("binary")
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % width
+        ).cast("int").alias("w"),
+    )
+    return rows.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    tokens: DataFrame,
+    tok_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each token in ``tokens`` against a
+    :func:`countmin_sketch`: est = min over the depth rows of the
+    token's counter. The probe side explodes to depth skinny rows and
+    equi-joins the (at most depth*width row) sketch — broadcast-sized
+    by construction. Returns (tok_col, est_n); est_n >= true count
+    always (the one-sided CMS guarantee)."""
+    probes = tokens.select(
+        F.col(tok_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        tok_col,
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("d").cast("string"), F.col(tok_col))
+                        .cast("binary")
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % width
+        ).cast("int").alias("w"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "w"])
+        .groupBy(tok_col)
+        .agg(F.min("cnt").alias("est_n"))
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

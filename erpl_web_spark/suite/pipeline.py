@@ -1958,6 +1958,72 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_countmin_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ), exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks
+      GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10
+    ), fan AS (
+      SELECT g.d, t.tok FROM toks t,
+        (SELECT unnest(range(0, 3)) AS d) g
+    ), sk AS (
+      SELECT d,
+             CAST(CAST('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8)
+                  AS BIGINT) % 16 AS INT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM fan GROUP BY 1, 2
+    ), probes AS (
+      SELECT e.tok, g.d,
+             CAST(CAST('0x' || substring(md5(CAST(g.d AS VARCHAR) || ':' || e.tok), 1, 8)
+                  AS BIGINT) % 16 AS INT) AS w
+      FROM exact e, (SELECT unnest(range(0, 3)) AS d) g
+    ), est AS (
+      SELECT p.tok, MIN(sk.cnt) AS est_n
+      FROM probes p JOIN sk USING (d, w) GROUP BY p.tok
+    )
+    SELECT e.tok, e.exact_n, est.est_n,
+           est.est_n - e.exact_n AS overcount
+    FROM exact e JOIN est USING (tok)
+    """,
+)
+def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates vs exact counts for the corpus'
+    top-10 tokens (operators.text.countmin_sketch / countmin_lookup):
+    the bounded-memory frequency summary — the sketch is depth*width
+    rows REGARDLESS of corpus size, partial-aggregable so the Zipf head
+    combines map-side. depth=3 × width=16 is deliberately undersized
+    for the ~44-word vocabulary so hash collisions are certain and the
+    one-sided error contract (est >= exact, bounded overcount) is
+    exercised with VARYING overcounts, not vacuously zero; md5-derived
+    buckets make the sketch bit-identical in DuckDB, so the error is
+    value-hash-checked, not asserted."""
+    from erpl_web_spark.operators.text import (
+        countmin_lookup,
+        countmin_sketch,
+        tokens_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(F.explode(tokens_expr("text")).alias("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(10)
+    )
+    sketch = countmin_sketch(docs, depth=3, width=16)
+    est = countmin_lookup(sketch, exact.select("tok"), depth=3, width=16)
+    return exact.join(est, "tok").select(
+        "tok",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@register(
     "text_winnow_fingerprints",
     oracle="""
     WITH g AS (

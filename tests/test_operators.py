@@ -513,6 +513,42 @@ def test_linear_quality_score_math(spark):
     assert out[2]["n_toks"] == 3 and abs(out[2]["margin"] - m2) < 1e-15
 
 
+def test_countmin_sketch_guarantees(spark):
+    """The CMS contract: estimates NEVER undercount; with a roomy width
+    (no full-depth collisions on a tiny vocab) they are exact; the
+    sketch has at most depth*width rows regardless of corpus size."""
+    from erpl_web_spark.operators.text import (
+        countmin_lookup,
+        countmin_sketch,
+        tokens_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d d d d")], "doc_id long, text string"
+    )
+    exact = {"a": 4, "b": 3, "c": 1, "d": 4}
+    toks = df.select(F.explode(tokens_expr("text")).alias("tok")).distinct()
+
+    roomy = countmin_sketch(df, depth=4, width=4096)
+    assert roomy.count() <= 4 * 4096
+    est = {
+        r["tok"]: r["est_n"]
+        for r in countmin_lookup(roomy, toks, depth=4, width=4096).collect()
+    }
+    assert est == exact  # no collisions at this load factor
+
+    # adversarially tiny: collisions certain, but never an undercount
+    tiny = countmin_sketch(df, depth=2, width=2)
+    assert tiny.count() <= 4
+    est2 = {
+        r["tok"]: r["est_n"]
+        for r in countmin_lookup(tiny, toks, depth=2, width=2).collect()
+    }
+    assert all(est2[t] >= n for t, n in exact.items())
+    total = sum(exact.values())
+    assert all(v <= total for v in est2.values())
+
+
 def test_line_index_apply_forward_only(spark, tmp_path):
     """The incremental line index: within-batch hot lines drop in their
     own batch; a line seen once in batch 0 and once in batch 1 survives
