@@ -513,6 +513,44 @@ def test_linear_quality_score_math(spark):
     assert out[2]["n_toks"] == 3 and abs(out[2]["margin"] - m2) < 1e-15
 
 
+def test_normalize_text_matches_python_model(spark):
+    """Randomized model comparison, batched into ONE Spark action: 200
+    strings drawn from an alphabet mixing letters, curly quotes, dashes,
+    NBSP, control bytes, tabs and space runs must normalize exactly as
+    the pure-Python reference (translate -> control strip -> [ \\t]+
+    collapse -> space-trim)."""
+    import random
+    import re
+
+    from erpl_web_spark.operators.text import normalize_text
+
+    trans = str.maketrans("\u2018\u2019\u201c\u201d\u2013\u2014\u00a0", "''\"\"-- ")
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    runs = re.compile("[ \t]+")
+
+    def model(t: str) -> str:
+        t = t.translate(trans)
+        t = ctrl.sub("", t)
+        t = runs.sub(" ", t)
+        return t.strip(" ")
+
+    alphabet = list("abc xy.") + ["\u2018", "\u2019", "\u201c", "\u201d", "\u2013", "\u2014", "\u00a0",
+                                  "\x01", "\x07", "\t", "\n", "  ", " "]
+    rng = random.Random(20260815)
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["norm_text"], r["changed"])
+        for r in normalize_text(df).collect()
+    }
+    for i, t in rows:
+        want = model(t)
+        assert got[i] == (want, want != t), (i, repr(t), repr(want), got[i])
+
+
 def test_countmin_sketch_guarantees(spark):
     """The CMS contract: estimates NEVER undercount; with a roomy width
     (no full-depth collisions on a tiny vocab) they are exact; the
