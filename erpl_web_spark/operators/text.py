@@ -908,14 +908,26 @@ def normalize_text(
     Adds ``{out}`` and ``{changed_col}`` (whether normalization altered
     the text — the audit column: a high changed-rate flags an encoding
     problem upstream, not a cleaning success; rename it when the input
-    already carries a ``changed`` column)."""
+    already carries a ``changed`` column). The flag is null-safe (NULL
+    text → changed=false, not NULL) and is computed from the
+    PRE-replacement expression, so it stays meaningful if a caller
+    writes the normalized text over the input column; ``out ==
+    text_col`` in-place overwrite is therefore supported, not
+    rejected (ADVICE r8 #2 fix — the earlier form compared against the
+    already-replaced column, vacuously false)."""
     c = F.col(text_col)
     n = F.translate(c, _NORM_FROM, _NORM_TO)
     n = F.regexp_replace(n, _CTRL_RE, "")
     n = F.trim(F.regexp_replace(n, "[ \\t]+", " "))
     if lowercase:
         n = F.lower(n)
-    return df.withColumn(out, n).withColumn(changed_col, F.col(out) != c)
+    # changed compares the normalization EXPRESSION against the input
+    # expression, null-safely — and BOTH columns are added in one
+    # withColumns so they resolve against the ORIGINAL frame: chained
+    # withColumn would re-resolve text_col to the already-replaced
+    # column when out == text_col, making changed vacuously false.
+    changed = ~n.eqNullSafe(c)
+    return df.withColumns({out: n, changed_col: changed})
 
 
 def line_dedup_corpus(
@@ -1183,7 +1195,15 @@ def countmin_lookup(
     token's counter. The probe side explodes to depth skinny rows and
     equi-joins the (at most depth*width row) sketch — broadcast-sized
     by construction. Returns (tok_col, est_n); est_n >= true count
-    always (the one-sided CMS guarantee)."""
+    always (the one-sided CMS guarantee).
+
+    The sketch stores only OCCUPIED counters (a groupBy emits no row
+    for a zero cell), so the probe side LEFT-joins and coalesces a
+    missing counter to 0: a token whose (d, w) cell is empty in any
+    depth row has true count 0 and must estimate 0 — an inner join
+    would take the min over only the occupied rows (breaking the
+    eps*N bound for unseen tokens) and drop tokens hitting no
+    occupied cell entirely."""
     probes = tokens.select(
         F.col(tok_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
@@ -1205,9 +1225,9 @@ def countmin_lookup(
         ).cast("int").alias("w"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["d", "w"])
+        probes.join(F.broadcast(sketch), ["d", "w"], "left")
         .groupBy(tok_col)
-        .agg(F.min("cnt").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )
 
 

@@ -200,7 +200,25 @@ def curate(
 
     cfg = cfg or CurationConfig()
     cleanup: list = []        # every frame this call persisted
+    barriers: list = []       # every localCheckpoint lineage barrier
     sink_lists: list = []     # operator-internal cache sinks
+
+    def release_barrier(frame: DataFrame) -> None:
+        # A localCheckpoint'd frame is NOT in the CacheManager, so
+        # unpersist() is a no-op on it; its blocks are otherwise
+        # reclaimed only when driver GC lets the ContextCleaner see the
+        # dead RDD — which stage_trace references (or the exception
+        # path) can postpone indefinitely on a long-lived driver
+        # (ADVICE r8 #3). The analyzed plan of a checkpointed frame is
+        # a LogicalRDD whose rdd() is the persisted checkpoint RDD:
+        # unpersist it directly. After this the frame is UNREADABLE
+        # (no lineage) — only call on frames nothing will act on
+        # again. Guarded: if the internal accessor shifts across Spark
+        # versions we fall back to the GC path rather than fail.
+        try:
+            frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
 
     def new_sink() -> list:
         s: list = []
@@ -237,12 +255,18 @@ def curate(
         stage_no += 1
         if stage_no % _TRUNCATE_EVERY == 0:
             cached = stage_df.localCheckpoint(eager=True)
+            barriers.append(cached)
         else:
             cached = stage_df.persist(StorageLevel.MEMORY_AND_DISK)
             cleanup.append(cached)
         m = cached.count()
         if prev is not None:
             prev.unpersist()
+            # a superseded BARRIER's blocks must be freed explicitly
+            # (unpersist above was a no-op on it); its successor is
+            # already materialized, so nothing reads it again.
+            if any(prev is b for b in barriers):
+                release_barrier(prev)
         if stage_trace is not None:
             stage_trace.append((name, cached, plan))
         return cached, m
@@ -548,9 +572,18 @@ def curate(
         if not (cur.storageLevel.useMemory or cur.storageLevel.useDisk):
             # the last stage landed on a lineage barrier (checkpointed,
             # not persisted) — re-persist so the caller contract holds:
-            # storageLevel observable, unpersist() releases it. Lazy and
-            # reads the checkpoint blocks, so no recompute.
+            # storageLevel observable, unpersist() releases it. EAGER
+            # (one extra scan of the already-checkpointed blocks) so the
+            # checkpoint RDD can be freed NOW instead of lingering until
+            # driver GC: after the count the persist copy holds every
+            # partition, and MEMORY_AND_DISK spills rather than evicts.
+            # Stated tradeoff (same as the barrier itself): losing a
+            # cached partition after this release fails the job instead
+            # of recomputing — rerun curate().
+            barrier = cur
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cur.count()
+            release_barrier(barrier)
             cleanup.append(cur)
         return cur, report
     except BaseException:
@@ -562,6 +595,8 @@ def curate(
         # the caller (see module docstring).
         for cached in cleanup:
             cached.unpersist()
+        for b in barriers:
+            release_barrier(b)
         for s in sink_lists:
             for cached in s:
                 cached.unpersist()

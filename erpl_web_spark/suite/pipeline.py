@@ -1963,8 +1963,12 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT unnest({_SQL_TOKS}) AS tok FROM documents
     ), exact AS (
-      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks
-      GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10
+      SELECT tok, exact_n FROM (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks
+        GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10
+      )
+      UNION ALL
+      SELECT '__cms_unseen__' AS tok, CAST(0 AS BIGINT) AS exact_n
     ), fan AS (
       SELECT g.d, t.tok FROM toks t,
         (SELECT unnest(range(0, 3)) AS d) g
@@ -1980,8 +1984,8 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) % 16 AS INT) AS w
       FROM exact e, (SELECT unnest(range(0, 3)) AS d) g
     ), est AS (
-      SELECT p.tok, MIN(sk.cnt) AS est_n
-      FROM probes p JOIN sk USING (d, w) GROUP BY p.tok
+      SELECT p.tok, MIN(COALESCE(sk.cnt, 0)) AS est_n
+      FROM probes p LEFT JOIN sk USING (d, w) GROUP BY p.tok
     )
     SELECT e.tok, e.exact_n, est.est_n,
            est.est_n - e.exact_n AS overcount
@@ -1998,7 +2002,11 @@ def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided error contract (est >= exact, bounded overcount) is
     exercised with VARYING overcounts, not vacuously zero; md5-derived
     buckets make the sketch bit-identical in DuckDB, so the error is
-    value-hash-checked, not asserted."""
+    value-hash-checked, not asserted. A sentinel token ABSENT from the
+    corpus is probed alongside the top-10 (exact_n=0) so the lookup's
+    left-join-coalesce path — unseen tokens must still get a row, and
+    an empty counter contributes 0, not be skipped — is exercised
+    cross-engine (ADVICE r8 #1 fix)."""
     from erpl_web_spark.operators.text import (
         countmin_lookup,
         countmin_sketch,
@@ -2012,6 +2020,11 @@ def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), F.asc("tok"))
         .limit(10)
+        .unionAll(
+            spark.createDataFrame(
+                [("__cms_unseen__", 0)], "tok string, exact_n bigint"
+            )
+        )
     )
     sketch = countmin_sketch(docs, depth=3, width=16)
     est = countmin_lookup(sketch, exact.select("tok"), depth=3, width=16)

@@ -3669,3 +3669,76 @@ def test_dedup_index_apply_failure_releases_caches(spark, tmp_path, monkeypatch)
     with pytest.raises(RuntimeError, match="injected"):
         dedup_index_apply(b0, 0, str(tmp_path / "fidx"))
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_countmin_lookup_unseen_and_empty_cells(spark):
+    """The lookup LEFT-joins the sketch (which stores only OCCUPIED
+    counters): a probe hitting an EMPTY cell in any depth row must
+    estimate via cnt=0 (true count is 0 there), and a token hitting no
+    occupied cell at all must still get a row with est_n=0 — an inner
+    join would inflate unseen tokens past the eps*N bound or drop them
+    entirely (ADVICE r8 #1). Cell positions are recomputed here with
+    hashlib so the empty/occupied layout is DETERMINISTIC."""
+    import hashlib
+
+    from erpl_web_spark.operators.text import countmin_lookup
+
+    width = 64
+
+    def cell(d: int, tok: str) -> int:
+        h = hashlib.md5(f"{d}:{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    # hand-built sketch: occupy ONLY probe "seen"'s two cells (cnt 7, 9)
+    # and, adversarially, depth-0's cell for "half" (cnt 5) while
+    # leaving its depth-1 cell empty
+    sketch = spark.createDataFrame(
+        [
+            (0, cell(0, "seen"), 7),
+            (1, cell(1, "seen"), 9),
+            (0, cell(0, "half"), 5),
+        ],
+        "d int, w int, cnt bigint",
+    )
+    probes = spark.createDataFrame(
+        [("seen",), ("half",), ("ghost",)], "tok string"
+    )
+    # determinism guard: "ghost" must not collide with any occupied cell
+    occupied = {(0, cell(0, "seen")), (1, cell(1, "seen")), (0, cell(0, "half"))}
+    assert (0, cell(0, "ghost")) not in occupied
+    assert (1, cell(1, "ghost")) not in occupied
+
+    est = {
+        r["tok"]: r["est_n"]
+        for r in countmin_lookup(sketch, probes, depth=2, width=width).collect()
+    }
+    assert est == {"seen": 7, "half": 0, "ghost": 0}
+
+
+def test_normalize_text_null_safe_and_in_place(spark):
+    """The changed flag is NULL-safe (NULL text -> changed=false, not
+    NULL) and is computed from the PRE-replacement expression, so
+    in-place normalization (out == text_col) still reports truthfully
+    (ADVICE r8 #2)."""
+    from erpl_web_spark.operators.text import normalize_text
+
+    rows = [(1, None), (2, "has nbsp"), (3, "already clean")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["norm_text"], r["changed"])
+        for r in normalize_text(df).collect()
+    }
+    assert got[1] == (None, False)          # not NULL
+    assert got[2] == ("has nbsp", True)
+    assert got[3] == ("already clean", False)
+
+    # in-place: out == text_col must NOT compare against the replaced
+    # column (which would make changed vacuously false)
+    inplace = {
+        r["doc_id"]: (r["text"], r["changed"])
+        for r in normalize_text(df, out="text").collect()
+    }
+    assert inplace[1] == (None, False)
+    assert inplace[2] == ("has nbsp", True)
+    assert inplace[3] == ("already clean", False)

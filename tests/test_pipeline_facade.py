@@ -514,3 +514,78 @@ def test_curate_failure_releases_all_caches(spark):
     with pytest.raises(Exception):
         curate(_docs(spark), CurationConfig(use_minhash=False), benchmark=bad_bench)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def _barrier_rdd_level(frame):
+    """Storage level of a localCheckpoint'd frame's backing RDD (the
+    LogicalRDD's checkpoint RDD — NOT df.storageLevel, which consults
+    only the CacheManager and is always NONE for checkpointed frames)."""
+    return frame._jdf.queryExecution().analyzed().rdd().getStorageLevel()
+
+
+def test_curate_releases_superseded_barrier_blocks(spark):
+    """A lineage-barrier stage (localCheckpoint every _TRUNCATE_EVERY
+    stages) is invisible to unpersist(); once its successor is
+    materialized its checkpoint RDD blocks must be freed EXPLICITLY,
+    not left for driver GC + ContextCleaner — stage_trace holding a
+    reference would otherwise pin them forever (ADVICE r8 #3)."""
+    trace = []
+    kept, _ = curate(
+        _docs(spark),
+        CurationConfig(use_minhash=False, near_threshold=0.5),
+        stage_trace=trace,
+    )
+    names = [n for n, _, _ in trace]
+    assert names == ["input", "exact_dedup", "near_dedup", "quality"]
+    # stage 3 (near_dedup) sits on the barrier and was superseded
+    lvl = _barrier_rdd_level(trace[2][1])
+    assert not (lvl.useMemory() or lvl.useDisk()), (
+        "superseded barrier checkpoint blocks leaked: " + lvl.description()
+    )
+    kept.unpersist()
+
+
+def test_curate_final_barrier_repersisted_and_released(spark):
+    """When the LAST stage lands on a lineage barrier, the returned
+    corpus is re-persisted (eagerly, so unpersist() works for the
+    caller) and the barrier's checkpoint RDD is freed immediately —
+    the values must survive the hand-off intact."""
+    trace = []
+    kept, report = curate(
+        _docs(spark),
+        CurationConfig(near_dedup=False, use_minhash=False),
+        stage_trace=trace,
+    )
+    names = [n for n, _, _ in trace]
+    assert names == ["input", "exact_dedup", "quality"]  # 3rd = barrier
+    assert kept.storageLevel.useMemory or kept.storageLevel.useDisk
+    lvl = _barrier_rdd_level(kept)
+    assert not (lvl.useMemory() or lvl.useDisk()), (
+        "final-stage barrier checkpoint blocks leaked: " + lvl.description()
+    )
+    # near-dedup is off, so the near-dup doc 3 survives alongside 1, 5
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 5}
+    kept.unpersist()
+
+
+def test_curate_failure_releases_barrier_blocks(spark):
+    """The exception path frees barrier checkpoint RDDs too, not just
+    CacheManager entries."""
+    import pytest
+
+    spark.catalog.clearCache()
+    trace = []
+    bad_bench = spark.createDataFrame([(1,)], "bench_id long")  # no text
+    with pytest.raises(Exception):
+        curate(
+            _docs(spark),
+            CurationConfig(use_minhash=False),
+            stage_trace=trace,
+            benchmark=bad_bench,
+        )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert len(trace) >= 3  # the barrier stage materialized before the crash
+    lvl = _barrier_rdd_level(trace[2][1])
+    assert not (lvl.useMemory() or lvl.useDisk()), (
+        "failed-curate barrier checkpoint blocks leaked: " + lvl.description()
+    )
