@@ -13,6 +13,15 @@ $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-query
 minimum — the standard estimator for steady-state cost under external
 machine noise (observed ±40% on a shared host; the minimum converges to
 the true cost, the mean to the noise).
+
+The JSON additionally carries a NOISE CANARY: the wall time of a fixed
+single-threaded CPU-bound loop, measured immediately before and after
+the timed suite, plus its quiet-machine reference. A reader comparing
+two bench runs can now separate machine load from regression —
+canary/quiet_ref ~ 1.0 means the run was quiet and the query times are
+trustworthy; a uniformly inflated canary explains a uniformly inflated
+suite (round 8's driver run showed ~1.37x on queries whose plans were
+byte-unchanged, and nothing in the JSON could prove it was load).
 """
 
 from __future__ import annotations
@@ -35,6 +44,28 @@ def force(df) -> int:
     return 0
 
 
+# Quiet-machine reference for the canary loop below, measured on the
+# target container (32-core, idle, CPython 3.x) 2026-08-15: ~0.30 s.
+# The canary is load-sensitive by design — do not "fix" a high reading
+# by re-measuring the reference on a busy machine.
+_CANARY_QUIET_REF = 0.30
+_CANARY_ITERS = 2_000_000
+
+
+def canary_sec() -> float:
+    """Fixed CPU-bound calibration loop (single-threaded, allocation-free
+    LCG): its wall time tracks CPU contention on this machine at this
+    moment, independent of Spark. Emitted before/after the timed suite
+    so a reader can normalize the suite numbers for machine load."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(_CANARY_ITERS):
+        x = (x * 1103515245 + 12345 + i) & 0x7FFFFFFF
+    dt = time.perf_counter() - t0
+    assert x >= 0  # keep the loop observable
+    return round(dt, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -50,6 +81,7 @@ def main() -> None:
         release_tracked()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    canary_before = canary_sec()
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         best = None
@@ -68,6 +100,7 @@ def main() -> None:
         release_tracked()
         timings[name] = round(best, 3)
 
+    canary_after = canary_sec()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -77,6 +110,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "canary": {
+                    "before_sec": canary_before,
+                    "after_sec": canary_after,
+                    "quiet_ref_sec": _CANARY_QUIET_REF,
+                    "load_factor": round(
+                        (canary_before + canary_after) / 2 / _CANARY_QUIET_REF, 2
+                    ),
+                },
             }
         )
     )
