@@ -31,89 +31,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 8: CHANGED-semantics entries outrank the regression rotation —
-# the 11 vacuity-audit remediations planted new corpora, so their old
-# green rows verified a version that no longer exists; they lead,
-# followed by the two brand-new round-8 entries, then the regression
-# bands (r04-latest in registration order, r05-latest backfill; r07
-# already re-confirmed all r01/r03-latest rows green). Names are
+# Round 9: the r08 sample re-greened the vacuity remediations and the
+# round-8 additions, so the rotation returns to the STALE bands — the
+# entries whose latest driver-green row is oldest (one r04-latest name,
+# then the 46 r05-latest names, then r06-latest to fill the 50-slot
+# sample). New round-9 entries lead (first driver rows). Names are
 # stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    # -- round-8 vacuity-audit remediations: the planted corpora CHANGED
-    # these entries' values, so each needs a fresh driver row proving the
-    # non-vacuous version green (old rows verified the vacuous version) --
-    "dedup_exact",
-    "text_redact_pii",
-    "regex_funcs",
-    "text_quality",
-    "set_except",
-    "pipeline_pack_documents",
-    "multimodal_tiles",
-    "dedup_containment",
-    "dedup_keep_best",
-    "text_gopher_rules",
-    "text_clean_lines",
-    # -- new in round 8 (need their first driver rows) --
-    "pipeline_curate_media",
-    "text_unigram_freq_salted",
-    "dedup_allpairs_prefix",
-    "curation_quantile_filter",
-    "text_quality_linear",
-    "text_line_dedup",
-    "pipeline_curate_lines",
-    "text_bpe_encode",
-    "text_normalize",
-    "text_line_dedup_keepfirst",
-    "text_paragraph_dedup",
-    "pipeline_curate_normalize",
-    "text_line_dedup_salted",
-    "pipeline_line_index_batches",
-    "text_countmin_topk",
-    # -- latest driver green is r04 (oldest band after the r07 rotation) --
-    "multimodal_frames",
-    "udtf_chunk_tokens",
-    "chunk_tokens_native",
-    "curation_cap_per_source",
-    "curation_diverse_sample",
-    "curation_contamination",
-    "curation_stratified_sample",
-    "text_token_diversity",
-    "dedup_cluster_components",
-    "dedup_cluster_summary",
-    "embedding_quantize_stats",
-    "similarity_ann_ivf_int8",
-    "pipeline_curate_corpus",
-    "pipeline_shuffle_order",
-    "cdc_apply_merge",
-    "text_boilerplate_ngrams",
-    "text_boilerplate_ratio",
-    "curation_mixture_upsample",
-    "cdc_incremental_agg",
-    "text_vocab_topk",
-    "curation_token_budget",
-    "dedup_substring_kgram",
-    "curation_contamination_pairs",
-    # -- backfill: oldest r05-latest names --
-    "embedding_cluster_semantic",
+    # -- new in round 9 (need their first driver rows) --
+    # (appended as round-9 entries land; see section below)
+    # -- latest driver green is r04 (oldest band) --
+    "dedup_cluster_minhash",
+    # -- latest driver green is r05 --
+    "agg_approx_distinct",
+    "agg_histogram",
+    "asof_join_forward",
+    "bitwise_funcs",
+    "cdc_snapshot_diff",
+    "codec_funcs",
+    "cohort_retention",
+    "curation_decontaminate_semantic",
+    "curation_temperature_mixture",
+    "dedup_source_overlap",
     "dedup_substring_scrub",
+    "diag_profile_orders",
+    "events_resample_1h",
+    "events_value_anomaly",
+    "funnel_stages",
+    "interval_funcs",
+    "interval_join_bucketed",
     "match_fuzzy_parts",
     "match_resolve_parts",
-    "cdc_snapshot_diff",
-    "pipeline_split_leak_safe",
-    "curation_decontaminate_semantic",
-    "text_bpe_pairs",
-    "similarity_threshold_sweep",
-    "dedup_source_overlap",
+    "min_cost_supplier",
     "multimodal_audio_chunks",
-    "curation_temperature_mixture",
-    "text_tfidf_topk",
+    "null_safe_funcs",
+    "odata_apply_groupby",
     "pipeline_corpus_report",
-    "text_lang_confusion",
-    "similarity_recall_at_k",
-    "text_bigram_topk",
+    "pipeline_split_leak_safe",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_idle_cohorts",
+    "sequence_funcs",
     "set_except_all",
     "set_intersect_all",
-    "odata_apply_groupby",
+    "similarity_recall_at_k",
+    "similarity_threshold_sweep",
+    "stat_corr_matrix",
+    "string_distance_funcs",
+    "text_bigram_topk",
+    "text_bpe_pairs",
+    "text_lang_confusion",
+    "text_tfidf_topk",
+    "unpivot_part_attrs",
+    # -- latest driver green is r06 (fills the 50-slot sample) --
+    "analytics_event_transitions",
+    "analytics_market_basket",
+    "analytics_rfm_segments",
+    "array_funcs",
+    "asof_join_events",
+    "cdc_delta_batch",
+    "date_funcs",
+    "dedup_winnow_overlap",
+    "dedup_winnow_scrub",
+    "distinct_projection",
+    "embedding_matryoshka_audit",
+    "filter_in_case_coalesce",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_semi",
+    "join_theta_pairs",
+    "json_funcs",
+    "map_funcs",
+    "math_funcs",
+    "multimodal_dhash_pairs",
+    "multimodal_dhash_values",
+    "odata_expand_nested",
+    "odata_select_filter_top",
+    "pivot_order_status",
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q11_important_stock",
+    "q12_shipping_modes",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "set_intersect",
+    "set_union",
+    "similarity_knn_label_eval",
+    "sort_topk",
+    "string_funcs",
+    "text_bigram_coverage",
+    "text_bigram_logprob",
+    "text_bpe_merges",
+    "text_chunk_windows",
+    "text_hashed_features",
+    "text_html_strip",
+    "text_winnow_fingerprints",
+    "window_lag_lead",
+    "window_moving_frame",
+    "window_rank_orders",
+    "window_sessionize",
 ]
 
 
