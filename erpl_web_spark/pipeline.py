@@ -26,6 +26,7 @@ with it should ``unpersist()``.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark import StorageLevel
@@ -109,6 +110,22 @@ class CurationConfig:
     scrub_spans: bool = False
     scrub_min_shared: int = 2
     scrub_token_k: int = 10
+    # document-frequency cap on the winnow GATE's fingerprints: a
+    # fingerprint appearing in more than this many documents is treated
+    # as corpus-wide boilerplate noise and never generates candidate
+    # pairs. The knob that bounds the gate's quadratic in-bucket
+    # expansion on LOW-ENTROPY corpora (SCALING.md round 8: with a
+    # ~40-word vocabulary every 5-gram fingerprint lands in df
+    # [2, 1000] and the gate saturates toward n^2/2 pairs — 122 s to
+    # modify zero documents at sf0.1). Tradeoff, stated plainly: a
+    # duplicated passage shared by MORE than scrub_max_df documents is
+    # no longer detected by the gate (its fingerprints are capped
+    # away) — but a passage that hot is corpus boilerplate, which the
+    # line-dedup stage (line_max_docs) and boilerplate-ratio cap
+    # target by design; the scrub is for the rare-pair tail. On
+    # natural-vocabulary text fingerprint df tracks true duplication
+    # and the default is effectively inert (measured: round 9).
+    scrub_max_df: int | None = 1000
     # quality gate (>= 3 of 4 heuristics, operators.text.with_quality_score)
     quality_gate: bool = True
     # full Gopher rule battery (operators.text.with_gopher_rules,
@@ -158,6 +175,7 @@ def curate(
     cfg: CurationConfig | None = None,
     stage_trace: list[tuple[str, DataFrame, str]] | None = None,
     benchmark: DataFrame | None = None,
+    stage_times: list[tuple[str, float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline; returns (kept_docs, report).
 
@@ -229,8 +247,10 @@ def curate(
 
     stage_no = 0
 
+    t_last_stage = time.monotonic()
+
     def materialize(name: str, stage_df: DataFrame, prev: DataFrame | None) -> tuple[DataFrame, int]:
-        nonlocal stage_no
+        nonlocal stage_no, t_last_stage
         if stage_trace is not None:
             # Capture the plan before this stage is itself registered in
             # the cache manager and before the predecessor is released:
@@ -269,6 +289,16 @@ def curate(
                 release_barrier(prev)
         if stage_trace is not None:
             stage_trace.append((name, cached, plan))
+        if stage_times is not None:
+            # wall time since the PREVIOUS stage finished: a stage's
+            # pre-materialize work (e.g. the scrub's n_modified count,
+            # which executes the winnow gate) belongs to this stage,
+            # not the gap between stages — and each predecessor was
+            # materialized in its own window, so no lazy upstream work
+            # leaks in (tools/curate_bench.py)
+            now = time.monotonic()
+            stage_times.append((name, now - t_last_stage))
+        t_last_stage = time.monotonic()
         return cached, m
 
     try:
@@ -431,6 +461,7 @@ def curate(
             scrubbed = winnow_targeted_scrub(
                 cur, id_col, text_col,
                 min_shared=cfg.scrub_min_shared,
+                max_df=cfg.scrub_max_df,
                 token_k=cfg.scrub_token_k,
                 cache_sink=sink,
             ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -589,3 +589,62 @@ def test_curate_failure_releases_barrier_blocks(spark):
     assert not (lvl.useMemory() or lvl.useDisk()), (
         "failed-curate barrier checkpoint blocks leaked: " + lvl.description()
     )
+
+
+def test_curate_scrub_max_df_caps_gate(spark):
+    """CurationConfig.scrub_max_df reaches the winnow gate: a span
+    shared by MANY documents (df above the cap) no longer generates
+    candidate pairs — those docs pass through unscrubbed — while a
+    rare two-document overlap is still detected and scrubbed. With the
+    default cap both overlaps are scrubbed (the knob, off, changes
+    nothing)."""
+    # the filler words must share NO 5-char gram across documents (a
+    # repeated stem like "doc{d}tok{i}" shares grams, and winnowing's
+    # window-min SELECTION then gives some of them low df, cross-
+    # linking unrelated docs) — derive each filler word from md5 so
+    # cross-doc gram overlap is structurally absent; likewise the two
+    # span vocabularies share no gram with each other
+    import hashlib
+
+    rare = " ".join(f"kumquat{i}" for i in range(14))
+    hot = " ".join(f"walrus{i}" for i in range(14))
+
+    def filler(d):
+        def word(i):
+            h = int(hashlib.md5(f"fill:{d}:{i}".encode()).hexdigest()[:12], 16)
+            letters = "abcdefghijklmnopqrstuvwxyz"
+            out = []
+            for _ in range(8):
+                out.append(letters[h % 26])
+                h //= 26
+            return "".join(out)
+
+        return " ".join(word(i) for i in range(30))
+
+    rows = [(1, filler(1) + " " + rare), (2, filler(2) + " " + rare)]
+    rows += [(d, filler(d) + " " + hot) for d in range(3, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = CurationConfig(
+        exact_dedup=False, near_dedup=False, quality_gate=False,
+        scrub_spans=True,
+    )
+
+    from dataclasses import replace
+
+    capped, report = curate(docs, replace(base, scrub_max_df=3))
+    rep = {r["stage"]: r["n"] for r in report.collect()}
+    # the rare pair is still caught (doc 2 loses the span; doc 1 keeps
+    # the first occurrence) but the 6-doc hot span is gated away
+    scrubbed_txt = {r["doc_id"]: r["text"] for r in capped.collect()}
+    assert rep["scrub_spans_modified"] >= 1
+    assert "kumquat0" not in scrubbed_txt[2] or "kumquat0" not in scrubbed_txt[1]
+    for d in range(3, 9):
+        assert "walrus0" in scrubbed_txt[d], f"hot span scrubbed from doc {d}"
+    capped.unpersist()
+
+    full, report2 = curate(docs, base)  # default cap: both overlaps fire
+    rep2 = {r["stage"]: r["n"] for r in report2.collect()}
+    assert rep2["scrub_spans_modified"] > rep["scrub_spans_modified"]
+    txt2 = {r["doc_id"]: r["text"] for r in full.collect()}
+    assert sum("walrus0" in t for t in txt2.values()) <= 1
+    full.unpersist()

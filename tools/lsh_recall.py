@@ -40,10 +40,17 @@ SETTINGS = [(64, 16), (64, 32)]  # (num_hashes, bands) -> rows/band 4 and 2
 THRESHOLD = 0.5
 
 
-def build_corpus(spark, sf_dir):
+def build_corpus(spark, sf_dir, natural: int = 0):
     from erpl_web_spark.suite import load
 
-    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    if natural:
+        # natural-vocabulary mode (VERDICT r8 Next #1): same twin plant,
+        # Zipf/Heaps corpus instead of the ~40-word testdata vocabulary
+        from tools.corpus_gen import natural_documents
+
+        docs = natural_documents(spark, natural).select("doc_id", "text")
+    else:
+        docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
     # twins exist only for EVEN doc_ids: index by (doc_id/2) mod 6 so
     # all six strides are reachable (doc_id % 6 of an even id only hits
@@ -72,6 +79,9 @@ def build_corpus(spark, sf_dir):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--natural", type=int, default=0, metavar="N_DOCS",
+                    help="generate an N-doc natural-vocabulary corpus"
+                    " (tools/corpus_gen.py) instead of reading --sf")
     args = ap.parse_args()
 
     from erpl_web_spark.operators._cache import release_tracked
@@ -83,7 +93,7 @@ def main() -> None:
 
     spark = get_spark("lsh-recall")
     spark.sparkContext.setLogLevel("ERROR")
-    corpus, _ = build_corpus(spark, args.sf)
+    corpus, _ = build_corpus(spark, args.sf, natural=args.natural)
 
     truth = (
         allpairs_jaccard_join(corpus, "doc_id", "text", threshold=THRESHOLD)
