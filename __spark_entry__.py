@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
     # -- new in round 9 (need their first driver rows) --
-    # (appended as round-9 entries land; see section below)
+    "pipeline_line_index_repave",
     # -- latest driver green is r04 (oldest band) --
     "dedup_cluster_minhash",
     # -- latest driver green is r05 --

@@ -1345,20 +1345,29 @@ def winnow_overlap_pairs(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     posting = posting.where(F.size("ids") >= 2)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                # elements strictly after position i (slice is 1-based;
-                # over-long lengths truncate at the end of the list)
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
+    # TWO-LEVEL pair expansion: posexplode the posting list first, then
+    # explode each element's strictly-after suffix. Semantically equal
+    # to flatten(transform(...transform struct pairs...)) — but that
+    # single-level form materializes the whole C(n,2)-struct array in
+    # ONE row buffer before exploding (~12 MB per df=1000 fingerprint;
+    # a natural-vocabulary corpus has MANY common-phrase fingerprints
+    # between the min and the cap, and 32 concurrent tasks each
+    # buffering a few such rows OOMed an 8 GB heap at 22k docs —
+    # round-9 natural_slope finding). Here per-row transient memory is
+    # O(list length), bounded by max_df, and the C(n,2) total streams
+    # through the generator iterator instead of living in arrays.
+    lhs = posting.select(
+        "ids", F.posexplode("ids").alias("i", "id_a")
+    ).where(F.col("i") < F.size("ids") - 1)
     return (
-        posting.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        lhs.select(
+            "id_a",
+            # elements strictly after position i (slice is 1-based;
+            # over-long lengths truncate at the end of the list)
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)

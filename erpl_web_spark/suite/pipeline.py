@@ -3966,6 +3966,92 @@ def pipeline_line_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_line_index_repave",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared global footer line'
+                  || CASE WHEN doc_id IN (0, 1)
+                          THEN chr(10) || 'cross batch rare line'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 <> 0
+                          THEN chr(10) || 'unique closing line for document '
+                               || doc_id
+                          ELSE '' END
+               AS text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+    ), l AS (
+      SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+             trim(lines[generate_subscripts(lines, 1)]) AS line
+      FROM s
+    ), le AS (
+      SELECT doc_id, pos, line FROM l WHERE line <> ''
+    ), freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n FROM le GROUP BY line
+    )
+    SELECT le.doc_id,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE freq.n <= 1) AS INT) AS n_lines_kept,
+           COALESCE(string_agg(le.line, chr(10) ORDER BY le.pos)
+                      FILTER (WHERE freq.n <= 1), '') AS clean_text
+    FROM le JOIN freq USING (line) GROUP BY le.doc_id
+    """,
+)
+def pipeline_line_index_repave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_line_index_batches``' sequel: the same two-batch
+    forward-only replay followed by ``line_index_repave`` — the
+    reconciliation job that rewrites history (operators.line_index).
+    The oracle is the BATCH operator's semantics over the accumulated
+    corpus (plain whole-corpus document frequency, no per-batch
+    visibility), pinning the repave's contract by value: the planted
+    'cross batch rare line' that the forward-only entry proves KEPT on
+    batch-0's doc 0 must be GONE from doc 0 after the repave
+    (accumulated df = 2), and every already-hot line stays dropped.
+    Same stateless temp-index + driver-collect caveats as the batches
+    entry (suite corpora only; production reads the index lazily)."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        line_index_repave,
+        read_clean_batches,
+    )
+
+    aug = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared global footer line"),
+            F.when(
+                F.col("doc_id").isin(0, 1),
+                F.lit("\ncross batch rare line"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(
+                    F.lit("\nunique closing line for document "),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="lineidx_repave_suite_")
+    try:
+        line_index_apply(aug.where(F.col("doc_id") % 2 == 0), 0, path)
+        line_index_apply(aug.where(F.col("doc_id") % 2 == 1), 1, path)
+        line_index_repave(spark, path)
+        rows = read_clean_batches(spark, path).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_lines int, n_lines_kept int, clean_text string"
+    )
+
+
+@register(
     "pipeline_curate_normalize",
     oracle="""
     WITH corpus AS (

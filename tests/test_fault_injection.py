@@ -516,3 +516,85 @@ def test_line_index_crash_points(spark, tmp_path):
         step(work)
         assert clean_map(work) == clean_full, f"crash@{k}: clean replay diverged"
         assert counts_map(work) == counts_full, f"crash@{k}: counts replay diverged"
+
+
+def test_repave_crash_points(spark, tmp_path):
+    """line_index_repave killed before every FS mutation: at every
+    crash point the clean union reads back complete (each version is
+    its FULL old or FULL new content — the redirect switch is atomic,
+    so never torn, duplicated, or missing a doc), the counts facts are
+    byte-invariant, and a re-run repave converges to the batch-operator
+    end state."""
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        line_index_repave,
+        read_clean_batches,
+        read_line_counts,
+    )
+
+    def setup(path):
+        b0 = spark.createDataFrame(
+            [
+                (1, "alpha body\nshared footer"),
+                (2, "beta body\nshared footer"),
+                (3, "gamma body\nlate bloomer"),
+            ],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [
+                (10, "delta body\nlate bloomer"),
+                (11, "epsilon body\nshared footer"),
+            ],
+            "doc_id long, text string",
+        )
+        line_index_apply(b0, 0, path)
+        line_index_apply(b1, 1, path)
+
+    def clean(path):
+        return {
+            r["doc_id"]: r["clean_text"]
+            for r in read_clean_batches(spark, path).collect()
+        }
+
+    def counts(path):
+        return {
+            r["digest"]: r["n_docs"]
+            for r in read_line_counts(spark, path).collect()
+        }
+
+    before = {
+        1: "alpha body", 2: "beta body", 3: "gamma body\nlate bloomer",
+        10: "delta body", 11: "epsilon body",
+    }
+    after = {**before, 3: "gamma body"}  # repave drops the late-hot line
+
+    dry = str(tmp_path / "rp_dry")
+    setup(dry)
+    assert clean(dry) == before
+    counts_ref = counts(dry)
+    gate = CrashGate(None)
+    with gated(gate):
+        assert line_index_repave(spark, dry) == 2
+    ops = gate.ops
+    assert clean(dry) == after
+    assert counts(dry) == counts_ref
+    assert len(ops) >= 4, f"expected >=4 mutation ops, saw {ops}"
+
+    for k in range(1, len(ops) + 1):
+        work = str(tmp_path / f"rp_k{k}")
+        setup(work)
+        with pytest.raises(InjectedCrash):
+            with gated(CrashGate(crash_at=k)):
+                line_index_repave(spark, work)
+        got = clean(work)
+        assert set(got) == set(before), f"crash@{k} ({ops[k-1]}): doc set changed"
+        for d, txt in got.items():
+            assert txt in (before[d], after[d]), (
+                f"crash@{k} ({ops[k-1]}): doc {d} torn: {txt!r}"
+            )
+        assert counts(work) == counts_ref, f"crash@{k}: counts changed"
+        # recovery: a re-run converges to the batch-operator end state
+        line_index_repave(spark, work)
+        assert clean(work) == after, f"crash@{k}: recovery did not converge"
+        assert counts(work) == counts_ref

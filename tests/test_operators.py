@@ -3742,3 +3742,87 @@ def test_normalize_text_null_safe_and_in_place(spark):
     assert inplace[1] == (None, False)
     assert inplace[2] == ("has nbsp", True)
     assert inplace[3] == ("already clean", False)
+
+
+def test_line_index_repave_reconciles_history(spark, tmp_path):
+    """line_index_repave closes the forward-only gap: after the repave,
+    the clean union EQUALS the batch operator (line_dedup_corpus) run
+    over the accumulated ORIGINAL corpus — early batches lose the lines
+    that only became hot later; counts are untouched (still the true
+    original-corpus df); a second repave is a no-op (idempotent); and a
+    post-repave batch still dedups against the accumulated counts."""
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        line_index_repave,
+        read_clean_batches,
+        read_line_counts,
+    )
+    from erpl_web_spark.operators.text import line_dedup_corpus
+
+    path = str(tmp_path / "lineidx")
+    b0 = spark.createDataFrame(
+        [
+            (1, "alpha body\nshared footer"),
+            (2, "beta body\nshared footer"),
+            (3, "gamma body\nlate bloomer"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "delta body\nlate bloomer"),
+            (11, "epsilon body\nshared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    line_index_apply(b0, 0, path)
+    line_index_apply(b1, 1, path)
+    counts_before = {
+        r["digest"]: r["n_docs"] for r in read_line_counts(spark, path).collect()
+    }
+
+    assert line_index_repave(spark, path) == 2  # both clean versions rewritten
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["clean_text"])
+        for r in read_clean_batches(spark, path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["clean_text"])
+        for r in line_dedup_corpus(b0.unionByName(b1)).collect()
+    }
+    assert got == want
+    # the late bloomer is now gone from batch 0's doc 3 too
+    assert got[3][2] == "gamma body"
+    # counts were NOT rewritten — still the original-corpus df facts
+    counts_after = {
+        r["digest"]: r["n_docs"] for r in read_line_counts(spark, path).collect()
+    }
+    assert counts_after == counts_before
+
+    # idempotent: a second repave rewrites the same content
+    assert line_index_repave(spark, path) == 2
+    again = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["clean_text"])
+        for r in read_clean_batches(spark, path).collect()
+    }
+    assert again == got
+
+    # the index keeps working after a repave: a new batch dedups against
+    # the accumulated counts as before
+    b2 = spark.createDataFrame(
+        [(20, "zeta body\nshared footer\nbrand new line")],
+        "doc_id long, text string",
+    )
+    line_index_apply(b2, 2, path)
+    final = {
+        r["doc_id"]: r["clean_text"]
+        for r in read_clean_batches(spark, path).collect()
+    }
+    assert final[20] == "zeta body\nbrand new line"
+
+
+def test_line_index_repave_empty_index(spark, tmp_path):
+    from erpl_web_spark.operators.line_index import line_index_repave
+
+    assert line_index_repave(spark, str(tmp_path / "nothing")) == 0

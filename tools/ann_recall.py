@@ -65,6 +65,13 @@ def main() -> None:
     ap.add_argument("--clustered", type=int, default=0, metavar="N",
                     help="ignore --sf; sweep over N synthesized "
                          "cluster-structured vectors instead")
+    ap.add_argument("--natural", type=int, default=0, metavar="N_DOCS",
+                    help="ignore --sf; sweep over hashed bag-of-words"
+                         " embeddings of an N-doc natural-vocabulary"
+                         " corpus (tools/corpus_gen.py) — topical"
+                         " correlation, not planted centers: the"
+                         " realistic middle ground between --clustered"
+                         " and the structureless testdata vectors")
     args = ap.parse_args()
 
     from erpl_web_spark.operators.similarity import (
@@ -80,6 +87,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if args.clustered:
         emb = clustered_vectors(spark, args.clustered).persist()
+    elif args.natural:
+        from tools.corpus_gen import bow_embeddings, natural_documents
+
+        emb = (
+            bow_embeddings(natural_documents(spark, args.natural))
+            .select("vec_id", "embedding")
+            .persist()
+        )
     else:
         emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
     n_corpus = emb.count()
