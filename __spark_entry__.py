@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLE_PRIORITY = [
     # -- new in round 9 (need their first driver rows) --
     "pipeline_line_index_repave",
+    "dedup_minhash_lsh_md5",
     # -- latest driver green is r04 (oldest band) --
     "dedup_cluster_minhash",
     # -- latest driver green is r05 --

@@ -80,8 +80,26 @@ def shingles_expr(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(grams_expr(text, k))
 
 
+def _md5_long48(*cols) -> Column:
+    """48-bit bigint from md5 of the ':'-joined string renderings — the
+    engine-portable hash (DuckDB: CAST('0x' || substring(md5(...), 1,
+    12) AS BIGINT)). ~3x the cost of xxhash64, so the ORACLE mode, not
+    the production default."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", *[F.col(c) if isinstance(c, str) else c.cast("string") for c in cols])
+                .cast("binary")
+            ),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("bigint")
+
+
 def hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, hs: array<bigint>) — each distinct shingle hashed once.
 
@@ -91,26 +109,45 @@ def hashed_shingles(
     done once, on the 64-bit hashes (set-identical to string-level
     distinct up to xxhash64 collisions) — string-array distinct would be
     a second, more expensive pass over the same data.
+
+    ``hash_mode="md5"`` swaps the shingle hash for the 48-bit md5
+    derivation DuckDB reproduces bit-identically — the ORACLE mode that
+    lets the full MinHash pipeline be value-hash-checked cross-engine
+    (round-9 ``dedup_minhash_lsh_md5``); xxhash64 stays the production
+    default (cheaper, 64-bit).
     """
-    base = F.transform(grams_expr(text_col, shingle_k), lambda s: F.xxhash64(s))
+    if hash_mode == "md5":
+        base = F.transform(grams_expr(text_col, shingle_k), lambda s: _md5_long48(s))
+    else:
+        base = F.transform(grams_expr(text_col, shingle_k), lambda s: F.xxhash64(s))
     return df.select(F.col(id_col), F.array_distinct(base).alias("hs"))
 
 
-def _signatures_from_hashes(hashed: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+def _signatures_from_hashes(
+    hashed: DataFrame, id_col: str, num_hashes: int,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """MinHash signatures from pre-hashed shingles: explode + k min-aggs.
 
     The k seeded hashes per shingle are derived by re-hashing the
     fixed-width base hash (seed as first xxhash64 argument) — 64 long
     hashes are far cheaper than 64 variable-length string hashes, and
     the exploded/shuffled column is a bigint, not the shingle text.
+    ``hash_mode="md5"`` derives them as md5("<seed>:<hash>") instead
+    (the DuckDB-replicable oracle mode, see :func:`hashed_shingles`).
     """
     sh = hashed.select(F.col(id_col), F.explode("hs").alias("h"))
-    mins = sh.groupBy(id_col).agg(
-        *[
+    if hash_mode == "md5":
+        seeded = [
+            F.min(_md5_long48(F.lit(str(i)), F.col("h"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        seeded = [
             F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
-    )
+    mins = sh.groupBy(id_col).agg(*seeded)
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("minhash")
     )
@@ -122,10 +159,12 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: array<bigint> of length num_hashes."""
     return _signatures_from_hashes(
-        hashed_shingles(df, id_col, text_col, shingle_k), id_col, num_hashes
+        hashed_shingles(df, id_col, text_col, shingle_k, hash_mode=hash_mode),
+        id_col, num_hashes, hash_mode=hash_mode,
     )
 
 
@@ -158,8 +197,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     broadcast_candidates: bool = True,
     cache_sink: list | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    ``hash_mode="md5"`` runs the IDENTICAL pipeline on the 48-bit
+    md5-derived hash family DuckDB reproduces bit-identically, making
+    the end-to-end output value-hash oracle-checkable
+    (``dedup_minhash_lsh_md5``); band keys stay xxhash64 in both modes
+    — they only group signature tuples, the oracle groups by the raw
+    tuples, and a band-key collision can only ADD candidates that the
+    exact verify then scores truthfully (same ~2^-64 acceptance as the
+    shingle hashing).
 
     Candidate pairs come from band-key collisions. Rather than a
     two-sided self-join on the band hash, the banded table is grouped by
@@ -194,11 +243,11 @@ def minhash_lsh_pairs(
     stage removes identical texts and with them every degenerate bucket.
     """
     hashed = track_persist(
-        hashed_shingles(df, id_col, text_col, shingle_k),
+        hashed_shingles(df, id_col, text_col, shingle_k, hash_mode=hash_mode),
         "minhash_lsh_pairs",
         cache_sink,
     )
-    sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
+    sigs = _signatures_from_hashes(hashed, id_col, num_hashes, hash_mode=hash_mode)
     banded = sigs.select(
         F.col(id_col), F.explode(band_keys_expr(num_hashes, bands)).alias("band_key")
     )

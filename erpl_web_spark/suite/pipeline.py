@@ -195,6 +195,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
 
 
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    twin AS (
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM base) AS doc_id,
+             array_to_string(
+               list_filter({_SQL_TOKS}, (t, i) -> (i - 1) % 9 <> 0), ' ') AS text
+      FROM base WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS __toks FROM corpus),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shs FROM toks),
+    hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+             s -> CAST('0x' || substring(md5(s), 1, 12) AS BIGINT))) AS hs
+           FROM sh),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+    sig AS (SELECT doc_id, g.d,
+             MIN(CAST('0x' || substring(
+                   md5(CAST(g.d AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
+                   1, 12) AS BIGINT)) AS mh
+            FROM ex, (SELECT unnest(range(0, 64)) AS d) g
+            GROUP BY doc_id, g.d),
+    band AS (SELECT doc_id, d // 4 AS b,
+              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY d) AS key
+             FROM sig GROUP BY doc_id, d // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM band a JOIN band b
+               ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jaccard
+    FROM cand c JOIN hs ha ON ha.doc_id = c.id_a
+                JOIN hs hb ON hb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash(64)+LSH(16 bands)+exact-verify pipeline under
+    ``hash_mode="md5"`` — the oracle twin that removes the
+    rows-only caveat from the MinHash family (VERDICT r8 Next #6): the
+    48-bit md5 hash family is reproduced bit-identically in DuckDB, so
+    shingle hashing, all 64 seeded signature minima, band-tuple
+    collisions (the oracle groups by the raw 4-tuples; the engine's
+    xxhash64 band KEY only names them) and the exact-Jaccard verify are
+    value-hash-checked end-to-end, pair spectrum included. Twins with
+    every 9th token dropped are planted for every 10th doc (shingle
+    Jaccard ~0.7-0.95 — varied, non-vacuous). The xxhash64 production
+    path (cheaper, 64-bit) keeps its golden pin in
+    ``dedup_minhash_lsh``; this entry proves the PIPELINE, that one
+    pins the production hash family."""
+    from erpl_web_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    base_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    # index positions must count NON-EMPTY tokens only (the oracle's
+    # list_filter index runs over the already-filtered token list)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    twins = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + base_max + 1).alias("doc_id"),
+        F.array_join(
+            F.filter(toks, lambda t, i: i % 9 != 0), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    return minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        hash_mode="md5",
+    )
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole).
