@@ -90,11 +90,15 @@ def main() -> None:
     elif args.natural:
         from tools.corpus_gen import bow_embeddings, natural_documents
 
-        emb = (
-            bow_embeddings(natural_documents(spark, args.natural))
-            .select("vec_id", "embedding")
-            .persist()
-        )
+        # materialize the generated corpus BEFORE the 32-dim BoW
+        # aggregation: each dim references the token array, and without
+        # the barrier projection collapse re-inlines the whole per-token
+        # generation expression into every reference (see lsh_recall)
+        nat = natural_documents(spark, args.natural).persist()
+        nat.count()
+        emb = bow_embeddings(nat).select("vec_id", "embedding").persist()
+        emb.count()
+        nat.unpersist()
     else:
         emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
     n_corpus = emb.count()

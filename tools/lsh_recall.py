@@ -45,10 +45,18 @@ def build_corpus(spark, sf_dir, natural: int = 0):
 
     if natural:
         # natural-vocabulary mode (VERDICT r8 Next #1): same twin plant,
-        # Zipf/Heaps corpus instead of the ~40-word testdata vocabulary
+        # Zipf/Heaps corpus instead of the ~40-word testdata vocabulary.
+        # MUST be persisted+materialized: the generated text is a pure
+        # projection expression, and without a materialization barrier
+        # Catalyst's projection collapse inlines the whole per-token
+        # generation tree into every downstream shingle reference —
+        # interpreted re-evaluation per shingle index (measured: a
+        # 4000-doc all-pairs that takes seconds on materialized rows
+        # burned 16+ min of 32-core CPU on the inlined form).
         from tools.corpus_gen import natural_documents
 
-        docs = natural_documents(spark, natural).select("doc_id", "text")
+        docs = natural_documents(spark, natural).select("doc_id", "text").persist()
+        docs.count()
     else:
         docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     base = docs.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
