@@ -3826,3 +3826,53 @@ def test_line_index_repave_empty_index(spark, tmp_path):
     from erpl_web_spark.operators.line_index import line_index_repave
 
     assert line_index_repave(spark, str(tmp_path / "nothing")) == 0
+
+
+def test_natural_corpus_generator_deterministic_and_textlike(spark):
+    """tools/corpus_gen.natural_documents: two invocations are
+    byte-identical (md5-seeded, no RNG state); the Python word speller
+    matches the Spark expression tier-for-tier; the token distribution
+    is Zipf-headed (rank-1 word 'ba' on top); the schema matches the
+    driver documents table; planted quotes land on dup_every multiples."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from pyspark.sql import functions as F
+
+    from tools.corpus_gen import natural_documents, plant_quotes, word_py
+
+    a = natural_documents(spark, 60, dup_every=7).collect()
+    b = natural_documents(spark, 60, dup_every=7).collect()
+    assert a == b
+    assert [f.name for f in natural_documents(spark, 3).schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+
+    # Python speller == Spark expression across all three tiers
+    ids = [1, 40, 41, 1640, 1641, 50_000, 65_640]
+    spelled = (
+        spark.createDataFrame([(i,) for i in ids], "word_id long")
+        .select("word_id", __import__("tools.corpus_gen", fromlist=["x"])
+                ._word_expr(F.col("word_id")).alias("w"))
+        .collect()
+    )
+    for r in spelled:
+        assert r["w"] == word_py(r["word_id"]), (r["word_id"], r["w"])
+
+    # Zipf head: the rank-1 spelling dominates
+    toks = {}
+    for r in a:
+        for t in r["text"].split():
+            toks[t] = toks.get(t, 0) + 1
+    top = max(toks, key=toks.get)
+    assert top == word_py(1)
+    assert len(toks) > 1500  # tiny corpus already spans a wide vocab
+
+    # planted quotes: exactly the dup_every multiples start with one
+    quotes = plant_quotes()
+    for r in a:
+        first_line = r["text"].split("\n", 1)[0]
+        if r["doc_id"] % 7 == 0:
+            assert first_line in quotes, r["doc_id"]
+        else:
+            assert first_line not in quotes, r["doc_id"]
