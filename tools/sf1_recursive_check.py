@@ -163,47 +163,6 @@ def main() -> None:
 
     run("dedup_cluster_summary", model_summary)
 
-    # -- dedup_keep_best: planted zz block + quality election
-    def model_keep_best():
-        from erpl_web_spark.operators.text import with_quality_score
-        from erpl_web_spark.suite.pipeline import _KB_BASE, _KB_TAILS
-
-        # mirror the ENTRY's planted-corpus construction expression-for-
-        # expression: the persisted pairs frame below then has the same
-        # logical plan as the one the entry builds internally, so the
-        # entry's run is served from the cache instead of repeating the
-        # blocked-quadratic join
-        d = docs.select("doc_id", "lang", "text")
-        base = d.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
-        bad = spark.createDataFrame(
-            [(i, f"{_KB_BASE} {t}") for i, t in enumerate(_KB_TAILS)],
-            "off long, t string",
-        )
-        planted = bad.crossJoin(F.broadcast(base)).select(
-            (F.col("off") + F.col("_b")).alias("doc_id"),
-            F.lit("zz").alias("lang"),
-            F.col("t").alias("text"),
-        )
-        full = d.unionByName(planted)
-        kb_pairs = ngram_jaccard_pairs(
-            full, "doc_id", "text", block_cols=["lang"],
-            shingle_k=3, threshold=0.3,
-        ).persist()
-        kb_edges = [(r["id_a"], r["id_b"]) for r in kb_pairs.collect()]
-        scores = {
-            r["doc_id"]: r["quality_score"]
-            for r in with_quality_score(full).select(
-                "doc_id", "quality_score").collect()
-        }
-        kb_comp = _components(kb_edges)
-        best: dict = {}
-        for i, c in kb_comp.items():
-            s = scores[i]
-            if c not in best or (s, -i) > (best[c][1], -best[c][0]):
-                best[c] = (i, s)
-        return [(c, i, s) for c, (i, s) in best.items()]
-
-    run("dedup_keep_best", model_keep_best)
 
     # -- dedup_source_overlap: per unordered source pair over the edges
     def model_source_overlap():
@@ -291,6 +250,52 @@ def main() -> None:
         return [(lang, a[0], a[1], a[2]) for lang, a in agg.items()]
 
     run("pipeline_curate_corpus", model_curate_corpus)
+
+    # -- dedup_keep_best LAST: its planted-corpus pair join is a second
+    # full quadratic pass (the en lang block alone is ~C(30k,2) exact
+    # Jaccards in one task at sf1) and must not gate the five entries
+    # that reuse the already-persisted main pair frame
+    # --: planted zz block + quality election
+    def model_keep_best():
+        from erpl_web_spark.operators.text import with_quality_score
+        from erpl_web_spark.suite.pipeline import _KB_BASE, _KB_TAILS
+
+        # mirror the ENTRY's planted-corpus construction expression-for-
+        # expression: the persisted pairs frame below then has the same
+        # logical plan as the one the entry builds internally, so the
+        # entry's run is served from the cache instead of repeating the
+        # blocked-quadratic join
+        d = docs.select("doc_id", "lang", "text")
+        base = d.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
+        bad = spark.createDataFrame(
+            [(i, f"{_KB_BASE} {t}") for i, t in enumerate(_KB_TAILS)],
+            "off long, t string",
+        )
+        planted = bad.crossJoin(F.broadcast(base)).select(
+            (F.col("off") + F.col("_b")).alias("doc_id"),
+            F.lit("zz").alias("lang"),
+            F.col("t").alias("text"),
+        )
+        full = d.unionByName(planted)
+        kb_pairs = ngram_jaccard_pairs(
+            full, "doc_id", "text", block_cols=["lang"],
+            shingle_k=3, threshold=0.3,
+        ).persist()
+        kb_edges = [(r["id_a"], r["id_b"]) for r in kb_pairs.collect()]
+        scores = {
+            r["doc_id"]: r["quality_score"]
+            for r in with_quality_score(full).select(
+                "doc_id", "quality_score").collect()
+        }
+        kb_comp = _components(kb_edges)
+        best: dict = {}
+        for i, c in kb_comp.items():
+            s = scores[i]
+            if c not in best or (s, -i) > (best[c][1], -best[c][0]):
+                best[c] = (i, s)
+        return [(c, i, s) for c, (i, s) in best.items()]
+
+    run("dedup_keep_best", model_keep_best)
 
     pairs_frame.unpersist()
     release_tracked()
