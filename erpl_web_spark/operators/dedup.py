@@ -331,6 +331,17 @@ def ngram_jaccard_pairs(
     of a block pair are empty — an ANSI DIVIDE_BY_ZERO crash on real
     data (join predicates in degenerate single-block plans may evaluate
     the division before the id guard).
+
+    Plan-shape caveat, measured at sf1 (round 9): the per-pair
+    ``array_intersect/array_union`` runs in the JOIN CONDITION, so the
+    chosen join strategy sets the constant factor. A file-scan input
+    with statistics plans as a codegen BroadcastHashJoin on the block
+    key; an input whose stats Catalyst cannot estimate (a union with a
+    crossJoin-broadcast plant, a freshly generated frame) degrades to
+    an interpreted SortMergeJoin — ~10-20x slower per candidate pair on
+    identical data. When feeding this verifier anything other than a
+    plain table scan, persist + materialize the input first so the join
+    children are simple cached scans.
     """
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], shingles_expr(text_col, shingle_k).alias("sh")
