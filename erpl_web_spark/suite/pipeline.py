@@ -3137,7 +3137,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("zz").alias("lang"),
         F.col("t").alias("text"),
     )
-    docs = docs.unionByName(planted)
+    # materialize the planted union BEFORE the pairwise verifier: a
+    # union-with-crossJoin input has no stats, so Catalyst plans the
+    # block join as an INTERPRETED SortMergeJoin (the per-pair Jaccard
+    # lives in the join condition) — measured 10-20x slower per pair
+    # than the codegen BroadcastHashJoin the same data gets as a
+    # cached/scanned input; at sf1 that is hours vs minutes. The
+    # lineage barrier makes the join children simple scans; blocks are
+    # reclaimed by the ContextCleaner after the suite run drops the
+    # frame (ngram_jaccard_pairs docstring, round-9 sf1 measurement).
+    docs = docs.unionByName(planted).localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", block_cols=["lang"], shingle_k=3, threshold=0.3
     )
