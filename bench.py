@@ -15,13 +15,17 @@ machine noise (observed ±40% on a shared host; the minimum converges to
 the true cost, the mean to the noise).
 
 The JSON additionally carries a NOISE CANARY: the wall time of a fixed
-single-threaded CPU-bound loop, measured immediately before and after
-the timed suite, plus its quiet-machine reference. A reader comparing
-two bench runs can now separate machine load from regression —
-canary/quiet_ref ~ 1.0 means the run was quiet and the query times are
-trustworthy; a uniformly inflated canary explains a uniformly inflated
-suite (round 8's driver run showed ~1.37x on queries whose plans were
-byte-unchanged, and nothing in the JSON could prove it was load).
+single-threaded CPU-bound loop, sampled before the timed suite and
+again AFTER EVERY QUERY (round-9 advice: endpoint-only sampling let a
+mid-run load spike inflate individual queries while the endpoint mean
+still read ~1.0), plus its quiet-machine reference. A reader comparing
+two bench runs can now separate machine load from regression — both
+globally (load_factor = mean(samples)/quiet_ref ~ 1.0 means the whole
+run was quiet) and per-window (each query's "canary" field is the
+sample taken right after it; max_sec >> min_sec localizes a transient
+spike to the queries timed near the max). Round 8's driver run showed
+~1.37x on queries whose plans were byte-unchanged, and nothing in the
+JSON could prove it was load; now it can.
 """
 
 from __future__ import annotations
@@ -81,8 +85,9 @@ def main() -> None:
         release_tracked()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    canary_before = canary_sec()
+    canary_samples = [canary_sec()]
     timings: dict[str, float] = {}
+    per_query_canary: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         best = None
         for _ in range(reps):
@@ -99,8 +104,12 @@ def main() -> None:
         # accumulation warning, so they go here, outside the timer
         release_tracked()
         timings[name] = round(best, 3)
+        # Interleaved canary (round-9 advice): one sample per query
+        # window so a transient mid-run spike is localized to the
+        # queries timed near it instead of vanishing into endpoint means.
+        per_query_canary[name] = canary_sec()
+        canary_samples.append(per_query_canary[name])
 
-    canary_after = canary_sec()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -111,11 +120,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "canary": {
-                    "before_sec": canary_before,
-                    "after_sec": canary_after,
+                    "before_sec": canary_samples[0],
+                    "after_sec": canary_samples[-1],
+                    "min_sec": min(canary_samples),
+                    "max_sec": max(canary_samples),
+                    "per_query_sec": per_query_canary,
                     "quiet_ref_sec": _CANARY_QUIET_REF,
                     "load_factor": round(
-                        (canary_before + canary_after) / 2 / _CANARY_QUIET_REF, 2
+                        sum(canary_samples) / len(canary_samples) / _CANARY_QUIET_REF,
+                        2,
                     ),
                 },
             }

@@ -88,7 +88,10 @@ def _md5_long48(*cols) -> Column:
     return F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(":", *[F.col(c) if isinstance(c, str) else c.cast("string") for c in cols])
+                F.concat_ws(":", *[
+                    (F.col(c) if isinstance(c, str) else c).cast("string")
+                    for c in cols
+                ])
                 .cast("binary")
             ),
             1, 12,

@@ -251,7 +251,27 @@ def line_index_repave(
             f"resolved {len(dirs)} data dirs for versions {versions}"
         )
     repave_id = versions[-1]
-    fs, jvm, _ = _manifests_fs(spark, path)
+    fs, jvm, root = _manifests_fs(spark, path)
+    # ORPHAN SWEEP (ADVICE r9): two crash/replay shapes strand committed
+    # bytes that no manifest names and no later repave revisits —
+    # (a) a crash between commit_version and fs.delete below leaves the
+    #     pre-repave directory behind (the re-run's data_dirs resolves
+    #     to the NEW generation, so the old dir is never on the delete
+    #     path again);
+    # (b) a post-repave batch replay via line_index_apply re-points the
+    #     manifest back at the default ``clean=<v>`` dir, orphaning the
+    #     committed ``clean=<v>.r<R>`` generation.
+    # Readers are manifest-driven and unaffected (disk leak only), so
+    # the sweep runs HERE, inside the single-writer window the repave
+    # already requires: any ``clean=*`` directory not named by a
+    # committed manifest is garbage by the manifest contract (a data
+    # dir without its manifest is invisible) and is deleted before new
+    # generations are written.
+    committed_names = {d.rstrip("/").rsplit("/", 1)[-1] for d in dirs}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("clean=") and name not in committed_names:
+            fs.delete(st.getPath(), True)
     for v, d in zip(versions, dirs):
         gen_dir = f"clean={v}.r{repave_id}"
         current = manifests.manifest_payload(spark, path, "clean", v).get("data")

@@ -26,6 +26,7 @@ with it should ``unpersist()``.
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 
@@ -39,6 +40,8 @@ from pyspark.sql import functions as F
 # bounds the plan to ~7^3 copies of a ~1 KB stage plan (~350 KB string,
 # measured 36 MB at a window of 5 — tools/plan probe, round 8).
 _TRUNCATE_EVERY = 3
+
+_log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -231,12 +234,27 @@ def curate(
         # a LogicalRDD whose rdd() is the persisted checkpoint RDD:
         # unpersist it directly. After this the frame is UNREADABLE
         # (no lineage) — only call on frames nothing will act on
-        # again. Guarded: if the internal accessor shifts across Spark
-        # versions we fall back to the GC path rather than fail.
+        # again. Same recompute-vs-fail tradeoff as the barrier itself,
+        # and it applies MID-PIPELINE too: freeing a superseded
+        # barrier's blocks means an executor loss while later stages
+        # are still running fails the curate() call instead of
+        # recomputing through the barrier — rerun it (stage caches made
+        # it cheap); the alternative was barrier blocks accumulating
+        # across every window until driver GC. Guarded: if the internal
+        # accessor shifts across Spark versions we fall back to the GC
+        # path rather than fail — and LOG it, so an upgrade silently
+        # reverting to GC-based reclamation is visible in driver logs
+        # instead of masquerading as a memory regression (ADVICE r9).
         try:
             frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+        except Exception as exc:
+            _log.warning(
+                "release_barrier: analyzed().rdd() accessor unavailable "
+                "(%s); falling back to GC-based block reclamation — "
+                "barrier blocks will linger until the ContextCleaner "
+                "sees the dead RDD",
+                exc,
+            )
 
     def new_sink() -> list:
         s: list = []
@@ -284,7 +302,10 @@ def curate(
             prev.unpersist()
             # a superseded BARRIER's blocks must be freed explicitly
             # (unpersist above was a no-op on it); its successor is
-            # already materialized, so nothing reads it again.
+            # already materialized, so nothing reads it again — but an
+            # executor loss from here to the end of the run now fails
+            # the job rather than recomputing (tradeoff stated in
+            # release_barrier()).
             if any(prev is b for b in barriers):
                 release_barrier(prev)
         if stage_trace is not None:

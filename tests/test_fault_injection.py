@@ -25,6 +25,7 @@ recoverable error.
 
 from __future__ import annotations
 
+import os
 import shutil
 from contextlib import contextmanager
 
@@ -550,6 +551,14 @@ def test_repave_crash_points(spark, tmp_path):
         )
         line_index_apply(b0, 0, path)
         line_index_apply(b1, 1, path)
+        # plant an orphan generation dir (no manifest names it — the
+        # residue of a crashed earlier repave): the orphan sweep's
+        # fs.delete becomes one more gated crash point, and recovery
+        # must still converge with the orphan gone
+        orphan = os.path.join(path, "clean=0.r9")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "stale.bin"), "w") as f:
+            f.write("stale")
 
     def clean(path):
         return {
@@ -579,7 +588,8 @@ def test_repave_crash_points(spark, tmp_path):
     ops = gate.ops
     assert clean(dry) == after
     assert counts(dry) == counts_ref
-    assert len(ops) >= 4, f"expected >=4 mutation ops, saw {ops}"
+    assert not os.path.exists(os.path.join(dry, "clean=0.r9"))  # swept
+    assert len(ops) >= 5, f"expected >=5 mutation ops (incl. sweep), saw {ops}"
 
     for k in range(1, len(ops) + 1):
         work = str(tmp_path / f"rp_k{k}")
@@ -598,3 +608,6 @@ def test_repave_crash_points(spark, tmp_path):
         line_index_repave(spark, work)
         assert clean(work) == after, f"crash@{k}: recovery did not converge"
         assert counts(work) == counts_ref
+        assert not os.path.exists(os.path.join(work, "clean=0.r9")), (
+            f"crash@{k}: recovery left the orphan generation unswept"
+        )

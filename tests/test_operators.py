@@ -3828,6 +3828,81 @@ def test_line_index_repave_empty_index(spark, tmp_path):
     assert line_index_repave(spark, str(tmp_path / "nothing")) == 0
 
 
+def test_line_index_repave_sweeps_orphan_dirs(spark, tmp_path):
+    """The repave's orphan sweep (ADVICE r9) deletes clean=* directories
+    no committed manifest names — both crash shapes: (a) a pre-repave
+    dir left by a crash between commit_version and fs.delete, and (b) a
+    committed generation orphaned when a batch replay re-pointed the
+    manifest back at the default dir — while leaving every
+    manifest-named dir and the counts state untouched."""
+    import os
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.line_index import (
+        line_index_apply,
+        line_index_repave,
+        read_clean_batches,
+    )
+
+    path = str(tmp_path / "lineidx")
+    b0 = spark.createDataFrame(
+        [(1, "alpha\nshared footer"), (2, "beta\nshared footer")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "gamma\nshared footer")], "doc_id long, text string"
+    )
+    line_index_apply(b0, 0, path)
+    line_index_apply(b1, 1, path)
+    assert line_index_repave(spark, path) == 2
+    # shape (a): a stale pre-repave directory the manifest no longer
+    # names (as if the deleting fs.delete never ran)
+    orphan_a = os.path.join(path, "clean=0")
+    os.makedirs(orphan_a)
+    with open(os.path.join(orphan_a, "stale.parquet"), "w") as f:
+        f.write("stale")
+    # shape (b): replay batch 1 — line_index_apply re-points the
+    # manifest at the default clean=1 dir, orphaning the committed
+    # clean=1.r1 generation
+    gen_b = manifests.manifest_payload(spark, path, "clean", 1)["data"]
+    assert gen_b.startswith("clean=1.r")
+    line_index_apply(b1, 1, path)
+    assert manifests.manifest_payload(spark, path, "clean", 1).get("data") is None
+    assert os.path.isdir(os.path.join(path, gen_b))
+    # a third batch advances the repave generation id, so the next
+    # repave writes clean=*.r2 directories — neither orphan's NAME is
+    # recreated, making their absence an unambiguous sweep signal
+    b2 = spark.createDataFrame(
+        [(20, "delta\nshared footer")], "doc_id long, text string"
+    )
+    line_index_apply(b2, 2, path)
+
+    before = {
+        r["doc_id"]: r["clean_text"]
+        for r in read_clean_batches(spark, path).collect()
+    }
+    assert line_index_repave(spark, path) == 3
+    # both orphans swept
+    assert not os.path.exists(orphan_a)
+    assert not os.path.exists(os.path.join(path, gen_b))
+    # the on-disk clean=* set is exactly the manifest-named set — no
+    # strays survive a repave
+    named = {
+        d.rstrip("/").rsplit("/", 1)[-1]
+        for d in manifests.data_dirs(spark, path, "clean")
+    }
+    on_disk = {n for n in os.listdir(path) if n.startswith("clean=")}
+    assert on_disk == named
+    # content converged to the same repaved corpus
+    after = {
+        r["doc_id"]: r["clean_text"]
+        for r in read_clean_batches(spark, path).collect()
+    }
+    assert after == before
+    # counts state untouched by the sweep
+    assert manifests.data_dirs(spark, path, "counts")
+
+
 def test_natural_corpus_generator_deterministic_and_textlike(spark):
     """tools/corpus_gen.natural_documents: two invocations are
     byte-identical (md5-seeded, no RNG state); the Python word speller

@@ -260,11 +260,17 @@ def main() -> None:
         from erpl_web_spark.operators.text import with_quality_score
         from erpl_web_spark.suite.pipeline import _KB_BASE, _KB_TAILS
 
-        # mirror the ENTRY's planted-corpus construction expression-for-
-        # expression: the persisted pairs frame below then has the same
-        # logical plan as the one the entry builds internally, so the
-        # entry's run is served from the cache instead of repeating the
-        # blocked-quadratic join
+        # The entry localCheckpoints its planted union (suite/pipeline
+        # dedup_keep_best), so no logical plan built here can ever match
+        # the entry's in the CacheManager — the model PAYS ITS OWN pair
+        # join (the second quadratic pass this block's header comment
+        # warns about). What the model must therefore mirror is the
+        # entry's MATERIALIZATION, not its plan: persist+count the
+        # planted union before the pairwise verifier, because the raw
+        # union-with-crossJoin input has no stats and Catalyst plans the
+        # block join as an interpreted SortMergeJoin (~10-20x per pair
+        # vs the codegen BroadcastHashJoin a cached input gets —
+        # ngram_jaccard_pairs docstring, round-9 measurement).
         d = docs.select("doc_id", "lang", "text")
         base = d.agg((F.max("doc_id") + F.lit(1)).alias("_b"))
         bad = spark.createDataFrame(
@@ -276,7 +282,8 @@ def main() -> None:
             F.lit("zz").alias("lang"),
             F.col("t").alias("text"),
         )
-        full = d.unionByName(planted)
+        full = d.unionByName(planted).persist()
+        full.count()
         kb_pairs = ngram_jaccard_pairs(
             full, "doc_id", "text", block_cols=["lang"],
             shingle_k=3, threshold=0.3,
@@ -287,6 +294,8 @@ def main() -> None:
             for r in with_quality_score(full).select(
                 "doc_id", "quality_score").collect()
         }
+        kb_pairs.unpersist()
+        full.unpersist()
         kb_comp = _components(kb_edges)
         best: dict = {}
         for i, c in kb_comp.items():
