@@ -45,6 +45,48 @@ def exact_dedup_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def url_dedup_report(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """URL-keyed dedup election (CCNet/RefinedWeb stage 0): group rows
+    whose URLs canonicalize identically (``text.canonicalize_url_expr``)
+    and elect one keeper per canonical URL — the highest ``quality_col``
+    (ties to the smaller id), or the smallest id when no quality column
+    is given.
+
+    Returns (canonical_url, keep_id, n_dups, best_quality?). One
+    partial-aggregable groupBy: the shuffle carries the canonical
+    string + id + quality only (bodies never move), and the winner is
+    elected with ``max_by`` over an ordering struct — NOT a per-group
+    row_number window, which would concentrate every hot URL's copies
+    in one task (the repo's recurring top-k-window lesson). The
+    numeric id is negated inside the struct for the tie-break; never
+    negate string/label columns (tie-break bug class).
+    """
+    from erpl_web_spark.operators.text import canonicalize_url_expr
+
+    canon = canonicalize_url_expr(url_col).alias("canonical_url")
+    if quality_col is None:
+        return (
+            df.select(canon, F.col(id_col))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        )
+    order = F.struct(F.col(quality_col), (-F.col(id_col)).alias("neg_id"))
+    return (
+        df.select(canon, F.col(id_col), F.col(quality_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.max_by(F.col(id_col), order).alias("keep_id"),
+            F.max(quality_col).alias("best_quality"),
+        )
+    )
+
+
 def fingerprint_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document fingerprints: md5 + sha256 of normalized text, plus a
     64-bit xxhash64 suitable as a shuffle/bucket key."""

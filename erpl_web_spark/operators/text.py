@@ -1406,6 +1406,63 @@ def strip_html_expr(col) -> Column:
     return F.trim(c)
 
 
+# Query parameters dropped by canonicalize_url_expr: per-click tracking
+# noise that makes byte-identical pages look distinct to a URL-keyed
+# dedup (the CCNet/RefinedWeb first stage dedups on normalized URL
+# before any content hash is computed).
+URL_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonicalize_url_expr(col) -> Column:
+    """URL -> canonical form as a pure column expression — the key the
+    web-pipeline URL dedup groups on (CCNet §2.1 / RefinedWeb first
+    stage: one fetch per page, before any content processing).
+
+    Rules, in order: lowercase scheme and host; strip a leading
+    ``www.``; strip the scheme's default port (``:80`` http, ``:443``
+    https — any other explicit port is kept: it names a different
+    origin); drop the fragment (client-side only); strip one trailing
+    slash from the path and render an empty path as ``/``; drop
+    tracking query parameters (:data:`URL_TRACKING_PARAM_RE`) and sort
+    the survivors byte-lexicographically (``a=1&b=2`` == ``b=2&a=1``
+    — order is almost never semantic; the rare order-sensitive
+    endpoint trades off against the dedup recall this buys).
+
+    Narrow map, no shuffle, whole-stage codegen: regex/split/filter/
+    array_sort built-ins only, every pattern inside the Java-RE2
+    common subset, so the transform is value-hash oracle-checkable
+    cross-engine. Percent-encoding is NOT normalized (``%2F`` vs ``/``
+    is payload-dependent); IDN/punycode is out of scope — both are
+    stated boundaries, not silent gaps.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    nofrag = F.get(F.split(rest, "#", 2), 0)
+    hostport = F.regexp_extract(nofrag, r"^([^/?]+)", 1)
+    tail = F.regexp_replace(nofrag, r"^[^/?]+", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r":[0-9]+$", ""), r"^www\.", ""
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    path = F.get(F.split(tail, r"\?", 2), 0)
+    query = F.get(F.split(tail, r"\?", 2), 1)  # null when no '?'
+    path1 = F.regexp_replace(path, r"/$", "")
+    canon_path = F.when(path1 == "", F.lit("/")).otherwise(path1)
+    params = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda x: (x != "") & ~x.rlike(URL_TRACKING_PARAM_RE),
+    )
+    qsorted = F.array_join(F.array_sort(params), "&")
+    qpart = F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, portpart, canon_path, qpart)
+
+
 def _bigram_frame(
     df: DataFrame, id_col: str, text_col: str, cache_sink: list | None = None
 ) -> DataFrame:

@@ -266,6 +266,148 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup (CCNet/RefinedWeb stage 0).
+# The documents table carries no URL column, so a messy URL is PLANTED
+# per doc from one SQL fragment both engines evaluate VERBATIM (the
+# fixture is shared; the CANONICALIZATION is implemented independently
+# per engine — that is what the value hash checks). Group key
+# g = doc_id^2 mod 97 (quadratic residues: group sizes VARY, so n_dups
+# is non-constant — vacuity by construction); per-doc noise: scheme/
+# host case, a default port, a trailing slash, scrambled query-param
+# order, planted utm_* tracking params, a fragment. Groups with
+# g % 10 = 9 exercise the empty-path + absent-query + tracking-only-
+# query edges.
+# --------------------------------------------------------------------------
+
+_SQL_URL_G = "(doc_id * doc_id) % 97"
+_SQL_URL = """
+    (CASE WHEN g % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.Site' || CAST(g % 5 AS STRING) || '.COM'
+             ELSE 'www.site' || CAST(g % 5 AS STRING) || '.com' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END
+             ELSE '' END)
+    || (CASE WHEN g % 10 = 9
+             THEN CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             ELSE '/p/' || CAST(g AS STRING)
+                  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END END)
+    || (CASE WHEN g % 10 = 9
+             THEN CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed' ELSE '' END
+             ELSE '?' || (CASE WHEN doc_id % 3 = 1 THEN 'utm_source=feed&' ELSE '' END)
+                  || (CASE WHEN doc_id % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS STRING) ELSE '' END)
+"""
+
+# DuckDB rendering of text.canonicalize_url_expr over the planted urls
+# CTE — mirrors the operator rule-for-rule with DuckDB's own string/
+# list functions (string_split indexing is 1-based; [2] is NULL when
+# the '?' is absent, same contract as Spark's F.get).
+_SQL_URL_CANON_CTES = f"""
+    raw AS (SELECT doc_id, n_chars, {_SQL_URL_G} AS g FROM documents),
+    urls AS (SELECT doc_id, n_chars, {_SQL_URL} AS url FROM raw),
+    parts AS (
+      SELECT doc_id, n_chars, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+             string_split(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#')[1] AS nofrag
+      FROM urls),
+    hp AS (
+      SELECT *, regexp_extract(nofrag, '^([^/?]+)', 1) AS hostport,
+             regexp_replace(nofrag, '^[^/?]+', '') AS tail
+      FROM parts),
+    comps AS (
+      SELECT *,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''),
+                            '^www\\.', '') AS host,
+             string_split(tail, '?')[1] AS path,
+             string_split(tail, '?')[2] AS query
+      FROM hp),
+    canon AS (
+      SELECT doc_id, n_chars, url,
+             scheme || '://' || host
+             || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                          OR (scheme = 'https' AND port = '443'))
+                     THEN ':' || port ELSE '' END
+             || CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
+                     ELSE regexp_replace(path, '/$', '') END
+             || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+      FROM (SELECT *,
+              array_to_string(list_sort(list_filter(
+                string_split(coalesce(query, ''), '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+                '&') AS q
+            FROM comps))
+"""
+
+
+def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the planted url column (the shared fixture fragment,
+    evaluated by Spark via F.expr — byte-identical to the oracle's)."""
+    return (
+        load(spark, sf_dir, "documents", spread=True)
+        .withColumn("g", F.expr(_SQL_URL_G))
+        .withColumn("url", F.expr(_SQL_URL))
+    )
+
+
+@register(
+    "text_url_canonicalize",
+    oracle=f"""
+    WITH {_SQL_URL_CANON_CTES}
+    SELECT doc_id, url, canonical_url FROM canon
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL canonical form (text.canonicalize_url_expr): lowercase
+    scheme/host, www. strip, default-port strip, fragment drop,
+    trailing-slash + empty-path normalization, tracking-param drop,
+    query-param sort. Pure narrow map — no shuffle, codegen end to
+    end; the value hash proves every rule on every planted variant
+    (case noise, default ports, utm params, scrambled order,
+    fragments, path edges). Reference: erpl-web normalizes URLs only
+    for HTTP dispatch (url merge, core/url.py parity — README.md
+    HttpUrl); the dedup-grade canonicalizer is pipeline surface the
+    reference lacks."""
+    from erpl_web_spark.operators.text import canonicalize_url_expr
+
+    return _planted_urls(spark, sf_dir).select(
+        "doc_id", "url", canonicalize_url_expr("url").alias("canonical_url")
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH {_SQL_URL_CANON_CTES}
+    SELECT canonical_url, doc_id AS keep_id, n_dups, best_quality FROM (
+      SELECT canonical_url, doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY canonical_url) AS n_dups,
+             MAX(n_chars) OVER (PARTITION BY canonical_url) AS best_quality,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM canon
+    ) WHERE rn = 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup election over the canonicalized URLs: one keeper
+    per canonical URL — highest n_chars, ties to the smaller doc_id
+    (dedup.url_dedup_report). ONE partial-aggregable groupBy whose
+    shuffle carries (canonical_url, doc_id, n_chars) only — max_by
+    over an ordering struct, never a per-group row_number window (a
+    hot URL at crawl scale would concentrate in one task). The oracle
+    uses the window formulation on purpose: same election, different
+    algorithm, so agreement is evidence."""
+    from erpl_web_spark.operators.dedup import url_dedup_report
+
+    return url_dedup_report(
+        _planted_urls(spark, sf_dir), url_col="url",
+        id_col="doc_id", quality_col="n_chars",
+    )
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole).

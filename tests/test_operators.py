@@ -3316,6 +3316,86 @@ def test_internal_cache_tracking_is_loud_and_releasable(spark):
                     and "cache_sink" in str(w.message)]
 
 
+def test_canonicalize_url_expr_rules(spark):
+    """URL canonicalizer contract, rule by rule: scheme/host lowercase,
+    www. strip, DEFAULT port strip (non-default ports name a different
+    origin and are KEPT), fragment drop, trailing-slash and empty-path
+    normalization, tracking-param drop, query-param sort — and the
+    transform is idempotent (canonical input passes through
+    unchanged)."""
+    from erpl_web_spark.operators.text import canonicalize_url_expr
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag"),
+        (2, "https://example.com:443/a/b?a=1&b=2"),
+        (3, "https://example.com:8443/a/b?a=1&b=2"),  # non-default: kept
+        (4, "http://example.com"),                     # empty path -> /
+        (5, "http://example.com/?utm_source=x&utm_medium=y"),
+        (6, "http://example.com/x?fbclid=123&q=term&gclid=9"),
+        (7, "http://sub.example.com/x"),               # only LEADING www strips
+        (8, "http://example.com/p?z=1&m=2&a=3"),
+        (9, "http://example.com/p?a=1&dup=2&dup=1"),   # dup keys both kept, sorted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonicalize_url_expr("url").alias("c")
+        ).collect()
+    }
+    assert out[1] == "http://example.com/a/b?a=1&b=2"
+    assert out[2] == "https://example.com/a/b?a=1&b=2"
+    assert out[3] == "https://example.com:8443/a/b?a=1&b=2"
+    assert out[4] == "http://example.com/"
+    assert out[5] == "http://example.com/"
+    assert out[6] == "http://example.com/x?q=term"
+    assert out[7] == "http://sub.example.com/x"
+    assert out[8] == "http://example.com/p?a=3&m=2&z=1"
+    assert out[9] == "http://example.com/p?a=1&dup=1&dup=2"
+    # idempotence: canonicalizing a canonical URL is the identity
+    canon = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id long, url string"
+    )
+    again = {
+        r["doc_id"]: r["c"]
+        for r in canon.select(
+            "doc_id", canonicalize_url_expr("url").alias("c")
+        ).collect()
+    }
+    assert again == out
+
+
+def test_url_dedup_report_min_id_election(spark):
+    """url_dedup_report without a quality column elects the SMALLEST id
+    per canonical URL; with one, the highest quality wins and ties
+    break to the smaller id."""
+    from erpl_web_spark.operators.dedup import url_dedup_report
+
+    rows = [
+        (10, "http://a.com/x?b=2&a=1", 5),
+        (3, "HTTP://WWW.A.com:80/x/?a=1&b=2#f", 5),   # same canonical, tie q
+        (7, "http://a.com/x?utm_source=s&a=1&b=2", 9),  # same canonical, best q
+        (2, "https://b.com/y", 1),                     # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q long")
+    plain = {
+        r["canonical_url"]: (r["keep_id"], r["n_dups"])
+        for r in url_dedup_report(df, "url", "doc_id").collect()
+    }
+    assert plain == {
+        "http://a.com/x?a=1&b=2": (3, 3),
+        "https://b.com/y": (2, 1),
+    }
+    best = {
+        r["canonical_url"]: (r["keep_id"], r["n_dups"], r["best_quality"])
+        for r in url_dedup_report(df, "url", "doc_id", quality_col="q").collect()
+    }
+    assert best == {
+        "http://a.com/x?a=1&b=2": (7, 3, 9),
+        "https://b.com/y": (2, 1, 1),
+    }
+
+
 def test_strip_html_expr_cleans_markup(spark):
     """HTML cleaner contract: script/style/comment bodies vanish
     wholesale, tags become whitespace, the six common entities decode
