@@ -281,6 +281,70 @@ def pack_documents(
     )
 
 
+def pack_documents_nextfit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """WHOLE-document next-fit packing: documents are never split
+    (:func:`pack_documents` is the concat-and-cut complement) — the
+    standard SFT/instruction-tuning shape, where a training sequence
+    holds complete documents and a new bin opens when the next one
+    would overflow the token budget.
+
+    Next-fit is inherently a stateful scan (bin boundaries depend on
+    every prior placement), which no window cumsum can express — the
+    legitimate ``applyInPandas`` case: documents are sharded by an
+    engine-portable md5 bucket of the id, each shard packs
+    independently in one Arrow-batched O(n) pass over (id, n_tokens)
+    rows sorted by id, and only those skinny rows shuffle — text never
+    enters the exchange. At 100 TB the shard is the unit of
+    parallelism AND the memory bound (a shard's id/count rows must fit
+    one executor): pick ``n_shards`` ~ a few × cluster cores; the
+    per-shard sequential pass is the semantics, not an accident.
+
+    A document larger than ``budget`` occupies a bin alone (its fill
+    exceeds the budget — callers chunk oversized docs first if that is
+    not acceptable); empty documents (0 tokens) always fit the current
+    bin. Output: (shard, id, n_tokens, bin_id 0-based within shard,
+    bin_fill_after = the bin's token total including this doc).
+    """
+    import pandas as pd
+
+    from erpl_web_spark.operators.dedup import _md5_long48
+
+    base = df.select(
+        F.pmod(_md5_long48(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.col(id_col),
+        token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill, first = 0, 0, True
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if not first and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            fill += t
+            first = False
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill_after"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    schema = (
+        f"shard bigint, {id_col} bigint, n_tokens bigint, "
+        "bin_id bigint, bin_fill_after bigint"
+    )
+    return base.groupBy("shard").applyInPandas(pack, schema)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

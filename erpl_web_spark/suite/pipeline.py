@@ -1054,6 +1054,52 @@ def pipeline_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_pack_nextfit",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             CAST('0x' || substring(md5(CAST(doc_id AS STRING)), 1, 12) AS BIGINT) % 8 AS shard
+      FROM documents
+    ), ordered AS (
+      SELECT shard, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill_after
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.bin_fill_after + o.n_tokens <= 64
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.bin_fill_after + o.n_tokens <= 64
+                  THEN p.bin_fill_after + o.n_tokens ELSE o.n_tokens END
+      FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, bin_id, bin_fill_after FROM pack
+    """,
+)
+def pipeline_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-document next-fit packing (text.pack_documents_nextfit):
+    docs never split, a new bin opens when the next doc would overflow
+    the 64-token budget (production-typical 2048 would leave bin_id
+    near-constant on the test corpus — same vacuity reasoning as
+    pipeline_pack_documents). Bin boundaries depend on every prior
+    placement — a stateful per-shard scan no window cumsum expresses,
+    so the engine runs an Arrow-batched applyInPandas over skinny
+    (shard, id, n_tokens) rows (md5 shard buckets, text never
+    shuffles) and the ORACLE walks the same scan as a recursive CTE:
+    two unrelated algorithms, one value hash. Recursive-CTE oracle
+    family (sf1 via the Python model in tools/sf1_recursive_check)."""
+    from erpl_web_spark.operators.text import pack_documents_nextfit
+
+    return pack_documents_nextfit(
+        load(spark, sf_dir, "documents"), budget=64, n_shards=8
+    )
+
+
+@register(
     "multimodal_frames",
     oracle="""
     SELECT media_id, frame_idx, CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms

@@ -3316,6 +3316,48 @@ def test_internal_cache_tracking_is_loud_and_releasable(spark):
                     and "cache_sink" in str(w.message)]
 
 
+def test_pack_documents_nextfit_semantics(spark):
+    """Next-fit whole-document packing: docs never split, a new bin
+    opens when the next doc would overflow, an oversized doc occupies
+    a bin alone (fill > budget), empty docs always fit the current
+    bin, and bins are contiguous 0..max within every shard."""
+    from erpl_web_spark.operators.text import pack_documents_nextfit
+
+    # one shard so the scan order is fully deterministic here
+    rows = [
+        (1, "a b c"),        # 3
+        (2, "d e"),          # 2  -> bin 0 fill 5
+        (3, "f g h i"),      # 4  -> overflow (5+4>6): bin 1 fill 4
+        (4, ""),             # 0  -> fits bin 1, fill 4
+        (5, " ".join("x" * 1 for _ in range(9))),  # 9 > budget -> bin 2 alone
+        (6, "y"),            # 1  -> 4+9? no: after oversized, bin 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill_after"])
+        for r in pack_documents_nextfit(
+            df, budget=6, n_shards=1
+        ).collect()
+    }
+    assert out == {
+        1: (0, 3), 2: (0, 5), 3: (1, 4), 4: (1, 4), 5: (2, 9), 6: (3, 1),
+    }
+
+    # sharding: every doc appears exactly once; within each shard the
+    # bin ids are contiguous from 0
+    many = spark.createDataFrame(
+        [(i, "w " * (i % 7)) for i in range(200)], "doc_id long, text string"
+    )
+    packed = pack_documents_nextfit(many, budget=8, n_shards=4).collect()
+    assert sorted(r["doc_id"] for r in packed) == list(range(200))
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], set()).add(r["bin_id"])
+    assert len(by_shard) == 4
+    for bins in by_shard.values():
+        assert bins == set(range(max(bins) + 1))
+
+
 def test_canonicalize_url_expr_rules(spark):
     """URL canonicalizer contract, rule by rule: scheme/host lowercase,
     www. strip, DEFAULT port strip (non-default ports name a different

@@ -251,6 +251,38 @@ def main() -> None:
 
     run("pipeline_curate_corpus", model_curate_corpus)
 
+    # -- pipeline_pack_nextfit: per-shard next-fit scan (recursive-CTE
+    # oracle at small SFs; here the same scan in Python). n_tokens
+    # enters as the cross-checked token count (text_stats is value-
+    # hash green at sf1); the md5 shard bucket is recomputed in
+    # hashlib; the packing recursion is what the model re-derives.
+    def model_pack_nextfit():
+        import hashlib
+
+        from erpl_web_spark.operators.text import token_count_expr
+
+        rows = docs.select(
+            "doc_id", token_count_expr(F.col("text")).cast("long").alias("n")
+        ).collect()
+        release_tracked()
+        shards: dict = defaultdict(list)
+        for r in rows:
+            h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12], 16)
+            shards[h % 8].append((r["doc_id"], r["n"]))
+        out = []
+        for shard, members in shards.items():
+            bin_id, fill, first = 0, 0, True
+            for doc_id, t in sorted(members):
+                if not first and fill + t > 64:
+                    bin_id += 1
+                    fill = 0
+                fill += t
+                first = False
+                out.append((shard, doc_id, t, bin_id, fill))
+        return out
+
+    run("pipeline_pack_nextfit", model_pack_nextfit)
+
     # -- dedup_keep_best LAST: its planted-corpus pair join is a second
     # full quadratic pass (the en lang block alone is ~C(30k,2) exact
     # Jaccards in one task at sf1) and must not gate the five entries
