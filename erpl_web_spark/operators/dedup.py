@@ -780,20 +780,30 @@ def containment_pairs(
     )
 
 
-def simhash_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (token-occurrence weighted bit votes)."""
+def simhash_documents(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document (token-occurrence weighted bit votes).
+
+    ``hash_mode="xxhash64"`` (production): 64-bit token hashes, 64-bit
+    simhash. ``hash_mode="md5"``: the engine-portable 48-bit md5 family
+    (:func:`_md5_long48`) and a 48-bit simhash — DuckDB rebuilds every
+    token hash, bit vote and sign bit-identically, so the md5-mode
+    output is value-hash oracle-checkable (the minhash oracle-twin
+    pattern, dedup_minhash_lsh_md5)."""
+    n_bits = 64 if hash_mode == "xxhash64" else 48
     tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
+    h = F.xxhash64(F.col("tok")) if hash_mode == "xxhash64" else _md5_long48(F.col("tok"))
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
                 F.lit(0).cast("long")
@@ -807,24 +817,36 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidates via the 4×16-bit band trick (pigeonhole: distance ≤3 ⇒ at
-    least one of 4 bands equal), then popcount(xor) verification — the
-    join key is a 16-bit chunk, never full n².
+    Candidates via the band trick — ``max_hamming + 1`` equal-width
+    chunks of the simhash (pigeonhole: distance ≤ H ⇒ at least one of
+    H+1 bands equal, so recall within the radius is GUARANTEED, not
+    probabilistic), then popcount(xor) verification — the join key is
+    a band chunk, never full n². Default: 64-bit xxhash64 simhash, 4
+    bands of 16 bits for H=3. ``hash_mode="md5"``: the 48-bit
+    engine-portable family (see :func:`simhash_documents`) with
+    48/(H+1)-bit bands — narrower bands mean more candidates per
+    bucket, priced by the verify stage staying a skinny popcount join.
     Returns (id_a, id_b, hamming).
     """
-    sims = simhash_documents(df, id_col, text_col)
+    n_bits = 64 if hash_mode == "xxhash64" else 48
+    n_bands = max_hamming + 1
+    if n_bits % n_bands:
+        raise ValueError(f"{n_bits}-bit simhash needs max_hamming+1 to divide {n_bits}")
+    width = n_bits // n_bands
+    sims = simhash_documents(df, id_col, text_col, hash_mode=hash_mode)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("key"),
             )
-            for c in range(4)
+            for c in range(n_bands)
         ]
     )
     banded = sims.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")).select(

@@ -195,16 +195,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
 
 
-@register(
-    "dedup_minhash_lsh_md5",
-    oracle=f"""
-    WITH base AS (SELECT doc_id, text FROM documents),
+# Planted near-dup twins shared by the md5 oracle-twin entries
+# (minhash, simhash): every 10th doc gets a copy with every 9th token
+# dropped — the Spark-side construction is _token_drop_twin_corpus.
+_SQL_TWIN_CTES = f"""base AS (SELECT doc_id, text FROM documents),
     twin AS (
       SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM base) AS doc_id,
              array_to_string(
                list_filter({_SQL_TOKS}, (t, i) -> (i - 1) % 9 <> 0), ' ') AS text
       FROM base WHERE doc_id % 10 = 0),
-    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),"""
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle=f"""
+    WITH {_SQL_TWIN_CTES}
     toks AS (SELECT doc_id, {_SQL_TOKS} AS __toks FROM corpus),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shs FROM toks),
     hs AS (SELECT doc_id, list_distinct(list_transform(shs,
@@ -248,10 +254,20 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the production hash family."""
     from erpl_web_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    corpus = _token_drop_twin_corpus(load(spark, sf_dir, "documents", spread=True))
+    return minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        hash_mode="md5",
+    )
+
+
+def _token_drop_twin_corpus(docs: DataFrame) -> DataFrame:
+    """documents + a near-dup twin (every 9th token dropped) for every
+    10th doc, ids offset past max(doc_id) — the planted fixture the md5
+    oracle twins (minhash, simhash) share with their oracles' ``twin``
+    CTE. Index positions count NON-EMPTY tokens only (the oracle's
+    list_filter index runs over the already-filtered token list)."""
     base_max = docs.agg(F.max("doc_id")).collect()[0][0]
-    # index positions must count NON-EMPTY tokens only (the oracle's
-    # list_filter index runs over the already-filtered token list)
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     twins = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + base_max + 1).alias("doc_id"),
@@ -259,11 +275,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(toks, lambda t, i: i % 9 != 0), " "
         ).alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(twins)
-    return minhash_lsh_pairs(
-        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
-        hash_mode="md5",
-    )
+    return docs.select("doc_id", "text").unionByName(twins)
 
 
 # --------------------------------------------------------------------------
@@ -414,9 +426,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only driver check (seeded hashing); full output pinned as a
     golden fixture (tests/fixtures/golden/dedup_simhash.json, asserted
-    by tests/test_golden_fixtures.py)."""
+    by tests/test_golden_fixtures.py). The md5-mode PIPELINE proof is
+    dedup_simhash_md5."""
     docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle=f"""
+    WITH {_SQL_TWIN_CTES}
+    tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM corpus),
+    th AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) AS h
+           FROM tok),
+    votes AS (
+      SELECT doc_id, g.b,
+             SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(range(0, 48)) AS b) g
+      GROUP BY doc_id, g.b),
+    sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sh, g.c AS c, (sh >> (g.c * 6)) & 63 AS key
+      FROM sims, (SELECT unnest(range(0, 8)) AS c) g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+      FROM banded a JOIN banded b
+        ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 7
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash+band+popcount-verify pipeline under
+    ``hash_mode="md5"`` — the oracle twin that removes the rows-only
+    caveat from the SimHash family (the dedup_minhash_lsh_md5
+    pattern): 48-bit md5 token hashes, all 48 bit votes and sign bits,
+    the 8x6-bit band pigeonhole (radius 7 needs H+1=8 bands; recall
+    within the radius is GUARANTEED, so the candidate set is
+    deterministic, not seeded) and the xor-popcount verify are
+    rebuilt bit-identically in DuckDB and value-hash-checked end to
+    end. The planted token-drop twins land at hamming 1-9 under this
+    family (measured at sf0.01), so the pair spectrum — including
+    twins just OUTSIDE the radius — is non-vacuous. The xxhash64
+    production path keeps its golden pin in dedup_simhash."""
+    corpus = _token_drop_twin_corpus(load(spark, sf_dir, "documents", spread=True))
+    return simhash_near_dup_pairs(
+        corpus, "doc_id", "text", max_hamming=7, hash_mode="md5"
+    )
 
 
 @register(
