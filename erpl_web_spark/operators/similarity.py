@@ -359,23 +359,32 @@ def knn_label_eval(
     )
 
 
-def _planes(spark, num_planes: int, dim: int, seed: int = 42) -> DataFrame:
+def _planes(
+    spark, num_planes: int, dim: int, seed: int = 42, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """Deterministic ±1 hyperplane components as a tiny broadcastable table.
 
     Component sign for (plane p, dim j) = parity of xxhash64(seed, p, j) —
     reproducible on any cluster with no RNG state to ship.
+    ``hash_mode="md5"``: parity of the engine-portable 48-bit md5 family
+    instead (dedup._md5_long48 over 'seed:plane:dim'), so DuckDB can
+    rebuild the plane table bit-identically (the oracle-twin pattern).
     """
-    return (
+    from erpl_web_spark.operators.dedup import _md5_long48
+
+    grid = (
         spark.range(num_planes)
         .withColumnRenamed("id", "plane")
         .crossJoin(spark.range(dim).withColumnRenamed("id", "dim"))
-        .select(
-            "plane",
-            "dim",
-            (F.xxhash64(F.lit(seed), F.col("plane"), F.col("dim")).bitwiseAND(F.lit(1)) * 2 - 1)
-            .cast("double")
-            .alias("sign"),
-        )
+    )
+    if hash_mode == "md5":
+        h = _md5_long48(F.lit(seed), F.col("plane"), F.col("dim"))
+    else:
+        h = F.xxhash64(F.lit(seed), F.col("plane"), F.col("dim"))
+    return grid.select(
+        "plane",
+        "dim",
+        (h.bitwiseAND(F.lit(1)) * 2 - 1).cast("double").alias("sign"),
     )
 
 
@@ -386,6 +395,7 @@ def lsh_bucket_candidates(
     num_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit bucketing).
 
@@ -398,6 +408,13 @@ def lsh_bucket_candidates(
     deriving it from the data would trigger a driver-side Spark job at
     plan-build time (and fail on empty input). The fallback probes one
     row and exists for interactive use only.
+
+    ``hash_mode="md5"`` (the oracle twin mode) additionally quantizes
+    each component to ``round(x * 1e8)`` BIGINT before the projection,
+    so the per-plane sum is EXACT integer arithmetic: the sign bit —
+    hence the bucket — cannot drift with summation order across
+    engines (the repo's integer-scaled-moments idiom,
+    embedding_centroid). The production path keeps the double sum.
     """
     spark = df.sparkSession
     if dim is None:
@@ -408,11 +425,18 @@ def lsh_bucket_candidates(
             )
         dim = len(first[0][0])
     comps = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
-    planes = _planes(spark, num_planes, dim, seed)
+    planes = _planes(spark, num_planes, dim, seed, hash_mode=hash_mode)
+    if hash_mode == "md5":
+        term = (
+            F.round(F.col("x").cast("double") * F.lit(100_000_000)).cast("bigint")
+            * F.col("sign").cast("bigint")
+        )
+    else:
+        term = F.col("x").cast("double") * F.col("sign")
     proj = (
         comps.join(F.broadcast(planes), "dim")
         .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x").cast("double") * F.col("sign")).alias("proj"))
+        .agg(F.sum(term).alias("proj"))
     )
     bits = proj.select(
         F.col(id_col),
@@ -431,15 +455,20 @@ def ann_top_k_lsh(
     num_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Approximate all-pairs top-k: exact cosine ranking within LSH buckets.
 
     The self-join key is the bucket id, so cost is Σ bucket² rather than
     n²; recall is tuned by num_planes (fewer planes → bigger buckets).
     Pass ``dim`` (vector width) to keep plan building job-free.
+    ``hash_mode="md5"``: engine-portable plane signs + exact integer
+    projections (see :func:`lsh_bucket_candidates`) for the oracle twin.
     Returns (probe_id, neighbor_id, cosine, rank).
     """
-    buckets = lsh_bucket_candidates(df, id_col, vec_col, num_planes, seed, dim=dim)
+    buckets = lsh_bucket_candidates(
+        df, id_col, vec_col, num_planes, seed, dim=dim, hash_mode=hash_mode
+    )
     v = (
         df.select(F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("nrm"))
         .join(buckets, id_col)

@@ -856,6 +856,70 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_lsh_md5",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), comps AS (
+      SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim, unnest(emb) AS x
+      FROM v
+    ), planes AS (
+      SELECT p.plane, d.dim,
+             (CAST('0x' || substring(md5('42:' || CAST(p.plane AS STRING)
+                 || ':' || CAST(d.dim AS STRING)), 1, 12) AS BIGINT) & 1) * 2 - 1 AS sign
+      FROM (SELECT unnest(range(0, 6)) AS plane) p,
+           (SELECT unnest(range(0, 64)) AS dim) d
+    ), proj AS (
+      SELECT c.vec_id, pl.plane,
+             SUM(CAST(round(c.x * 100000000) AS BIGINT) * pl.sign) AS pr
+      FROM comps c JOIN planes pl ON pl.dim = c.dim
+      GROUP BY c.vec_id, pl.plane
+    ), buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INT))
+                      ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    ), vb AS (
+      SELECT v.vec_id, v.emb, b.bucket FROM v JOIN buckets b USING (vec_id)
+    ), scored AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+      FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL random-hyperplane-LSH ANN pipeline under
+    ``hash_mode="md5"`` — the oracle twin that removes the rows-only
+    caveat from the hyperplane-LSH family (the dedup_minhash_lsh_md5
+    pattern): plane signs from the engine-portable 48-bit md5 parity,
+    projections as EXACT integer sums (components quantized to
+    round(x*1e8) bigint, so the sign bit cannot drift with summation
+    order), the 6-bit bucket assembly, the within-bucket exact-cosine
+    ranking and the top-3 cut are all rebuilt in DuckDB and
+    value-hash-checked end to end (cosine rounded to 6 — the
+    similarity_cosine_top3 idiom). The xxhash64 production path keeps
+    its golden pin in similarity_ann_lsh."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    out = ann_top_k_lsh(
+        emb, "vec_id", "embedding", k=3, num_planes=6, dim=64, hash_mode="md5"
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+@register(
     "multimodal_decode",
     oracle="""
     SELECT doc_id AS media_id,
