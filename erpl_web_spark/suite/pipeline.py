@@ -206,11 +206,11 @@ _SQL_TWIN_CTES = f"""base AS (SELECT doc_id, text FROM documents),
       FROM base WHERE doc_id % 10 = 0),
     corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),"""
 
-
-@register(
-    "dedup_minhash_lsh_md5",
-    oracle=f"""
-    WITH {_SQL_TWIN_CTES}
+# The md5-mode MinHash+LSH+verify pair chain over the twin corpus,
+# ending in mh_pairs(id_a, id_b, jaccard >= 0.5) — shared by the pair
+# twin (dedup_minhash_lsh_md5) and the clustering twin
+# (dedup_cluster_minhash_md5).
+_SQL_MINHASH_MD5_PAIRS = f"""
     toks AS (SELECT doc_id, {_SQL_TOKS} AS __toks FROM corpus),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shs FROM toks),
     hs AS (SELECT doc_id, list_distinct(list_transform(shs,
@@ -228,14 +228,22 @@ _SQL_TWIN_CTES = f"""base AS (SELECT doc_id, text FROM documents),
              FROM sig GROUP BY doc_id, d // 4),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM band a JOIN band b
-               ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
-    SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-             / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jaccard
-    FROM cand c JOIN hs ha ON ha.doc_id = c.id_a
-                JOIN hs hb ON hb.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-             / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5
+               ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+    mh_pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+               / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jaccard
+      FROM cand c JOIN hs ha ON ha.doc_id = c.id_a
+                  JOIN hs hb ON hb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+               / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5)"""
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle=f"""
+    WITH {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
     """,
 )
 def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2058,6 +2066,44 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, changes, ["c_custkey"], op_col="op",
         seq_cols=["o_orderdate", "o_orderkey"],
     )
+
+
+@register(
+    "dedup_cluster_minhash_md5",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS},
+    cc_edges AS (
+      SELECT id_a AS u, id_b AS v FROM mh_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM mh_pairs
+    ), reach(id, comp) AS (
+      SELECT u, u FROM cc_edges
+      UNION
+      SELECT e.v, r.comp FROM reach r JOIN cc_edges e ON e.u = r.id
+    ), components AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    )
+    SELECT id, component FROM components
+    """,
+)
+def dedup_cluster_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production clustering COMPOSITION (MinHash+LSH candidates ->
+    exact-Jaccard verify -> connected components) under
+    ``hash_mode="md5"`` — the oracle twin for dedup_cluster_minhash,
+    whose xxhash64 banding keeps it rows-only + golden-pinned: here
+    the full composed output is value-hash-checked, with the oracle
+    rebuilding the md5 pair chain and walking the SAME edge set with a
+    recursive CTE against the engine's label-propagation operator.
+    Twin corpus as in dedup_minhash_lsh_md5, so clusters span base
+    docs AND their planted near-dups. Recursive-CTE oracle family."""
+    from erpl_web_spark.operators.graph import connected_components
+
+    corpus = _token_drop_twin_corpus(load(spark, sf_dir, "documents", spread=True))
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        hash_mode="md5",
+    )
+    return connected_components(pairs, "id_a", "id_b")
 
 
 @register("dedup_cluster_minhash", oracle=None)
