@@ -31,66 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 9: the r08 sample re-greened the vacuity remediations and the
-# round-8 additions, so the rotation returns to the STALE bands — the
-# entries whose latest driver-green row is oldest (one r04-latest name,
-# then the 46 r05-latest names, then r06-latest to fill the 50-slot
-# sample). New round-9 entries lead (first driver rows). Names are
-# stable; unlisted entries keep registration order after these.
+# Round 10: the r09 sample re-greened the r04/r05 bands, so the oldest
+# latest-green rows are now the r06-latest names — they follow the six
+# round-10 additions (which need their first driver rows); r07-latest
+# names queue after to fill future samples. Names are stable; unlisted
+# entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    # -- new in round 9 (need their first driver rows) --
-    "pipeline_line_index_repave",
-    "dedup_minhash_lsh_md5",
-    # -- latest driver green is r04 (oldest band) --
-    "dedup_cluster_minhash",
-    # -- latest driver green is r05 --
-    "agg_approx_distinct",
-    "agg_histogram",
-    "asof_join_forward",
-    "bitwise_funcs",
-    "cdc_snapshot_diff",
-    "codec_funcs",
-    "cohort_retention",
-    "curation_decontaminate_semantic",
-    "curation_temperature_mixture",
-    "dedup_source_overlap",
-    "dedup_substring_scrub",
-    "diag_profile_orders",
-    "events_resample_1h",
-    "events_value_anomaly",
-    "funnel_stages",
-    "interval_funcs",
-    "interval_join_bucketed",
-    "match_fuzzy_parts",
-    "match_resolve_parts",
-    "min_cost_supplier",
-    "multimodal_audio_chunks",
-    "null_safe_funcs",
-    "odata_apply_groupby",
-    "pipeline_corpus_report",
-    "pipeline_split_leak_safe",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_idle_cohorts",
-    "sequence_funcs",
-    "set_except_all",
-    "set_intersect_all",
-    "similarity_recall_at_k",
-    "similarity_threshold_sweep",
-    "stat_corr_matrix",
-    "string_distance_funcs",
-    "text_bigram_topk",
-    "text_bpe_pairs",
-    "text_lang_confusion",
-    "text_tfidf_topk",
-    "unpivot_part_attrs",
-    # -- latest driver green is r06 (fills the 50-slot sample) --
+    # -- new in round 10 (need their first driver rows) --
+    "text_url_canonicalize",
+    "dedup_url_canonical",
+    "pipeline_pack_nextfit",
+    "dedup_simhash_md5",
+    "similarity_ann_lsh_md5",
+    "dedup_cluster_minhash_md5",
+    # -- latest driver green is r06 (oldest band) --
     "analytics_event_transitions",
     "analytics_market_basket",
     "analytics_rfm_segments",
@@ -139,6 +93,52 @@ _SAMPLE_PRIORITY = [
     "window_moving_frame",
     "window_rank_orders",
     "window_sessionize",
+    # -- latest driver green is r07 (fills future samples) --
+    "agg_avg_int",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats_exact",
+    "dedup_embedding",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_centroid",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "events_window_rollup",
+    "explode_words",
+    "having_groups",
+    "join_left_counts",
+    "join_salted_skew",
+    "multimodal_decode",
+    "multimodal_dhash_pairs_d7",
+    "pipeline_hash_split",
+    "pipeline_length_buckets",
+    "pivot_status_counts",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_delta",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_cosine_top3",
+    "similarity_hard_negatives",
+    "struct_funcs",
+    "subquery_correlated_exists",
+    "subquery_scalar_avg",
+    "text_lang_id",
+    "text_lang_profile",
+    "text_repetition",
+    "text_stats",
+    "text_unigram_freq",
+    "union_all_tagged",
+    "window_distribution",
 ]
 
 
