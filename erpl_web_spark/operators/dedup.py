@@ -821,29 +821,31 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidates via the band trick — ``max_hamming + 1`` equal-width
-    chunks of the simhash (pigeonhole: distance ≤ H ⇒ at least one of
-    H+1 bands equal, so recall within the radius is GUARANTEED, not
-    probabilistic), then popcount(xor) verification — the join key is
-    a band chunk, never full n². Default: 64-bit xxhash64 simhash, 4
-    bands of 16 bits for H=3. ``hash_mode="md5"``: the 48-bit
-    engine-portable family (see :func:`simhash_documents`) with
-    48/(H+1)-bit bands — narrower bands mean more candidates per
-    bucket, priced by the verify stage staying a skinny popcount join.
+    Candidates via the band trick — ``max_hamming + 1`` chunks of the
+    simhash with evenly-distributed widths (band c covers bits
+    [c*n/b, (c+1)*n/b); pigeonhole: distance ≤ H ⇒ at least one of
+    H+1 bands equal, so recall within the radius is GUARANTEED for any
+    radius < n_bits, not probabilistic), then popcount(xor)
+    verification — the join key is a band chunk, never full n².
+    Default: 64-bit xxhash64 simhash, 4 bands of 16 bits for H=3.
+    ``hash_mode="md5"``: the 48-bit engine-portable family (see
+    :func:`simhash_documents`), 8 bands of 6 bits at H=7 — narrower
+    bands mean more candidates per bucket, priced by the verify stage
+    staying a skinny popcount join.
     Returns (id_a, id_b, hamming).
     """
     n_bits = 64 if hash_mode == "xxhash64" else 48
+    if max_hamming >= n_bits:
+        raise ValueError(f"max_hamming must be < {n_bits} for a {n_bits}-bit simhash")
     n_bands = max_hamming + 1
-    if n_bits % n_bands:
-        raise ValueError(f"{n_bits}-bit simhash needs max_hamming+1 to divide {n_bits}")
-    width = n_bits // n_bands
+    bounds = [(c * n_bits) // n_bands for c in range(n_bands + 1)]
     sims = simhash_documents(df, id_col, text_col, hash_mode=hash_mode)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                F.shiftrightunsigned(F.col("simhash"), bounds[c])
+                .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
                 .alias("key"),
             )
             for c in range(n_bands)

@@ -283,6 +283,22 @@ def main() -> None:
 
     run("pipeline_pack_nextfit", model_pack_nextfit)
 
+    # -- dedup_cluster_minhash_md5: union-find over the md5 pair
+    # entry's own output — legitimate because dedup_minhash_lsh_md5 is
+    # itself value-hash-checked at sf1 (round 9); the components
+    # recursion is the seam the model re-derives. Costs one extra pair
+    # computation (the entries share no persisted frame).
+    def model_cluster_minhash_md5():
+        pair_df = queries["dedup_minhash_lsh_md5"](spark, sf)
+        md5_edges = [
+            (r["id_a"], r["id_b"])
+            for r in pair_df.select("id_a", "id_b").collect()
+        ]
+        release_tracked()
+        return list(_components(md5_edges).items())
+
+    run("dedup_cluster_minhash_md5", model_cluster_minhash_md5)
+
     # -- dedup_keep_best LAST: its planted-corpus pair join is a second
     # full quadratic pass (the en lang block alone is ~C(30k,2) exact
     # Jaccards in one task at sf1) and must not gate the five entries
