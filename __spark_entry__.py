@@ -44,6 +44,7 @@ _SAMPLE_PRIORITY = [
     "dedup_simhash_md5",
     "similarity_ann_lsh_md5",
     "dedup_cluster_minhash_md5",
+    "pipeline_url_index_batches",
     # -- latest driver green is r06 (oldest band) --
     "analytics_event_transitions",
     "analytics_market_basket",

@@ -1,0 +1,135 @@
+"""Incremental cross-batch URL dedup — the fifth incremental index.
+
+The lexical / semantic / media / line indexes answer content
+questions; this one answers the crawl question that comes BEFORE any
+content processing (CCNet §2.1 / RefinedWeb stage 0, the batch form
+being ``dedup.url_dedup_report``): "has this page's canonical URL been
+kept in any earlier batch?" State is the accumulated set of canonical-
+URL digests; each micro-batch keeps one document per NEW canonical URL
+(first batch wins across batches; smallest id wins within a batch) and
+appends the batch's newly-claimed digests under the same manifest
+commit protocol the other indexes use (``core.manifests``), so torn
+writes are invisible and replays are deterministic.
+
+FORWARD-ONLY by construction — and unlike the line index, that is the
+WHOLE contract, not a compromise: keep-first URL dedup never revisits
+old batches (a URL claimed in batch N is simply claimed), so no repave
+operator exists or is needed.
+
+Scale posture: the state rows are (digest-32B, batch_src) — bodies and
+even URLs never enter the cross-batch join; the membership test is a
+LEFT ANTI join of the batch's canonical digests against the skinny
+accumulated set (AQE broadcasts whichever side is small); the within-
+batch election is one partial-aggregable min() per digest. At crawl
+scale the digest set is the only state that grows, and
+``url_index_compact`` bounds its file count.
+
+Crash safety: two manifest-committed kinds per batch — ``urls=N`` (the
+digests batch N claims) then ``kept=N`` (the kept documents) — each
+published data-first, manifest-last, with the replay guard
+(``uncommit_version`` before overwrite). A crash between the two
+commits leaves urls-without-kept: still replay-convergent, because
+decisions for batch N read only urls with version strictly below N, so
+the replay recomputes the identical claim set and kept rows. Covered
+by the fault-injection harness (tests/test_fault_injection.py).
+
+Reference: erpl-web has no incremental indexes (it is a connector
+layer); this follows the repo's own manifest protocol
+(core/manifests.py) and canonicalizer (text.canonicalize_url_expr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_url_index(spark, path: str, before: int | None = None):
+    """Accumulated claimed-canonical digests (digest, batch_src) over
+    every committed increment (``path/urls=N``, N < ``before``), or
+    None when the index is empty. Only the manifest listing is
+    consulted."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.read_committed_union(spark, path, "urls", before=before)
+
+
+def read_kept_batches(spark, path: str, before: int | None = None):
+    """Union of the kept documents (``path/kept=N``), or None."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.read_committed_union(spark, path, "kept", before=before)
+
+
+def url_index_apply(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """foreachBatch cross-batch URL dedup: keep one row per canonical
+    URL not claimed by any EARLIER committed batch (within the batch,
+    the smallest ``id_col`` wins — the deterministic crawl-order
+    stand-in), then publish the batch's claimed digests
+    (``urls=<batch_id>``) and its kept documents (``kept=<batch_id>``:
+    id, url, canonical_url) under the manifest commit protocol.
+
+    Replay-safe: batch N reads only urls with version < N, so a
+    replayed batch recomputes an identical claim set and overwrites
+    both directories with identical content. Columns beyond
+    ``id_col``/``url_col`` are passed through to the kept rows.
+    """
+    spark = batch_df.sparkSession
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.text import canonicalize_url_expr
+
+    canon = batch_df.withColumn(
+        "canonical_url", canonicalize_url_expr(url_col)
+    ).withColumn("digest", F.md5(F.col("canonical_url").cast("binary")))
+    winners = canon.groupBy("digest").agg(F.min(id_col).alias("__keep_id"))
+    own = (
+        canon.join(winners, "digest")
+        .where(F.col(id_col) == F.col("__keep_id"))
+        .drop("__keep_id")
+    )
+    prior = read_url_index(spark, path, before=batch_id)
+    if prior is not None:
+        own = own.join(prior.select("digest"), "digest", "left_anti")
+    # one materialization feeds BOTH publishes: the claim set and the
+    # kept rows must be the same rows even under speculative re-reads
+    kept = own.persist()
+    try:
+        kept.count()
+        # publish: replay guard on BOTH kinds first, then urls
+        # (data-first, manifest-last), then kept. A crash between the
+        # commits leaves urls-without-kept — replay-convergent, see
+        # module docstring.
+        manifests.uncommit_version(spark, path, "urls", batch_id)
+        manifests.uncommit_version(spark, path, "kept", batch_id)
+        (
+            kept.select("digest")
+            .withColumn("batch_src", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{path}/urls={batch_id}")
+        )
+        manifests.commit_version(spark, path, "urls", batch_id)
+        kept.drop("digest").write.mode("overwrite").parquet(
+            f"{path}/kept={batch_id}"
+        )
+        manifests.commit_version(spark, path, "kept", batch_id)
+    finally:
+        kept.unpersist()
+
+
+def url_index_compact(spark, path: str, keep_latest: int = 1) -> int:
+    """Bound the read-side file count of the claimed-digest set: merge
+    all but the newest ``keep_latest`` committed ``urls`` versions into
+    the oldest retained slot (core.manifests.compact_versions — the
+    redirect pattern, crash-safe). Lossless: digests are claimed by
+    exactly one batch, and ``batch_src`` keeps rows distinct under the
+    full-row dropDuplicates regardless. ``kept`` batches are NOT
+    compacted — they are the output, not the state."""
+    from erpl_web_spark.core import manifests
+
+    return manifests.compact_versions(spark, path, "urls", keep_latest=keep_latest)

@@ -428,6 +428,74 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_url_index_batches",
+    oracle=f"""
+    WITH {_SQL_URL_CANON_CTES},
+    b AS (
+      SELECT doc_id, url, canonical_url,
+             CASE WHEN doc_id < 40 THEN 0 ELSE 1 END AS b
+      FROM canon
+    ), k0 AS (
+      SELECT doc_id, url, canonical_url FROM (
+        SELECT doc_id, url, canonical_url,
+               ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                  ORDER BY doc_id) AS rn
+        FROM b WHERE b = 0
+      ) WHERE rn = 1
+    ), k1 AS (
+      SELECT doc_id, url, canonical_url FROM (
+        SELECT doc_id, url, canonical_url,
+               ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                  ORDER BY doc_id) AS rn
+        FROM b WHERE b = 1
+      ) WHERE rn = 1
+        AND canonical_url NOT IN (SELECT canonical_url FROM k0)
+    )
+    SELECT doc_id, url, canonical_url FROM k0
+    UNION ALL
+    SELECT doc_id, url, canonical_url FROM k1
+    """,
+)
+def pipeline_url_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental URL-dedup index (operators.url_index) replayed
+    as a deterministic two-batch sequence over the planted messy URLs:
+    docs with id < 40 arrive as batch 0, the rest as batch 1; each
+    batch keeps one doc per canonical URL not claimed by an earlier
+    batch (min id within the batch) and commits its claim increment
+    under the manifest protocol. The oracle replays both phases,
+    pinning the keep-first contract BY VALUE on both sides of the
+    seam: 40 of the 49 canonical classes (doc_id^2 mod 97) are claimed
+    by batch 0 — their batch-1 members are DROPPED — and the other 9
+    classes are first seen in batch 1, which claims them with its own
+    min-id election (the 40-doc batch 0 has no internal collisions, so
+    ITS election is exercised by batch 1 / dedup_url_canonical, stated
+    plainly). A parity split would have been vacuous: x and 97-x have
+    opposite parities, so every class spans both parities and batch 1
+    would never claim. Same stateless temp-index + driver-collect
+    pattern (and the same suite-corpus-only caveat) as
+    pipeline_line_index_batches."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        url_index_apply,
+    )
+
+    urls = _planted_urls(spark, sf_dir).select("doc_id", "url")
+    path = tempfile.mkdtemp(prefix="urlidx_suite_")
+    try:
+        url_index_apply(urls.where(F.col("doc_id") < 40), 0, path)
+        url_index_apply(urls.where(F.col("doc_id") >= 40), 1, path)
+        rows = read_kept_batches(spark, path).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, canonical_url string"
+    )
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole).

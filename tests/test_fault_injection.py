@@ -519,6 +519,98 @@ def test_line_index_crash_points(spark, tmp_path):
         assert counts_map(work) == counts_full, f"crash@{k}: counts replay diverged"
 
 
+def test_url_index_crash_points(spark, tmp_path):
+    """The fifth index (incremental URL dedup) publishes TWO kinds per
+    batch — urls=N then kept=N, each data-first manifest-last. Kill the
+    writer before every mutation op of batch 1's apply and assert:
+    readers never tear, batch-0 claims and kept rows are never lost,
+    the only visible intermediate is urls-committed-without-kept
+    (replay-convergent by the strictly-below-N read rule), and replay
+    converges to the no-crash end state for both kinds."""
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        read_url_index,
+        url_index_apply,
+    )
+
+    schema = "doc_id long, url string"
+
+    def setup(path):
+        b0 = spark.createDataFrame(
+            [(1, "HTTP://WWW.A.com:80/x/?b=2&a=1#f"),
+             (2, "http://a.com/x?a=1&b=2"),
+             (3, "https://b.com/y")],
+            schema,
+        )
+        url_index_apply(b0, 0, path)
+
+    def step(path):
+        b1 = spark.createDataFrame(
+            [(10, "http://a.com/x?utm_source=z&a=1&b=2"),
+             (12, "https://c.com/z?p=1")],
+            schema,
+        )
+        url_index_apply(b1, 1, path)
+
+    def kept_map(path):
+        df = read_kept_batches(spark, path)
+        return (
+            {}
+            if df is None
+            else {r["doc_id"]: r["canonical_url"] for r in df.collect()}
+        )
+
+    def claim_set(path):
+        df = read_url_index(spark, path)
+        return (
+            set()
+            if df is None
+            else {(r["digest"], r["batch_src"]) for r in df.collect()}
+        )
+
+    template = str(tmp_path / "ui_t")
+    setup(template)
+    kept0, claims0 = kept_map(template), claim_set(template)
+    assert set(kept0) == {1, 3}  # min-id winner within batch 0
+
+    dry = str(tmp_path / "ui_dry")
+    shutil.copytree(template, dry)
+    gate = CrashGate(None)
+    with gated(gate):
+        step(dry)
+    ops = gate.ops
+    kept_full, claims_full = kept_map(dry), claim_set(dry)
+    assert set(kept_full) == {1, 3, 12}  # 10's canonical claimed by 1
+    assert len(ops) >= 6, f"expected >=6 mutation ops, saw {ops}"
+
+    for k in range(1, len(ops) + 1):
+        work = str(tmp_path / f"ui_k{k}")
+        shutil.copytree(template, work)
+        with pytest.raises(InjectedCrash):
+            with gated(CrashGate(crash_at=k)):
+                step(work)
+        got_kept, got_claims = kept_map(work), claim_set(work)
+        assert set(kept0) <= set(got_kept), (
+            f"crash@{k} ({ops[k-1]}): lost committed kept rows"
+        )
+        assert got_kept in (kept0, kept_full), (
+            f"crash@{k} ({ops[k-1]}): torn kept state"
+        )
+        assert got_claims in (claims0, claims_full), (
+            f"crash@{k} ({ops[k-1]}): torn claim state"
+        )
+        if got_kept == kept_full:
+            # kept commits AFTER urls: kept-new without urls-new
+            # must be impossible
+            assert got_claims == claims_full, (
+                f"crash@{k} ({ops[k-1]}): kept committed before urls"
+            )
+        # recovery: replay converges for both kinds
+        step(work)
+        assert kept_map(work) == kept_full, f"crash@{k}: kept replay diverged"
+        assert claim_set(work) == claims_full, f"crash@{k}: claim replay diverged"
+
+
 def test_repave_crash_points(spark, tmp_path):
     """line_index_repave killed before every FS mutation: at every
     crash point the clean union reads back complete (each version is

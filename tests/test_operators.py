@@ -3316,6 +3316,146 @@ def test_internal_cache_tracking_is_loud_and_releasable(spark):
                     and "cache_sink" in str(w.message)]
 
 
+def test_url_index_keep_first_across_batches(spark, tmp_path):
+    """Fifth incremental index: one kept doc per canonical URL, first
+    batch wins across batches, smallest id wins within a batch, messy
+    variants (case/port/utm/trailing slash) collide via the
+    canonicalizer, and a batch replay is idempotent."""
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        read_url_index,
+        url_index_apply,
+    )
+
+    path = str(tmp_path / "urlidx")
+    schema = "doc_id long, url string"
+    b0 = spark.createDataFrame(
+        [
+            (2, "http://a.com/x?a=1&b=2"),
+            (1, "HTTP://WWW.A.com:80/x/?b=2&a=1#f"),  # same canonical as 2
+            (3, "https://b.com/y"),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "http://a.com/x?utm_source=z&a=1&b=2"),  # claimed in b0
+            (11, "https://b.com/y/"),                      # claimed in b0
+            (12, "https://c.com/z?p=1"),                   # new
+        ],
+        schema,
+    )
+    url_index_apply(b0, 0, path)
+    url_index_apply(b1, 1, path)
+
+    kept = {
+        r["doc_id"]: r["canonical_url"]
+        for r in read_kept_batches(spark, path).collect()
+    }
+    assert kept == {
+        1: "http://a.com/x?a=1&b=2",   # min-id winner within batch 0
+        3: "https://b.com/y",
+        12: "https://c.com/z?p=1",
+    }
+    claims = read_url_index(spark, path).collect()
+    assert len(claims) == 3
+    assert {r["batch_src"] for r in claims} == {0, 1}
+
+    # replay idempotence: batch 1 recomputes the identical decisions
+    url_index_apply(b1, 1, path)
+    kept2 = {
+        r["doc_id"]: r["canonical_url"]
+        for r in read_kept_batches(spark, path).collect()
+    }
+    assert kept2 == kept
+
+
+def test_url_index_compaction(spark, tmp_path):
+    """url_index_compact merges claim increments losslessly (redirect
+    pattern); decisions after compaction are unchanged."""
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.url_index import (
+        read_url_index,
+        url_index_apply,
+        url_index_compact,
+    )
+
+    path = str(tmp_path / "urlidx")
+    schema = "doc_id long, url string"
+    for i, u in enumerate(
+        ["http://a.com/1", "http://a.com/2", "http://a.com/3"]
+    ):
+        url_index_apply(
+            spark.createDataFrame([(i, u)], schema), i, path
+        )
+    before = {r["digest"] for r in read_url_index(spark, path).collect()}
+    assert url_index_compact(spark, path, keep_latest=1) > 0
+    after = {r["digest"] for r in read_url_index(spark, path).collect()}
+    assert after == before
+    assert len(manifests.committed_versions(spark, path, "urls")) == 2
+    # a post-compaction batch still dedups against the merged claims
+    url_index_apply(
+        spark.createDataFrame(
+            [(30, "http://a.com/2?utm_source=x"), (31, "http://a.com/4")],
+            schema,
+        ),
+        3,
+        path,
+    )
+    from erpl_web_spark.operators.url_index import read_kept_batches
+
+    kept3 = {
+        r["doc_id"]
+        for r in read_kept_batches(spark, path).collect()
+        if r["doc_id"] >= 30
+    }
+    assert kept3 == {31}
+
+
+def test_url_index_streaming_e2e(spark, tmp_path):
+    """The URL index behind a real file stream: foreachBatch passes
+    micro-batches to url_index_apply; the kept union equals the batch
+    operator's keep-first election over the full input."""
+    import os
+
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        url_index_apply,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id long, url string"
+    spark.createDataFrame(
+        [(1, "http://a.com/x?b=2&a=1"), (2, "https://b.com/y")], schema
+    ).write.mode("overwrite").parquet(src + "/b0")
+    (
+        spark.readStream.schema(schema)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(lambda df, bid: url_index_apply(df, bid, idx))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    spark.createDataFrame(
+        [(10, "HTTP://A.com:80/x/?a=1&b=2"), (11, "https://c.com/z")], schema
+    ).write.mode("overwrite").parquet(src + "/b1")
+    (
+        spark.readStream.schema(schema)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(lambda df, bid: url_index_apply(df, bid, idx))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    kept = {r["doc_id"] for r in read_kept_batches(spark, idx).collect()}
+    assert kept == {1, 2, 11}  # 10's canonical was claimed by doc 1
+
+
 def test_pack_documents_nextfit_semantics(spark):
     """Next-fit whole-document packing: docs never split, a new bin
     opens when the next doc would overflow, an oversized doc occupies
