@@ -840,14 +840,16 @@ def simhash_near_dup_pairs(
     n_bands = max_hamming + 1
     bounds = [(c * n_bits) // n_bands for c in range(n_bands + 1)]
     sims = simhash_documents(df, id_col, text_col, hash_mode=hash_mode)
+    def _band_key(c: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), bounds[c])
+        width = bounds[c + 1] - bounds[c]
+        if width == 64:  # full-hash band (max_hamming=0): mask literal
+            return shifted  # would overflow a long; the shift is a no-op
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), bounds[c])
-                .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
-                .alias("key"),
-            )
+            F.struct(F.lit(c).alias("chunk"), _band_key(c).alias("key"))
             for c in range(n_bands)
         ]
     )
