@@ -79,6 +79,10 @@ def url_index_apply(
     replayed batch recomputes an identical claim set and overwrites
     both directories with identical content. Columns beyond
     ``id_col``/``url_col`` are passed through to the kept rows.
+
+    Rows with a NULL ``url_col`` cannot be URL-deduped: they are kept
+    as-is (NULL canonical_url), bypassing both the election and the
+    claim set — deduping them is the content indexes' job.
     """
     spark = batch_df.sparkSession
     from erpl_web_spark.core import manifests
@@ -87,6 +91,13 @@ def url_index_apply(
     canon = batch_df.withColumn(
         "canonical_url", canonicalize_url_expr(url_col)
     ).withColumn("digest", F.md5(F.col("canonical_url").cast("binary")))
+    # rows WITHOUT a URL cannot be URL-deduped: they bypass the
+    # election and the claim set entirely (kept as-is, claiming
+    # nothing). Without this split, all of a batch's NULL-url rows
+    # would collapse into one NULL-digest "winner" (silent data loss)
+    # that no batch could ever claim (NULL never joins).
+    no_url = canon.where(F.col("digest").isNull())
+    canon = canon.where(F.col("digest").isNotNull())
     winners = canon.groupBy("digest").agg(F.min(id_col).alias("__keep_id"))
     own = (
         canon.join(winners, "digest")
@@ -114,9 +125,9 @@ def url_index_apply(
             .parquet(f"{path}/urls={batch_id}")
         )
         manifests.commit_version(spark, path, "urls", batch_id)
-        kept.drop("digest").write.mode("overwrite").parquet(
-            f"{path}/kept={batch_id}"
-        )
+        kept.drop("digest").unionByName(no_url.drop("digest")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/kept={batch_id}")
         manifests.commit_version(spark, path, "kept", batch_id)
     finally:
         kept.unpersist()

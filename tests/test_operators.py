@@ -3370,6 +3370,43 @@ def test_url_index_keep_first_across_batches(spark, tmp_path):
     assert kept2 == kept
 
 
+def test_url_index_null_urls_pass_through(spark, tmp_path):
+    """Rows without a URL cannot be URL-deduped: ALL of them are kept
+    (NULL canonical), in every batch, claiming nothing — not collapsed
+    into one NULL-digest 'winner'."""
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        read_url_index,
+        url_index_apply,
+    )
+
+    path = str(tmp_path / "urlidx")
+    schema = "doc_id long, url string"
+    url_index_apply(
+        spark.createDataFrame(
+            [(1, None), (2, None), (3, "http://a.com/x")], schema
+        ),
+        0,
+        path,
+    )
+    url_index_apply(
+        spark.createDataFrame(
+            [(10, None), (11, "http://a.com/x?utm_source=s")], schema
+        ),
+        1,
+        path,
+    )
+    kept = {
+        r["doc_id"]: r["canonical_url"]
+        for r in read_kept_batches(spark, path).collect()
+    }
+    # every NULL-url row kept; URL dedup still applies to real URLs
+    assert set(kept) == {1, 2, 3, 10}
+    assert kept[1] is None and kept[2] is None and kept[10] is None
+    # NULL rows claim nothing
+    assert read_url_index(spark, path).count() == 1
+
+
 def test_url_index_compaction(spark, tmp_path):
     """url_index_compact merges claim increments losslessly (redirect
     pattern); decisions after compaction are unchanged."""
