@@ -318,7 +318,12 @@ def pack_documents_nextfit(
     base = df.select(
         F.pmod(_md5_long48(F.col(id_col)), F.lit(n_shards)).alias("shard"),
         F.col(id_col),
-        token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts 0 tokens (size(NULL) is NULL, which would
+        # reach the pandas loop as NaN and crash int()) — a null doc
+        # packs like an empty one
+        F.coalesce(token_count_expr(F.col(text_col)).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
