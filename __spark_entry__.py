@@ -32,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Sample-rotation order for the driver's prefix-based per-round check.
 # Round 10: the r09 sample re-greened the r04/r05 bands, so the oldest
-# latest-green rows are now the r06-latest names — they follow the six
-# round-10 additions (which need their first driver rows); r07-latest
-# names queue after to fill future samples. Names are stable; unlisted
-# entries keep registration order after these.
+# latest-green rows are now the r06-latest names — they follow the
+# eight round-10 additions (which need their first driver rows);
+# r07-latest names queue after to fill future samples. Names are
+# stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
     # -- new in round 10 (need their first driver rows) --
     "text_url_canonicalize",
@@ -45,6 +45,7 @@ _SAMPLE_PRIORITY = [
     "similarity_ann_lsh_md5",
     "dedup_cluster_minhash_md5",
     "pipeline_url_index_batches",
+    "text_bloom_membership",
     # -- latest driver green is r06 (oldest band) --
     "analytics_event_transitions",
     "analytics_market_basket",

@@ -1300,6 +1300,101 @@ def countmin_lookup(
     )
 
 
+def _bloom_positions(tok: Column, k: int, m_bits: int) -> Column:
+    """Array of the ``k`` md5-derived bit positions of a token — the
+    engine-portable hash family (the countmin_sketch trick): position i
+    = md5('i:tok')[:8 hex] % m_bits. 32-bit draw, always positive."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", i.cast("string"), tok).cast("binary")
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % m_bits
+        ),
+    )
+
+
+def bloom_filter_words(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    m_bits: int = 96,
+) -> DataFrame:
+    """Bloom filter over the corpus's distinct tokens (Bloom 1970) as
+    (word, mask) rows — 48 bits per word, at most ceil(m_bits/48) rows
+    REGARDLESS of corpus size: the membership sketch that prunes joins
+    at 100 TB (ship the filter broadcast-side; only candidate matches
+    shuffle). Build is one distinct-token pass fanned out k ways, and
+    the bit_or aggregate is partial-aggregable, so the shuffle carries
+    at most m_bits/48 rows per map task.
+
+    Bit positions come from the md5-derived hash family
+    (:func:`_bloom_positions`), so the filter is bit-identical across
+    engines — a DuckDB oracle rebuilds it exactly, which makes the
+    one-sided error CONTRACT (no false negatives, ever; false
+    positives at a rate set by the load factor) value-hash-checkable
+    rather than asserted. Words are 48-bit so every shift stays clear
+    of the bigint sign bit in both engines."""
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("tok")).distinct()
+    pos = toks.select(
+        F.explode(_bloom_positions(F.col("tok"), k, m_bits)).alias("pos")
+    ).distinct()
+    return (
+        pos.select(
+            F.floor(F.col("pos") / 48).cast("bigint").alias("word"),
+            (F.col("pos") % 48).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            # shiftleft's python binding takes only a literal bit count
+            # — the SQL form accepts a column (the lsh_bucket idiom)
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask")
+        )
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    k: int = 3,
+    m_bits: int = 96,
+    token_col: str = "probe",
+) -> DataFrame:
+    """Membership test against :func:`bloom_filter_words`: a probe is
+    ``present`` iff ALL ``k`` of its bits are set. The filter is at
+    most ceil(m_bits/48) rows, so it broadcasts; the probe side fans
+    out k ways and re-aggregates per probe (partial-aggregable sum).
+    Returns (token_col, n_hits, present) — n_hits < k is a PROOF of
+    absence (the no-false-negative side); n_hits == k is membership
+    up to the false-positive rate."""
+    pos = probes.select(
+        F.col(token_col),
+        F.explode(_bloom_positions(F.col(token_col), k, m_bits)).alias("pos"),
+    ).select(
+        token_col,
+        F.floor(F.col("pos") / 48).cast("bigint").alias("word"),
+        (F.col("pos") % 48).cast("int").alias("bit"),
+    )
+    hit = F.expr(
+        "shiftrightunsigned(coalesce(mask, CAST(0 AS BIGINT)), bit)"
+    ).bitwiseAND(F.lit(1))
+    return (
+        pos.join(F.broadcast(bloom), "word", "left")
+        .groupBy(token_col)
+        .agg(F.sum(hit).cast("int").alias("n_hits"))
+        .select(
+            token_col, "n_hits", (F.col("n_hits") == k).alias("present")
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

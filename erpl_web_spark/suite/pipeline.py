@@ -2455,6 +2455,70 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bloom_membership",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT unnest({_SQL_TOKS}) AS tok FROM documents
+    ), pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5(CAST(g.i AS VARCHAR) || ':' || tok),
+                                    1, 8) AS BIGINT) % 96 AS pos
+      FROM toks, (SELECT unnest(range(0, 3)) AS i) g
+    ), words AS (
+      SELECT pos // 48 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 48 AS INT)) AS mask
+      FROM pos GROUP BY pos // 48
+    ), probes AS (
+      SELECT tok AS probe FROM toks
+      UNION ALL
+      SELECT 'zz' || CAST(unnest(range(0, 20)) AS VARCHAR)
+    ), ppos AS (
+      SELECT probe, CAST('0x' || substring(
+               md5(CAST(g.i AS VARCHAR) || ':' || probe), 1, 8) AS BIGINT) % 96 AS pos
+      FROM probes, (SELECT unnest(range(0, 3)) AS i) g
+    ), hits AS (
+      SELECT p.probe,
+             SUM(CASE WHEN ((COALESCE(w.mask, 0) >> CAST(p.pos % 48 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS n_hits
+      FROM ppos p LEFT JOIN words w ON w.word = p.pos // 48
+      GROUP BY p.probe
+    )
+    SELECT probe, CAST(n_hits AS INT) AS n_hits, n_hits = 3 AS present
+    FROM hits
+    """,
+)
+def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (text.bloom_filter_words/bloom_probe) —
+    the join-pruning sketch, completing the sketch family alongside
+    approx-distinct, percentiles and Count-Min. DELIBERATELY
+    undersized (m=96 bits, k=3, vocabulary-sized load) so the
+    one-sided error contract is visible in the values: every corpus
+    token probes present (no false negatives — the contract), the 20
+    planted absent probes split between clean misses (n_hits < 3, a
+    PROOF of absence) and false positives (n_hits = 3) at the load
+    factor's FP rate. md5-derived bit positions make the filter
+    bit-identical in DuckDB, so filter, probe fan-out and the error
+    spectrum are all value-hash-checked (the countmin pattern)."""
+    from erpl_web_spark.operators.text import (
+        bloom_filter_words,
+        bloom_probe,
+        tokens_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    filt = bloom_filter_words(docs, k=3, m_bits=96)
+    vocab = docs.select(
+        F.explode(tokens_expr(F.col("text"))).alias("probe")
+    ).distinct()
+    absents = spark.range(20).select(
+        F.concat(F.lit("zz"), F.col("id").cast("string")).alias("probe")
+    )
+    return bloom_probe(
+        vocab.unionByName(absents), filt, k=3, m_bits=96
+    )
+
+
+@register(
     "text_countmin_topk",
     oracle=f"""
     WITH toks AS (

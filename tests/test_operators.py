@@ -3316,6 +3316,36 @@ def test_internal_cache_tracking_is_loud_and_releasable(spark):
                     and "cache_sink" in str(w.message)]
 
 
+def test_bloom_filter_contract(spark):
+    """Bloom filter one-sided error: EVERY inserted token probes
+    present (no false negatives — the contract), an absent probe with
+    n_hits < k is a proof of absence, and a generously-sized filter
+    rejects all planted absents (deterministic hashes -> pinned)."""
+    from erpl_web_spark.operators.text import bloom_filter_words, bloom_probe
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    filt = bloom_filter_words(df, k=3, m_bits=4096)
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",), ("epsilon",),
+         ("zeta",), ("missing1",), ("missing2",), ("missing3",)],
+        "probe string",
+    )
+    out = {
+        r["probe"]: (r["n_hits"], r["present"])
+        for r in bloom_probe(probes, filt, k=3, m_bits=4096).collect()
+    }
+    for tok in ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]:
+        assert out[tok] == (3, True), f"false negative on {tok}"
+    for tok in ["missing1", "missing2", "missing3"]:
+        n, present = out[tok]
+        assert n < 3 and not present  # 4096 bits, 18 set: no FP here
+    # filter size is bounded by m_bits, not corpus size
+    assert filt.count() <= (4096 + 47) // 48
+
+
 def test_url_index_keep_first_across_batches(spark, tmp_path):
     """Fifth incremental index: one kept doc per canonical URL, first
     batch wins across batches, smallest id wins within a batch, messy
