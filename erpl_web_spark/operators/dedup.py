@@ -57,14 +57,17 @@ def url_dedup_report(
     (ties to the smaller id), or the smallest id when no quality column
     is given.
 
-    Returns (canonical_url, keep_id, n_dups, best_quality?). One
-    partial-aggregable groupBy: the shuffle carries the canonical
-    string + id + quality only (bodies never move), and the winner is
-    elected with ``max_by`` over an ordering struct — NOT a per-group
-    row_number window, which would concentrate every hot URL's copies
-    in one task (the repo's recurring top-k-window lesson). The
-    numeric id is negated inside the struct for the tie-break; never
-    negate string/label columns (tie-break bug class).
+    Returns (canonical_url, n_dups, keep_id, best_quality?) — column
+    order as produced. One partial-aggregable groupBy: the shuffle
+    carries the canonical string + id + quality only (bodies never
+    move), and the winner is elected with ``max_by`` over an ordering
+    struct — NOT a per-group row_number window, which would
+    concentrate every hot URL's copies in one task (the repo's
+    recurring top-k-window lesson). PRECONDITION for the quality path:
+    ``id_col`` must be NUMERIC — the tie-break negates it inside the
+    ordering struct (never negate string/label columns; tie-break bug
+    class). The no-quality path uses plain ``min`` and accepts any
+    orderable id type.
     """
     from erpl_web_spark.operators.text import canonicalize_url_expr
 

@@ -343,8 +343,12 @@ def pack_documents_nextfit(
         pdf["bin_fill_after"] = pd.Series(fills, dtype="int64")
         return pdf
 
+    # the id field keeps the input's own type (string/UUID doc ids are
+    # common for web corpora and the md5 shard bucket supports them) —
+    # hardcoding bigint here would crash every non-numeric id at runtime
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"shard bigint, {id_col} bigint, n_tokens bigint, "
+        f"shard bigint, {id_col} {id_type}, n_tokens bigint, "
         "bin_id bigint, bin_fill_after bigint"
     )
     return base.groupBy("shard").applyInPandas(pack, schema)
@@ -1380,10 +1384,17 @@ def bloom_probe(
     ``present`` iff ALL ``k`` of its bits are set. The filter is at
     most ceil(m_bits/48) rows, so it broadcasts; the probe side fans
     out k ways and re-aggregates per probe (partial-aggregable sum).
-    Returns (token_col, n_hits, present) — n_hits < k is a PROOF of
-    absence (the no-false-negative side); n_hits == k is membership
-    up to the false-positive rate."""
-    pos = probes.select(
+    Returns ONE row per DISTINCT probe value: (token_col, n_hits,
+    present) — n_hits < k is a PROOF of absence (the no-false-negative
+    side); n_hits == k is membership up to the false-positive rate.
+
+    Probes are deduplicated internally: a probe value appearing twice
+    would otherwise accumulate 2k position rows and fail the
+    ``n_hits == k`` test — a silent false negative that would break
+    the one-sided error contract. The distinct is a shuffle of bare
+    probe strings, partial-aggregable, and no wider than the
+    per-probe re-aggregation the operator already pays."""
+    pos = probes.select(F.col(token_col)).distinct().select(
         F.col(token_col),
         F.explode(_bloom_positions(F.col(token_col), k, m_bits)).alias("pos"),
     ).select(
@@ -1582,8 +1593,50 @@ def strip_html_expr(col) -> Column:
 # Query parameters dropped by canonicalize_url_expr: per-click tracking
 # noise that makes byte-identical pages look distinct to a URL-keyed
 # dedup (the CCNet/RefinedWeb first stage dedups on normalized URL
-# before any content hash is computed).
-URL_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)="
+# before any content hash is computed). The (=|$) tail matches both
+# 'utm_source=x' and a bare valueless 'utm_source' (servers ignore
+# both forms identically).
+URL_TRACKING_PARAM_RE = "^(utm_[^=&]*|fbclid|gclid)(=|$)"
+
+
+def pct_normalize_expr(col) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as a pure column
+    expression: decode ``%XX`` escapes of UNRESERVED characters
+    (ALPHA / DIGIT / ``-._~`` — §2.3: escaping them never changes the
+    resource, so ``%41`` ≡ ``A``) and uppercase the hex digits of
+    every remaining escape (``%2f`` ≡ ``%2F``); a ``%`` not followed
+    by two hex digits passes through literally. Idempotent: decoded
+    characters contain no ``%``, and reserved escapes are already
+    uppercase after one pass.
+
+    Shape: split on ``%`` (piece 0 predates any escape; every later
+    piece starts where an escape began), fix each piece with
+    hex→codepoint→char built-ins (``conv``/``char``) and a one-char
+    unreserved character-class test — no UDF, no lookup table, stays
+    in codegen. Decoding unreserved characters can never create a URL
+    delimiter (``:/?#&=%`` are all reserved), so running this BEFORE
+    URL parsing is safe by construction."""
+    u = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(u, "%", -1)
+
+    def fix(x: Column) -> Column:
+        hexpair = F.upper(F.substring(x, 1, 2))
+        rest = F.substring(x, 3, 2147483647)
+        decoded = F.char(F.conv(hexpair, 16, 10).cast("bigint"))
+        return (
+            F.when(~x.rlike("^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), x))
+            .when(
+                decoded.rlike("^[0-9A-Za-z._~-]$"), F.concat(decoded, rest)
+            )
+            .otherwise(F.concat(F.lit("%"), hexpair, rest))
+        )
+
+    return F.concat(
+        F.get(pieces, 0),
+        F.array_join(
+            F.transform(F.slice(pieces, 2, F.size(pieces)), fix), ""
+        ),
+    )
 
 
 def canonicalize_url_expr(col) -> Column:
@@ -1591,24 +1644,37 @@ def canonicalize_url_expr(col) -> Column:
     web-pipeline URL dedup groups on (CCNet §2.1 / RefinedWeb first
     stage: one fetch per page, before any content processing).
 
-    Rules, in order: lowercase scheme and host; strip a leading
-    ``www.``; strip the scheme's default port (``:80`` http, ``:443``
-    https — any other explicit port is kept: it names a different
-    origin); drop the fragment (client-side only); strip one trailing
-    slash from the path and render an empty path as ``/``; drop
-    tracking query parameters (:data:`URL_TRACKING_PARAM_RE`) and sort
-    the survivors byte-lexicographically (``a=1&b=2`` == ``b=2&a=1``
-    — order is almost never semantic; the rare order-sensitive
-    endpoint trades off against the dedup recall this buys).
+    Rules, in order: normalize percent-encoding
+    (:func:`pct_normalize_expr` — decode unreserved-character escapes,
+    uppercase the rest; RFC 3986 §6.2.2, so an obfuscated
+    ``%75tm_source`` is seen by the tracking-param filter below);
+    lowercase scheme and host; strip a leading ``www.``; strip the
+    scheme's default port (``:80`` http, ``:443`` https — any other
+    explicit port is kept: it names a different origin); drop the
+    fragment (client-side only); strip one trailing slash from the
+    path and render an empty path as ``/``; drop tracking query
+    parameters (:data:`URL_TRACKING_PARAM_RE`, including the bare
+    valueless ``?utm_source`` form) and sort the survivors
+    byte-lexicographically (``a=1&b=2`` == ``b=2&a=1`` — order is
+    almost never semantic; the rare order-sensitive endpoint trades
+    off against the dedup recall this buys).
+
+    Scheme-less input (no ``://``) is NOT a URL this canonicalizer
+    understands: it passes through UNCHANGED (each distinct string is
+    its own key) rather than being mangled into ``://host/...`` —
+    callers that want scheme-less crawl records deduped should prefix
+    a scheme first.
 
     Narrow map, no shuffle, whole-stage codegen: regex/split/filter/
     array_sort built-ins only, every pattern inside the Java-RE2
     common subset, so the transform is value-hash oracle-checkable
-    cross-engine. Percent-encoding is NOT normalized (``%2F`` vs ``/``
-    is payload-dependent); IDN/punycode is out of scope — both are
-    stated boundaries, not silent gaps.
+    cross-engine. Stated boundaries (not silent gaps): IDN/punycode
+    hosts are out of scope, and a reserved escape inside the HOST is
+    lowercased along with the host (hosts are case-insensitive; %XX
+    in a hostname is vanishingly rare).
     """
-    u = F.col(col) if isinstance(col, str) else col
+    raw = F.col(col) if isinstance(col, str) else col
+    u = pct_normalize_expr(raw)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     nofrag = F.get(F.split(rest, "#", 2), 0)
@@ -1633,7 +1699,8 @@ def canonicalize_url_expr(col) -> Column:
     )
     qsorted = F.array_join(F.array_sort(params), "&")
     qpart = F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, portpart, canon_path, qpart)
+    canon = F.concat(scheme, F.lit("://"), host, portpart, canon_path, qpart)
+    return F.when(scheme == "", raw).otherwise(canon)
 
 
 def _bigram_frame(

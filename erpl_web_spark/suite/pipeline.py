@@ -301,7 +301,18 @@ def _token_drop_twin_corpus(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SQL_URL_G = "(doc_id * doc_id) % 97"
+# Scheme-less slice (doc_id % 13 = 12): NOT a '://' URL, so the
+# canonicalizer passes it through VERBATIM — case noise, the %7E
+# escape and the utm param all survive untouched (each distinct
+# string is its own dedup key). Percent noise on the schemed slice:
+# '/%70/' decodes to '/p/' (unreserved: same group as the plain
+# spelling), 'x=%2f' vs 'x=%2F' uppercase to the same reserved escape
+# (g-stable param, so groups are preserved), and a bare valueless
+# 'utm_campaign' (doc noise) is dropped by the (=|$) tracking rule.
 _SQL_URL = """
+    (CASE WHEN doc_id % 13 = 12
+     THEN 'Site' || CAST(g AS STRING) || '.example/p%7E?utm_source=x'
+     ELSE
     (CASE WHEN g % 2 = 0 THEN 'HTTP' ELSE 'https' END)
     || '://'
     || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.Site' || CAST(g % 5 AS STRING) || '.COM'
@@ -311,13 +322,19 @@ _SQL_URL = """
              ELSE '' END)
     || (CASE WHEN g % 10 = 9
              THEN CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
-             ELSE '/p/' || CAST(g AS STRING)
+             ELSE (CASE WHEN doc_id % 11 = 3 THEN '/%70/' ELSE '/p/' END)
+                  || CAST(g AS STRING)
                   || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END END)
     || (CASE WHEN g % 10 = 9
              THEN CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed' ELSE '' END
              ELSE '?' || (CASE WHEN doc_id % 3 = 1 THEN 'utm_source=feed&' ELSE '' END)
-                  || (CASE WHEN doc_id % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) END)
+                  || (CASE WHEN doc_id % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END)
+                  || (CASE WHEN g % 4 = 1
+                       THEN CASE WHEN doc_id % 2 = 0 THEN '&x=%2f' ELSE '&x=%2F' END
+                       ELSE '' END)
+                  || (CASE WHEN doc_id % 9 = 4 THEN '&utm_campaign' ELSE '' END) END)
     || (CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id AS STRING) ELSE '' END)
+     END)
 """
 
 # DuckDB rendering of text.canonicalize_url_expr over the planted urls
@@ -327,11 +344,23 @@ _SQL_URL = """
 _SQL_URL_CANON_CTES = f"""
     raw AS (SELECT doc_id, n_chars, {_SQL_URL_G} AS g FROM documents),
     urls AS (SELECT doc_id, n_chars, {_SQL_URL} AS url FROM raw),
+    pct AS (
+      SELECT doc_id, n_chars, url,
+             string_split(url, '%')[1] ||
+             coalesce(array_to_string(list_transform(string_split(url, '%')[2:],
+               x -> CASE
+                 WHEN NOT regexp_matches(x, '^[0-9A-Fa-f]{{2}}') THEN '%' || x
+                 WHEN regexp_matches(chr(CAST(('0x' || substring(x, 1, 2)) AS INTEGER)),
+                                     '^[0-9A-Za-z._~-]$')
+                   THEN chr(CAST(('0x' || substring(x, 1, 2)) AS INTEGER)) || substring(x, 3)
+                 ELSE '%' || upper(substring(x, 1, 2)) || substring(x, 3)
+               END), ''), '') AS nurl
+      FROM urls),
     parts AS (
       SELECT doc_id, n_chars, url,
-             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
-             string_split(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#')[1] AS nofrag
-      FROM urls),
+             lower(regexp_extract(nurl, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+             string_split(regexp_replace(nurl, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#')[1] AS nofrag
+      FROM pct),
     hp AS (
       SELECT *, regexp_extract(nofrag, '^([^/?]+)', 1) AS hostport,
              regexp_replace(nofrag, '^[^/?]+', '') AS tail
@@ -346,17 +375,19 @@ _SQL_URL_CANON_CTES = f"""
       FROM hp),
     canon AS (
       SELECT doc_id, n_chars, url,
+             CASE WHEN scheme = '' THEN url ELSE
              scheme || '://' || host
              || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
                                           OR (scheme = 'https' AND port = '443'))
                      THEN ':' || port ELSE '' END
              || CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
                      ELSE regexp_replace(path, '/$', '') END
-             || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+             || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+             END AS canonical_url
       FROM (SELECT *,
               array_to_string(list_sort(list_filter(
                 string_split(coalesce(query, ''), '&'),
-                x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+                x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid)(=|$)'))),
                 '&') AS q
             FROM comps))
 """
@@ -380,13 +411,17 @@ def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-URL canonical form (text.canonicalize_url_expr): lowercase
-    scheme/host, www. strip, default-port strip, fragment drop,
-    trailing-slash + empty-path normalization, tracking-param drop,
-    query-param sort. Pure narrow map — no shuffle, codegen end to
+    """Per-URL canonical form (text.canonicalize_url_expr): percent-
+    encoding normalization (unreserved escapes decoded, remaining hex
+    uppercased — RFC 3986 §6.2.2), lowercase scheme/host, www. strip,
+    default-port strip, fragment drop, trailing-slash + empty-path
+    normalization, tracking-param drop (including bare valueless utm
+    params), query-param sort; scheme-less input passes through
+    verbatim. Pure narrow map — no shuffle, codegen end to
     end; the value hash proves every rule on every planted variant
     (case noise, default ports, utm params, scrambled order,
-    fragments, path edges). Reference: erpl-web normalizes URLs only
+    fragments, path edges, %70/%2f escapes, a scheme-less slice).
+    Reference: erpl-web normalizes URLs only
     for HTTP dispatch (url merge, core/url.py parity — README.md
     HttpUrl); the dedup-grade canonicalizer is pipeline surface the
     reference lacks."""

@@ -3344,6 +3344,38 @@ def test_bloom_filter_contract(spark):
         assert n < 3 and not present  # 4096 bits, 18 set: no FP here
     # filter size is bounded by m_bits, not corpus size
     assert filt.count() <= (4096 + 47) // 48
+    # DUPLICATE probe rows must not manufacture false negatives: a
+    # member probed twice would accumulate 2k position rows and fail
+    # n_hits == k unless bloom_probe dedupes internally (ADVICE r10).
+    dup = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("alpha",), ("missing1",), ("missing1",)],
+        "probe string",
+    )
+    dup_out = {
+        r["probe"]: (r["n_hits"], r["present"])
+        for r in bloom_probe(dup, filt, k=3, m_bits=4096).collect()
+    }
+    assert len(dup_out) == 2  # one row per DISTINCT probe
+    assert dup_out["alpha"] == (3, True)
+    assert dup_out["missing1"][0] < 3 and not dup_out["missing1"][1]
+
+
+def test_pack_nextfit_string_ids(spark):
+    """pack_documents_nextfit with STRING doc ids (web-corpus UUIDs):
+    the output schema derives the id type from the input, shards by
+    the md5 bucket, and packs in lexicographic id order."""
+    from erpl_web_spark.operators.text import pack_documents_nextfit
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", "tok " * (i % 5 + 1)) for i in range(20)],
+        "doc_id string, text string",
+    )
+    out = pack_documents_nextfit(df, budget=8, n_shards=2).collect()
+    assert len(out) == 20
+    assert all(isinstance(r["doc_id"], str) for r in out)
+    # within each shard, bin fill never exceeds budget unless the doc
+    # alone does (no doc here exceeds 5 tokens)
+    assert all(r["bin_fill_after"] <= 8 for r in out)
 
 
 def test_url_index_keep_first_across_batches(spark, tmp_path):
@@ -3584,6 +3616,11 @@ def test_canonicalize_url_expr_rules(spark):
         (7, "http://sub.example.com/x"),               # only LEADING www strips
         (8, "http://example.com/p?z=1&m=2&a=3"),
         (9, "http://example.com/p?a=1&dup=2&dup=1"),   # dup keys both kept, sorted
+        (10, "http://example.com/%70a%7Eb?x=%2f"),     # unreserved decode + hex upper
+        (11, "http://example.com/x?utm_campaign&q=1"), # bare valueless tracking param
+        (12, "Site.example/p%7E?utm_source=x"),        # scheme-less: verbatim passthrough
+        (13, "http://example.com/a%4x%"),              # malformed escapes stay literal
+        (14, "http://example.com/%75tm?%75tm_source=1&a=2"),  # obfuscated utm decoded, then dropped
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {
@@ -3601,6 +3638,11 @@ def test_canonicalize_url_expr_rules(spark):
     assert out[7] == "http://sub.example.com/x"
     assert out[8] == "http://example.com/p?a=3&m=2&z=1"
     assert out[9] == "http://example.com/p?a=1&dup=1&dup=2"
+    assert out[10] == "http://example.com/pa~b?x=%2F"
+    assert out[11] == "http://example.com/x?q=1"
+    assert out[12] == "Site.example/p%7E?utm_source=x"
+    assert out[13] == "http://example.com/a%4x%"
+    assert out[14] == "http://example.com/utm?a=2"
     # idempotence: canonicalizing a canonical URL is the identity
     canon = spark.createDataFrame(
         [(k, v) for k, v in out.items()], "doc_id long, url string"
