@@ -246,6 +246,8 @@ def minhash_lsh_pairs(
     broadcast_candidates: bool = True,
     cache_sink: list | None = None,
     hash_mode: str = "xxhash64",
+    max_bucket: int | None = None,
+    dropped_sink: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -289,6 +291,23 @@ def minhash_lsh_pairs(
     huge cluster of identical documents) concentrates in one bucket —
     run exact dedup first (as any production pipeline does); the exact
     stage removes identical texts and with them every degenerate bucket.
+
+    ``max_bucket`` is the band-bucket cap — the ``scrub_max_df``
+    pattern applied to banding: band keys with more than ``max_bucket``
+    members are dropped BEFORE the posting lists are built (a map-side-
+    combined count finds them; an anti-join removes them — the
+    collect_list never buffers a hot bucket only to discard it), which
+    bounds the within-bucket C(n,2) expansion that is otherwise
+    unguarded on low-entropy corpora (measured ~quadratic pair density,
+    SCALING.md r10). Recall tradeoff: a true pair is lost only if EVERY
+    band the two documents agree on is hot — near-identical documents
+    agree on most of their ``bands`` keys, so the cap prices exactly
+    the boilerplate clusters it exists to bound (measured with the cap
+    on in SCALING.md r11). ``dropped_sink`` (a list), when given,
+    receives a lazy (band_key, n_members) DataFrame of the dropped
+    buckets so callers can count and log what the cap cost — silent
+    truncation is the anti-pattern. Default None keeps the exact
+    semantics (the value-hash oracle entries run uncapped).
     """
     hashed = track_persist(
         hashed_shingles(df, id_col, text_col, shingle_k, hash_mode=hash_mode),
@@ -299,6 +318,16 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(band_keys_expr(num_hashes, bands)).alias("band_key")
     )
+    if max_bucket is not None:
+        banded = track_persist(banded, "minhash_lsh_pairs", cache_sink)
+        hot = (
+            banded.groupBy("band_key")
+            .agg(F.count("*").cast("bigint").alias("n_members"))
+            .where(F.col("n_members") > max_bucket)
+        )
+        if dropped_sink is not None:
+            dropped_sink.append(hot)
+        banded = banded.join(hot.select("band_key"), "band_key", "left_anti")
     # Bucketize: sorted-distinct member ids per band key. sort+distinct
     # canonicalizes collect_list's nondeterministic order so the expanded
     # pairs are deterministic and strictly id_a < id_b.
@@ -821,6 +850,9 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     hash_mode: str = "xxhash64",
+    max_bucket: int | None = None,
+    dropped_sink: list | None = None,
+    cache_sink: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -836,6 +868,21 @@ def simhash_near_dup_pairs(
     bands mean more candidates per bucket, priced by the verify stage
     staying a skinny popcount join.
     Returns (id_a, id_b, hamming).
+
+    ``max_bucket`` caps band-bucket sizes (the ``scrub_max_df``
+    pattern): (chunk, key) buckets with more than ``max_bucket``
+    members are counted map-side and anti-joined out of BOTH sides of
+    the candidate self-join, bounding the within-bucket n² that a hot
+    bucket on a low-entropy corpus otherwise produces (measured
+    ~quadratic density, SCALING.md r10; capped re-measurement r11).
+    The pigeonhole recall GUARANTEE weakens exactly this much: a true
+    pair within the radius is lost only if every band the two hashes
+    agree on is hot. ``dropped_sink`` receives a lazy (chunk, key,
+    n_members) DataFrame of dropped buckets; ``cache_sink`` follows
+    the repo's persist-lifetime convention (the banded table is
+    persisted when the cap is on — it feeds the count pass and both
+    self-join sides). Default None = exact pigeonhole semantics (the
+    oracle entries run uncapped).
     """
     n_bits = 64 if hash_mode == "xxhash64" else 48
     if max_hamming >= n_bits:
@@ -859,6 +906,20 @@ def simhash_near_dup_pairs(
     banded = sims.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")).select(
         F.col(id_col), F.col("simhash"), F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )
+    if max_bucket is not None:
+        from erpl_web_spark.operators._cache import track_persist
+
+        banded = track_persist(banded, "simhash_near_dup_pairs", cache_sink)
+        hot = (
+            banded.groupBy("chunk", "key")
+            .agg(F.count("*").cast("bigint").alias("n_members"))
+            .where(F.col("n_members") > max_bucket)
+        )
+        if dropped_sink is not None:
+            dropped_sink.append(hot)
+        banded = banded.join(
+            hot.select("chunk", "key"), ["chunk", "key"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -72,6 +72,69 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert lsh_pairs <= exact_pairs  # no false positives vs exact
 
 
+def test_band_bucket_cap_bounds_hot_buckets(spark):
+    """max_bucket (the band-bucket cap, VERDICT r10 #1): a boilerplate
+    cluster of identical documents floods every one of its band
+    buckets; with the cap on, those buckets are dropped (and COUNTED
+    via dropped_sink) while pairs in normal-sized buckets are
+    untouched — for both banded families. An identical-document
+    cluster agrees on ALL bands, so the cap removes exactly its pairs;
+    a genuine two-document near-dup pair sits in size-2 buckets and
+    survives any cap >= 2."""
+    from erpl_web_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    from erpl_web_spark.operators.dedup import simhash_documents
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("delta", "deltas", 1)
+    boiler = "terms of service apply contact us all rights reserved " * 6
+    rows = [(1, base), (2, near)] + [(100 + i, boiler) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_documents(df, "doc_id", "text").collect()
+    }
+    radius = bin(sims[1] ^ sims[2]).count("1")  # put (1,2) inside the radius
+
+    for fam, run in [
+        (
+            "minhash",
+            lambda cap, sink: minhash_lsh_pairs(
+                df, "doc_id", "text", num_hashes=64, bands=16,
+                threshold=0.5, max_bucket=cap, dropped_sink=sink,
+            ),
+        ),
+        (
+            "simhash",
+            lambda cap, sink: simhash_near_dup_pairs(
+                df, "doc_id", "text", max_hamming=radius,
+                max_bucket=cap, dropped_sink=sink,
+            ),
+        ),
+    ]:
+        uncapped = {(p["id_a"], p["id_b"]) for p in run(None, None).collect()}
+        boiler_pairs = {p for p in uncapped if p[0] >= 100}
+        assert (1, 2) in uncapped and len(boiler_pairs) == 30 * 29 // 2, fam
+        sink: list = []
+        capped = {(p["id_a"], p["id_b"]) for p in run(10, sink).collect()}
+        assert (1, 2) in capped, fam
+        assert not any(a >= 100 for a, _ in capped), fam
+        # dropped buckets are counted, not silently truncated; every
+        # dropped bucket exceeds the cap and the boilerplate cluster's
+        # buckets (>= 30 members) are among them
+        dropped = sink[0].collect()
+        assert dropped and all(r["n_members"] > 10 for r in dropped), fam
+        assert any(r["n_members"] >= 30 for r in dropped), fam
+        # a cap above every bucket size changes nothing
+        assert {(p["id_a"], p["id_b"]) for p in run(1000, None).collect()} == uncapped, fam
+    from erpl_web_spark.operators import release_tracked
+
+    release_tracked()
+
+
 def test_allpairs_prefix_join_is_exact(spark):
     """Prefix-filtered all-pairs Jaccard must equal the unblocked exact
     brute force — same pairs, same values — including pairs whose ONLY
