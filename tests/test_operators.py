@@ -3441,6 +3441,27 @@ def test_pack_nextfit_string_ids(spark):
     assert all(r["bin_fill_after"] <= 8 for r in out)
 
 
+def test_url_index_election_is_one_shuffle(spark):
+    """The within-batch election (_elect_first) is ONE partial-
+    aggregable shuffle — min_by over the row struct, not groupBy(min)
+    + join-back (two shuffles), and never a window. Plan-asserted:
+    exactly one Exchange, no Join, no Window; result keeps the
+    smallest id per digest with all payload columns intact."""
+    from erpl_web_spark.operators.url_index import _elect_first
+
+    df = spark.createDataFrame(
+        [(5, "d1", "u5", "b5"), (2, "d1", "u2", "b2"), (9, "d2", "u9", "b9")],
+        "doc_id long, digest string, url string, body string",
+    )
+    elected = _elect_first(df, "doc_id")
+    plan = elected._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    rows = {r["digest"]: r for r in elected.collect()}
+    assert rows["d1"]["doc_id"] == 2 and rows["d1"]["body"] == "b2"
+    assert rows["d2"]["url"] == "u9"
+
+
 def test_url_index_keep_first_across_batches(spark, tmp_path):
     """Fifth incremental index: one kept doc per canonical URL, first
     batch wins across batches, smallest id wins within a batch, messy
