@@ -33,6 +33,19 @@ decisions for batch N read only urls with version strictly below N, so
 the replay recomputes the identical claim set and kept rows. Covered
 by the fault-injection harness (tests/test_fault_injection.py).
 
+Opt-in Bloom pre-filter (``bloom_m_bits``): a third manifest kind
+``bloomw=N`` holds each batch's claim-set Bloom words (≤ ceil(m/48)
+rows per batch — left uncompacted on purpose: compacting them with the
+generic tool would drop the (m_bits, k) manifest payload the safety
+check reads). Probing the batch's digests against the bit_or union of
+the committed increments routes definitely-new digests (any unset bit
+— the no-false-negative side, value-hash-proven in r10) AROUND the
+LEFT ANTI join, so at crawl scale the join's batch-side input shrinks
+to ~dup_rate + FP_rate of the batch. The pre-filter is trusted only
+when every committed urls version < N has a matching bloomw increment
+with the same bit geometry; any gap falls back to the plain anti-join
+for that batch (logged) — correctness never depends on the filter.
+
 Reference: erpl-web has no incremental indexes (it is a connector
 layer); this follows the repo's own manifest protocol
 (core/manifests.py) and canonicalizer (text.canonicalize_url_expr).
@@ -85,6 +98,8 @@ def url_index_apply(
     path: str,
     id_col: str = "doc_id",
     url_col: str = "url",
+    bloom_m_bits: int | None = None,
+    bloom_k: int = 3,
 ) -> None:
     """foreachBatch cross-batch URL dedup: keep one row per canonical
     URL not claimed by any EARLIER committed batch (within the batch,
@@ -101,6 +116,30 @@ def url_index_apply(
     Rows with a NULL ``url_col`` cannot be URL-deduped: they are kept
     as-is (NULL canonical_url), bypassing both the election and the
     claim set — deduping them is the content indexes' job.
+
+    ``bloom_m_bits`` (opt-in) composes the Bloom membership sketch
+    (``text.bloom_filter_words``'s portable hash family, applied to the
+    claimed DIGESTS) into the anti-join: each batch additionally
+    publishes ``bloomw=<batch_id>`` — the (word, mask) Bloom words of
+    its claim set, ≤ ceil(m_bits/48) rows per batch regardless of batch
+    size — and batch N probes its elected digests against the bit_or
+    UNION of the committed Bloom increments (masks OR across batches ==
+    the Bloom of the union). Probes with any unset bit are DEFINITELY
+    new (the value-hash-proven no-false-negative side, r10) and skip
+    the anti-join entirely; only possible members (true hits + the FP
+    rate) reach the LEFT ANTI against the accumulated digest set. At
+    crawl scale that shrinks the join's batch-side input to
+    ~dup_rate + FP_rate of the batch while the filter itself stays a
+    broadcast (even m=2^32 is ~34 MB). Size ``bloom_m_bits`` from the
+    SCALING.md formula (measured within ~2% of theory).
+
+    SAFETY: the pre-filter is only trusted when the committed
+    ``bloomw`` versions exactly cover the committed ``urls`` versions
+    < N AND every increment was built with the same (m_bits, k) —
+    recorded in the manifest payload. Any gap (the knob enabled
+    mid-stream, a crash between the urls and bloomw commits, a
+    re-sized filter) falls back to the plain anti-join for that batch
+    and logs a warning; correctness never depends on the filter.
     """
     spark = batch_df.sparkSession
     from erpl_web_spark.core import manifests
@@ -119,17 +158,40 @@ def url_index_apply(
     own = _elect_first(canon, id_col)
     prior = read_url_index(spark, path, before=batch_id)
     if prior is not None:
-        own = own.join(prior.select("digest"), "digest", "left_anti")
+        bloom = (
+            _committed_bloom(spark, path, batch_id, bloom_m_bits, bloom_k)
+            if bloom_m_bits is not None
+            else None
+        )
+        if bloom is not None:
+            from erpl_web_spark.operators.text import bloom_probe
+
+            probed = bloom_probe(
+                own.select("digest"), bloom, k=bloom_k,
+                m_bits=bloom_m_bits, token_col="digest",
+            ).select("digest", "present")
+            own = own.join(probed, "digest")
+            fresh = own.where(~F.col("present")).drop("present")
+            maybe = own.where(F.col("present")).drop("present")
+            own = fresh.unionByName(
+                maybe.join(prior.select("digest"), "digest", "left_anti")
+            )
+        else:
+            own = own.join(prior.select("digest"), "digest", "left_anti")
     # one materialization feeds BOTH publishes: the claim set and the
     # kept rows must be the same rows even under speculative re-reads
     kept = own.persist()
     try:
         kept.count()
-        # publish: replay guard on BOTH kinds first, then urls
-        # (data-first, manifest-last), then kept. A crash between the
-        # commits leaves urls-without-kept — replay-convergent, see
-        # module docstring.
+        # publish: replay guard on ALL kinds first, then urls
+        # (data-first, manifest-last), then bloomw, then kept. A crash
+        # between the commits leaves urls-without-bloomw (detected: the
+        # coverage check falls back to the plain anti-join) or
+        # urls-without-kept — both replay-convergent, see module
+        # docstring.
         manifests.uncommit_version(spark, path, "urls", batch_id)
+        if bloom_m_bits is not None:
+            manifests.uncommit_version(spark, path, "bloomw", batch_id)
         manifests.uncommit_version(spark, path, "kept", batch_id)
         (
             kept.select("digest")
@@ -138,12 +200,83 @@ def url_index_apply(
             .parquet(f"{path}/urls={batch_id}")
         )
         manifests.commit_version(spark, path, "urls", batch_id)
+        if bloom_m_bits is not None:
+            from erpl_web_spark.operators.text import _bloom_positions
+
+            (
+                kept.select(
+                    F.explode(
+                        _bloom_positions(F.col("digest"), bloom_k, bloom_m_bits)
+                    ).alias("pos")
+                )
+                .distinct()
+                .select(
+                    F.floor(F.col("pos") / 48).cast("bigint").alias("word"),
+                    (F.col("pos") % 48).cast("int").alias("bit"),
+                )
+                .groupBy("word")
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                    ).alias("mask")
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/bloomw={batch_id}")
+            )
+            manifests.commit_version(
+                spark, path, "bloomw", batch_id,
+                payload={"m_bits": bloom_m_bits, "k": bloom_k},
+            )
         kept.drop("digest").unionByName(no_url.drop("digest")).write.mode(
             "overwrite"
         ).parquet(f"{path}/kept={batch_id}")
         manifests.commit_version(spark, path, "kept", batch_id)
     finally:
         kept.unpersist()
+
+
+def _committed_bloom(
+    spark, path: str, batch_id: int, m_bits: int, k: int
+):
+    """The bit_or union of the committed Bloom increments strictly
+    below ``batch_id`` — or None (pre-filter NOT safe) when coverage
+    is broken: bloomw versions missing for some committed urls version
+    (knob enabled mid-stream, or a crash between the urls and bloomw
+    commits) or any increment built with different (m_bits, k). The
+    caller then runs the plain anti-join; the filter is an
+    optimization, never a correctness dependency."""
+    import logging
+
+    from erpl_web_spark.core import manifests
+
+    urls_v = set(manifests.committed_versions(spark, path, "urls", before=batch_id))
+    bloom_v = set(manifests.committed_versions(spark, path, "bloomw", before=batch_id))
+    if not urls_v <= bloom_v:
+        logging.getLogger(__name__).warning(
+            "url_index bloom pre-filter: bloomw versions %s do not cover "
+            "urls versions %s under %s - falling back to plain anti-join "
+            "for batch %d",
+            sorted(bloom_v), sorted(urls_v), path, batch_id,
+        )
+        return None
+    # check EVERY increment entering the union (bloom_v can exceed
+    # urls_v after a replay crash between the two uncommits — extra
+    # increments only add false positives, which is safe, but only if
+    # their bit geometry matches)
+    for v in sorted(bloom_v):
+        p = manifests.manifest_payload(spark, path, "bloomw", v)
+        if p.get("m_bits") != m_bits or p.get("k") != k:
+            logging.getLogger(__name__).warning(
+                "url_index bloom pre-filter: increment %d was built with "
+                "(m_bits=%s, k=%s), current knob is (%d, %d) - falling "
+                "back to plain anti-join for batch %d",
+                v, p.get("m_bits"), p.get("k"), m_bits, k, batch_id,
+            )
+            return None
+    union = manifests.read_committed_union(spark, path, "bloomw", before=batch_id)
+    if union is None:
+        return None
+    return union.groupBy("word").agg(F.bit_or("mask").alias("mask"))
 
 
 def url_index_compact(spark, path: str, keep_latest: int = 1) -> int:
@@ -153,7 +286,12 @@ def url_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     redirect pattern, crash-safe). Lossless: digests are claimed by
     exactly one batch, and ``batch_src`` keeps rows distinct under the
     full-row dropDuplicates regardless. ``kept`` batches are NOT
-    compacted — they are the output, not the state."""
+    compacted — they are the output, not the state. ``bloomw``
+    increments are not compacted either: each is ≤ ceil(m_bits/48)
+    rows, and the generic compactor would drop the (m_bits, k)
+    manifest payload the pre-filter's safety check requires. Version
+    ids never move forward under compaction, so urls-compaction keeps
+    the bloomw coverage check satisfied (urls versions only shrink)."""
     from erpl_web_spark.core import manifests
 
     return manifests.compact_versions(spark, path, "urls", keep_latest=keep_latest)

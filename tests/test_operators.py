@@ -3516,6 +3516,84 @@ def test_url_index_keep_first_across_batches(spark, tmp_path):
     assert kept2 == kept
 
 
+def test_url_index_bloom_prefilter_equivalence(spark, tmp_path):
+    """Opt-in Bloom pre-filter (VERDICT r10 Next #4): kept sets are
+    IDENTICAL with the filter on and off — even with a deliberately
+    tiny m (heavy false positives: FPs only route extra rows into the
+    anti-join; the no-false-negative side keeps genuinely-new digests
+    from being lost). Each batch commits a bloomw increment bounded by
+    ceil(m/48) rows with its bit geometry in the manifest payload."""
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        url_index_apply,
+    )
+
+    schema = "doc_id long, url string"
+    batches = [
+        spark.createDataFrame(
+            [
+                (b * 100 + i, f"http://site{(b * 7 + i) % 9}.com/p/{(i * i) % 13}")
+                for i in range(20)
+            ]
+            + [(b * 100 + 50, "https://b.com/y")],
+            schema,
+        )
+        for b in range(3)
+    ]
+
+    kept_sets = {}
+    for m_bits in (None, 96, 4096):
+        path = str(tmp_path / f"urlidx_{m_bits}")
+        for b, df in enumerate(batches):
+            url_index_apply(df, b, path, bloom_m_bits=m_bits)
+        kept_sets[m_bits] = {
+            (r["doc_id"], r["canonical_url"])
+            for r in read_kept_batches(spark, path).collect()
+        }
+        if m_bits is not None:
+            assert manifests.committed_versions(spark, path, "bloomw") == [0, 1, 2]
+            for v in range(3):
+                p = manifests.manifest_payload(spark, path, "bloomw", v)
+                assert p["m_bits"] == m_bits and p["k"] == 3
+                n = spark.read.parquet(f"{path}/bloomw={v}").count()
+                assert n <= (m_bits + 47) // 48
+    assert kept_sets[96] == kept_sets[None]
+    assert kept_sets[4096] == kept_sets[None]
+
+
+def test_url_index_bloom_coverage_fallback(spark, tmp_path):
+    """Enabling the Bloom knob MID-STREAM must not lose documents: the
+    coverage check sees batch 0 has no bloomw increment and falls back
+    to the plain anti-join (the filter is an optimization, never a
+    correctness dependency). A mismatched bit geometry falls back the
+    same way."""
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        url_index_apply,
+    )
+
+    schema = "doc_id long, url string"
+    b0 = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "https://b.com/y")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(10, "http://a.com/x"), (11, "https://c.com/z")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(20, "https://c.com/z"), (21, "https://d.com/w")], schema
+    )
+    path = str(tmp_path / "urlidx_mid")
+    url_index_apply(b0, 0, path)                      # knob off
+    url_index_apply(b1, 1, path, bloom_m_bits=4096)   # on: must fall back
+    # batch 2 with a DIFFERENT geometry: increments mismatch -> fallback
+    url_index_apply(b2, 2, path, bloom_m_bits=8192)
+    kept = {r["doc_id"] for r in read_kept_batches(spark, path).collect()}
+    # duplicates of claimed URLs dropped, new URLs kept - exactly as
+    # the filterless index would decide
+    assert kept == {1, 2, 11, 21}
+
+
 def test_url_index_null_urls_pass_through(spark, tmp_path):
     """Rows without a URL cannot be URL-deduped: ALL of them are kept
     (NULL canonical), in every batch, claiming nothing — not collapsed
