@@ -31,71 +31,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 10: the r09 sample re-greened the r04/r05 bands, so the oldest
-# latest-green rows are now the r06-latest names — they follow the
-# eight round-10 additions (which need their first driver rows);
-# r07-latest names queue after to fill future samples. Names are
-# stable; unlisted entries keep registration order after these.
+# Round 11 (VERDICT r10 Next #2): the judge's latest-row histogram is
+# r06x6 / r07x45 / r08x50 / r09x49 / r10x50 — the round-11 additions
+# (which need their first driver rows) lead, then the 51 entries whose
+# latest driver row is <= r07 (the six r06-latest names first); the
+# four r07 names past the 50-sample prefix fill the next round. Names
+# are stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    # -- new in round 10 (need their first driver rows) --
-    "text_url_canonicalize",
-    "dedup_url_canonical",
-    "pipeline_pack_nextfit",
-    "dedup_simhash_md5",
-    "similarity_ann_lsh_md5",
-    "dedup_cluster_minhash_md5",
-    "pipeline_url_index_batches",
-    "text_bloom_membership",
-    # -- latest driver green is r06 (oldest band) --
-    "analytics_event_transitions",
-    "analytics_market_basket",
-    "analytics_rfm_segments",
-    "array_funcs",
-    "asof_join_events",
-    "cdc_delta_batch",
-    "date_funcs",
-    "dedup_winnow_overlap",
-    "dedup_winnow_scrub",
-    "distinct_projection",
-    "embedding_matryoshka_audit",
-    "filter_in_case_coalesce",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_semi",
-    "join_theta_pairs",
-    "json_funcs",
-    "map_funcs",
-    "math_funcs",
-    "multimodal_dhash_pairs",
-    "multimodal_dhash_values",
-    "odata_expand_nested",
-    "odata_select_filter_top",
-    "pivot_order_status",
-    "q02_min_cost_supplier",
-    "q09_product_type_profit",
-    "q11_important_stock",
-    "q12_shipping_modes",
-    "q16_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "set_intersect",
-    "set_union",
-    "similarity_knn_label_eval",
-    "sort_topk",
-    "string_funcs",
-    "text_bigram_coverage",
-    "text_bigram_logprob",
-    "text_bpe_merges",
-    "text_chunk_windows",
-    "text_hashed_features",
+    # -- new in round 11 (need their first driver rows) --
+    "text_winnow_natural",
+    "dedup_simhash_natural",
+    "text_bigram_natural",
+    # -- latest driver row is r06 (oldest band) --
     "text_html_strip",
     "text_winnow_fingerprints",
     "window_lag_lead",
     "window_moving_frame",
     "window_rank_orders",
     "window_sessionize",
-    # -- latest driver green is r07 (fills future samples) --
+    # -- latest driver row is r07 --
     "agg_avg_int",
     "agg_cube",
     "agg_distinct",

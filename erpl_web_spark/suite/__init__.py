@@ -116,6 +116,7 @@ def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> 
 def all_queries() -> dict[str, Query]:
     # Import side-effect registers everything.
     from erpl_web_spark.suite import (  # noqa: F401
+        natural,
         pipeline,
         relational,
         relational2,

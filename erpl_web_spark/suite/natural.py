@@ -1,0 +1,304 @@
+"""Natural-vocabulary oracle entries (VERDICT r10 Next #7).
+
+The driver's ``documents.parquet`` has a ~40-word vocabulary, so the
+value-hash gate exercised the entropy-sensitive families (winnow
+fingerprints, SimHash banding, bigram models) only at degenerate
+entropy; the realistic-entropy behavior lived in measurement tools
+(tools/corpus_gen.py and friends) that the driver never re-runs. This
+module plants a SMALL deterministic natural-mode corpus — Zipf token
+frequencies over a ~2000-word syllable-spelled vocabulary, variable
+document lengths — derived from ``documents.doc_id`` alone by ONE
+construction both engines evaluate independently, so the driver's hash
+check exercises realistic entropy every round.
+
+Construction (the tools/corpus_gen.py recipe, hardened for
+cross-engine value-hashing):
+
+- Per-token uniform draws come from the repo's engine-portable 48-bit
+  md5 idiom (``operators.dedup._md5_long48`` / DuckDB ``CAST('0x' ||
+  substring(md5(..), 1, 12) AS BIGINT)``), reduced to a 4096-point
+  lattice ``u = (j + 0.5) / 4096``.
+- Zipf rank = ``floor(exp(u * ln(VMAX)))`` — the inverse-CDF for
+  Zipf(s=1). The LATTICE is what makes ``exp`` safe across engines:
+  ``ln(VMAX)`` is embedded as the same double literal on both sides,
+  ``(j + 0.5) / 4096 * LOG_V`` is correctly-rounded identical IEEE
+  arithmetic, and every one of the 4096 possible ``exp`` arguments
+  yields a value ≥ 8e-8 (relative) away from the nearest integer
+  (pinned by tests/test_natural_corpus.py), so a ≤2-ulp (~4e-16)
+  ``exp`` difference between the JVM and DuckDB's libm can never flip
+  the floor. A continuous ``u`` (as in tools/corpus_gen.py, which only
+  feeds measurements, never value hashes) would leave that to chance.
+- Rank → word spelling over 40 consonant-vowel syllables in 1/2/3
+  -syllable tiers (Zipf's law of abbreviation: frequent words are
+  short), so character 5-grams — what winnowing fingerprints hash —
+  have realistic diversity.
+- Document length 30..90 tokens from the same hash family.
+
+~2000 distinct words at VMAX=20000 (the lattice caps distinct ranks)
+— three decades beyond the testdata vocabulary, enough that winnow
+fingerprint df, SimHash pair density and bigram model coverage behave
+like text (the regimes measured in SCALING.md r9/r10) while keeping
+the DuckDB oracle a few hundred ms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from erpl_web_spark.operators.dedup import _md5_long48
+from erpl_web_spark.suite import load, register
+
+# 40 consonant-vowel syllables; identical list in tools/corpus_gen.py
+_SYL = [c + v for c in "bdklmnrs" for v in "aeiou"]
+
+_SEED = "nat11"
+_VMAX = 20000
+# repr(math.log(20000.0)) — the SAME double literal is embedded in the
+# Spark expression and the DuckDB SQL so both engines multiply by the
+# identical value (ln() evaluated per-engine could differ by an ulp).
+_LOG_V = 9.903487552536127
+_LATTICE = 4096
+
+
+def _word_expr(r: Column) -> Column:
+    """Spell rank ``r`` (1-based bigint) from syllables: ranks 1-40 one
+    syllable, 41-1640 two, 1641+ three — mirrors the DuckDB CASE in
+    :func:`sql_natural_cte` tier for tier."""
+    syl = F.array(*[F.lit(s) for s in _SYL])
+
+    def at(i: Column) -> Column:
+        return F.element_at(syl, (i + 1).cast("int"))
+
+    j2 = r - 41
+    j3 = r - 1641
+    return (
+        F.when(r <= 40, at(r - 1))
+        .when(r <= 1640, F.concat(at(F.floor(j2 / 40)), at(j2 % 40)))
+        .otherwise(
+            F.concat(
+                at(F.floor(j3 / 1600)),
+                at(F.floor(j3 / 40) % 40),
+                at(j3 % 40),
+            )
+        )
+    )
+
+
+def _token_expr(doc_id: Column, p: Column) -> Column:
+    j = _md5_long48(F.lit(_SEED), doc_id, p) % _LATTICE
+    u = (j.cast("double") + F.lit(0.5)) / F.lit(float(_LATTICE))
+    r = F.least(
+        F.greatest(F.floor(F.exp(u * F.lit(_LOG_V))), F.lit(1)),
+        F.lit(_VMAX),
+    )
+    return _word_expr(r)
+
+
+def natural_text_expr(doc_id: Column) -> Column:
+    """The natural-mode document text for ``doc_id`` — a pure column
+    expression (no shuffle, no UDF): 30..90 Zipf-sampled spelled
+    tokens, space-joined."""
+    n_tok = (_md5_long48(F.lit(_SEED), doc_id, F.lit("len")) % 61 + 30).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(0), n_tok - 1), lambda p: _token_expr(doc_id, p)
+    )
+    return F.array_join(toks, " ")
+
+
+def natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) natural-mode corpus keyed by the driver table's
+    doc_ids — corpus size scales with the SF like every other entry."""
+    ids = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    return ids.select("doc_id", natural_text_expr(F.col("doc_id")).alias("text"))
+
+
+_SQL_SYL = "[" + ", ".join(f"'{s}'" for s in _SYL) + "]"
+
+
+def sql_natural_cte(src: str = "documents") -> str:
+    """DuckDB twin of :func:`natural_docs` as a ``nat AS (...)`` CTE
+    fragment over ``src`` — the construction is re-implemented in SQL
+    (md5 lattice draw, inverse-CDF rank, syllable spelling), not
+    serialized from Spark; the value hash is what proves the two
+    renderings agree."""
+    h_len = (
+        f"CAST('0x' || substring(md5('{_SEED}:' || CAST(doc_id AS VARCHAR) "
+        f"|| ':len'), 1, 12) AS BIGINT)"
+    )
+    h_tok = (
+        f"CAST('0x' || substring(md5('{_SEED}:' || CAST(doc_id AS VARCHAR) "
+        f"|| ':' || CAST(p AS VARCHAR)), 1, 12) AS BIGINT)"
+    )
+    rank = (
+        f"LEAST(GREATEST(CAST(floor(exp((CAST({h_tok} % {_LATTICE} AS DOUBLE)"
+        f" + 0.5) / {float(_LATTICE)!r} * {_LOG_V!r})) AS BIGINT), 1), {_VMAX})"
+    )
+    word = (
+        "CASE WHEN r <= 40 THEN syl[CAST(r AS INT)] "
+        "WHEN r <= 1640 THEN syl[CAST((r - 41) // 40 + 1 AS INT)] "
+        "|| syl[CAST((r - 41) % 40 + 1 AS INT)] "
+        "ELSE syl[CAST((r - 1641) // 1600 + 1 AS INT)] "
+        "|| syl[CAST(((r - 1641) // 40) % 40 + 1 AS INT)] "
+        "|| syl[CAST((r - 1641) % 40 + 1 AS INT)] END"
+    )
+    return f"""nat AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               list_transform(range(0, 30 + {h_len} % 61), p -> {rank}),
+               r -> {word}), ' ') AS text
+      FROM {src}, (SELECT {_SQL_SYL} AS syl) sylt
+    )"""
+
+
+# --------------------------------------------------------------------------
+# The three entropy-sensitive families, value-hashed at natural entropy.
+# Each mirrors its testdata-vocabulary sibling exactly (same operator,
+# same knobs, same output summary) — only the corpus changes, so a
+# regression that hides at 40-word entropy (saturated winnow gates,
+# band-collision floods, degenerate bigram smoothing) surfaces here.
+
+
+@register(
+    "text_winnow_natural",
+    oracle=f"""
+    WITH {sql_natural_cte()},
+    g AS (
+      SELECT doc_id, LENGTH(text) - 4 AS n,
+             unnest(range(1, LENGTH(text) - 3)) AS pos, text
+      FROM nat WHERE LENGTH(text) >= 5
+    ), h AS (
+      SELECT doc_id, n, pos,
+             CAST('0x' || substring(md5(substring(text, CAST(pos AS INT), 5)), 1, 12)
+                  AS BIGINT) AS hh
+      FROM g
+    ), m AS (
+      SELECT doc_id, n, pos,
+             MIN(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp FROM m WHERE pos <= GREATEST(n - 3, 1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+           MIN(fp) AS fp_min, MAX(fp) AS fp_max,
+           CAST(SUM(fp % 1000003) AS BIGINT) AS fp_sum
+    FROM sel GROUP BY doc_id
+    """,
+)
+def text_winnow_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_winnow_fingerprints (k=5, w=4) over the natural corpus: at
+    ~2000-word vocabulary the 5-char-gram space is large enough that
+    fingerprints are mostly doc-local (the regime tools/natural_bounds
+    .py measured), unlike the testdata corpus where every fingerprint
+    is corpus-wide — the saturation that motivated scrub_max_df. Same
+    per-doc count/min/max/mod-sum summary as the sibling entry."""
+    from erpl_web_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(natural_docs(spark, sf_dir), "doc_id", "text", k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.sum(F.col("fp") % 1000003).cast("bigint").alias("fp_sum"),
+    )
+
+
+@register(
+    "dedup_simhash_natural",
+    oracle=f"""
+    WITH {sql_natural_cte()},
+    base AS (SELECT doc_id, text FROM nat),
+    twin AS (
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM base) AS doc_id,
+             array_to_string(
+               list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> ''),
+                           (t, i) -> (i - 1) % 9 <> 0), ' ') AS text
+      FROM base WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+    tok AS (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS t
+            FROM corpus),
+    th AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) AS h
+           FROM tok),
+    votes AS (
+      SELECT doc_id, g.b,
+             SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(range(0, 48)) AS b) g
+      GROUP BY doc_id, g.b),
+    sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sh, g.c AS c, (sh >> (g.c * 6)) & 63 AS key
+      FROM sims, (SELECT unnest(range(0, 8)) AS c) g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+      FROM banded a JOIN banded b
+        ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 7
+    """,
+)
+def dedup_simhash_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash_md5 (radius 7, 8x6-bit bands, md5 hash family)
+    over the natural corpus + the shared token-drop twins: the corpus
+    whose pair density SCALING.md r10 measured ~50x sparser than the
+    testdata vocabulary — so the entry value-hashes the SimHash chain
+    in the band-collision regime a crawl corpus actually has, planted
+    twins landing inside/outside the radius included."""
+    from erpl_web_spark.operators.dedup import simhash_near_dup_pairs
+    from erpl_web_spark.suite.pipeline import _token_drop_twin_corpus
+
+    corpus = _token_drop_twin_corpus(natural_docs(spark, sf_dir))
+    return simhash_near_dup_pairs(
+        corpus, "doc_id", "text", max_hamming=7, hash_mode="md5"
+    )
+
+
+@register(
+    "text_bigram_natural",
+    oracle=f"""
+    WITH {sql_natural_cte()},
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM nat
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), pc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bn FROM bg GROUP BY w1, w2
+    ), hc AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS hn FROM bg GROUP BY w1
+    ), vv AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg
+    ), per_doc AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             AVG(log2((p.bn + 0.5) / (h.hn + 0.5 * vv.v))) AS avg_log2p
+      FROM bg JOIN pc p USING (w1, w2) JOIN hc h USING (w1) CROSS JOIN vv
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           ROUND(COALESCE(p.avg_log2p, 0.0), 6) AS avg_log2p_r
+    FROM nat d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_bigram_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bigram_logprob (add-0.5 smoothing) over the natural corpus:
+    the smoothing denominator sees a ~2000-word continuation vocabulary
+    and a Zipf-shaped count spectrum instead of the testdata's 40-word
+    near-uniform one, so the perplexity-proxy ranks documents across a
+    realistic dynamic range (and the broadcast-vocab-scalar plan is
+    value-hashed where the model is non-degenerate)."""
+    from erpl_web_spark.operators.text import with_bigram_logprob
+
+    out = with_bigram_logprob(natural_docs(spark, sf_dir), "doc_id", "text", add_k=0.5)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_log2p", 6).alias("avg_log2p_r")
+    )
