@@ -42,6 +42,7 @@ _SAMPLE_PRIORITY = [
     "text_winnow_natural",
     "dedup_simhash_natural",
     "text_bigram_natural",
+    "embedding_pca_planted",
     # -- latest driver row is r06 (oldest band) --
     "text_html_strip",
     "text_winnow_fingerprints",
