@@ -43,6 +43,7 @@ _SAMPLE_PRIORITY = [
     "dedup_simhash_natural",
     "text_bigram_natural",
     "embedding_pca_planted",
+    "text_bpe_natural",
     # -- latest driver row is r06 (oldest band) --
     "text_html_strip",
     "text_winnow_fingerprints",

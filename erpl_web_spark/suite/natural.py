@@ -302,3 +302,79 @@ def text_bigram_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", F.round("avg_log2p", 6).alias("avg_log2p_r")
     )
+
+
+def _bpe_natural_oracle(k: int) -> str:
+    """DuckDB twin of operators.text.bpe_train over the natural corpus:
+    the k training rounds are UNROLLED as chained CTEs — per round, pair
+    counts over the word-frequency dictionary, argmax with the trainer's
+    exact (count DESC, left ASC, right ASC) tie-break, and a greedy
+    left-to-right non-overlapping rewrite of every word. The rewrite is
+    a ``list_reduce`` fold over the symbol list into a chr(31)-delimited
+    string whose merge test ``ends_with(chr(31)||acc, chr(31)||L) AND
+    x = R`` is exactly the Spark fold's tail==left/current==right rule
+    (the delimiter anchors symbol starts, so a tail symbol 'ab' never
+    matches L='b', and a just-merged tail 'LR' never re-matches L —
+    greedy non-overlap for free). Dictionary CTEs are MATERIALIZED:
+    each round references its predecessor twice (count + rewrite), which
+    would otherwise re-inline the whole chain — and the corpus
+    generation inside it — exponentially."""
+    sep = "chr(31)"
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    parts = [sql_natural_cte().replace("nat AS (", "nat AS MATERIALIZED (", 1)]
+    parts.append(f"""toks AS (SELECT unnest({toks}) AS word FROM nat),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY word),
+    d0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(range(1, length(word) + 1),
+               i -> word[i]), {sep}) || {sep} || '</w>' AS w, n
+      FROM wf)""")
+    prev = "d0"
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS (
+      SELECT s[i] AS l, s[i + 1] AS r2, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT s, n, unnest(range(1, len(s))) AS i
+            FROM (SELECT string_split(w, {sep}) AS s, n FROM {prev})
+            WHERE len(s) >= 2)
+      GROUP BY l, r2),
+    t{r} AS MATERIALIZED (
+      SELECT {r} AS merge_rank, l, r2, cnt FROM p{r}
+      ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1),
+    d{r} AS MATERIALIZED (
+      SELECT list_reduce(string_split(d.w, {sep}),
+               (acc, x) -> CASE WHEN ends_with({sep} || acc, {sep} || t.l)
+                                 AND x = t.r2
+                                THEN acc || x
+                                ELSE acc || {sep} || x END) AS w, d.n
+      FROM {prev} d, t{r} t)""")
+        prev = f"d{r}"
+    union = " UNION ALL ".join(f"SELECT * FROM t{r}" for r in range(1, k + 1))
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f""" SELECT CAST(merge_rank AS INT) AS merge_rank, l AS left_sym,
+           r2 AS right_sym, cnt AS pair_count
+    FROM ({union})"""
+    )
+
+
+@register("text_bpe_natural", oracle=_bpe_natural_oracle(10))
+def text_bpe_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE trainer (operators.text.bpe_train: dictionary
+    compression -> per-round pair-count shuffle -> deterministic argmax
+    -> JVM merge fold) value-hash-checked end to end — the twin that
+    removes the rows-only caveat from the LAST uncovered family. Merge
+    learning is iterative, so no single SQL expression computes it; the
+    oracle instead UNROLLS the 10 rounds as chained CTEs over the same
+    natural corpus (see _bpe_natural_oracle). All 10 learned merges —
+    ranks, symbol pairs, and their exact weighted counts — must match.
+    The natural corpus is what makes 10 rounds meaningful: Zipf syllable
+    structure yields a real merge curriculum (vowel+</w> word endings
+    first, then the high-frequency consonant-vowel openings), with pair
+    counts in the thousands at the smallest SF, so the trainer's
+    min_pair_count=2 early stop is provably never hit and both sides
+    always emit exactly 10 rows. text_bpe_merges keeps pinning the
+    production path on the driver tables (golden fixture)."""
+    from erpl_web_spark.operators.text import bpe_train
+
+    return bpe_train(
+        natural_docs(spark, sf_dir), "text", num_merges=10, min_pair_count=2
+    )
