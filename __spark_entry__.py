@@ -44,6 +44,7 @@ _SAMPLE_PRIORITY = [
     "text_bigram_natural",
     "embedding_pca_planted",
     "text_bpe_natural",
+    "curation_dsir_natural",
     # -- latest driver row is r06 (oldest band) --
     "text_html_strip",
     "text_winnow_fingerprints",

@@ -520,3 +520,96 @@ def temperature_budgets(
     if denom == 0:
         return {k: 0 for k in weights}
     return {k: int(total_budget) * w // denom for k, w in weights.items()}
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    hash_mode: str = "xxhash64",
+    cache_sink: list | None = None,
+) -> DataFrame:
+    """Hashed-bigram importance log-weights for Data Selection via
+    Importance Resampling (DSIR, Xie et al. 2023): score every raw
+    document by how much more likely its features are under a TARGET
+    corpus than under the raw corpus itself,
+
+        log_w(doc) = sum over bigram occurrences of
+                     ln p_target(bucket) - ln q_raw(bucket),
+
+    where bigrams hash into ``buckets`` cells and both distributions are
+    add-1 smoothed. High log_w = looks like the target; resample with
+    the existing machinery (``quantile_filter`` on log_w, or
+    ``token_budget_sample`` over the kept set).
+
+    Returns (id, n_grams, log_w); documents with < 2 tokens get 0/0.0.
+
+    Scale shape: BOTH corpora are scanned once (the raw bigram frame is
+    persisted via ``_bigram_frame`` and reread by the model count and
+    the join-back); the feature model is AT MOST ``buckets`` rows no
+    matter the corpus size — hashing is what makes DSIR's n-gram model
+    feasible at web scale, and here it also bounds the broadcast — so
+    the per-doc scoring join broadcasts and the only corpus-sized
+    shuffle carries (id, double) rows. The bucket totals ride in as
+    1-row broadcast crossJoins, nothing collects to the driver.
+    ``hash_mode="md5"`` selects the engine-portable 48-bit family
+    (oracle mode, suite/natural.py ``curation_dsir_natural``);
+    xxhash64 is the production default.
+    """
+    from erpl_web_spark.operators._cache import track_persist
+    from erpl_web_spark.operators.dedup import _md5_long48
+    from erpl_web_spark.operators.text import _bigram_frame
+
+    def bucket(w1: Column, w2: Column) -> Column:
+        h = _md5_long48(w1, w2) if hash_mode == "md5" else F.xxhash64(w1, w2)
+        return F.pmod(h, F.lit(buckets)).alias("b")
+
+    rb = _bigram_frame(raw, id_col, text_col, cache_sink).select(
+        id_col, bucket(F.col("w1"), F.col("w2"))
+    )
+    tb = _bigram_frame(target, id_col, text_col, cache_sink).select(
+        bucket(F.col("w1"), F.col("w2"))
+    )
+    rc = rb.groupBy("b").agg(F.count("*").cast("bigint").alias("rn"))
+    # the model tables are <= buckets rows; persist the raw side — it
+    # feeds both its own total and the ratio join
+    rc = track_persist(rc, "dsir_logweights", cache_sink)
+    tc = tb.groupBy("b").agg(F.count("*").cast("bigint").alias("tn"))
+    rtot = rc.agg(F.sum("rn").cast("bigint").alias("rtot"))
+    ttot = tc.agg(F.coalesce(F.sum("tn"), F.lit(0)).cast("bigint").alias("ttot"))
+    ratio = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tn"), F.lit(0)) + 1).cast("double")
+                    / (F.col("ttot") + buckets)
+                )
+                - F.log(
+                    (F.col("rn") + 1).cast("double") / (F.col("rtot") + buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        rb.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("lr").alias("log_w"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+        )
+    )

@@ -304,6 +304,69 @@ def text_bigram_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_TOKS_NAT = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "curation_dsir_natural",
+    oracle=f"""
+    WITH {sql_natural_cte()},
+    rt AS (SELECT doc_id, t
+           FROM (SELECT doc_id, {_SQL_TOKS_NAT} AS t FROM documents)
+           WHERE len(t) >= 2),
+    rb AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(w1 || ':' || w2), 1, 12) AS BIGINT)
+                    % 1024 AS b
+           FROM (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                 FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM rt))),
+    nt AS (SELECT t
+           FROM (SELECT {_SQL_TOKS_NAT} AS t FROM nat)
+           WHERE len(t) >= 2),
+    tb AS (SELECT CAST('0x' || substring(md5(w1 || ':' || w2), 1, 12) AS BIGINT)
+                    % 1024 AS b
+           FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+                 FROM (SELECT t, unnest(range(1, len(t))) AS i FROM nt))),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rn FROM rb GROUP BY b),
+    tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tn FROM tb GROUP BY b),
+    tot AS (SELECT (SELECT CAST(SUM(rn) AS BIGINT) FROM rc) AS rtot,
+                   (SELECT CAST(COALESCE(SUM(tn), 0) AS BIGINT) FROM tc) AS ttot),
+    ratio AS (
+      SELECT rc.b,
+             ln(CAST(COALESCE(tc.tn, 0) + 1 AS DOUBLE) / (ttot + 1024))
+           - ln(CAST(rc.rn + 1 AS DOUBLE) / (rtot + 1024)) AS lr
+      FROM rc LEFT JOIN tc USING (b), tot),
+    pd AS (SELECT rb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                  SUM(lr) AS lw
+           FROM rb JOIN ratio USING (b) GROUP BY rb.doc_id)
+    SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+           ROUND(COALESCE(p.lw, 0.0), 6) AS log_w_r
+    FROM documents d LEFT JOIN pd p USING (doc_id)
+    """,
+)
+def curation_dsir_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (curation.dsir_logweights, md5 mode):
+    the driver's ``documents`` table is the RAW corpus, the natural
+    corpus is the TARGET — score every raw document by how target-like
+    its hashed-bigram distribution is (the data-selection step a
+    pretraining pipeline runs to steer a crawl toward a quality
+    domain). 1024 hashed buckets, add-1 smoothing; the per-bucket log
+    ratios, per-doc occurrence sums and the 0-bigram passthrough are
+    all in the value hash. A distribution-level entry: unlike the
+    per-bigram scores (text_bigram_*), a single bucket's weight depends
+    on BOTH corpora's totals, so the hash pins the cross-corpus model
+    join, not just per-doc arithmetic."""
+    from erpl_web_spark.operators.curation import dsir_logweights
+
+    raw = load(spark, sf_dir, "documents", spread=True)
+    out = dsir_logweights(
+        raw, natural_docs(spark, sf_dir), "doc_id", "text",
+        buckets=1024, hash_mode="md5",
+    )
+    return out.select(
+        "doc_id", "n_grams", F.round("log_w", 6).alias("log_w_r")
+    )
+
+
 def _bpe_natural_oracle(k: int) -> str:
     """DuckDB twin of operators.text.bpe_train over the natural corpus:
     the k training rounds are UNROLLED as chained CTEs — per round, pair

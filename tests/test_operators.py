@@ -4484,3 +4484,43 @@ def test_natural_corpus_generator_deterministic_and_textlike(spark):
             assert first_line in quotes, r["doc_id"]
         else:
             assert first_line not in quotes, r["doc_id"]
+
+
+def test_dsir_identical_corpora_weights_are_zero(spark):
+    """When raw == target, p-hat equals q-hat in every bucket, so each
+    per-bucket log ratio — and therefore every document's log weight —
+    is EXACTLY 0.0 (the same two ln() calls on the same doubles cancel
+    bit-for-bit). The canonical DSIR sanity invariant."""
+    from erpl_web_spark.operators.curation import dsir_logweights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 3} beta alpha") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = dsir_logweights(docs, docs, "doc_id", "text", buckets=64).collect()
+    assert len(out) == 12
+    assert all(r["log_w"] == 0.0 for r in out)
+    assert all(r["n_grams"] == 5 for r in out)
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """Documents sharing the target's vocabulary must out-score
+    documents that don't, and < 2-token documents pass through as
+    (0, 0.0) — the resampling contract downstream filters rely on."""
+    from erpl_web_spark.operators.curation import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "zz9 qq8 kk7 vv6 zz9 qq8 kk7 vv6 zz9 qq8"),
+            (3, "fox"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10 + i, "the quick brown fox likes the quick brown dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_logweights(raw, target, "doc_id", "text").collect()}
+    assert rows[1]["log_w"] > rows[2]["log_w"]
+    assert rows[3]["n_grams"] == 0 and rows[3]["log_w"] == 0.0
