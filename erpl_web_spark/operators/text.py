@@ -1379,6 +1379,7 @@ def bloom_probe(
     k: int = 3,
     m_bits: int = 96,
     token_col: str = "probe",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Membership test against :func:`bloom_filter_words`: a probe is
     ``present`` iff ALL ``k`` of its bits are set. The filter is at
@@ -1393,8 +1394,13 @@ def bloom_probe(
     ``n_hits == k`` test — a silent false negative that would break
     the one-sided error contract. The distinct is a shuffle of bare
     probe strings, partial-aggregable, and no wider than the
-    per-probe re-aggregation the operator already pays."""
-    pos = probes.select(F.col(token_col)).distinct().select(
+    per-probe re-aggregation the operator already pays. Callers whose
+    probes are ALREADY unique (a post-election digest set, a vocab
+    table) pass ``assume_distinct=True`` to skip that exchange — the
+    contract is then theirs to uphold; duplicates would silently
+    produce the very false negatives the distinct exists to prevent."""
+    uniq = probes if assume_distinct else probes.select(F.col(token_col)).distinct()
+    pos = uniq.select(
         F.col(token_col),
         F.explode(_bloom_positions(F.col(token_col), k, m_bits)).alias("pos"),
     ).select(

@@ -156,6 +156,7 @@ def url_index_apply(
     no_url = canon.where(F.col("digest").isNull())
     canon = canon.where(F.col("digest").isNotNull())
     own = _elect_first(canon, id_col)
+    elected = None  # persisted handle, bloom path only
     prior = read_url_index(spark, path, before=batch_id)
     if prior is not None:
         bloom = (
@@ -166,11 +167,20 @@ def url_index_apply(
         if bloom is not None:
             from erpl_web_spark.operators.text import bloom_probe
 
+            # the election output feeds three consumers here (the probe
+            # side plus the fresh/maybe split) — persist it so the
+            # canonicalize map and the election shuffle run once per
+            # batch, not once per branch; released after `kept`
+            # materializes below. Post-election digests are unique BY
+            # CONSTRUCTION (one winner per digest), so the probe skips
+            # its defensive distinct — one exchange fewer per batch.
+            elected = own.persist()
             probed = bloom_probe(
-                own.select("digest"), bloom, k=bloom_k,
+                elected.select("digest"), bloom, k=bloom_k,
                 m_bits=bloom_m_bits, token_col="digest",
+                assume_distinct=True,
             ).select("digest", "present")
-            own = own.join(probed, "digest")
+            own = elected.join(probed, "digest")
             fresh = own.where(~F.col("present")).drop("present")
             maybe = own.where(F.col("present")).drop("present")
             own = fresh.unionByName(
@@ -183,6 +193,11 @@ def url_index_apply(
     kept = own.persist()
     try:
         kept.count()
+        # the intermediate election cache only needs to live until the
+        # kept rows are materialized one line above
+        if elected is not None:
+            elected.unpersist()
+            elected = None
         # publish: replay guard on ALL kinds first, then urls
         # (data-first, manifest-last), then bloomw, then kept. A crash
         # between the commits leaves urls-without-bloomw (detected: the
@@ -233,6 +248,8 @@ def url_index_apply(
         manifests.commit_version(spark, path, "kept", batch_id)
     finally:
         kept.unpersist()
+        if elected is not None:  # crash before kept.count() finished
+            elected.unpersist()
 
 
 def _committed_bloom(
