@@ -107,9 +107,26 @@ def natural_text_expr(doc_id: Column) -> Column:
 
 def natural_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, text) natural-mode corpus keyed by the driver table's
-    doc_ids — corpus size scales with the SF like every other entry."""
+    doc_ids — corpus size scales with the SF like every other entry.
+
+    PERSISTED (registry-tracked, released between suite queries): the
+    generation expression is heavy (n_tok md5+exp+spelling evaluations
+    per doc), and without a cache boundary Catalyst both (a) collapses
+    it into every consumer — the simhash twin corpus alone references
+    the corpus three times (max-id agg, base, twins) — and (b) pushes
+    consumers' trivially-true guards (``length(text) >= 5``,
+    ``size(tokens) >= 2``) BELOW the spread exchange, re-evaluating the
+    full generation single-threaded before any parallelism (observed in
+    the r11 text_winnow_natural plan). The cache is skinny ((bigint,
+    ~400 B string) rows) and identical across the natural entries, so
+    CacheManager plan-matching shares one copy per session."""
+    from erpl_web_spark.operators._cache import track_persist
+
     ids = load(spark, sf_dir, "documents", spread=True).select("doc_id")
-    return ids.select("doc_id", natural_text_expr(F.col("doc_id")).alias("text"))
+    return track_persist(
+        ids.select("doc_id", natural_text_expr(F.col("doc_id")).alias("text")),
+        "natural_docs",
+    )
 
 
 _SQL_SYL = "[" + ", ".join(f"'{s}'" for s in _SYL) + "]"
