@@ -45,6 +45,7 @@ _SAMPLE_PRIORITY = [
     "embedding_pca_planted",
     "text_bpe_natural",
     "curation_dsir_natural",
+    "pipeline_url_index_bloom",
     # -- latest driver row is r06 (oldest band) --
     "text_html_strip",
     "text_winnow_fingerprints",

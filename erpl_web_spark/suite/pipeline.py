@@ -531,6 +531,90 @@ def pipeline_url_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_url_index_bloom",
+    oracle=f"""
+    WITH {_SQL_URL_CANON_CTES},
+    b AS (
+      SELECT doc_id, url, canonical_url,
+             CASE WHEN doc_id < 40 THEN 0
+                  WHEN doc_id < 45 THEN 1
+                  ELSE 2 END AS b
+      FROM canon
+    ), k0 AS (
+      SELECT doc_id, url, canonical_url FROM (
+        SELECT doc_id, url, canonical_url,
+               ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                  ORDER BY doc_id) AS rn
+        FROM b WHERE b = 0
+      ) WHERE rn = 1
+    ), k1 AS (
+      SELECT doc_id, url, canonical_url FROM (
+        SELECT doc_id, url, canonical_url,
+               ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                  ORDER BY doc_id) AS rn
+        FROM b WHERE b = 1
+      ) WHERE rn = 1
+        AND canonical_url NOT IN (SELECT canonical_url FROM k0)
+    ), k2 AS (
+      SELECT doc_id, url, canonical_url FROM (
+        SELECT doc_id, url, canonical_url,
+               ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                  ORDER BY doc_id) AS rn
+        FROM b WHERE b = 2
+      ) WHERE rn = 1
+        AND canonical_url NOT IN (SELECT canonical_url FROM k0)
+        AND canonical_url NOT IN (SELECT canonical_url FROM k1)
+    )
+    SELECT doc_id, url, canonical_url FROM k0
+    UNION ALL
+    SELECT doc_id, url, canonical_url FROM k1
+    UNION ALL
+    SELECT doc_id, url, canonical_url FROM k2
+    """,
+)
+def pipeline_url_index_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_url_index_batches with the Bloom pre-filter ON and a
+    THIRD batch, so the driver's value hash covers the composed path
+    end to end: per-batch Bloom increment build + manifest commit, the
+    coverage/geometry safety check, the probe split (batch 1 probes
+    one committed increment, batch 2 the bit_or UNION of two — masks
+    OR across batches == the Bloom of the union), and the anti-join
+    that only possible-members reach. The oracle knows NOTHING about
+    Bloom filters — it replays plain keep-first semantics over three
+    phases — so hash equality IS the kept-set-invariance contract (the
+    r10-proven no-false-negative side is what licenses routing
+    definitely-new digests around the join). Seams at 40/45: batch 0
+    claims 40 canonical classes, batch 1 first-claims 5 (its ids 40-44
+    are fresh quadratic residues), batch 2 the remaining 4 and drops
+    members of every earlier class — both paths of the probe split are
+    non-vacuous in every batch. m_bits=4096/k=3 over <= ~100 claims:
+    FP rate irrelevant by design (FPs only route a probe through the
+    anti-join it would have taken anyway)."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        url_index_apply,
+    )
+
+    urls = _planted_urls(spark, sf_dir).select("doc_id", "url")
+    path = tempfile.mkdtemp(prefix="urlidx_bloom_suite_")
+    d = F.col("doc_id")
+    try:
+        for i, part in enumerate(
+            [urls.where(d < 40), urls.where((d >= 40) & (d < 45)), urls.where(d >= 45)]
+        ):
+            url_index_apply(part, i, path, bloom_m_bits=4096, bloom_k=3)
+        rows = read_kept_batches(spark, path).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, canonical_url string"
+    )
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit band pigeonhole).
