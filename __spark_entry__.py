@@ -46,6 +46,7 @@ _SAMPLE_PRIORITY = [
     "text_bpe_natural",
     "curation_dsir_natural",
     "pipeline_url_index_bloom",
+    "curation_quality_probe",
     # -- latest driver row is r06 (oldest band) --
     "text_html_strip",
     "text_winnow_fingerprints",

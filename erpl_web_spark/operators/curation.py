@@ -613,3 +613,107 @@ def dsir_logweights(
             F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
         )
     )
+
+
+def fit_linear_probe(
+    df: DataFrame,
+    id_col: str,
+    features: list[Column],
+    target: Column,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Distributed least-squares fit of a 3-feature linear probe (the
+    FineWeb-Edu pattern: distill an expensive quality labeler into a
+    cheap linear scorer that the whole corpus can afford), returning
+    (scored rows, weights). Exactly three features + an intercept.
+
+    Scale split, the ``pca_project`` pattern generalized to regression:
+    the corpus is reduced to FIFTEEN exact int64 moments in ONE
+    partial-aggregable pass (n, the four sums, the ten pairwise
+    products — features and target must be integer-valued columns;
+    quantize ratios with ``floor(r * 10**6)`` first), the 4x4 normal
+    equations are solved CLOSED-FORM on the driver (centered 3x3
+    Cramer), and scoring is a map-only expression with the weights
+    inlined as literals. Nothing corpus-sized leaves the executors.
+
+    Determinism contract (what makes the suite oracle value-hashable):
+    the moments are exact integers, identical in any engine; the solve
+    is a FIXED IEEE-double expression tree — centered entries as
+    ``n*Sij - Si*Sj`` (int64-exact, then one deterministic int->double
+    conversion), the Sarrus 3x3 expansion written in one
+    parenthesization, intercept as ``(Sy - w1*S1 - w2*S2 - w3*S3)/n``
+    — so an oracle replaying the same tree gets BIT-IDENTICAL weights
+    and predictions, not merely close ones (tests pin this against
+    DuckDB). Singular designs (collinear features) raise rather than
+    return NaN weights.
+
+    Returns the input rows with ``pred`` (double) and ``resid``
+    (target - pred) appended, plus {"b0", "w1", "w2", "w3"}.
+    """
+    x1, x2, x3 = [f.cast("bigint") for f in features]
+    y = target.cast("bigint")
+    base = df.select(
+        F.col(id_col), x1.alias("x1"), x2.alias("x2"), x3.alias("x3"), y.alias("y")
+    )
+    m = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"), F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).alias("s13"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x2") * F.col("x3")).alias("s23"),
+        F.sum(F.col("x3") * F.col("x3")).alias("s33"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("x3") * F.col("y")).alias("s3y"),
+    ).collect()[0]
+
+    n = int(m["n"])
+    if n == 0:
+        raise ValueError("cannot fit a probe on an empty input")
+    # centered normal-equation entries, int64-exact BEFORE the single
+    # int->double conversion (IEEE round-half-even, engine-identical);
+    # the common n/n^2 scaling cancels inside the Cramer ratios
+    a11 = float(n * int(m["s11"]) - int(m["s1"]) * int(m["s1"]))
+    a12 = float(n * int(m["s12"]) - int(m["s1"]) * int(m["s2"]))
+    a13 = float(n * int(m["s13"]) - int(m["s1"]) * int(m["s3"]))
+    a22 = float(n * int(m["s22"]) - int(m["s2"]) * int(m["s2"]))
+    a23 = float(n * int(m["s23"]) - int(m["s2"]) * int(m["s3"]))
+    a33 = float(n * int(m["s33"]) - int(m["s3"]) * int(m["s3"]))
+    b1 = float(n * int(m["s1y"]) - int(m["s1"]) * int(m["sy"]))
+    b2 = float(n * int(m["s2y"]) - int(m["s2"]) * int(m["sy"]))
+    b3 = float(n * int(m["s3y"]) - int(m["s3"]) * int(m["sy"]))
+
+    # Sarrus expansion — ONE fixed parenthesization, replicated verbatim
+    # by the suite oracle so the division results are bit-identical
+    def det3(p11, p12, p13, p21, p22, p23, p31, p32, p33):
+        return (
+            p11 * (p22 * p33 - p23 * p32)
+            - p12 * (p21 * p33 - p23 * p31)
+            + p13 * (p21 * p32 - p22 * p31)
+        )
+
+    d = det3(a11, a12, a13, a12, a22, a23, a13, a23, a33)
+    if d == 0.0:
+        raise ValueError("singular design: features are collinear")
+    w1 = det3(b1, a12, a13, b2, a22, a23, b3, a23, a33) / d
+    w2 = det3(a11, b1, a13, a12, b2, a23, a13, b3, a33) / d
+    w3 = det3(a11, a12, b1, a12, a22, b2, a13, a23, b3) / d
+    b0 = (
+        float(m["sy"]) - w1 * float(m["s1"]) - w2 * float(m["s2"])
+        - w3 * float(m["s3"])
+    ) / float(n)
+
+    pred = (
+        F.lit(b0)
+        + F.lit(w1) * F.col("x1").cast("double")
+        + F.lit(w2) * F.col("x2").cast("double")
+        + F.lit(w3) * F.col("x3").cast("double")
+    )
+    scored = base.select(
+        id_col, "x1", "x2", "x3", "y",
+        pred.alias("pred"),
+        (F.col("y").cast("double") - pred).alias("resid"),
+    )
+    return scored, {"b0": b0, "w1": w1, "w2": w2, "w3": w3}

@@ -1603,6 +1603,127 @@ def curation_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_probe_oracle() -> str:
+    """DuckDB twin of curation.fit_linear_probe on the documents
+    features: the fifteen exact-int64 moments, the centered normal
+    -equation entries as ``n*Sij - Si*Sj`` (int64-exact, ONE
+    int->double conversion), and the SAME Sarrus parenthesization the
+    operator uses — generated by a helper mirroring its det3() term
+    for term, so the weights and per-row predictions are BIT-IDENTICAL
+    across engines, and ROUND(,6) is cosmetic rather than load-bearing."""
+
+    def det3(p):
+        return (
+            f"{p[0][0]} * ({p[1][1]} * {p[2][2]} - {p[1][2]} * {p[2][1]})"
+            f" - {p[0][1]} * ({p[1][0]} * {p[2][2]} - {p[1][2]} * {p[2][0]})"
+            f" + {p[0][2]} * ({p[1][0]} * {p[2][1]} - {p[1][1]} * {p[2][0]})"
+        )
+
+    a = [["a11", "a12", "a13"], ["a12", "a22", "a23"], ["a13", "a23", "a33"]]
+    d = det3(a)
+    w1n = det3([["b1", "a12", "a13"], ["b2", "a22", "a23"], ["b3", "a23", "a33"]])
+    w2n = det3([["a11", "b1", "a13"], ["a12", "b2", "a23"], ["a13", "b3", "a33"]])
+    w3n = det3([["a11", "a12", "b1"], ["a12", "a22", "b2"], ["a13", "a23", "b3"]])
+    return f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS x1,
+             CAST(floor(1000.0 * (CAST(list_sum(list_transform({_SQL_TOKS},
+                    t -> LENGTH(t))) AS DOUBLE)
+                  / CAST(GREATEST(len({_SQL_TOKS}), 1) AS DOUBLE))) AS BIGINT) AS x2,
+             CAST(floor(1000.0 * (CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+                  / CAST(GREATEST(len({_SQL_TOKS}), 1) AS DOUBLE))) AS BIGINT) AS x3,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+             CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             CAST(SUM(x1 * x3) AS BIGINT) AS s13, CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             CAST(SUM(x2 * x3) AS BIGINT) AS s23, CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+             CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+             CAST(SUM(x3 * y) AS BIGINT) AS s3y
+      FROM feat
+    ), c AS (
+      SELECT CAST(n * s11 - s1 * s1 AS DOUBLE) AS a11,
+             CAST(n * s12 - s1 * s2 AS DOUBLE) AS a12,
+             CAST(n * s13 - s1 * s3 AS DOUBLE) AS a13,
+             CAST(n * s22 - s2 * s2 AS DOUBLE) AS a22,
+             CAST(n * s23 - s2 * s3 AS DOUBLE) AS a23,
+             CAST(n * s33 - s3 * s3 AS DOUBLE) AS a33,
+             CAST(n * s1y - s1 * sy AS DOUBLE) AS b1,
+             CAST(n * s2y - s2 * sy AS DOUBLE) AS b2,
+             CAST(n * s3y - s3 * sy AS DOUBLE) AS b3,
+             CAST(sy AS DOUBLE) AS dsy, CAST(s1 AS DOUBLE) AS ds1,
+             CAST(s2 AS DOUBLE) AS ds2, CAST(s3 AS DOUBLE) AS ds3,
+             CAST(n AS DOUBLE) AS dn
+      FROM m
+    ), w AS (
+      SELECT ({w1n}) / ({d}) AS w1,
+             ({w2n}) / ({d}) AS w2,
+             ({w3n}) / ({d}) AS w3,
+             dsy, ds1, ds2, ds3, dn
+      FROM c
+    ), wb AS (
+      SELECT w1, w2, w3,
+             (dsy - w1 * ds1 - w2 * ds2 - w3 * ds3) / dn AS b0
+      FROM w
+    )
+    SELECT f.doc_id, f.x1, f.x2, f.x3, f.y,
+           ROUND(wb.b0 + wb.w1 * CAST(f.x1 AS DOUBLE)
+                       + wb.w2 * CAST(f.x2 AS DOUBLE)
+                       + wb.w3 * CAST(f.x3 AS DOUBLE), 6) AS pred_r,
+           ROUND(CAST(f.y AS DOUBLE)
+                 - (wb.b0 + wb.w1 * CAST(f.x1 AS DOUBLE)
+                          + wb.w2 * CAST(f.x2 AS DOUBLE)
+                          + wb.w3 * CAST(f.x3 AS DOUBLE)), 6) AS resid_r
+    FROM feat f, wb
+    """
+
+
+@register("curation_quality_probe", oracle=_quality_probe_oracle())
+def curation_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear quality probe (curation.fit_linear_probe):
+    fit n_chars against (token count, milli-quantized mean word
+    length, milli-quantized type-token ratio) over the whole corpus — the
+    FineWeb-Edu distillation shape: one exact-integer moment reduction
+    (fifteen int64 cells, partial-aggregable), a closed-form driver
+    solve with a FIXED IEEE expression tree, map-only scoring with
+    inlined literal weights. The oracle replays the identical tree
+    (see _quality_probe_oracle), so the value hash pins the whole
+    train-then-score pipeline — moments, centering, Cramer solve, sign
+    and magnitude of every weight — through bit-identical predictions.
+    Quantization at 1e3 keeps every moment within int64 one decade
+    past sf1 (bounds in the operator docstring)."""
+    from erpl_web_spark.operators.curation import fit_linear_probe
+    from erpl_web_spark.operators.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = tokens_expr("text")
+    ntok = F.size(toks)
+    tokchars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    x2 = F.floor(
+        F.lit(1000.0)
+        * (tokchars.cast("double") / F.greatest(ntok, F.lit(1)).cast("double"))
+    )
+    x3 = F.floor(
+        F.lit(1000.0)
+        * (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(ntok, F.lit(1)).cast("double")
+        )
+    )
+    scored, _w = fit_linear_probe(
+        docs, "doc_id", [ntok, x2, x3], F.col("n_chars")
+    )
+    return scored.select(
+        "doc_id", "x1", "x2", "x3", "y",
+        F.round("pred", 6).alias("pred_r"),
+        F.round("resid", 6).alias("resid_r"),
+    )
+
+
 @register(
     "curation_cap_per_source",
     oracle="""

@@ -4524,3 +4524,35 @@ def test_dsir_target_like_docs_score_higher(spark):
     rows = {r["doc_id"]: r for r in dsir_logweights(raw, target, "doc_id", "text").collect()}
     assert rows[1]["log_w"] > rows[2]["log_w"]
     assert rows[3]["n_grams"] == 0 and rows[3]["log_w"] == 0.0
+
+
+def test_linear_probe_recovers_exact_relationship(spark):
+    """On exactly-linear integer data the probe must recover the plane:
+    residuals are 0 to machine precision and the weights match the
+    generating coefficients."""
+    from erpl_web_spark.operators.curation import fit_linear_probe
+
+    rows = []
+    for i in range(40):
+        x1, x2, x3 = i % 7, (i * 3) % 11, (i * 5) % 13
+        rows.append((i, x1, x2, x3, 2 * x1 + 3 * x2 - x3 + 7))
+    df = spark.createDataFrame(rows, "id long, f1 long, f2 long, f3 long, y long")
+    scored, w = fit_linear_probe(
+        df, "id", [F.col("f1"), F.col("f2"), F.col("f3")], F.col("y")
+    )
+    assert abs(w["w1"] - 2) < 1e-9 and abs(w["w2"] - 3) < 1e-9
+    assert abs(w["w3"] + 1) < 1e-9 and abs(w["b0"] - 7) < 1e-9
+    assert all(abs(r["resid"]) < 1e-6 for r in scored.collect())
+
+
+def test_linear_probe_rejects_singular_design(spark):
+    """Collinear features (x3 = x1 + x2) must raise loudly, never
+    return NaN weights."""
+    import pytest as _pytest
+
+    from erpl_web_spark.operators.curation import fit_linear_probe
+
+    rows = [(i, i % 5, (i * 2) % 7, i % 5 + (i * 2) % 7, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, f1 long, f2 long, f3 long, y long")
+    with _pytest.raises(ValueError, match="singular"):
+        fit_linear_probe(df, "id", [F.col("f1"), F.col("f2"), F.col("f3")], F.col("y"))
