@@ -703,3 +703,105 @@ def test_repave_crash_points(spark, tmp_path):
         assert not os.path.exists(os.path.join(work, "clean=0.r9")), (
             f"crash@{k}: recovery left the orphan generation unswept"
         )
+
+
+def test_url_index_bloom_crash_points(spark, tmp_path):
+    """Bloom-mode URL index publishes THREE kinds per batch in commit
+    order urls -> bloomw -> kept. Kill the writer before every mutation
+    op of batch 1's apply and assert: the only visible batch-1 states
+    are PREFIXES of that order (kept committed implies bloomw committed
+    implies urls committed — a kept/bloomw commit can never precede its
+    claim set), committed batch-0 state is never lost, replay with the
+    knob on converges to the no-crash end state, and after replay the
+    bloomw versions COVER the urls versions (so the next batch trusts
+    the pre-filter instead of falling back)."""
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        read_url_index,
+        url_index_apply,
+    )
+
+    schema = "doc_id long, url string"
+    M, K = 4096, 3
+
+    def setup(path):
+        b0 = spark.createDataFrame(
+            [(1, "HTTP://WWW.A.com:80/x/?b=2&a=1#f"),
+             (2, "http://a.com/x?a=1&b=2"),
+             (3, "https://b.com/y")],
+            schema,
+        )
+        url_index_apply(b0, 0, path, bloom_m_bits=M, bloom_k=K)
+
+    def step(path):
+        b1 = spark.createDataFrame(
+            [(10, "http://a.com/x?utm_source=z&a=1&b=2"),
+             (12, "https://c.com/z?p=1")],
+            schema,
+        )
+        url_index_apply(b1, 1, path, bloom_m_bits=M, bloom_k=K)
+
+    def kept_ids(path):
+        df = read_kept_batches(spark, path)
+        return set() if df is None else {r["doc_id"] for r in df.collect()}
+
+    def claims(path):
+        df = read_url_index(spark, path)
+        return set() if df is None else {
+            (r["digest"], r["batch_src"]) for r in df.collect()
+        }
+
+    def committed(path, kind):
+        return set(manifests.committed_versions(spark, path, kind))
+
+    template = str(tmp_path / "uib_t")
+    setup(template)
+    kept0, claims0 = kept_ids(template), claims(template)
+    assert kept0 == {1, 3}
+    assert committed(template, "bloomw") == {0}
+
+    dry = str(tmp_path / "uib_dry")
+    shutil.copytree(template, dry)
+    gate = CrashGate(None)
+    with gated(gate):
+        step(dry)
+    ops = gate.ops
+    kept_full, claims_full = kept_ids(dry), claims(dry)
+    assert kept_full == {1, 3, 12}
+    assert committed(dry, "bloomw") == {0, 1}
+    # the bloomw publish adds mutation ops beyond the knob-off scenario
+    assert len(ops) >= 8, f"expected >=8 mutation ops with bloom on, saw {ops}"
+
+    for k in range(1, len(ops) + 1):
+        work = str(tmp_path / f"uib_k{k}")
+        shutil.copytree(template, work)
+        with pytest.raises(InjectedCrash):
+            with gated(CrashGate(crash_at=k)):
+                step(work)
+        got_kept, got_claims = kept_ids(work), claims(work)
+        assert kept0 <= got_kept, f"crash@{k} ({ops[k-1]}): lost kept rows"
+        assert got_kept in (kept0, kept_full), (
+            f"crash@{k} ({ops[k-1]}): torn kept state"
+        )
+        assert got_claims in (claims0, claims_full), (
+            f"crash@{k} ({ops[k-1]}): torn claim state"
+        )
+        u, bw, kp = (
+            1 in committed(work, "urls"),
+            1 in committed(work, "bloomw"),
+            1 in committed(work, "kept"),
+        )
+        # prefix-of-commit-order invariant: kept => bloomw => urls
+        assert (not kp or bw) and (not bw or u), (
+            f"crash@{k} ({ops[k-1]}): commit order violated "
+            f"(urls={u}, bloomw={bw}, kept={kp})"
+        )
+        # recovery: replay with the knob on converges, and coverage
+        # holds so the NEXT batch trusts the pre-filter
+        step(work)
+        assert kept_ids(work) == kept_full, f"crash@{k}: kept replay diverged"
+        assert claims(work) == claims_full, f"crash@{k}: claim replay diverged"
+        assert committed(work, "urls") <= committed(work, "bloomw"), (
+            f"crash@{k}: bloomw does not cover urls after replay"
+        )
