@@ -4556,3 +4556,78 @@ def test_linear_probe_rejects_singular_design(spark):
     df = spark.createDataFrame(rows, "id long, f1 long, f2 long, f3 long, y long")
     with _pytest.raises(ValueError, match="singular"):
         fit_linear_probe(df, "id", [F.col("f1"), F.col("f2"), F.col("f3")], F.col("y"))
+
+
+def test_linear_probe_weights_bit_identical_to_duckdb(spark):
+    """The determinism CONTRACT of fit_linear_probe, pinned exactly:
+    DuckDB replaying the operator's fixed IEEE expression tree (the
+    same n*Sij - Si*Sj centering and Sarrus parenthesization) produces
+    the SAME binary64 weights — == equality, not approx — on data with
+    noise (non-zero residuals), so the agreement is not an artifact of
+    an exact linear plane."""
+    duckdb = pytest.importorskip("duckdb")
+    from erpl_web_spark.operators.curation import fit_linear_probe
+
+    rows = []
+    for i in range(200):
+        x1 = (i * 7) % 23
+        x2 = (i * i) % 31
+        x3 = (i * 13) % 17
+        y = 5 * x1 - 2 * x2 + 3 * x3 + (i % 11) - 4  # noisy plane
+        rows.append((i, x1, x2, x3, y))
+    df = spark.createDataFrame(rows, "id long, f1 long, f2 long, f3 long, y long")
+    _, w = fit_linear_probe(
+        df, "id", [F.col("f1"), F.col("f2"), F.col("f3")], F.col("y")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(id BIGINT, x1 BIGINT, x2 BIGINT, x3 BIGINT, y BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    det = (
+        "{p00} * ({p11} * {p22} - {p12} * {p21})"
+        " - {p01} * ({p10} * {p22} - {p12} * {p20})"
+        " + {p02} * ({p10} * {p21} - {p11} * {p20})"
+    )
+
+    def d3(m):
+        return det.format(
+            p00=m[0][0], p01=m[0][1], p02=m[0][2],
+            p10=m[1][0], p11=m[1][1], p12=m[1][2],
+            p20=m[2][0], p21=m[2][1], p22=m[2][2],
+        )
+
+    dd = d3([["a11", "a12", "a13"], ["a12", "a22", "a23"], ["a13", "a23", "a33"]])
+    n1 = d3([["b1", "a12", "a13"], ["b2", "a22", "a23"], ["b3", "a23", "a33"]])
+    n2 = d3([["a11", "b1", "a13"], ["a12", "b2", "a23"], ["a13", "b3", "a33"]])
+    n3 = d3([["a11", "a12", "b1"], ["a12", "a22", "b2"], ["a13", "a23", "b3"]])
+    got = con.execute(f"""
+      WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(x1) AS BIGINT) s1, CAST(SUM(x2) AS BIGINT) s2,
+               CAST(SUM(x3) AS BIGINT) s3, CAST(SUM(y) AS BIGINT) sy,
+               CAST(SUM(x1*x1) AS BIGINT) s11, CAST(SUM(x1*x2) AS BIGINT) s12,
+               CAST(SUM(x1*x3) AS BIGINT) s13, CAST(SUM(x2*x2) AS BIGINT) s22,
+               CAST(SUM(x2*x3) AS BIGINT) s23, CAST(SUM(x3*x3) AS BIGINT) s33,
+               CAST(SUM(x1*y) AS BIGINT) s1y, CAST(SUM(x2*y) AS BIGINT) s2y,
+               CAST(SUM(x3*y) AS BIGINT) s3y
+        FROM t
+      ), c AS (
+        SELECT CAST(n*s11 - s1*s1 AS DOUBLE) a11, CAST(n*s12 - s1*s2 AS DOUBLE) a12,
+               CAST(n*s13 - s1*s3 AS DOUBLE) a13, CAST(n*s22 - s2*s2 AS DOUBLE) a22,
+               CAST(n*s23 - s2*s3 AS DOUBLE) a23, CAST(n*s33 - s3*s3 AS DOUBLE) a33,
+               CAST(n*s1y - s1*sy AS DOUBLE) b1, CAST(n*s2y - s2*sy AS DOUBLE) b2,
+               CAST(n*s3y - s3*sy AS DOUBLE) b3,
+               CAST(sy AS DOUBLE) dsy, CAST(s1 AS DOUBLE) ds1,
+               CAST(s2 AS DOUBLE) ds2, CAST(s3 AS DOUBLE) ds3, CAST(n AS DOUBLE) dn
+        FROM m
+      ), w AS (
+        SELECT ({n1}) / ({dd}) w1, ({n2}) / ({dd}) w2, ({n3}) / ({dd}) w3,
+               dsy, ds1, ds2, ds3, dn
+        FROM c
+      )
+      SELECT w1, w2, w3, (dsy - w1*ds1 - w2*ds2 - w3*ds3) / dn AS b0 FROM w
+    """).fetchone()
+    assert got[0] == w["w1"] and got[1] == w["w2"]
+    assert got[2] == w["w3"] and got[3] == w["b0"]
