@@ -31,75 +31,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 11 (VERDICT r10 Next #2): the judge's latest-row histogram is
-# r06x6 / r07x45 / r08x50 / r09x49 / r10x50 — the round-11 additions
-# (which need their first driver rows) lead, then the 51 entries whose
-# latest driver row is <= r07 (the six r06-latest names first); the
-# four r07 names past the 50-sample prefix fill the next round. Names
-# are stable; unlisted entries keep registration order after these.
+# Round 12 (VERDICT r11 Next #1): latest-row histogram over the
+# CORRECTNESS_r*.json union is r07x9 / r08x50 / r09x49 / r10x50 /
+# r11x50 — the nine r07 names that missed the r11 50-sample prefix
+# lead, then the round-12 additions (which need their first driver
+# rows), then the 50-name r08 band alphabetically; the ~11 r08 names
+# past the 50-sample prefix fill the next round. Names are stable;
+# unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    # -- new in round 11 (need their first driver rows) --
-    "text_winnow_natural",
-    "dedup_simhash_natural",
-    "text_bigram_natural",
-    "embedding_pca_planted",
-    "text_bpe_natural",
-    "curation_dsir_natural",
-    "pipeline_url_index_bloom",
-    "curation_quality_probe",
-    # -- latest driver row is r06 (oldest band) --
-    "text_html_strip",
-    "text_winnow_fingerprints",
-    "window_lag_lead",
-    "window_moving_frame",
-    "window_rank_orders",
-    "window_sessionize",
-    # -- latest driver row is r07 --
-    "agg_avg_int",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats_exact",
-    "dedup_embedding",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_centroid",
-    "embedding_covariance",
-    "embedding_pca_project",
-    "events_window_rollup",
-    "explode_words",
-    "having_groups",
-    "join_left_counts",
-    "join_salted_skew",
-    "multimodal_decode",
-    "multimodal_dhash_pairs_d7",
-    "pipeline_hash_split",
-    "pipeline_length_buckets",
-    "pivot_status_counts",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_revenue_delta",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_cosine_top3",
-    "similarity_hard_negatives",
-    "struct_funcs",
-    "subquery_correlated_exists",
-    "subquery_scalar_avg",
+    # -- latest driver row is r07 (missed the r11 prefix) --
+    "text_stats",
     "text_lang_id",
     "text_lang_profile",
     "text_repetition",
-    "text_stats",
     "text_unigram_freq",
+    "subquery_correlated_exists",
+    "subquery_scalar_avg",
     "union_all_tagged",
     "window_distribution",
+    # -- new in round 12 (need their first driver rows) --
+    "dedup_minhash_natural",
+    "similarity_ivf_trained",
+    # -- latest driver row is r08 --
+    "cdc_apply_merge",
+    "cdc_incremental_agg",
+    "chunk_tokens_native",
+    "curation_cap_per_source",
+    "curation_contamination",
+    "curation_contamination_pairs",
+    "curation_diverse_sample",
+    "curation_mixture_upsample",
+    "curation_quantile_filter",
+    "curation_stratified_sample",
+    "curation_token_budget",
+    "dedup_allpairs_prefix",
+    "dedup_cluster_components",
+    "dedup_cluster_summary",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_substring_kgram",
+    "embedding_cluster_semantic",
+    "embedding_quantize_stats",
+    "multimodal_frames",
+    "multimodal_tiles",
+    "pipeline_curate_corpus",
+    "pipeline_curate_lines",
+    "pipeline_curate_media",
+    "pipeline_curate_normalize",
+    "pipeline_line_index_batches",
+    "pipeline_pack_documents",
+    "pipeline_shuffle_order",
+    "regex_funcs",
+    "set_except",
+    "similarity_ann_ivf_int8",
+    "text_boilerplate_ngrams",
+    "text_boilerplate_ratio",
+    "text_bpe_encode",
+    "text_clean_lines",
+    "text_countmin_topk",
+    "text_gopher_rules",
+    "text_line_dedup",
+    "text_line_dedup_keepfirst",
+    "text_line_dedup_salted",
+    "text_normalize",
+    "text_paragraph_dedup",
+    "text_quality",
+    "text_quality_linear",
+    "text_redact_pii",
+    "text_token_diversity",
+    "text_unigram_freq_salted",
+    "text_vocab_topk",
+    "udtf_chunk_tokens",
 ]
 
 

@@ -323,6 +323,53 @@ def text_bigram_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TOKS_NAT = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
+# The shared token-drop twin plant (every 10th doc copied with every
+# 9th token dropped, ids offset past max), re-rooted on the natural
+# corpus — identical to the `twin` CTE in dedup_simhash_natural.
+_SQL_NAT_TWIN_CTES = f"""base AS (SELECT doc_id, text FROM nat),
+    twin AS (
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM base) AS doc_id,
+             array_to_string(
+               list_filter({_SQL_TOKS_NAT}, (t, i) -> (i - 1) % 9 <> 0), ' ') AS text
+      FROM base WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),"""
+
+
+def _minhash_natural_oracle() -> str:
+    from erpl_web_spark.suite.pipeline import _SQL_MINHASH_MD5_PAIRS
+
+    return f"""
+    WITH {sql_natural_cte()},
+    {_SQL_NAT_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    """
+
+
+@register("dedup_minhash_natural", oracle=_minhash_natural_oracle())
+def dedup_minhash_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh_md5 (MinHash(64) + 16 bands + exact-Jaccard
+    verify at 0.5, md5 hash family) over the natural corpus + the
+    shared token-drop twins — the MinHash analogue of what round 11's
+    dedup_simhash_natural did for SimHash (VERDICT r11 Next #4). At
+    ~2000-word vocabulary the 3-token shingle space is large enough
+    that band keys are mostly doc-local, so the banding s-curve is
+    exercised where shingle diversity is realistic: candidate pairs
+    come (almost) only from the planted twins and the verify step's
+    jaccard spectrum is non-degenerate, instead of the testdata
+    corpus's 40-word regime where every doc shares shingles with every
+    other. Same operator, same knobs, same output columns as the md5
+    sibling — only the corpus changes, so a banding regression that
+    hides at degenerate entropy (band-collision floods masking a
+    broken seed family) surfaces here."""
+    from erpl_web_spark.operators.dedup import minhash_lsh_pairs
+    from erpl_web_spark.suite.pipeline import _token_drop_twin_corpus
+
+    corpus = _token_drop_twin_corpus(natural_docs(spark, sf_dir))
+    return minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        hash_mode="md5",
+    )
+
 
 @register(
     "curation_dsir_natural",
