@@ -517,6 +517,8 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    init_steps: int = 2,
+    vec_dtype: str = "float",
 ) -> DataFrame:
     """Trained coarse quantizer: pyspark.ml KMeans over the embedding
     column, returning the same (cell, centroid_vec) contract that
@@ -529,18 +531,26 @@ def ivf_train_centroids(
     the KMeans implementation, so it is test-verified rather than
     DuckDB-oracle-checked. Distributed: Spark ML's KMeans is the
     standard scalable trainer (optionally call on ``df.sample(...)``
-    to train on a fraction at 100 TB).
+    to train on a fraction at 100 TB). ``init_steps`` is the k-means||
+    oversampling round count (Spark default 2): each round samples
+    ~2k candidates cost-weighted, so raising it drives the probability
+    that some true cluster has NO init candidate toward zero — the
+    knob the planted-centroid oracle entry uses to make convergence to
+    the planted partition a certainty rather than a likelihood.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = df.sparkSession
     vecs = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(vecs)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, initSteps=init_steps).fit(vecs)
     center_rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return spark.createDataFrame(center_rows, "cell long, centroid_vec array<float>")
+    # float matches the embeddings column dtype (the ANN search path);
+    # "double" preserves the trainer's exact fp64 centroids (the
+    # planted-centroid oracle entry needs the full mantissa).
+    return spark.createDataFrame(center_rows, f"cell long, centroid_vec array<{vec_dtype}>")
 
 
 def ivf_assign(

@@ -1281,6 +1281,129 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Trained-quantizer oracle entry (VERDICT r11 Next #5): run the REAL
+# pyspark.ml KMeans trainer (ivf_train_centroids) on a planted corpus
+# whose converged state is an algebraic certainty, so the trained path
+# — not just the modulo quantizer — gets a DuckDB value-hash row.
+#
+# Plant: 8 clusters on 8 dims. Cluster c sits at SEP*(c+1) on dim c
+# (SEP = 1e6; pairwise center distance >= ~1.4e6); cluster membership
+# comes from vec_id % 36 through triangular thresholds, so populations
+# are proportional to 1..8 (non-vacuous counts); each point is offset
+# by (vec_id % 5 - 2) in {-2..2} on dim (vec_id % 8) — a real spread,
+# 6 decades below the separation. Why Lloyd's is exact here:
+#   - k-means|| (init_steps=10) samples candidates cost-weighted; an
+#     uncovered cluster's points carry ~SEP^2 cost vs ~4 residual for
+#     covered ones, so after 10 rounds every cluster has a candidate
+#     (miss probability ~(e^-2)^10 per cluster) and the local k-means++
+#     pass seeds one centroid per cluster (a covered cluster's
+#     residual re-pick odds are ~4/SEP^2 per draw).
+#   - With one init center inside each planted cluster, the first
+#     Lloyd assignment IS the planted partition (offsets <= 2 vs 1e6
+#     separation — no ties possible), so the center update lands on
+#     the exact per-cluster mean and iteration 2 moves by exactly 0.
+#   - All coordinates are integers: the center update's running sums
+#     are exact in fp64 at any aggregation order (values < 2^53), and
+#     Spark ML's centroid step multiplies the sum by the correctly-
+#     rounded reciprocal (scal(1.0/count, sum)) — which the oracle
+#     replays as CAST(SUM(..) AS DOUBLE) * (1.0 / COUNT(*)) for
+#     bit-identical doubles, the covariance/probe determinism idiom.
+# KMeans' arbitrary cluster ids are canonicalized by each centroid's
+# dominant dimension (argmax = the planted cluster id by construction).
+# --------------------------------------------------------------------------
+
+_SQL_IVF_TRAINED = """
+    WITH pts AS (
+      SELECT vec_id, vec_id % 8 AS od, CAST(vec_id % 5 - 2 AS BIGINT) AS off,
+             CASE WHEN vec_id % 36 < 1 THEN 0 WHEN vec_id % 36 < 3 THEN 1
+                  WHEN vec_id % 36 < 6 THEN 2 WHEN vec_id % 36 < 10 THEN 3
+                  WHEN vec_id % 36 < 15 THEN 4 WHEN vec_id % 36 < 21 THEN 5
+                  WHEN vec_id % 36 < 28 THEN 6 ELSE 7 END AS cluster
+      FROM embeddings
+    ), cells AS (
+      SELECT cluster, d.dim,
+             CAST(SUM(CASE WHEN cluster = d.dim
+                           THEN 1000000 * (cluster + 1) ELSE 0 END
+                    + CASE WHEN od = d.dim THEN off ELSE 0 END) AS DOUBLE)
+               * (1.0 / COUNT(*)) AS centroid_val,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM pts, (SELECT unnest(range(0, 8)) AS dim) d
+      GROUP BY cluster, d.dim
+    )
+    SELECT CAST(cluster AS INT) AS cluster, CAST(dim AS INT) AS dim,
+           centroid_val, n_vecs
+    FROM cells
+    """
+
+
+@register("similarity_ivf_trained", oracle=_SQL_IVF_TRAINED)
+def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF quantizer path — ivf_train_centroids
+    (pyspark.ml KMeans, seeded, init_steps=10) followed by ivf_assign —
+    value-hash-checked against a closed-form DuckDB oracle on the
+    planted-centroid corpus described above (the trained-quantizer
+    analogue of embedding_pca_planted). Output is one row per
+    (canonical cluster, dimension): the RAW trained centroid double
+    (bit-identical to the oracle's sum * (1.0/n) replay — no rounding
+    crutch) plus the cell population from ivf_assign, so the entry
+    pins trainer convergence, the (cell, centroid_vec) contract, AND
+    the assignment join in one hash. The modulo-quantizer entries
+    (similarity_ann_ivf*) keep pinning the search path; this one pins
+    the trainer the 100 TB deployment actually uses.
+
+    Deterministic-input note: the corpus is loaded WITHOUT the spread
+    repartition — round-robin repartitioning makes row order
+    run-dependent, and while the converged result is order-invariant
+    (see the plant analysis), keeping the scan order fixed makes the
+    k-means|| sampling itself replay-identical too."""
+    from erpl_web_spark.operators.similarity import ivf_assign, ivf_train_centroids
+
+    D, K, SEP = 8, 8, 1_000_000
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    g = F.col("vec_id") % 36
+    cl = (
+        F.when(g < 1, 0).when(g < 3, 1).when(g < 6, 2).when(g < 10, 3)
+        .when(g < 15, 4).when(g < 21, 5).when(g < 28, 6).otherwise(7)
+    )
+    off_dim = F.col("vec_id") % D
+    off = (F.col("vec_id") % 5 - 2).cast("double")
+    emb = F.array(
+        *[
+            F.when(cl == i, F.lit(float(SEP)) * (cl + 1).cast("double"))
+            .otherwise(F.lit(0.0))
+            + F.when(off_dim == i, off).otherwise(F.lit(0.0))
+            for i in range(D)
+        ]
+    )
+    corpus = ids.select("vec_id", emb.alias("embedding"))
+
+    cents = ivf_train_centroids(
+        corpus, n_cells=K, vec_col="embedding", seed=42, max_iter=10,
+        init_steps=10, vec_dtype="double",
+    )
+    # canonical id = dominant dimension (argmax); unique by construction
+    canon = cents.select(
+        "cell",
+        (F.array_position(
+            F.col("centroid_vec"), F.array_max(F.col("centroid_vec"))
+        ) - 1).cast("int").alias("cluster"),
+        "centroid_vec",
+    )
+    counts = (
+        ivf_assign(corpus, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    exploded = canon.select(
+        "cell", "cluster", F.posexplode("centroid_vec").alias("dim", "centroid_val")
+    )
+    return (
+        exploded.join(F.broadcast(counts), "cell")
+        .select("cluster", "dim", F.col("centroid_val").cast("double"), "n_vecs")
+    )
+
+
 @register(
     "dedup_embedding",
     oracle=_SQL_IVF_ASSIGNED
