@@ -271,6 +271,40 @@ def test_apply_single_partition_and_bounded_probe(registered, fixture_server):
     ), f"unbounded schema probe: {[r['query'] for r in reqs]}"
 
 
+def test_apply_multi_page_merge(registered, fixture_server):
+    """$apply composing with server-driven pagination (VERDICT r11
+    Next #6, reference analogue: Datasphere analytical pagination,
+    datasphere_read.cpp:289-312): FirstName has 8 groups and the
+    fixture pages 3 rows per response, so the aggregated rowset spans
+    three @odata.nextLink hops. The executor's page-merge loop must
+    follow them all with $apply intact on every request — a
+    first-page-only read would silently truncate the aggregation to 3
+    groups."""
+    fixture_server.state.log.clear()
+    df = (
+        registered.read.format("odata")
+        .option("url", fixture_server.base_url + "/v4/People")
+        .option("groupby", "FirstName")
+        .option("aggregate", "Age with sum as TotalAge")
+        .load()
+    )
+    rows = {r["FirstName"]: r["TotalAge"] for r in df.collect()}
+    # i in range(10): Ana (i=0,8), Ben (i=1,9) doubled; the rest single
+    assert rows == {
+        "Ana": 48, "Ben": 50, "Cleo": 22, "Dee": 23,
+        "Eli": 24, "Fay": 25, "Gus": 26, "Hana": 27,
+    }
+    reqs = [r for r in fixture_server.state.requests_for("/v4/People") if r["query"]]
+    # every request in the chain (schema probe + 3 data pages) carries $apply
+    assert all(
+        r["query"].get("$apply") == "groupby((FirstName),aggregate(Age with sum as TotalAge))"
+        for r in reqs
+    ), f"$apply dropped mid-chain: {[r['query'] for r in reqs]}"
+    # the executor read followed the nextLink chain: pages at $skip 3 and 6
+    data_skips = {r["query"].get("$skip") for r in reqs if r["query"].get("$top") != "32"}
+    assert {"3", "6"} <= data_skips, f"nextLink chain not followed: {data_skips}"
+
+
 def test_apply_empty_aggregation_with_explicit_schema(registered, fixture_server):
     """A valid-but-empty aggregation (filter matches nothing) must load
     as an empty DataFrame when the user supplies the schema — Spark then
