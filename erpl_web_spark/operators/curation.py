@@ -368,6 +368,62 @@ def token_budget_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+    hash_mode: str = "xxhash64",
+    lattice: int = 4096,
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis–
+    Spiliopoulou–Tsoukatos A-ES, the one-pass reservoir family): each
+    row gets an exponential race key ``e = -ln(u)/w`` from a
+    deterministic per-id uniform ``u`` and its positive weight ``w``;
+    the ``k`` smallest keys ARE a weighted sample without replacement
+    (the min of exponentials wins proportionally to its rate). This is
+    the quality-weighted corpus-sampling step a pretraining pipeline
+    runs after scoring: "draw 10M documents with probability
+    proportional to quality weight", reproducibly.
+
+    Determinism: ``u`` comes from the engine-portable hash of
+    (seed, id) reduced to a ``lattice``-point grid ((j + 0.5)/lattice
+    — never 0, so ln is finite), exactly the natural-corpus idiom, so
+    re-runs, repartitioning, and cluster resizes never change the
+    sample, and the md5 mode is replayable in any engine. Rows with
+    non-positive weight are excluded (weight 0 = never sampled).
+
+    Scale: the key is a map-side column expression; the global top-k
+    runs as TakeOrderedAndProject (per-partition top-k, k-row driver
+    merge) — nothing corpus-sized shuffles or reaches the driver. The
+    rank window orders the k selected rows only. ``k`` here is a
+    config-scale sample size; for corpus-scale draws, compute the key
+    column and filter on a key threshold instead (one pass, no top-k).
+
+    Returns the selected rows' (id, weight, sample_rank 1..k).
+    """
+    from erpl_web_spark.operators.dedup import _md5_long48
+
+    w = (weight_col if isinstance(weight_col, Column) else F.col(weight_col)).cast(
+        "double"
+    )
+    if hash_mode == "md5":
+        j = _md5_long48(F.lit(seed), F.col(id_col)) % lattice
+    else:
+        j = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(lattice))
+    u = (j.cast("double") + F.lit(0.5)) / F.lit(float(lattice))
+    keyed = df.select(
+        F.col(id_col), w.alias("weight"), (-F.log(u) / w).alias("__es_key")
+    ).where(w > 0)
+    top = keyed.orderBy("__es_key", id_col).limit(int(k))
+    rank_w = Window.orderBy("__es_key", id_col)
+    return (
+        top.withColumn("sample_rank", F.row_number().over(rank_w).cast("int"))
+        .drop("__es_key")
+    )
+
+
 def leak_safe_split(
     df: DataFrame,
     id_col: str,

@@ -1975,6 +1975,45 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, CAST(GREATEST(n_chars, 1) AS DOUBLE) AS weight,
+             -ln((CAST(CAST('0x' || substring(md5('ws12:' || CAST(doc_id AS VARCHAR)),
+                                     1, 12) AS BIGINT) % 4096 AS DOUBLE) + 0.5)
+                 / 4096.0)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS e
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, weight,
+             ROW_NUMBER() OVER (ORDER BY e, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, weight, CAST(rn AS INT) AS sample_rank
+    FROM ranked WHERE rn <= 100
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (curation.weighted_sample,
+    A-ES exponential race keys, md5 mode): draw 100 documents with
+    probability proportional to n_chars — the quality-weighted corpus
+    draw a pretraining mixture runs after scoring. The oracle replays
+    the same lattice uniform, key formula, and (key, id) tie-break in
+    SQL; rank agreement across engines pins the whole race (distinct
+    (u, w) classes are separated by far more than the <=1-ulp ln()
+    difference between libms, and equal classes tie-break on doc_id
+    identically). Spark side runs as map-side key + TakeOrdered top-k:
+    nothing corpus-sized shuffles or reaches the driver."""
+    from erpl_web_spark.operators.curation import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, k=100, weight_col=F.greatest(F.col("n_chars"), F.lit(1)),
+        id_col="doc_id", seed="ws12", hash_mode="md5",
+    )
+
+
+@register(
     "text_token_diversity",
     oracle=f"""
     WITH per AS (

@@ -4631,3 +4631,47 @@ def test_linear_probe_weights_bit_identical_to_duckdb(spark):
     """).fetchone()
     assert got[0] == w["w1"] and got[1] == w["w2"]
     assert got[2] == w["w3"] and got[3] == w["b0"]
+
+
+def test_weighted_sample_determinism_and_rank_contract(spark):
+    """weighted_sample (A-ES): same seed -> identical sample under any
+    partitioning; ranks are 1..k; excluded rows have non-positive
+    weight; a different seed draws a different sample."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.curation import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("w")
+    )
+    a = weighted_sample(df, 50, "w", "doc_id", seed="s1").collect()
+    b = weighted_sample(df.repartition(13), 50, "w", "doc_id", seed="s1").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert [r["sample_rank"] for r in a] == list(range(1, 51))
+    c = weighted_sample(df, 50, "w", "doc_id", seed="s2").collect()
+    assert {r["doc_id"] for r in a} != {r["doc_id"] for r in c}
+    # zero/negative weights never sampled
+    z = weighted_sample(
+        df.withColumn("w", F.when(F.col("doc_id") < 990, 0).otherwise(F.col("w"))),
+        50, "w", "doc_id", seed="s1",
+    ).collect()
+    assert len(z) == 10 and all(r["doc_id"] >= 990 for r in z)
+
+
+def test_weighted_sample_respects_weights_statistically(spark):
+    """Heavy rows (weight 100x) must dominate the sample: with 100 of
+    2000 rows carrying 100x weight, the expected heavy share of a
+    k=200 draw is ~84% (without-replacement inclusion odds); a uniform
+    sampler would pick ~5%. The margin is wide enough that the
+    deterministic lattice-u draw clears it for any reasonable seed."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.curation import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 100.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample(df, 200, "w", "doc_id", seed="stat").collect()
+    heavy = sum(1 for r in out if r["doc_id"] < 100)
+    assert heavy >= 70, f"heavy rows underrepresented: {heavy}/200"
