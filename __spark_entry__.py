@@ -52,6 +52,7 @@ _SAMPLE_PRIORITY = [
     # -- new in round 12 (need their first driver rows) --
     "dedup_minhash_natural",
     "similarity_ivf_trained",
+    "similarity_ann_ivf_trained",
     "curation_weighted_sample",
     # -- latest driver row is r08 --
     "cdc_apply_merge",

@@ -600,6 +600,7 @@ def ann_top_k_ivf(
     k: int = 5,
     stride: int = 50,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell; each
     probe searches its ``nprobe`` nearest cells exactly.
@@ -608,8 +609,18 @@ def ann_top_k_ivf(
     exact scoring of |probes|·nprobe·avg_cell — sub-linear in corpus size
     per probe, vs |corpus|·|probes| brute force. Recall is tuned by
     nprobe/stride. Returns (probe_id, neighbor_id, cosine, rank).
+
+    ``centroids``: any (cell, centroid_vec) table — pass the
+    ``ivf_train_centroids`` output to run the search over the TRAINED
+    quantizer (the production path: balanced cells, higher recall at
+    the same nprobe). Default None keeps the deterministic modulo
+    quantizer (``stride``).
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, stride)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, stride)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     probe_scored = (

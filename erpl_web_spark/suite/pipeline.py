@@ -1291,18 +1291,23 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (SEP = 1e6; pairwise center distance >= ~1.4e6); cluster membership
 # comes from vec_id % 36 through triangular thresholds, so populations
 # are proportional to 1..8 (non-vacuous counts); each point is offset
-# by (vec_id % 5 - 2) in {-2..2} on dim (vec_id % 8) — a real spread,
-# 6 decades below the separation. Why Lloyd's is exact here:
+# by 4*(vec_id % 997 - 498)*(cluster+1) on dim (cluster+1+vec_id%7)%8
+# — a real spread (~per-point-unique magnitudes on a never-the-cluster
+# dim; see _ivf_planted_corpus for why the ANN twin needs that), still
+# ~2 decades below the separation.
+# Why Lloyd's is exact here:
 #   - k-means|| (init_steps=10) samples candidates cost-weighted; an
-#     uncovered cluster's points carry ~SEP^2 cost vs ~4 residual for
-#     covered ones, so after 10 rounds every cluster has a candidate
-#     (miss probability ~(e^-2)^10 per cluster) and the local k-means++
-#     pass seeds one centroid per cluster (a covered cluster's
-#     residual re-pick odds are ~4/SEP^2 per draw).
+#     uncovered cluster's points carry ~SEP^2 cost vs ~off^2 residual
+#     for covered ones (ratio <= 2.6e-4), so after 10 rounds every
+#     cluster has a candidate (miss probability ~(e^-2)^10 per
+#     cluster) and the local k-means++ pass seeds one centroid per
+#     cluster (a covered cluster's residual re-pick odds are
+#     ~off^2/SEP^2 per draw).
 #   - With one init center inside each planted cluster, the first
-#     Lloyd assignment IS the planted partition (offsets <= 2 vs 1e6
-#     separation — no ties possible), so the center update lands on
-#     the exact per-cluster mean and iteration 2 moves by exactly 0.
+#     Lloyd assignment IS the planted partition (offsets <= ~1.6e4 vs
+#     >= 1.4e6 separation — no ties possible), so the center update
+#     lands on the exact per-cluster mean and iteration 2 moves by
+#     exactly 0.
 #   - All coordinates are integers: the center update's running sums
 #     are exact in fp64 at any aggregation order (values < 2^53), and
 #     Spark ML's centroid step multiplies the sum by the correctly-
@@ -1313,15 +1318,57 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dominant dimension (argmax = the planted cluster id by construction).
 # --------------------------------------------------------------------------
 
-_SQL_IVF_TRAINED = """
-    WITH pts AS (
-      SELECT vec_id, vec_id % 8 AS od, CAST(vec_id % 5 - 2 AS BIGINT) AS off,
-             CASE WHEN vec_id % 36 < 1 THEN 0 WHEN vec_id % 36 < 3 THEN 1
-                  WHEN vec_id % 36 < 6 THEN 2 WHEN vec_id % 36 < 10 THEN 3
-                  WHEN vec_id % 36 < 15 THEN 4 WHEN vec_id % 36 < 21 THEN 5
-                  WHEN vec_id % 36 < 28 THEN 6 ELSE 7 END AS cluster
-      FROM embeddings
-    ), cells AS (
+def _ivf_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-centroid corpus (see the block comment above
+    similarity_ivf_trained): 8 integer clusters at SEP*(c+1) on dim c,
+    populations proportional 1..8 via triangular thresholds on
+    vec_id % 36, per-point offset 4*(vec_id % 997 - 498)*(cluster+1)
+    on dim (cluster + 1 + vec_id % 7) % 8. The offset design serves
+    the ANN twin: the dim rule is always != cluster, so every vector
+    is genuinely 2-dimensional and no two non-identical vectors are
+    colinear (no wall of exact-1.0 cosines); mod 997 gives
+    ~per-point-unique magnitudes (identical-vector twins are rare);
+    and the (cluster+1) scaling keeps offset/magnitude — hence the
+    6th-decimal cosine spread — constant across clusters. Max offset
+    ~1.6e4 stays ~2 decades below the 1e6 separation, so every
+    Lloyd's-exactness argument is unchanged. Loaded WITHOUT spread so
+    the KMeans input order is replay-fixed."""
+    D, SEP = 8, 1_000_000
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    g = F.col("vec_id") % 36
+    cl = (
+        F.when(g < 1, 0).when(g < 3, 1).when(g < 6, 2).when(g < 10, 3)
+        .when(g < 15, 4).when(g < 21, 5).when(g < 28, 6).otherwise(7)
+    )
+    off_dim = (cl + 1 + F.col("vec_id") % 7) % D
+    off = ((F.col("vec_id") % 997 - 498) * 4 * (cl + 1)).cast("double")
+    emb = F.array(
+        *[
+            F.when(cl == i, F.lit(float(SEP)) * (cl + 1).cast("double"))
+            .otherwise(F.lit(0.0))
+            + F.when(off_dim == i, off).otherwise(F.lit(0.0))
+            for i in range(D)
+        ]
+    )
+    return ids.select("vec_id", emb.alias("embedding"))
+
+
+# shared plant fragment: (vec_id, cluster, od, off) for every embeddings
+# row — both trained-quantizer entries and their oracles derive from it
+_SQL_IVF_PLANT = """pts AS (
+      SELECT vec_id, (cluster + 1 + vec_id % 7) % 8 AS od,
+             CAST(rawoff * (cluster + 1) AS BIGINT) AS off, cluster
+      FROM (
+        SELECT vec_id, (vec_id % 997 - 498) * 4 AS rawoff,
+               CASE WHEN vec_id % 36 < 1 THEN 0 WHEN vec_id % 36 < 3 THEN 1
+                    WHEN vec_id % 36 < 6 THEN 2 WHEN vec_id % 36 < 10 THEN 3
+                    WHEN vec_id % 36 < 15 THEN 4 WHEN vec_id % 36 < 21 THEN 5
+                    WHEN vec_id % 36 < 28 THEN 6 ELSE 7 END AS cluster
+        FROM embeddings)
+    )"""
+
+_SQL_IVF_TRAINED = f"""
+    WITH {_SQL_IVF_PLANT}, cells AS (
       SELECT cluster, d.dim,
              CAST(SUM(CASE WHEN cluster = d.dim
                            THEN 1000000 * (cluster + 1) ELSE 0 END
@@ -1359,24 +1406,8 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means|| sampling itself replay-identical too."""
     from erpl_web_spark.operators.similarity import ivf_assign, ivf_train_centroids
 
-    D, K, SEP = 8, 8, 1_000_000
-    ids = load(spark, sf_dir, "embeddings").select("vec_id")
-    g = F.col("vec_id") % 36
-    cl = (
-        F.when(g < 1, 0).when(g < 3, 1).when(g < 6, 2).when(g < 10, 3)
-        .when(g < 15, 4).when(g < 21, 5).when(g < 28, 6).otherwise(7)
-    )
-    off_dim = F.col("vec_id") % D
-    off = (F.col("vec_id") % 5 - 2).cast("double")
-    emb = F.array(
-        *[
-            F.when(cl == i, F.lit(float(SEP)) * (cl + 1).cast("double"))
-            .otherwise(F.lit(0.0))
-            + F.when(off_dim == i, off).otherwise(F.lit(0.0))
-            for i in range(D)
-        ]
-    )
-    corpus = ids.select("vec_id", emb.alias("embedding"))
+    K = 8
+    corpus = _ivf_planted_corpus(spark, sf_dir)
 
     cents = ivf_train_centroids(
         corpus, n_cells=K, vec_col="embedding", seed=42, max_iter=10,
@@ -1401,6 +1432,104 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.join(F.broadcast(counts), "cell")
         .select("cluster", "dim", F.col("centroid_val").cast("double"), "n_vecs")
+    )
+
+
+# point embedding as a DuckDB list, mirroring _ivf_planted_corpus's
+# array expression element for element (int arithmetic, one cast)
+_SQL_IVF_EMB = (
+    "["
+    + ", ".join(
+        f"CAST(CASE WHEN cluster = {i} THEN 1000000 * (cluster + 1) ELSE 0 END"
+        f" + CASE WHEN od = {i} THEN off ELSE 0 END AS DOUBLE)"
+        for i in range(8)
+    )
+    + "]"
+)
+
+_SQL_ANN_IVF_TRAINED = f"""
+    WITH {_SQL_IVF_PLANT}, emb AS (
+      SELECT vec_id, {_SQL_IVF_EMB} AS e FROM pts
+    ), cells AS (
+      SELECT cluster, d.dim,
+             CAST(SUM(CASE WHEN cluster = d.dim
+                           THEN 1000000 * (cluster + 1) ELSE 0 END
+                    + CASE WHEN od = d.dim THEN off ELSE 0 END) AS DOUBLE)
+               * (1.0 / COUNT(*)) AS v
+      FROM pts, (SELECT unnest(range(0, 8)) AS dim) d
+      GROUP BY cluster, d.dim
+    ), cent AS (
+      SELECT cluster AS cell, list(v ORDER BY dim) AS cv FROM cells GROUP BY cluster
+    ), asg AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT p.vec_id, p.e, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.e, c.cv)
+                            / (sqrt(list_dot_product(p.e, p.e))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cell ASC) AS rn
+        FROM emb p, cent c
+      ) WHERE rn = 1
+    ), pc AS (
+      SELECT probe_id, pe, cell FROM (
+        SELECT p.vec_id AS probe_id, p.e AS pe, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.e, c.cv)
+                            / (sqrt(list_dot_product(p.e, p.e))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cell ASC) AS rn
+        FROM emb p, cent c WHERE p.vec_id < 50
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id,
+             list_dot_product(pc.pe, a.e)
+               / (sqrt(list_dot_product(pc.pe, pc.pe))
+                  * sqrt(list_dot_product(a.e, a.e))) AS cosine
+      FROM pc JOIN asg a USING (cell)
+      WHERE a.vec_id <> pc.probe_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@register("similarity_ann_ivf_trained", oracle=_SQL_ANN_IVF_TRAINED)
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quantizer inside the SEARCH path: ann_top_k_ivf with
+    ``centroids=ivf_train_centroids(...)`` — train -> assign -> probe
+    top-nprobe cells -> within-cell exact top-k, all value-hash-checked
+    on the planted-centroid corpus. The oracle recomputes the converged
+    centroids in closed form (exact per-cluster means), replays
+    assignment and probe-cell ranking by cosine, and scores cells
+    exactly; every dot/norm is a list_dot_product over the same index
+    order as the engine's zip_with/aggregate folds, so the unrounded
+    cosines are bit-identical and rank agreement pins the whole
+    composition (cell labels never appear in the output, so KMeans'
+    arbitrary ids vs the oracle's canonical ids cannot diverge — only
+    the partition they induce matters, and it is tie-free by
+    construction). similarity_ann_ivf keeps pinning the modulo
+    quantizer; this is the trained path a 100 TB deployment runs."""
+    from erpl_web_spark.operators.similarity import ann_top_k_ivf, ivf_train_centroids
+
+    corpus = _ivf_planted_corpus(spark, sf_dir)
+    cents = ivf_train_centroids(
+        corpus, n_cells=8, vec_col="embedding", seed=42, max_iter=10,
+        init_steps=10, vec_dtype="double",
+    )
+    probes = corpus.where(F.col("vec_id") < 50)
+    out = ann_top_k_ivf(
+        corpus, probes, "vec_id", "embedding", k=3, nprobe=2, centroids=cents
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
     )
 
 
