@@ -54,6 +54,7 @@ _SAMPLE_PRIORITY = [
     "similarity_ivf_trained",
     "similarity_ann_ivf_trained",
     "curation_weighted_sample",
+    "curation_contamination_bloom",
     # -- latest driver row is r08 --
     "cdc_apply_merge",
     "cdc_incremental_agg",

@@ -99,6 +99,8 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    bloom_m_bits: int | None = None,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Per-document containment of benchmark n-grams:
     |doc-shingles ∩ benchmark-shingles| / |doc-shingles|.
@@ -110,6 +112,20 @@ def contamination_report(
     a short eval question fully embedded in a long training document
     still scores 1.0. Returns (id_col, n_shingles, n_matched,
     contamination) for every document with at least one shingle.
+
+    ``bloom_m_bits`` (opt-in) inserts a Bloom pre-filter between the
+    corpus shingles and the benchmark join — the URL-index trick
+    applied to decontamination. It pays off when the benchmark shingle
+    set is TOO BIG to broadcast (a full eval-suite union at crawl
+    scale): the plain path then degrades to a corpus-shingles x
+    benchmark SHUFFLE join, while the Bloom filter stays
+    ceil(m_bits/48) rows — broadcast-cheap at any benchmark size — and
+    routes definitely-clean shingles (any unset bit) around the join
+    entirely, so only ~true_match_rate + FP_rate of corpus shingles
+    reach it. No false negatives (the r10 value-hash-proven side), and
+    false positives are resolved by the exact join they pass into, so
+    the REPORT is bit-identical with the filter on or off — which is
+    exactly what the suite oracle checks.
     """
     doc_sh = hashed_shingles(df, id_col, text_col, shingle_k).select(
         F.col(id_col), F.explode("hs").alias("h")
@@ -119,7 +135,35 @@ def contamination_report(
         .select(F.explode("hs").alias("h"))
         .distinct()
     )
-    matched = doc_sh.join(F.broadcast(bench_sh), "h", "left_semi")
+    if bloom_m_bits:
+        from erpl_web_spark.operators.text import _bloom_positions, bloom_filter_values
+
+        bloom = bloom_filter_values(bench_sh, "h", k=bloom_k, m_bits=bloom_m_bits)
+        pos = doc_sh.select(
+            F.col(id_col),
+            F.col("h"),
+            F.explode(
+                _bloom_positions(F.col("h").cast("string"), bloom_k, bloom_m_bits)
+            ).alias("pos"),
+        ).select(
+            id_col,
+            "h",
+            F.floor(F.col("pos") / 48).cast("bigint").alias("word"),
+            (F.col("pos") % 48).cast("int").alias("bit"),
+        )
+        hit = F.expr(
+            "shiftrightunsigned(coalesce(mask, CAST(0 AS BIGINT)), bit)"
+        ).bitwiseAND(F.lit(1))
+        possible = (
+            pos.join(F.broadcast(bloom), "word", "left")
+            .groupBy(id_col, "h")
+            .agg(F.sum(hit).cast("int").alias("n_hits"))
+            .where(F.col("n_hits") == bloom_k)
+            .select(id_col, "h")
+        )
+        matched = possible.join(F.broadcast(bench_sh), "h", "left_semi")
+    else:
+        matched = doc_sh.join(F.broadcast(bench_sh), "h", "left_semi")
     totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     hits = matched.groupBy(id_col).agg(F.count("*").alias("n_matched"))
     return (

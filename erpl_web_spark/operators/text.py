@@ -1356,8 +1356,26 @@ def bloom_filter_words(
     another engine, or checked against an oracle. Measured FP vs
     theory at 50k-token vocabulary: within ~2% (SCALING.md r10)."""
     toks = df.select(F.explode(tokens_expr(text_col)).alias("tok")).distinct()
-    pos = toks.select(
-        F.explode(_bloom_positions(F.col("tok"), k, m_bits)).alias("pos")
+    return bloom_filter_values(toks, "tok", k=k, m_bits=m_bits)
+
+
+def bloom_filter_values(
+    df: DataFrame,
+    value_col: str,
+    k: int = 3,
+    m_bits: int = 96,
+) -> DataFrame:
+    """Bloom (word, mask) rows over an arbitrary value column — the
+    generic builder behind :func:`bloom_filter_words` (tokens), the
+    URL-index claim filters (digests), and the contamination
+    pre-filter (shingle hashes). Values hash via their string
+    rendering through the md5 position family, so the filter is
+    bit-identical across engines. At most ceil(m_bits/48) output rows
+    regardless of input size; the bit_or is partial-aggregable."""
+    pos = df.select(
+        F.explode(
+            _bloom_positions(F.col(value_col).cast("string"), k, m_bits)
+        ).alias("pos")
     ).distinct()
     return (
         pos.select(

@@ -2039,9 +2039,10 @@ def curation_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_contamination",
-    oracle=f"""
+# containment oracle shared by the plain and Bloom-composed entries —
+# the Bloom path is RESULT-INVARIANT (no false negatives; false
+# positives die in the exact join), so one oracle pins both
+_SQL_CONTAMINATION_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, {_SQL_SHINGLES.replace("__toks", "toks")} AS sh
       FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
@@ -2057,7 +2058,12 @@ def curation_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS contamination
     FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
     WHERE CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.8
-    """,
+    """
+
+
+@register(
+    "curation_contamination",
+    oracle=_SQL_CONTAMINATION_ORACLE,
 )
 def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs whose 3-gram
@@ -2073,6 +2079,32 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, bench, "doc_id", "text", 3).where(
         F.col("contamination") >= 0.8
     )
+
+
+@register("curation_contamination_bloom", oracle=_SQL_CONTAMINATION_ORACLE)
+def curation_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_contamination with the Bloom pre-filter ON
+    (bloom_m_bits=4096, k=3) — the URL-index composition applied to
+    decontamination: the benchmark shingle set builds a
+    ceil(m/48)-row broadcast filter, corpus shingles with any unset
+    bit are routed AROUND the benchmark join, and false positives are
+    resolved by the exact join they pass into. The oracle knows
+    nothing about Bloom filters — it is the SAME containment SQL the
+    plain entry uses — so hash equality IS the result-invariance
+    contract (the no-false-negative side licensing the routing). At
+    crawl scale this is the shape that survives a benchmark suite too
+    big to broadcast: the filter stays m/48 rows at ANY benchmark
+    size, while the join's corpus-side input shrinks to
+    ~true_match_rate + FP_rate (measured for the digest case in
+    SCALING.md r12)."""
+    from erpl_web_spark.operators.curation import contamination_report
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return contamination_report(
+        train, bench, "doc_id", "text", 3, bloom_m_bits=4096, bloom_k=3
+    ).where(F.col("contamination") >= 0.8)
 
 
 @register(
