@@ -72,6 +72,12 @@ def main() -> None:
                          " correlation, not planted centers: the"
                          " realistic middle ground between --clustered"
                          " and the structureless testdata vectors")
+    ap.add_argument("--trained", action="store_true",
+                    help="also sweep ivf_train_centroids (pyspark.ml"
+                         " KMeans, same cell count as the modulo"
+                         " quantizer) so the 'trained cells -> higher"
+                         " recall at the same nprobe' claim is a"
+                         " measured number, not a docstring")
     args = ap.parse_args()
 
     from erpl_web_spark.operators.similarity import (
@@ -79,6 +85,7 @@ def main() -> None:
         cosine_top_k,
         ivf_assign,
         ivf_centroids,
+        ivf_train_centroids,
     )
     from erpl_web_spark.session import get_spark
     from erpl_web_spark.suite import load
@@ -127,18 +134,43 @@ def main() -> None:
     }
     avg_cell = sum(sizes.values()) / max(len(sizes), 1)
     print(f"# cells={len(sizes)} avg_cell={avg_cell:.1f}")
-    print("nprobe  recall@k  scored_frac (scored/corpus per probe)")
-    for nprobe in NPROBES:
-        ann = ann_top_k_ivf(
-            emb, probes, k=args.k, stride=args.stride, nprobe=nprobe
-        ).select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
-        hits = (
-            exact.join(ann, ["probe_id", "neighbor_id"], "left")
-            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("h"))
-            .collect()[0]["h"]
-        )
-        scored_frac = min(nprobe * avg_cell / n_corpus, 1.0)
-        print(f"{nprobe:6d}  {hits / n_exact:.3f}     {scored_frac:.3f}")
+
+    quantizers = [("modulo", None, sizes)]
+    if args.trained:
+        tc = ivf_train_centroids(
+            emb, n_cells=max(len(sizes), 2), vec_col="embedding"
+        ).persist()
+        tc.count()
+        tsizes = {
+            r["cell"]: r["n"]
+            for r in ivf_assign(emb, tc, "vec_id", "embedding")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        tmax = max(tsizes.values()) if tsizes else 0
+        mmax = max(sizes.values()) if sizes else 0
+        print(f"# trained cells={len(tsizes)} avg_cell="
+              f"{sum(tsizes.values()) / max(len(tsizes), 1):.1f} "
+              f"max_cell trained={tmax} vs modulo={mmax}")
+        quantizers.append(("trained", tc, tsizes))
+
+    print("quantizer  nprobe  recall@k  scored_frac (scored/corpus per probe)")
+    for qname, cents_df, qsizes in quantizers:
+        qavg = sum(qsizes.values()) / max(len(qsizes), 1)
+        for nprobe in NPROBES:
+            ann = ann_top_k_ivf(
+                emb, probes, k=args.k, stride=args.stride, nprobe=nprobe,
+                centroids=cents_df,
+            ).select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+            hits = (
+                exact.join(ann, ["probe_id", "neighbor_id"], "left")
+                .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("h"))
+                .collect()[0]["h"]
+            )
+            scored_frac = min(nprobe * qavg / n_corpus, 1.0)
+            print(f"{qname:>9}  {nprobe:6d}  {hits / n_exact:.3f}     "
+                  f"{scored_frac:.3f}")
     exact.unpersist()
 
 
