@@ -649,8 +649,13 @@ def ann_top_k_ivf(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"),
         F.col("nrm").alias("cnorm"), "cell",
     )
+    # probes are the small side by contract (per-probe cost model), but
+    # the window above hides that from the size estimator — without the
+    # hint the cell join plans as a SortMergeJoin that shuffles the
+    # corpus side (observed in PLANS.md r12); broadcasting probe_cells
+    # keeps the corpus map-side at any scale
     scored = (
-        probe_cells.join(c, "cell")
+        F.broadcast(probe_cells).join(c, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
