@@ -680,7 +680,9 @@ def dsir_logweights(
     rtot = rc.agg(F.sum("rn").cast("bigint").alias("rtot"))
     ttot = tc.agg(F.coalesce(F.sum("tn"), F.lit(0)).cast("bigint").alias("ttot"))
     ratio = (
-        rc.join(tc, "b", "left")
+        # both sides are <= buckets rows; the hint spares a sort-merge
+        # of two tiny frames (observed in the r12 initial-plan audit)
+        rc.join(F.broadcast(tc), "b", "left")
         .crossJoin(F.broadcast(rtot))
         .crossJoin(F.broadcast(ttot))
         .select(

@@ -821,7 +821,9 @@ def ann_top_k_ivf_rerank(
         lambda acc, x: acc + x,
     )
     stage1 = (
-        probe_cells.join(c, "cell")
+        # probes are the small side by contract; see ann_top_k_ivf for
+        # why the estimator can't see that through the rank window
+        F.broadcast(probe_cells).join(c, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id", "probe_vec", "pnorm", "neighbor_id", "vec", "cnorm",
