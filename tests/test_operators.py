@@ -4675,3 +4675,54 @@ def test_weighted_sample_respects_weights_statistically(spark):
     out = weighted_sample(df, 200, "w", "doc_id", seed="stat").collect()
     heavy = sum(1 for r in out if r["doc_id"] < 100)
     assert heavy >= 70, f"heavy rows underrepresented: {heavy}/200"
+
+
+def test_url_index_streaming_e2e(spark, tmp_path):
+    """The URL index behind a real checkpointed file stream (the other
+    four indexes have this pin; the fifth was fault-injection-only):
+    foreachBatch(url_index_apply) with epoch_id as the batch version.
+    Batch 1's doc pointing at a canonical URL claimed in batch 0 is
+    dropped; a fresh URL is claimed — keep-first across epochs, with
+    the Bloom pre-filter ON so the streaming path also exercises the
+    bloomw increments and the coverage check."""
+    from erpl_web_spark.operators.url_index import (
+        read_kept_batches,
+        url_index_apply,
+    )
+
+    src = tmp_path / "usrc"
+    src.mkdir()
+    idx = str(tmp_path / "uidx_s")
+    ckpt = str(tmp_path / "uckpt")
+    schema = "doc_id long, url string"
+
+    def run_stream():
+        (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: url_index_apply(
+                    df, bid, idx, bloom_m_bits=1024, bloom_k=3
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    spark.createDataFrame(
+        [(5, "http://a.example/x?b=2&a=1"), (3, "HTTP://A.example/x?a=1&b=2")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    kept = {r["doc_id"] for r in read_kept_batches(spark, idx).collect()}
+    assert kept == {3}  # in-batch election: same canonical URL, min id
+
+    spark.createDataFrame(
+        [(10, "http://a.example/x?a=1&b=2"), (11, "http://b.example/y")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()  # same checkpoint: only the new file forms epoch 1
+    kept = {r["doc_id"] for r in read_kept_batches(spark, idx).collect()}
+    assert kept == {3, 11}  # 10 is a cross-epoch dup; 11 is fresh
