@@ -447,6 +447,36 @@ def weighted_sample(
 
     Returns the selected rows' (id, weight, sample_rank 1..k).
     """
+    keyed = weighted_sample_key(df, weight_col, id_col, seed, hash_mode, lattice)
+    top = keyed.orderBy("es_key", id_col).limit(int(k))
+    rank_w = Window.orderBy("es_key", id_col)
+    return (
+        top.withColumn("sample_rank", F.row_number().over(rank_w).cast("int"))
+        .drop("es_key")
+    )
+
+
+def weighted_sample_key(
+    df: DataFrame,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+    hash_mode: str = "xxhash64",
+    lattice: int = 4096,
+) -> DataFrame:
+    """The A-ES race key as a column — the corpus-scale path
+    :func:`weighted_sample`'s docstring points at: for draws too big
+    for a top-k (a 10%-of-100-TB mixture slice), compute ``es_key``
+    map-side and FILTER on a threshold instead — one pass, no global
+    ordering anywhere. Calibrate the threshold on a sample (the k-th
+    smallest key of an x% sample estimates the (k/x%)-th of the
+    corpus), or iterate: P(key < t) per row is 1 - exp(-w*t), so the
+    expected take of a candidate t is a map-side aggregate away.
+    Returns (id, weight, es_key); rows with non-positive weight are
+    excluded (never sampled). Filtering ``es_key <= t`` yields exactly
+    the same set as :func:`weighted_sample` with k = |{key <= t}| —
+    the keys are shared, only the selection mechanism differs.
+    """
     from erpl_web_spark.operators.dedup import _md5_long48
 
     w = (weight_col if isinstance(weight_col, Column) else F.col(weight_col)).cast(
@@ -457,15 +487,9 @@ def weighted_sample(
     else:
         j = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(lattice))
     u = (j.cast("double") + F.lit(0.5)) / F.lit(float(lattice))
-    keyed = df.select(
-        F.col(id_col), w.alias("weight"), (-F.log(u) / w).alias("__es_key")
+    return df.select(
+        F.col(id_col), w.alias("weight"), (-F.log(u) / w).alias("es_key")
     ).where(w > 0)
-    top = keyed.orderBy("__es_key", id_col).limit(int(k))
-    rank_w = Window.orderBy("__es_key", id_col)
-    return (
-        top.withColumn("sample_rank", F.row_number().over(rank_w).cast("int"))
-        .drop("__es_key")
-    )
 
 
 def leak_safe_split(

@@ -4726,3 +4726,25 @@ def test_url_index_streaming_e2e(spark, tmp_path):
     run_stream()  # same checkpoint: only the new file forms epoch 1
     kept = {r["doc_id"] for r in read_kept_batches(spark, idx).collect()}
     assert kept == {3, 11}  # 10 is a cross-epoch dup; 11 is fresh
+
+
+def test_weighted_sample_threshold_path_matches_topk(spark):
+    """weighted_sample_key's threshold filter (the one-pass corpus-scale
+    path) selects exactly the top-k set for the matching threshold: the
+    keys are shared, only the selection mechanism differs."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.curation import (
+        weighted_sample,
+        weighted_sample_key,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("w")
+    )
+    topk = weighted_sample(df, 40, "w", "doc_id", seed="thr")
+    ids = {r["doc_id"] for r in topk.collect()}
+    keyed = weighted_sample_key(df, "w", "doc_id", seed="thr")
+    t = sorted(r["es_key"] for r in keyed.collect())[39]  # 40th smallest
+    thr_ids = {r["doc_id"] for r in keyed.where(F.col("es_key") <= t).collect()}
+    assert thr_ids == ids
