@@ -51,6 +51,7 @@ _SAMPLE_PRIORITY = [
     "window_distribution",
     # -- new in round 12 (need their first driver rows) --
     "dedup_minhash_natural",
+    "dedup_allpairs_natural",
     "similarity_ivf_trained",
     "similarity_ann_ivf_trained",
     "curation_weighted_sample",

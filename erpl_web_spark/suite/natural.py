@@ -345,6 +345,58 @@ def _minhash_natural_oracle() -> str:
     """
 
 
+_SQL_NAT_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(__toks) - 2, 0) + 1), "
+    "i -> array_to_string(__toks[i:i+2], ' ')))"
+)
+
+
+@register(
+    "dedup_allpairs_natural",
+    oracle=f"""
+    WITH {sql_natural_cte()},
+    {_SQL_NAT_TWIN_CTES}
+    toks AS (
+      SELECT doc_id, {_SQL_TOKS_NAT} AS __toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, {_SQL_NAT_SHINGLES} AS sh FROM toks
+      WHERE len({_SQL_NAT_SHINGLES}) > 0
+    ), ex AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS DOUBLE)
+             / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING CAST(COUNT(*) AS DOUBLE)
+             / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5
+    """,
+)
+def dedup_allpairs_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_allpairs_prefix (exact global Jaccard >= 0.5 via AllPairs
+    prefix filtering) over the natural corpus + the shared token-drop
+    twins — the ground-truth tier at realistic entropy. This is the
+    regime where prefix filtering actually EXISTS as an optimization:
+    the candidate keys are each document's RAREST shingles, and rarity
+    only means something under a Zipf frequency spectrum — on the
+    40-word testdata corpus every 3-token shingle is corpus-frequent,
+    so the prefix filter prunes nothing and the entry exercised only
+    the exact-verify arithmetic. Here shingles are mostly doc-local,
+    the prefix index stays sparse, and the pair set is the planted
+    twin spectrum (the same one dedup_minhash_natural's banding is
+    measured against, making recall comparisons apples-to-apples).
+    The oracle is the independent inverted-index brute force; both
+    sides enumerate identical pair sets with exact count-ratio
+    Jaccards."""
+    from erpl_web_spark.operators.dedup import allpairs_jaccard_join
+    from erpl_web_spark.suite.pipeline import _token_drop_twin_corpus
+
+    corpus = _token_drop_twin_corpus(natural_docs(spark, sf_dir))
+    return allpairs_jaccard_join(corpus, "doc_id", "text", shingle_k=3, threshold=0.5)
+
+
 @register("dedup_minhash_natural", oracle=_minhash_natural_oracle())
 def dedup_minhash_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash_lsh_md5 (MinHash(64) + 16 bands + exact-Jaccard
