@@ -341,9 +341,11 @@ _SQL_URL = """
 # CTE — mirrors the operator rule-for-rule with DuckDB's own string/
 # list functions (string_split indexing is 1-based; [2] is NULL when
 # the '?' is absent, same contract as Spark's F.get).
-_SQL_URL_CANON_CTES = f"""
-    raw AS (SELECT doc_id, n_chars, {_SQL_URL_G} AS g FROM documents),
-    urls AS (SELECT doc_id, n_chars, {_SQL_URL} AS url FROM raw),
+# canonicalization chain from the percent-decoding step onward — takes
+# ANY relation named `urls(doc_id, n_chars, url)`, so the randomized
+# cross-engine property test (tests/test_properties.py) can drive it
+# with generated URLs while the suite entries keep the planted fixture
+_SQL_CANON_FROM_URLS = f"""
     pct AS (
       SELECT doc_id, n_chars, url,
              string_split(url, '%')[1] ||
@@ -391,6 +393,11 @@ _SQL_URL_CANON_CTES = f"""
                 '&') AS q
             FROM comps))
 """
+
+_SQL_URL_CANON_CTES = f"""
+    raw AS (SELECT doc_id, n_chars, {_SQL_URL_G} AS g FROM documents),
+    urls AS (SELECT doc_id, n_chars, {_SQL_URL} AS url FROM raw),
+{_SQL_CANON_FROM_URLS}"""
 
 
 def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:

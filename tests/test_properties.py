@@ -471,3 +471,70 @@ def test_chunk_window_arithmetic_properties(n, chunk, data):
     for a, b in spans:
         assert set(range(a, b)) - seen, f"redundant chunk {(a, b)} n={n}"
         seen.update(range(a, b))
+
+
+def test_url_canonicalizer_cross_engine_on_random_urls(spark):
+    """Randomized cross-engine equivalence for the URL canonicalizer:
+    400 seeded messy URLs (case noise, default/odd ports, percent
+    escapes incl. malformed ones, tracking params in shuffled order,
+    fragments, trailing slashes, scheme-less strings) evaluated by
+    Spark's canonicalize_url_expr AND DuckDB's independent SQL
+    rendering (_SQL_CANON_FROM_URLS). The suite entries pin the
+    planted fixture; this pins the input DOMAIN — any divergence on a
+    combination the fixture never planted fails here."""
+    import random
+
+    import duckdb
+
+    from erpl_web_spark.operators.text import canonicalize_url_expr
+    from erpl_web_spark.suite.pipeline import _SQL_CANON_FROM_URLS
+
+    rng = random.Random(12012)
+    schemes = ["http", "HTTP", "https", "HTTPS", ""]
+    hosts = ["Site.example", "WWW.site.example", "www.SITE.example",
+             "a.b.example", "xn--caf-dma.example"]
+    ports = ["", ":80", ":443", ":8080"]
+    segs = ["p", "%7E", "%70", "Q%2fr", "x%2Fy", "bad%g1", "tail%", "%"]
+    params = ["a=1", "b=2", "x=%2f", "x=%2F", "utm_source=x", "fbclid=1",
+              "utm_campaign", "gclid=9", "", "k=v=w"]
+
+    def mk(i: int) -> str:
+        s = rng.choice(schemes)
+        host = rng.choice(hosts)
+        if not s:
+            return host + "/p%7E?utm_source=x"
+        path = "/".join(rng.sample(segs, rng.randint(0, 3)))
+        path = ("/" + path if path else rng.choice(["", "/"]))
+        if path and rng.random() < 0.4:
+            path += "/"
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        frag = "#s" + str(i) if rng.random() < 0.3 else ""
+        return f"{s}://{host}{rng.choice(ports)}{path}" + (
+            "?" + q if q else "") + frag
+
+    rows = [(i, 0, mk(i)) for i in range(400)]
+    sdf = spark.createDataFrame(rows, "doc_id long, n_chars long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in sdf.select(
+            "doc_id", canonicalize_url_expr("url").alias("c")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE urls(doc_id BIGINT, n_chars BIGINT, url VARCHAR)"
+    )
+    con.executemany("INSERT INTO urls VALUES (?, ?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"WITH {_SQL_CANON_FROM_URLS} "
+            "SELECT doc_id, canonical_url FROM canon"
+        ).fetchall()
+    )
+    diffs = {
+        i: (rows[i][2], got[i], want[i])
+        for i in got
+        if got[i] != want[i]
+    }
+    assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:3]}"
