@@ -40,6 +40,18 @@ from erpl_web_spark.suite import load, register
 _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+# DuckDB rendering of operators.text.normalize_text over a `text`
+# column — shared by the text_normalize oracle and the randomized
+# cross-engine property test (tests/test_properties.py)
+_SQL_NORMALIZE_EXPR = """trim(regexp_replace(
+               regexp_replace(
+                 translate(text,
+                   chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                     || chr(8211) || chr(8212) || chr(160),
+                   chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '),
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '[ \\t]+', ' ', 'g'))"""
+
 # DuckDB rendering of operators.text.with_quality_score's keep rule
 # (>= 3 of 4 heuristics over the ``text`` column of the enclosing FROM) —
 # shared by the curation-facade composition oracles.
@@ -5495,7 +5507,7 @@ def text_line_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_normalize",
-    oracle="""
+    oracle=f"""
     WITH aug AS (
       SELECT doc_id,
              text || CASE WHEN doc_id % 3 = 0
@@ -5505,15 +5517,7 @@ def text_line_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE '' END AS text
       FROM documents
     ), n AS (
-      SELECT doc_id, text,
-             trim(regexp_replace(
-               regexp_replace(
-                 translate(text,
-                   chr(8216) || chr(8217) || chr(8220) || chr(8221)
-                     || chr(8211) || chr(8212) || chr(160),
-                   chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '),
-                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-               '[ \\t]+', ' ', 'g')) AS norm_text
+      SELECT doc_id, text, {_SQL_NORMALIZE_EXPR} AS norm_text
       FROM aug
     )
     SELECT doc_id, norm_text, norm_text <> text AS changed FROM n

@@ -538,3 +538,52 @@ def test_url_canonicalizer_cross_engine_on_random_urls(spark):
         if got[i] != want[i]
     }
     assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:3]}"
+
+
+def test_normalize_text_cross_engine_on_random_strings(spark):
+    """Randomized cross-engine equivalence for text normalization: 500
+    seeded strings over an adversarial alphabet (curly quotes, en/em
+    dashes, NBSP, stripped C0 controls, KEPT controls \\t/\\n/\\r,
+    DEL, multi-space runs, edge-positioned whitespace) evaluated by
+    Spark's normalize_text expression AND the DuckDB rendering the
+    text_normalize oracle uses (_SQL_NORMALIZE_EXPR). Domain-level pin
+    beyond the entry's planted tail."""
+    import random
+
+    import duckdb
+
+    from erpl_web_spark.operators.text import normalize_text
+    from erpl_web_spark.suite.pipeline import _SQL_NORMALIZE_EXPR
+
+    rng = random.Random(20126)
+    alphabet = (
+        list("abcXYZ09.,!")
+        + ["‘", "’", "“", "”", "–", "—",
+           " ", "\x01", "\x08", "\x0b", "\x0c", "\x1f", "\x7f",
+           "\t", "\n", "\r", " ", "  ", "   "]
+    )
+
+    def mk() -> str:
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+
+    rows = [(i, mk()) for i in range(500)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in normalize_text(sdf, "text", out="n").select("doc_id", "n").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {_SQL_NORMALIZE_EXPR} FROM t"
+        ).fetchall()
+    )
+    diffs = {
+        i: (repr(rows[i][1]), repr(got[i]), repr(want[i]))
+        for i in got
+        if got[i] != want[i]
+    }
+    assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:3]}"
