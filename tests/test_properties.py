@@ -587,3 +587,60 @@ def test_normalize_text_cross_engine_on_random_strings(spark):
         if got[i] != want[i]
     }
     assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:3]}"
+
+
+def test_strip_html_cross_engine_on_random_markup(spark):
+    """Randomized cross-engine equivalence for the HTML stripper: 400
+    seeded concatenations of adversarial markup pieces — mixed-case
+    tags with attributes, self-closing tags, comments and script/style
+    blocks INCLUDING unterminated ones, entities next to bare &/</>,
+    doctype and processing instructions — through Spark's
+    strip_html_expr (Java regex) and the oracle's _sql_strip_html
+    rendering (DuckDB RE2). The fixed HTML shell in text_html_strip
+    pins one composition; this pins the markup domain."""
+    import random
+
+    import duckdb
+
+    from erpl_web_spark.operators.text import strip_html_expr
+    from erpl_web_spark.suite.pipeline import _sql_strip_html
+
+    rng = random.Random(30127)
+    pieces = [
+        "plain text ", "words & more ", "<p>", "</p>", "<P CLASS='x'>",
+        "<br/>", "<img src='a.png' alt='x y'>", "<!-- comment -->", "<!--",
+        "-->", "<script>var a=1 && 2;</script>", "<SCRIPT type='t'>x",
+        "</script>", "<style>p{color:red}</style>", "<style>q{",
+        "</style>", "&amp;", "&lt;tag&gt;", "&quot;q&quot;", "&#39;",
+        "&nbsp;", "&", "<", ">", "a<b", "5 > 3", "<?xml version='1'?>",
+        "<!DOCTYPE html>", "\n", "\t", "   ",
+    ]
+
+    def mk() -> str:
+        return "".join(rng.choice(pieces) for _ in range(rng.randint(0, 12)))
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, mk()) for i in range(400)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in sdf.select(
+            "doc_id", strip_html_expr(F.col("text")).alias("c")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {_sql_strip_html('text')} FROM t"
+        ).fetchall()
+    )
+    diffs = {
+        i: (repr(rows[i][1]), repr(got[i]), repr(want[i]))
+        for i in got
+        if got[i] != want[i]
+    }
+    assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:2]}"
