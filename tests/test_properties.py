@@ -644,3 +644,53 @@ def test_strip_html_cross_engine_on_random_markup(spark):
         if got[i] != want[i]
     }
     assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:2]}"
+
+
+def test_redact_pii_cross_engine_on_random_text(spark):
+    """Randomized cross-engine equivalence for PII redaction: 400
+    seeded concatenations of PII and NEAR-MISS pieces (emails with
+    odd local parts, bare @, IPv4s at word boundaries and embedded in
+    version strings, SSN shapes vs longer digit runs, phone-like runs
+    with parens/spaces/dashes at the 8-digit threshold boundary)
+    through Spark's redact_pii (Java regex, \\b semantics) and the
+    oracle's _PII_SQL rendering (DuckDB RE2). The entry's planted tail
+    pins one composition; this pins the pattern domain."""
+    import random
+
+    import duckdb
+
+    from erpl_web_spark.operators.text import redact_pii
+    from erpl_web_spark.suite.pipeline import _PII_SQL
+
+    rng = random.Random(40128)
+    pieces = [
+        "plain words ", "a.b-c_9%+x@mail.example.org ", "no@tld ",
+        "user@@double.example.com ", "@lonely ", "x@y.io.",
+        "10.1.2.3 ", "v1.2.3.4beta ", "256.300.1.2 ", "1.2.3.4.5 ",
+        "ip:10.9.8.7, ", "123-45-6789 ", "1234-56-7890 ", "123-456-789 ",
+        "+1 415 555 0133 ", "(020) 7946-0958 ", "12345678 ", "1234567 ",
+        "tel+44 20 7946 0958. ", "- - - ", "code 99 ",
+    ]
+
+    def mk() -> str:
+        return "".join(rng.choice(pieces) for _ in range(rng.randint(0, 8)))
+
+    rows = [(i, mk()) for i in range(400)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["redacted"]
+        for r in redact_pii(sdf, "text").select("doc_id", "redacted").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(f"SELECT doc_id, {_PII_SQL} FROM t").fetchall()
+    )
+    diffs = {
+        i: (repr(rows[i][1]), repr(got[i]), repr(want[i]))
+        for i in got
+        if got[i] != want[i]
+    }
+    assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:2]}"
