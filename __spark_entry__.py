@@ -31,67 +31,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 12 (VERDICT r11 Next #1): latest-row histogram over the
-# CORRECTNESS_r*.json union is r07x9 / r08x50 / r09x49 / r10x50 /
-# r11x50 — the nine r07 names that missed the r11 50-sample prefix
-# lead, then the round-12 additions (which need their first driver
-# rows), then the 50-name r08 band alphabetically; the ~11 r08 names
-# past the 50-sample prefix fill the next round. Names are stable;
-# unlisted entries keep registration order after these.
+# Round 13 (VERDICT r12 Next #1): latest-row histogram over the
+# CORRECTNESS_r*.json union is r08x15 / r09x48 / r10x49 / r11x46 /
+# r12x50 — the fifteen r08-stale names lead (the only entries whose
+# latest driver row is r08), then the round-13 additions (which need
+# their first driver rows), then the 48-name r09 band alphabetically;
+# the ~16 r09 names past the 50-sample prefix fill the next round.
+# Names are stable; unlisted entries keep registration order after
+# these.
 _SAMPLE_PRIORITY = [
-    # -- latest driver row is r07 (missed the r11 prefix) --
-    "text_stats",
-    "text_lang_id",
-    "text_lang_profile",
-    "text_repetition",
-    "text_unigram_freq",
-    "subquery_correlated_exists",
-    "subquery_scalar_avg",
-    "union_all_tagged",
-    "window_distribution",
-    # -- new in round 12 (need their first driver rows) --
-    "dedup_minhash_natural",
-    "dedup_allpairs_natural",
-    "similarity_ivf_trained",
-    "similarity_ann_ivf_trained",
-    "curation_weighted_sample",
-    "curation_contamination_bloom",
-    # -- latest driver row is r08 --
-    "cdc_apply_merge",
-    "cdc_incremental_agg",
-    "chunk_tokens_native",
-    "curation_cap_per_source",
-    "curation_contamination",
-    "curation_contamination_pairs",
-    "curation_diverse_sample",
-    "curation_mixture_upsample",
-    "curation_quantile_filter",
-    "curation_stratified_sample",
-    "curation_token_budget",
-    "dedup_allpairs_prefix",
-    "dedup_cluster_components",
-    "dedup_cluster_summary",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_substring_kgram",
-    "embedding_cluster_semantic",
-    "embedding_quantize_stats",
-    "multimodal_frames",
-    "multimodal_tiles",
-    "pipeline_curate_corpus",
-    "pipeline_curate_lines",
-    "pipeline_curate_media",
-    "pipeline_curate_normalize",
-    "pipeline_line_index_batches",
-    "pipeline_pack_documents",
-    "pipeline_shuffle_order",
-    "regex_funcs",
-    "set_except",
-    "similarity_ann_ivf_int8",
-    "text_boilerplate_ngrams",
-    "text_boilerplate_ratio",
-    "text_bpe_encode",
+    # -- latest driver row is r08 (missed the r12 prefix) --
     "text_clean_lines",
     "text_countmin_topk",
     "text_gopher_rules",
@@ -107,6 +56,59 @@ _SAMPLE_PRIORITY = [
     "text_unigram_freq_salted",
     "text_vocab_topk",
     "udtf_chunk_tokens",
+    # -- new in round 13 (need their first driver rows) --
+    "dedup_containment_natural",
+    "curation_weighted_threshold",
+    "similarity_ivf_cell_profile",
+    # -- latest driver row is r09 --
+    "agg_approx_distinct",
+    "agg_histogram",
+    "asof_join_forward",
+    "bitwise_funcs",
+    "cdc_snapshot_diff",
+    "codec_funcs",
+    "cohort_retention",
+    "curation_decontaminate_semantic",
+    "curation_temperature_mixture",
+    "dedup_minhash_lsh_md5",
+    "dedup_source_overlap",
+    "dedup_substring_scrub",
+    "diag_profile_orders",
+    "events_resample_1h",
+    "events_value_anomaly",
+    "funnel_stages",
+    "interval_funcs",
+    "interval_join_bucketed",
+    "match_fuzzy_parts",
+    "match_resolve_parts",
+    "min_cost_supplier",
+    "multimodal_audio_chunks",
+    "null_safe_funcs",
+    "odata_apply_groupby",
+    "pipeline_corpus_report",
+    "pipeline_line_index_repave",
+    "pipeline_split_leak_safe",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_idle_cohorts",
+    "sequence_funcs",
+    "set_except_all",
+    "set_intersect_all",
+    "similarity_recall_at_k",
+    "similarity_threshold_sweep",
+    "stat_corr_matrix",
+    "string_distance_funcs",
+    "text_bigram_topk",
+    "text_bpe_pairs",
+    "text_lang_confusion",
+    "text_tfidf_topk",
+    "unpivot_part_attrs",
 ]
 
 
