@@ -492,6 +492,71 @@ def weighted_sample_key(
     ).where(w > 0)
 
 
+def weighted_sample_threshold(
+    df: DataFrame,
+    k: int,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+    hash_mode: str = "xxhash64",
+    lattice: int = 4096,
+    calibration_frac: float = 0.25,
+) -> tuple[DataFrame, int]:
+    """The corpus-scale weighted draw :func:`weighted_sample_key`'s
+    docstring describes, as an operator: calibrate a key threshold on
+    a deterministic sample, then take the whole draw with ONE map-side
+    filter — no global top-k anywhere, so ``k`` can be 10M documents
+    out of 100 TB.
+
+    Calibration: a deterministic ``calibration_frac`` Bernoulli sample
+    (portable hash of (seed:cal, id) against the lattice — re-runs and
+    repartitions never change membership) estimates the corpus's k-th
+    smallest race key by its own m-th smallest, m = round(k * frac):
+    if the sample sees fraction ``frac`` of the corpus uniformly, the
+    key that is m-th smallest among sampled rows sits near the
+    (m/frac)-th = k-th smallest overall. Only those m config-scale key
+    values ever reach the driver (TakeOrdered of m rows).
+
+    Returns ``(rows, achieved_k)``: the selected (id, weight, es_key)
+    rows — exactly ``weighted_sample``'s set for k = achieved_k, the
+    keys being shared — and their count. achieved_k concentrates
+    around ``k`` with sd ~ sqrt(k / calibration_frac) (the sampling
+    error of the order-statistic estimate); callers needing an exact
+    k re-rank the achieved set, which is already ~k rows. If the
+    calibration sample has fewer than m rows the threshold is +inf
+    and the whole (sub-k-sized) corpus is returned.
+
+    Scale shape: two map-side passes over the keyed corpus (the
+    calibration filter feeding a TakeOrdered of m rows, then the
+    threshold filter) plus a count — zero corpus-sized shuffles,
+    nothing corpus-sized at the driver.
+    """
+    from erpl_web_spark.operators.dedup import _md5_long48
+
+    keyed = weighted_sample_key(df, weight_col, id_col, seed, hash_mode, lattice)
+    cal_cut = max(1, int(round(calibration_frac * lattice)))
+    cal_seed = f"{seed}:cal"
+    if hash_mode == "md5":
+        j_cal = _md5_long48(F.lit(cal_seed), F.col(id_col)) % lattice
+    else:
+        j_cal = F.pmod(F.xxhash64(F.lit(cal_seed), F.col(id_col)), F.lit(lattice))
+    m = max(1, int(round(k * cal_cut / lattice)))
+    # TakeOrderedAndProject: m config-scale key values to the driver
+    cal_keys = (
+        keyed.where(j_cal < cal_cut)
+        .orderBy("es_key")
+        .limit(m)
+        .select("es_key")
+        .collect()
+    )
+    if len(cal_keys) < m:
+        rows = keyed  # sample under-ran m: corpus is sub-k-sized, keep all
+    else:
+        t = max(r["es_key"] for r in cal_keys)  # the m-th smallest
+        rows = keyed.where(F.col("es_key") <= F.lit(t))
+    return rows, rows.count()
+
+
 def leak_safe_split(
     df: DataFrame,
     id_col: str,

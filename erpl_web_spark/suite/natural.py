@@ -473,7 +473,14 @@ def curation_dsir_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, not just per-doc arithmetic."""
     from erpl_web_spark.operators.curation import dsir_logweights
 
-    raw = load(spark, sf_dir, "documents", spread=True)
+    # Repartition on the JOIN key instead of round-robin spread: the
+    # operator's final step left-joins per-doc scores back on doc_id,
+    # so a hash(doc_id) repartition both parallelizes the single-row-
+    # group scan AND satisfies the join's required distribution — one
+    # Exchange serves both (r12 plan audit found spread's round-robin
+    # Exchange stacked under the join's hash Exchange,
+    # PLANS.md:10937-10938; VERDICT r12 Next #6).
+    raw = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     out = dsir_logweights(
         raw, natural_docs(spark, sf_dir), "doc_id", "text",
         buckets=1024, hash_mode="md5",

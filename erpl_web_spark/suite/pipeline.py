@@ -2194,6 +2194,52 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_weighted_threshold",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, CAST(GREATEST(n_chars, 1) AS DOUBLE) AS weight,
+             -ln((CAST(CAST('0x' || substring(md5('wt13:' || CAST(doc_id AS VARCHAR)),
+                                     1, 12) AS BIGINT) % 4096 AS DOUBLE) + 0.5)
+                 / 4096.0)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS e
+      FROM documents
+    ), cal AS (
+      SELECT e FROM keyed
+      WHERE CAST('0x' || substring(md5('wt13:cal:' || CAST(doc_id AS VARCHAR)),
+                                   1, 12) AS BIGINT) % 4096 < 1024
+    ), thr AS (
+      SELECT COALESCE((SELECT e FROM cal ORDER BY e LIMIT 1 OFFSET 24),
+                      1e308) AS t
+    )
+    SELECT doc_id, weight FROM keyed, thr WHERE e <= t
+    """,
+)
+def curation_weighted_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibrated weighted sampling at corpus scale
+    (curation.weighted_sample_threshold, md5 mode, VERDICT r12 Next
+    #4): target k=100 documents weighted by n_chars, threshold
+    calibrated on a deterministic 25% sample (m = 25th smallest key of
+    the sample estimates the corpus's 100th), then drawn with one
+    map-side filter — the path for draws too large for a top-k. The
+    oracle replays the lattice uniform, the race-key formula, the
+    calibration membership hash, AND the order-statistic threshold in
+    SQL, so the value hash pins the entire calibrate-then-filter
+    mechanism cross-engine; the achieved row count (the |achieved_k −
+    k| concentration) is pinned by the driver's rows_match. Spark
+    side: TakeOrdered of 25 calibration keys + one filter pass; zero
+    corpus-sized shuffles."""
+    from erpl_web_spark.operators.curation import weighted_sample_threshold
+
+    d = load(spark, sf_dir, "documents")
+    rows, _achieved = weighted_sample_threshold(
+        d, k=100, weight_col=F.greatest(F.col("n_chars"), F.lit(1)),
+        id_col="doc_id", seed="wt13", hash_mode="md5",
+        calibration_frac=0.25,
+    )
+    return rows.select("doc_id", "weight")
+
+
+@register(
     "text_token_diversity",
     oracle=f"""
     WITH per AS (

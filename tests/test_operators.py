@@ -4677,6 +4677,63 @@ def test_weighted_sample_respects_weights_statistically(spark):
     assert heavy >= 70, f"heavy rows underrepresented: {heavy}/200"
 
 
+def test_weighted_sample_threshold_calibration(spark):
+    """weighted_sample_threshold (VERDICT r12 Next #4): the calibrated
+    threshold draw must (a) land achieved_k within binomial-ish bounds
+    of the target — the m-th order statistic of a frac-sample estimates
+    the k-th of the corpus with sd ~ sqrt(k/frac), pinned at 4 sigma —
+    and (b) agree EXACTLY with weighted_sample on the overlap: the
+    race keys are shared, so the threshold set's smallest
+    min(k, achieved) keys are precisely the top-k draw's first ranks."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.curation import (
+        weighted_sample,
+        weighted_sample_key,
+        weighted_sample_threshold,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("w")
+    )
+    k, frac = 200, 0.25
+    rows, achieved = weighted_sample_threshold(
+        df, k, "w", "doc_id", seed="thr", calibration_frac=frac
+    )
+    assert abs(achieved - k) <= 4 * (k / frac) ** 0.5, achieved
+    got = rows.collect()
+    assert len(got) == achieved
+    # threshold semantics: the result is exactly {es_key <= t}, i.e. the
+    # achieved_k smallest keys of the shared key frame
+    keyed = weighted_sample_key(df, "w", "doc_id", seed="thr")
+    expect = {
+        r["doc_id"]
+        for r in keyed.orderBy("es_key", "doc_id").limit(achieved).collect()
+    }
+    assert {r["doc_id"] for r in got} == expect
+    # overlap equality with the top-k operator: first min(k, achieved)
+    # ranks coincide
+    n = min(k, achieved)
+    topk = weighted_sample(df, k, "w", "doc_id", seed="thr")
+    top_ids = [r["doc_id"] for r in topk.orderBy("sample_rank").limit(n).collect()]
+    thr_ids = [
+        r["doc_id"] for r in rows.orderBy("es_key", "doc_id").limit(n).collect()
+    ]
+    assert top_ids == thr_ids
+    # determinism under repartitioning
+    rows2, achieved2 = weighted_sample_threshold(
+        df.repartition(13), k, "w", "doc_id", seed="thr", calibration_frac=frac
+    )
+    assert achieved2 == achieved
+    assert {r["doc_id"] for r in rows2.collect()} == {r["doc_id"] for r in got}
+    # sub-k corpus: threshold degrades to keep-all
+    tiny = df.limit(10)
+    rows3, achieved3 = weighted_sample_threshold(
+        tiny, 100, "w", "doc_id", seed="thr", calibration_frac=frac
+    )
+    assert achieved3 == 10 and rows3.count() == 10
+
+
 def test_url_index_streaming_e2e(spark, tmp_path):
     """The URL index behind a real checkpointed file stream (the other
     four indexes have this pin; the fifth was fault-injection-only):
