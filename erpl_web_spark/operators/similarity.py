@@ -553,6 +553,99 @@ def ivf_train_centroids(
     return spark.createDataFrame(center_rows, f"cell long, centroid_vec array<{vec_dtype}>")
 
 
+def ivf_cell_profile(
+    sample: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    radius_mult: float = 3.0,
+) -> DataFrame:
+    """Neighbor-radius profile of a corpus SAMPLE, for sizing an IVF
+    quantizer (codifies SCALING.md r12's measured design rule: a
+    quantizer that partitions finer than the data's neighbor radius
+    splits true neighbors across sibling cells, so n_cells should be
+    ~ corpus / average neighborhood, not a fixed stride).
+
+    Method, all cosine-space: (1) each sample point's distance to its
+    k-th nearest sample neighbor; (2) the neighbor radius r* =
+    ``radius_mult`` x median(d_k) — in high dimensions intra-cluster
+    distances concentrate, so a small multiple of d_k spans a cluster
+    without bridging to the next (on the 20-planted-cluster check the
+    suggestion plateaus at the true count for mult in [3, 4]: larger
+    radii add nothing once the cluster is captured, until the
+    inter-cluster separation scale); (3) each point's neighborhood
+    fraction = |{sample points within r*}| / n_sample (self included);
+    (4) suggested_cells = round(1 / mean fraction) — the cell count at
+    which an average cell holds one average neighborhood. The fraction
+    is scale-free, so the suggestion transfers from the sample to the
+    corpus directly.
+
+    Returns ONE row: (n_sample, dk_median_r, frac_mean_r,
+    suggested_cells). The sample must be config-scale (the profile is
+    an n_sample^2 pair frame — a few thousand rows, exactly what one
+    would sample from 100 TB to choose n_cells) and needs
+    n_sample > k. Deterministic and engine-portable: pure column
+    arithmetic over the fold-ordered dot product, no RNG.
+    """
+    a = sample.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    b = sample.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (F.lit(1.0) - cosine_expr(F.col("va"), F.col("vb"))).alias("d"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy("d", "ib")
+    dk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select("ia", F.col("d").alias("dk"))
+    )
+    med = dk.agg(F.expr("percentile(dk, 0.5)").alias("med"))
+    ns = sample.agg(F.count("*").cast("double").alias("ns"))
+    cnt = (
+        pairs.crossJoin(F.broadcast(med))
+        .groupBy("ia")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum((F.col("d") <= F.col("med") * radius_mult).cast("int"))
+            )
+            .cast("double")
+            .alias("cnt"),
+            F.first("med").alias("med"),
+        )
+    )
+    return cnt.crossJoin(F.broadcast(ns)).agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.round(F.first("med"), 6).alias("dk_median_r"),
+        F.round(F.avg(F.col("cnt") / F.col("ns")), 6).alias("frac_mean_r"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.round(F.lit(1.0) / F.avg(F.col("cnt") / F.col("ns"))).cast("bigint"),
+        ).alias("suggested_cells"),
+    )
+
+
+def ivf_suggest_cells(
+    sample: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    radius_mult: float = 3.0,
+) -> int:
+    """Suggested IVF cell count from a corpus sample's neighbor-radius
+    profile — see :func:`ivf_cell_profile`. On a corpus with ~C true
+    clusters resolved by the sample this returns ~C (not the
+    over-partitioned stride count the r12 sweep showed losing recall).
+    Feed the result to :func:`ivf_train_centroids`'s ``n_cells``."""
+    row = ivf_cell_profile(sample, id_col, vec_col, k, radius_mult).collect()[0]
+    return int(row["suggested_cells"])
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

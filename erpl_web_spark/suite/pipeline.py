@@ -1553,6 +1553,61 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_cell_profile",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding AS emb FROM embeddings WHERE vec_id % 4 = 0
+    ), p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             1.0 - list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))) AS d
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ), dk AS (
+      SELECT ia, d AS dk FROM (
+        SELECT ia, d, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d, ib) AS rn
+        FROM p)
+      WHERE rn = 5
+    ), med AS (
+      SELECT MEDIAN(dk) AS med FROM dk
+    ), cnt AS (
+      SELECT p.ia,
+             CAST(1 + COUNT(*) FILTER (WHERE p.d <= med.med * 3.0) AS DOUBLE)
+               AS cnt
+      FROM p, med GROUP BY p.ia
+    ), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+           ROUND((SELECT med FROM med), 6) AS dk_median_r,
+           ROUND(AVG(cnt / ns), 6) AS frac_mean_r,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(ROUND(1.0 / AVG(cnt / ns)) AS BIGINT))
+             AS suggested_cells
+    FROM cnt, ns
+    """,
+)
+def similarity_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-sizing profile (similarity.ivf_cell_profile, VERDICT
+    r12 Next #5): the runnable form of SCALING.md r12's measured design
+    rule — size n_cells to the data's neighbor-radius granularity, not
+    a fixed stride. A deterministic 25% id-stride sample of the
+    embeddings table is profiled: per-point distance to the 5th
+    nearest sample neighbor, neighbor radius r* = 3 x median(d_k),
+    mean neighborhood fraction within r*, and suggested_cells =
+    round(1 / mean fraction). The oracle replays every stage in SQL —
+    the pairwise cosine distances (same fold-ordered dot product the
+    green cosine entries pin), the k-th-order-statistic selection, the
+    interpolated median, and the radius count — so the value hash pins
+    the entire profile computation cross-engine, including the final
+    integer suggestion. The 20-true-cluster recovery property (suggests
+    ~20, not 400) is pytest-pinned on a planted corpus."""
+    from erpl_web_spark.operators.similarity import ivf_cell_profile
+
+    emb = load(spark, sf_dir, "embeddings")
+    sample = emb.where(F.col("vec_id") % 4 == 0)
+    return ivf_cell_profile(sample, "vec_id", "embedding", k=5, radius_mult=3.0)
+
+
+@register(
     "dedup_embedding",
     oracle=_SQL_IVF_ASSIGNED
     + """
