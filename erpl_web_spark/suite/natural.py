@@ -424,6 +424,96 @@ def dedup_minhash_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_natural",
+    oracle=f"""
+    WITH {sql_natural_cte()},
+    nt AS (SELECT doc_id, {_SQL_TOKS_NAT} AS t FROM nat),
+    bm AS (SELECT GREATEST(COUNT(*) // 20, 1) AS m FROM nat),
+    host AS (
+      SELECT a.doc_id + (SELECT MAX(doc_id) + 1 FROM nat) AS doc_id,
+             a.doc_id % bm.m AS block,
+             array_to_string(list_concat(list_concat(
+               b.t[1:len(b.t) // 2],
+               a.t[1:((a.doc_id // 10) % 5 + 6) * len(a.t) // 10]),
+               b.t[len(b.t) // 2 + 1:len(b.t)]), ' ') AS text
+      FROM nt a JOIN nt b ON b.doc_id = a.doc_id + 1, bm
+      WHERE a.doc_id % 10 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, doc_id % bm.m AS block, text FROM nat, bm
+      UNION ALL SELECT doc_id, block, text FROM host
+    ),
+    toks AS (SELECT doc_id, block, {_SQL_TOKS_NAT} AS __toks FROM corpus),
+    sh AS (SELECT doc_id, block, {_SQL_NAT_SHINGLES} AS sh FROM toks
+           WHERE len({_SQL_NAT_SHINGLES}) > 0)
+    SELECT id_a, id_b, containment, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)) AS containment,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    ) WHERE containment >= 0.5
+    """,
+)
+def dedup_containment_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment re-rooted at realistic entropy (VERDICT r12
+    Next #3): on the 40-word testdata corpus every 3-token shingle is
+    corpus-frequent, so the asymmetric |A∩B|/min ratio was exercised
+    only where intersections are accidental-dense. Here the corpus is
+    the ~2000-word natural corpus plus planted SUBSTRING-INCLUSION
+    hosts: every 10th doc A gets a host that embeds a token PREFIX of
+    A (60/70/80/90/100% of A's tokens, cycling by doc) inside doc
+    A+1's text, spliced at B's midpoint — the doc-quoted-inside-a-
+    longer-doc case containment exists to catch and Jaccard scores
+    arbitrarily low. Blocked with a corpus-scaled modulus (~20 docs
+    per block at every SF, so block count grows with the corpus and
+    pair volume stays LINEAR in N — a fixed modulus would grow block
+    sizes and go quadratic at sf1; A shares its host's block, B does
+    not), threshold 0.5, so the output is the planted containment spectrum
+    ~0.57..1.0 — including a sub-threshold tier (the 60%-prefix hosts
+    of SHORT docs land ~0.57, of long docs ~0.59) plus exact-ratio
+    Jaccards, all integer-ratio arithmetic both engines compute
+    bit-identically. The blocked-quadratic verify posture is the
+    testdata sibling's; candidates at 100 TB come from MinHash, this
+    is the precise verifier."""
+    from erpl_web_spark.operators.dedup import containment_pairs
+
+    nat = natural_docs(spark, sf_dir)
+    base_max, n_docs = nat.agg(F.max("doc_id"), F.count("*")).collect()[0]
+    block_mod = max(int(n_docs) // 20, 1)
+    b = nat.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    a = nat.where(F.col("doc_id") % 10 == 0)
+    ta = F.split(F.col("text"), " ")
+    tb = F.split(F.col("b_text"), " ")
+    na, nb = F.size(ta), F.size(tb)
+    k5 = F.floor(F.col("doc_id") / 10) % 5
+    pref = F.floor((k5 + 6) * na / 10).cast("int")
+    half = F.floor(nb / 2).cast("int")
+    hosts = (
+        a.join(F.broadcast(b), F.col("b_id") == F.col("doc_id") + 1)
+        .select(
+            (F.col("doc_id") + F.lit(base_max) + 1).alias("doc_id"),
+            (F.col("doc_id") % block_mod).alias("block"),
+            F.array_join(
+                F.concat(
+                    F.slice(tb, 1, half),
+                    F.slice(ta, 1, pref),
+                    F.slice(tb, half + 1, nb - half),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = nat.select(
+        "doc_id", (F.col("doc_id") % block_mod).alias("block"), "text"
+    ).unionByName(hosts)
+    return containment_pairs(
+        corpus, "doc_id", "text", ["block"], shingle_k=3, threshold=0.5
+    )
+
+
+@register(
     "curation_dsir_natural",
     oracle=f"""
     WITH {sql_natural_cte()},
