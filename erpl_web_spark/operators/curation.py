@@ -154,6 +154,11 @@ def contamination_report(
         hit = F.expr(
             "shiftrightunsigned(coalesce(mask, CAST(0 AS BIGINT)), bit)"
         ).bitwiseAND(F.lit(1))
+        # NOTE: this groupBy collapses duplicate (id, h) rows, so
+        # bit-identity with the bloom-off path relies on
+        # hashed_shingles emitting DISTINCT per-doc hashes
+        # (array_distinct upstream); if that invariant changed, the
+        # two paths' n_matched counts would silently diverge.
         possible = (
             pos.join(F.broadcast(bloom), "word", "left")
             .groupBy(id_col, "h")

@@ -694,6 +694,7 @@ def ann_top_k_ivf(
     stride: int = 50,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell; each
     probe searches its ``nprobe`` nearest cells exactly.
@@ -708,6 +709,18 @@ def ann_top_k_ivf(
     quantizer (the production path: balanced cells, higher recall at
     the same nprobe). Default None keeps the deterministic modulo
     quantizer (``stride``).
+
+    PROBE-SIZE CONTRACT: the probe set must fit in executor memory
+    (x nprobe rows, each carrying its vector) — the per-probe cost
+    model assumes it, and ``broadcast_probes=True`` (default) pins the
+    cell join to a broadcast-hash join accordingly: the probe-side
+    rank window hides the true size from Catalyst's estimator, which
+    otherwise plans a SortMergeJoin that shuffles the CORPUS (observed
+    in the r12 plan audit). An explicit hint bypasses
+    ``autoBroadcastJoinThreshold``, so a caller running a corpus-scale
+    probe set (a self-join-style all-vs-all sweep) must pass
+    ``broadcast_probes=False`` to fall back to a shuffle join instead
+    of OOMing executors.
     """
     cents = (
         centroids
@@ -742,13 +755,15 @@ def ann_top_k_ivf(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"),
         F.col("nrm").alias("cnorm"), "cell",
     )
-    # probes are the small side by contract (per-probe cost model), but
-    # the window above hides that from the size estimator — without the
+    # probes are the small side by contract (see docstring), but the
+    # window above hides that from the size estimator — without the
     # hint the cell join plans as a SortMergeJoin that shuffles the
     # corpus side (observed in PLANS.md r12); broadcasting probe_cells
-    # keeps the corpus map-side at any scale
+    # keeps the corpus map-side. Gated by broadcast_probes for the
+    # rare corpus-scale probe set.
+    pc = F.broadcast(probe_cells) if broadcast_probes else probe_cells
     scored = (
-        F.broadcast(probe_cells).join(c, "cell")
+        pc.join(c, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -849,10 +864,14 @@ def ann_top_k_ivf_rerank(
     stride: int = 50,
     nprobe: int = 2,
     shortlist: int = 10,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Two-stage IVF ANN: int8-quantized shortlist, full-precision
     re-rank — the production recipe when the corpus no longer fits
-    executor memory at float32.
+    executor memory at float32. The probe-size contract and the
+    ``broadcast_probes`` gate are :func:`ann_top_k_ivf`'s: the default
+    broadcast hint assumes an executor-memory-sized probe set; pass
+    ``broadcast_probes=False`` for a corpus-scale probe set.
 
     Stage 1 scores probes against the *quantized* corpus codes inside
     their ``nprobe`` nearest cells. The scoring is asymmetric (float
@@ -913,10 +932,11 @@ def ann_top_k_ivf_rerank(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    pc = F.broadcast(probe_cells) if broadcast_probes else probe_cells
     stage1 = (
         # probes are the small side by contract; see ann_top_k_ivf for
         # why the estimator can't see that through the rank window
-        F.broadcast(probe_cells).join(c, "cell")
+        pc.join(c, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id", "probe_vec", "pnorm", "neighbor_id", "vec", "cnorm",

@@ -1422,7 +1422,16 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition — round-robin repartitioning makes row order
     run-dependent, and while the converged result is order-invariant
     (see the plant analysis), keeping the scan order fixed makes the
-    k-means|| sampling itself replay-identical too."""
+    k-means|| sampling itself replay-identical too.
+
+    ORACLE FRAGILITY NOTE (pinned engine: pyspark 4.1.x): the oracle
+    replays Spark ML internals in closed form — k-means|| seeded init
+    coverage and the ``scal(1.0/count, sum)`` reciprocal-multiply
+    centroid update. A Spark/MLlib upgrade that changes either detail
+    can flip this gate red WITHOUT any operator regression; triage a
+    post-upgrade failure here as oracle fragility first (the
+    cosine-rounded similarity_ann_ivf_trained twin hedges the search
+    path and should stay green through such a change)."""
     from erpl_web_spark.operators.similarity import ivf_assign, ivf_train_centroids
 
     K = 8

@@ -171,6 +171,8 @@ def main() -> None:
             scored_frac = min(nprobe * qavg / n_corpus, 1.0)
             print(f"{qname:>9}  {nprobe:6d}  {hits / n_exact:.3f}     "
                   f"{scored_frac:.3f}")
+        if cents_df is not None:
+            cents_df.unpersist()
     exact.unpersist()
 
 
