@@ -581,52 +581,79 @@ def ivf_cell_profile(
     corpus directly.
 
     Returns ONE row: (n_sample, dk_median_r, frac_mean_r,
-    suggested_cells). The sample must be config-scale (the profile is
-    an n_sample^2 pair frame — a few thousand rows, exactly what one
-    would sample from 100 TB to choose n_cells) and needs
-    n_sample > k. Deterministic and engine-portable: pure column
-    arithmetic over the fold-ordered dot product, no RNG.
+    suggested_cells) — the aggregate of :func:`ivf_point_profile`. The
+    sample must be config-scale (the profile is an n_sample^2 pair
+    frame — a few thousand rows, exactly what one would sample from
+    100 TB to choose n_cells) and needs n_sample > k. Deterministic
+    and engine-portable: pure column arithmetic over the fold-ordered
+    dot product, no RNG.
     """
-    a = sample.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    pts = ivf_point_profile(sample, id_col, vec_col, k, radius_mult)
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.round(F.expr("percentile(dk, 0.5)"), 6).alias("dk_median_r"),
+        F.round(F.avg(F.col("n_within") / F.col("n_sample_d")), 6).alias(
+            "frac_mean_r"
+        ),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.round(
+                F.lit(1.0) / F.avg(F.col("n_within") / F.col("n_sample_d"))
+            ).cast("bigint"),
+        ).alias("suggested_cells"),
+    )
+
+
+def ivf_point_profile(
+    sample: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    radius_mult: float = 3.0,
+) -> DataFrame:
+    """Per-point neighbor-radius profile — the row-level form of
+    :func:`ivf_cell_profile` (same pair frame, same radius rule):
+    one row per sample point with ``dk`` (cosine distance to its k-th
+    nearest sample neighbor) and ``n_within`` (count of sample points,
+    self included, within r* = radius_mult x median(dk)). Use it to
+    inspect the cluster-size spectrum behind the scalar suggestion
+    (e.g. skewed cluster populations show as multimodal n_within).
+    Returns (id_col, dk, n_within, n_sample_d)."""
+    a = sample.select(F.col(id_col).alias("__pi"), F.col(vec_col).alias("va"))
     b = sample.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
     pairs = (
         a.crossJoin(F.broadcast(b))
-        .where(F.col("ia") != F.col("ib"))
+        .where(F.col("__pi") != F.col("ib"))
         .select(
-            "ia",
+            "__pi",
             "ib",
             (F.lit(1.0) - cosine_expr(F.col("va"), F.col("vb"))).alias("d"),
         )
     )
-    w = Window.partitionBy("ia").orderBy("d", "ib")
+    w = Window.partitionBy("__pi").orderBy("d", "ib")
     dk = (
         pairs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == k)
-        .select("ia", F.col("d").alias("dk"))
+        .select("__pi", F.col("d").alias("dk"))
     )
     med = dk.agg(F.expr("percentile(dk, 0.5)").alias("med"))
-    ns = sample.agg(F.count("*").cast("double").alias("ns"))
+    ns = sample.agg(F.count("*").cast("double").alias("n_sample_d"))
     cnt = (
         pairs.crossJoin(F.broadcast(med))
-        .groupBy("ia")
+        .groupBy("__pi")
         .agg(
             (
                 F.lit(1)
                 + F.sum((F.col("d") <= F.col("med") * radius_mult).cast("int"))
             )
-            .cast("double")
-            .alias("cnt"),
-            F.first("med").alias("med"),
+            .cast("bigint")
+            .alias("n_within"),
         )
     )
-    return cnt.crossJoin(F.broadcast(ns)).agg(
-        F.count("*").cast("bigint").alias("n_sample"),
-        F.round(F.first("med"), 6).alias("dk_median_r"),
-        F.round(F.avg(F.col("cnt") / F.col("ns")), 6).alias("frac_mean_r"),
-        F.greatest(
-            F.lit(1).cast("bigint"),
-            F.round(F.lit(1.0) / F.avg(F.col("cnt") / F.col("ns"))).cast("bigint"),
-        ).alias("suggested_cells"),
+    return (
+        cnt.join(dk, "__pi")
+        .crossJoin(F.broadcast(ns))
+        .select(F.col("__pi").alias(id_col), "dk", "n_within", "n_sample_d")
     )
 
 

@@ -1563,15 +1563,15 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivf_cell_profile",
-    oracle="""
-    WITH s AS (
-      SELECT vec_id, embedding AS emb FROM embeddings WHERE vec_id % 4 = 0
+    oracle=f"""
+    WITH {_SQL_IVF_PLANT}, emb AS (
+      SELECT vec_id, {_SQL_IVF_EMB} AS e FROM pts
     ), p AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib,
-             1.0 - list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb))
-                    * sqrt(list_dot_product(b.emb, b.emb))) AS d
-      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+             1.0 - list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS d
+      FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
     ), dk AS (
       SELECT ia, d AS dk FROM (
         SELECT ia, d, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d, ib) AS rn
@@ -1581,39 +1581,60 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MEDIAN(dk) AS med FROM dk
     ), cnt AS (
       SELECT p.ia,
-             CAST(1 + COUNT(*) FILTER (WHERE p.d <= med.med * 3.0) AS DOUBLE)
-               AS cnt
+             CAST(1 + COUNT(*) FILTER (WHERE p.d <= med.med * 3.0) AS BIGINT)
+               AS n_within
       FROM p, med GROUP BY p.ia
-    ), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM s)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
-           ROUND((SELECT med FROM med), 6) AS dk_median_r,
-           ROUND(AVG(cnt / ns), 6) AS frac_mean_r,
-           GREATEST(CAST(1 AS BIGINT),
-                    CAST(ROUND(1.0 / AVG(cnt / ns)) AS BIGINT))
-             AS suggested_cells
-    FROM cnt, ns
+    ), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM emb),
+    sugg AS (
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      CAST(ROUND(1.0 / AVG(n_within / ns)) AS BIGINT))
+               AS suggested_cells
+      FROM cnt, ns
+    )
+    SELECT c.ia AS vec_id, ROUND(d.dk, 6) AS dk_r, c.n_within,
+           s.suggested_cells
+    FROM cnt c JOIN dk d ON d.ia = c.ia, sugg s
     """,
 )
 def similarity_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell-sizing profile (similarity.ivf_cell_profile, VERDICT
-    r12 Next #5): the runnable form of SCALING.md r12's measured design
-    rule — size n_cells to the data's neighbor-radius granularity, not
-    a fixed stride. A deterministic 25% id-stride sample of the
-    embeddings table is profiled: per-point distance to the 5th
-    nearest sample neighbor, neighbor radius r* = 3 x median(d_k),
-    mean neighborhood fraction within r*, and suggested_cells =
-    round(1 / mean fraction). The oracle replays every stage in SQL —
-    the pairwise cosine distances (same fold-ordered dot product the
-    green cosine entries pin), the k-th-order-statistic selection, the
-    interpolated median, and the radius count — so the value hash pins
-    the entire profile computation cross-engine, including the final
-    integer suggestion. The 20-true-cluster recovery property (suggests
-    ~20, not 400) is pytest-pinned on a planted corpus."""
-    from erpl_web_spark.operators.similarity import ivf_cell_profile
+    """IVF cell-sizing profile (similarity.ivf_point_profile /
+    ivf_suggest_cells, VERDICT r12 Next #5): the runnable form of
+    SCALING.md r12's measured design rule — size n_cells to the data's
+    neighbor-radius granularity, not a fixed stride. Profiled over the
+    planted-centroid corpus (the one whose cluster structure the
+    trained-quantizer entries pin; the driver's raw embeddings table is
+    near-random in cosine space — median 2-NN distance ~0.67 — so its
+    honest profile degenerates to 1 cell, which would make the hash
+    vacuous): per point, distance to the 5th nearest neighbor and the
+    neighborhood count within r* = 3 x median(d_k) — n_within VARIES
+    with the 1..8-proportional planted cluster populations, so the
+    value hash pins a full cluster-size spectrum, and every row carries
+    suggested_cells = round(1 / mean neighborhood fraction), the
+    population-weighted harmonic of the 8 planted clusters. The oracle
+    replays every stage in SQL — pairwise cosine distances (the same
+    fold-ordered dot product the green cosine entries pin), the
+    k-th-order-statistic selection, the interpolated median, the
+    radius count, and the final integer suggestion. The
+    20-true-cluster recovery property (suggests ~20, not 400) is
+    pytest-pinned on a Gaussian planted corpus. sf1-excluded by the
+    pairwise class (the profile is n^2 in the sample BY DESIGN; a
+    deployment profiles a fixed-size sample, making the cost constant
+    at any corpus scale)."""
+    from erpl_web_spark.operators.similarity import ivf_point_profile
 
-    emb = load(spark, sf_dir, "embeddings")
-    sample = emb.where(F.col("vec_id") % 4 == 0)
-    return ivf_cell_profile(sample, "vec_id", "embedding", k=5, radius_mult=3.0)
+    corpus = _ivf_planted_corpus(spark, sf_dir)
+    pts = ivf_point_profile(corpus, "vec_id", "embedding", k=5, radius_mult=3.0)
+    sugg = pts.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.round(
+                F.lit(1.0) / F.avg(F.col("n_within") / F.col("n_sample_d"))
+            ).cast("bigint"),
+        ).alias("suggested_cells")
+    )
+    return pts.select(
+        "vec_id", F.round("dk", 6).alias("dk_r"), "n_within"
+    ).crossJoin(F.broadcast(sugg))
 
 
 @register(

@@ -85,6 +85,11 @@ REVIEWED: dict[str, dict[str, str]] = {
         "name_len": "ditto",
     },
     "text_boilerplate_ngrams": {"n_docs": "planted boilerplate sits at min_docs floor"},
+    "similarity_ivf_cell_profile": {
+        "suggested_cells": "the profiled scalar BY DESIGN — one corpus-level "
+        "suggestion carried on every per-point row so the hash pins it; the "
+        "per-point dk_r/n_within columns carry the variation",
+    },
 }
 
 
