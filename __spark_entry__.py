@@ -58,6 +58,7 @@ _SAMPLE_PRIORITY = [
     "udtf_chunk_tokens",
     # -- new in round 13 (need their first driver rows) --
     "dedup_containment_natural",
+    "dedup_substring_natural",
     "curation_weighted_threshold",
     "similarity_ivf_cell_profile",
     # -- latest driver row is r09 --

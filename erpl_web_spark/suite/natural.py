@@ -513,6 +513,81 @@ def dedup_containment_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _substring_natural_oracle() -> str:
+    from erpl_web_spark.suite.pipeline import _SQL_K10_GRAMS
+
+    return f"""
+    WITH {sql_natural_cte()},
+    nt AS (SELECT doc_id, text, {_SQL_TOKS_NAT} AS t FROM nat),
+    corpus AS (
+      SELECT n.doc_id,
+             CASE WHEN n.doc_id % 17 = 0 THEN
+               array_to_string(list_concat(list_concat(
+                 n.t[1:CAST(n.doc_id % 7 + 2 AS INT)],
+                 s.t[4:18]),
+                 n.t[CAST(n.doc_id % 7 + 2 AS INT) + 1:len(n.t)]), ' ')
+             ELSE n.text END AS text
+      FROM nt n JOIN nt s ON s.doc_id = (n.doc_id // 17) % 5
+    ),
+    toks AS (SELECT doc_id, {_SQL_TOKS_NAT} AS __toks FROM corpus),
+    grams AS (SELECT doc_id, unnest({_SQL_K10_GRAMS}) AS g FROM toks),
+    inst AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g),
+    dup AS (SELECT g FROM inst GROUP BY g HAVING COUNT(*) >= 2),
+    tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams
+            FROM inst GROUP BY doc_id),
+    fl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_dup_grams
+           FROM inst WHERE g IN (SELECT g FROM dup) GROUP BY doc_id)
+    SELECT c.doc_id,
+           COALESCE(tot.n_grams, 0) AS n_grams,
+           COALESCE(fl.n_dup_grams, 0) AS n_dup_grams,
+           CASE WHEN COALESCE(tot.n_grams, 0) > 0
+                THEN CAST(COALESCE(fl.n_dup_grams, 0) AS DOUBLE) / tot.n_grams
+                ELSE 0.0 END AS dup_frac
+    FROM corpus c
+    LEFT JOIN tot ON c.doc_id = tot.doc_id
+    LEFT JOIN fl ON c.doc_id = fl.doc_id
+    """
+
+
+@register("dedup_substring_natural", oracle=_substring_natural_oracle())
+def dedup_substring_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_substring_kgram at realistic entropy — the second half of
+    VERDICT r12 Next #3's family: on the 40-word corpus every 10-token
+    span is corpus-frequent, so the duplicated-substring report never
+    saw the sparse regime real boilerplate detection runs in. Here
+    every 17th natural doc gets one of 5 SHARED QUOTES (tokens 4..18
+    of natural docs 0..4, cycling) spliced in at a doc-dependent
+    position — verbatim 15-token spans repeated across ~7 docs each
+    (the 6 spliced carriers per cycle plus the source doc), exactly
+    the licence-header/quote shape substring dedup exists to catch.
+    At ~2000-word vocabulary non-planted 10-grams never repeat
+    cross-doc, so n_dup_grams is the planted signal (6 quote-internal
+    grams per occurrence; splice-boundary grams have per-doc context
+    and correctly do NOT count), and dup_frac varies with doc length.
+    The Spark side regenerates the quote from the closed-form corpus
+    expression while the oracle joins the nat CTE — two independent
+    renderings of the same construction. Same operator, same knobs
+    (k=10, min_docs=2), same output columns as the testdata sibling."""
+    from erpl_web_spark.operators.dedup import substring_dup_report
+
+    nat = natural_docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    j = F.floor(F.col("doc_id") / 17) % 5
+    quote = F.slice(F.split(natural_text_expr(j), " "), 4, 15)
+    p = (F.col("doc_id") % 7 + 2).cast("int")
+    spliced = F.array_join(
+        F.concat(F.slice(t, 1, p), quote, F.slice(t, p + 1, n - p)), " "
+    )
+    corpus = nat.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, spliced)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dup_report(corpus, "doc_id", "text", k=10, min_docs=2)
+
+
 @register(
     "curation_dsir_natural",
     oracle=f"""
