@@ -114,9 +114,14 @@ def _machine_busy_jiffies() -> int:
 
 
 def _tree_jiffies() -> int:
-    """utime+stime jiffies of this process and all live descendants
-    (the local-mode JVM is a child of the python driver). comm may
-    contain spaces/parens, so fields are parsed after rfind(')')."""
+    """utime+stime+cutime+cstime jiffies of this process and all live
+    descendants (the local-mode JVM is a child of the python driver).
+    cutime/cstime fold REAPED children back in — without them a child
+    that exits between two snapshots vanishes from /proc and its CPU
+    would misread as foreign (no double count: a child contributes via
+    its own stat while live, via the parent's cutime only after it is
+    reaped and gone). comm may contain spaces/parens, so fields are
+    parsed after rfind(')')."""
     stats: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
     for name in os.listdir("/proc"):
         if not name.isdigit():
@@ -128,8 +133,12 @@ def _tree_jiffies() -> int:
             continue  # pid exited mid-scan
         rp = raw.rfind(")")
         f = raw[rp + 2 :].split()
-        # post-comm fields: state ppid ... utime(11) stime(12) 0-indexed
-        stats[int(name)] = (int(f[1]), int(f[11]) + int(f[12]))
+        # post-comm fields (0-indexed): state ppid ... utime(11)
+        # stime(12) cutime(13) cstime(14)
+        stats[int(name)] = (
+            int(f[1]),
+            int(f[11]) + int(f[12]) + int(f[13]) + int(f[14]),
+        )
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in stats.items():
         children.setdefault(ppid, []).append(pid)

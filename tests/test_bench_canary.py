@@ -1,0 +1,84 @@
+"""Pins for bench.py's external-contention meter (round 13).
+
+The meter exists because the single-thread canary certified the r12
+driver run as quiet (load_factor 0.87) while 32-way wall-clock ran
+~25% over the quiet band — so the meter itself needs pins: it must
+EXCLUDE our own work (self CPU and child-process CPU, since the
+local-mode JVM is a child) and DETECT foreign load (processes outside
+our tree). No Spark involved — pure /proc arithmetic.
+
+The test host carries bursty foreign load of its own, including
+hypervisor steal (that is the very thing the meter measures — bench
+runs WANT it counted), so the exclusion pins take the MINIMUM over
+repeated windows: a transient burst cannot hit every repetition, while
+a leak of our own CPU into the foreign figure would inflate all of
+them.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import time
+
+
+def _burn(seconds: float) -> None:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x = (x * 3 + 1) & 0xFFFF
+    assert x >= 0
+
+
+def _window(action) -> float:
+    """ext_cores over a window in which ``action()`` runs."""
+    import bench
+
+    s0 = bench._contention_snapshot()
+    action()
+    s1 = bench._contention_snapshot()
+    return bench._ext_cores(s0, s1)
+
+
+def test_ext_cores_excludes_self_load():
+    best = min(_window(lambda: _burn(0.6)) for _ in range(5))
+    # a full core of self CPU must not register as foreign; a transient
+    # host burst cannot contaminate all 5 windows
+    assert best < 0.5, best
+
+
+def test_ext_cores_excludes_child_load():
+    def children():
+        procs = [
+            subprocess.Popen(
+                ["python3", "-c",
+                 "import time\nt=time.time()\nwhile time.time()-t<0.8: pass"]
+            )
+            for _ in range(4)
+        ]
+        for p in procs:
+            p.wait()
+
+    best = min(_window(children) for _ in range(4))
+    # 4 cores of CHILD CPU (our tree, like the local-mode JVM) must not
+    # register as foreign
+    assert best < 1.0, best
+
+
+def test_ext_cores_detects_foreign_load():
+    baseline = min(_window(lambda: time.sleep(0.8)) for _ in range(3))
+
+    # orphan the burners (sh exits -> they reparent to init = foreign)
+    subprocess.run(
+        [
+            "sh",
+            "-c",
+            "for i in 1 2 3 4; do setsid python3 -c "
+            '"import time\nt=time.time()\nwhile time.time()-t<2.5: pass" '
+            ">/dev/null 2>&1 & done",
+        ],
+        check=True,
+    )
+    time.sleep(0.4)
+    got = _window(lambda: time.sleep(1.5))
+    time.sleep(1.2)  # let the burners drain before the next test
+    assert got - baseline >= 2.5, (baseline, got)
