@@ -61,6 +61,7 @@ _SAMPLE_PRIORITY = [
     "dedup_substring_natural",
     "curation_weighted_threshold",
     "similarity_ivf_cell_profile",
+    "text_bm25_topk",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

@@ -801,6 +801,98 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: score every (query, document) pair
+    sharing at least one term and keep each query's ``k`` best — the
+    standard lexical ranker (Robertson/Sparck Jones) a curation or
+    retrieval pipeline runs for benchmark decontamination lookups,
+    seed-document expansion, and hard-negative mining next to the
+    embedding ANN path. Complements :func:`tfidf_top_terms` (per-doc
+    term salience) with cross-doc RANKING: tf saturation via ``k1``
+    and length normalization via ``b``,
+
+        score(q, d) = sum over t in q  idf(t) * tf * (k1 + 1)
+                      / (tf + k1 * (1 - b + b * dl / avgdl)),
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (always >= 0).
+
+    Distributed as an inverted-index equi-join: postings (doc, term,
+    tf) and doc lengths come from one groupBy each; the query term
+    set (distinct terms — standard unit query weights) BROADCASTS and
+    prunes the postings stream to query terms before the df join, so
+    corpus-sized data never shuffles on anything but the final
+    (query, doc) partial-sum aggregation of skinny rows; N and avgdl
+    ride in as a 1-row broadcast. ``max_df`` optionally drops viral
+    stopword terms (their posting lists are the one skew risk at
+    100 TB; their idf is ~0 anyway — AQE skew-join handles the exact
+    path when the cap is off). Ranking uses the score ROUNDED to 1e-6
+    (ties -> doc id) so ranks are reproducible across engines and
+    summation orders. Returns (query_id, doc_id, score_r, rank).
+    """
+    from pyspark.sql.window import Window
+
+    terms = corpus.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens_expr(query_text_col))).alias("term"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("__avgdl")))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(term_score).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round("score", 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("score", 6).alias("score_r"),
+            "rank",
+        )
+    )
+
+
 def corpus_report(
     df: DataFrame,
     text_col: str = "text",

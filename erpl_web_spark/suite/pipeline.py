@@ -5033,6 +5033,65 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
+          FROM toks WHERE doc_id % 25 = 0 AND doc_id < 500),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl)))) AS score
+      FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id, st
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS score_r, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+      FROM sc)
+    WHERE rank <= 3
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-3 retrieval (operators.text.bm25_topk, k1=1.2,
+    b=0.75): every 25th document below id 500 contributes its first 5
+    tokens as a query (a FIXED 20-query set at every SF — the query
+    side is config-scale by the operator's broadcast contract, so the
+    sf1 slope measures corpus scaling, not query-count scaling); each
+    query self-retrieves against the corpus — the lexical ranker a
+    curation pipeline runs for decontamination lookups and seed
+    expansion next to the embedding ANN path. The oracle replays the
+    whole scorer in SQL — postings, document lengths, df, the 1-row
+    N/avgdl model, the always-positive Robertson idf, tf saturation
+    and length normalization with IDENTICAL double literals (2.2 =
+    k1+1, 0.25 = 1-b) — and both engines rank on the 1e-6-rounded
+    score with doc-id ties, so rank agreement is immune to summation
+    order. Corpus never shuffles on anything but the (query, doc)
+    partial-sum; the query term set broadcasts and prunes postings
+    before the df join."""
+    from erpl_web_spark.operators.text import bm25_topk, tokens_expr
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    queries = d.where((F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 500)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_expr(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    return bm25_topk(d, queries, "doc_id", "text", k=3, k1=1.2, b=0.75)
+
+
+@register(
     "pipeline_corpus_report",
     oracle=f"""
     SELECT source, lang,
