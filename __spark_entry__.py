@@ -62,6 +62,7 @@ _SAMPLE_PRIORITY = [
     "curation_weighted_threshold",
     "similarity_ivf_cell_profile",
     "text_bm25_topk",
+    "graph_pagerank",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

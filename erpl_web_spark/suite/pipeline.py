@@ -5091,6 +5091,72 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, "doc_id", "text", k=3, k1=1.2, b=0.75)
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-CTE twin of graph.pagerank_int over the symmetrized
+    customer<->supplier co-order graph: every round is EXACT integer
+    arithmetic (r // deg shares, (85 * sum) // 100 damping), so the
+    value hash pins the whole iterative fixpoint — the BPE-trainer
+    unroll idiom applied to a graph algorithm. MATERIALIZED keeps
+    DuckDB from re-inlining the edge join into every round."""
+    rounds = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT n.id,
+             CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.r // deg.d) AS m
+        FROM edges e JOIN {prev} p ON p.id = e.src
+             JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) s ON s.id = n.id
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0
+      UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+    {",".join(rounds)}
+    SELECT id, r AS rank_int FROM {prev}
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (graph.pagerank_int, 5 rounds, d=0.85)
+    over the symmetrized customer<->supplier co-order graph — authority
+    weighting for source mixing, the iterative-algorithm family next
+    to connected_components. Integer unit arithmetic makes the
+    fixpoint bit-identical under any partitioning OR engine, so the
+    oracle unrolls all 5 rounds as CTEs and value-hashes every node's
+    exact rank — no rows-only caveat for an iterative algorithm.
+    Per round: one hash join onto the persisted link table + one
+    BIGINT groupBy — no driver-side graph state."""
+    from erpl_web_spark.operators.graph import pagerank_int
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_int(edges, iterations=5, symmetrize=True)
+
+
 @register(
     "pipeline_corpus_report",
     oracle=f"""

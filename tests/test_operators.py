@@ -4677,6 +4677,59 @@ def test_weighted_sample_respects_weights_statistically(spark):
     assert heavy >= 70, f"heavy rows underrepresented: {heavy}/200"
 
 
+def test_pagerank_int_exact_replay(spark):
+    """pagerank_int must equal an independent Python replay of the
+    integer recurrence EXACTLY (bit-identical — the whole point of the
+    integer formulation), be invariant under repartitioning, rank a
+    star hub above its leaves, and conserve mass to within the floor
+    bound in symmetric mode."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from erpl_web_spark.operators.graph import pagerank_int
+
+    def model(edge_list, iters=5, d=85, unit=10**9, symmetric=False):
+        if symmetric:
+            edge_list = sorted(set(edge_list) | {(v, u) for u, v in edge_list})
+        out: dict[int, int] = defaultdict(int)
+        for u, _ in edge_list:
+            out[u] += 1
+        nodes = {u for e in edge_list for u in e}
+        r = {v: unit for v in nodes}
+        base = (100 - d) * unit // 100
+        for _ in range(iters):
+            m: dict[int, int] = defaultdict(int)
+            for u, v in edge_list:
+                m[v] += r[u] // out[u]
+            r = {v: base + (d * m.get(v, 0)) // 100 for v in nodes}
+        return r
+
+    # star (hub=0) + a tail chain, directed
+    edge_list = [(i, 0) for i in range(1, 8)] + [(0, 8), (8, 9), (9, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["rank_int"] for r in pagerank_int(edges, iterations=5).collect()
+    }
+    assert got == model(edge_list)
+    assert got[0] == max(got.values())  # the hub outranks everyone
+    # repartition invariance — integer sums are order-independent
+    got2 = {
+        r["id"]: r["rank_int"]
+        for r in pagerank_int(edges.repartition(7), iterations=5).collect()
+    }
+    assert got2 == got
+    # symmetric mode: exact replay + mass conservation within floor loss
+    gsym = {
+        r["id"]: r["rank_int"]
+        for r in pagerank_int(edges, iterations=5, symmetrize=True).collect()
+    }
+    expect = model(edge_list, symmetric=True)
+    assert gsym == expect
+    n, unit = len(expect), 10**9
+    assert abs(sum(gsym.values()) - n * unit) < 0.001 * n * unit
+
+
 def test_bm25_ranking_semantics(spark):
     """bm25_topk must honor the three BM25 axioms the formula encodes:
     (1) idf — a query term that is RARE in the corpus contributes more
