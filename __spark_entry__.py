@@ -63,6 +63,7 @@ _SAMPLE_PRIORITY = [
     "similarity_ivf_cell_profile",
     "text_bm25_topk",
     "graph_pagerank",
+    "layout_zorder_profile",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

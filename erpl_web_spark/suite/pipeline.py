@@ -5091,6 +5091,49 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, "doc_id", "text", k=3, k1=1.2, b=0.75)
 
 
+def _zorder_oracle() -> str:
+    """SQL twin of the Morton interleave (bits=10, dims x/y) + the
+    top-8-bit bucket profile — unrolled shift/and/or terms, identical
+    integer arithmetic in both engines."""
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(10)
+    )
+    return f"""
+    WITH q AS (
+      SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y FROM orders
+    ), k AS (
+      SELECT x, y, {terms} AS key FROM q
+    )
+    SELECT key >> 12 AS bucket, COUNT(*) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM k GROUP BY bucket
+    """
+
+
+@register("layout_zorder_profile", oracle=_zorder_oracle())
+def layout_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout profile (operators.layout): interleave
+    the bits of two quantized order dimensions (custkey, orderkey mod
+    1024; 10 bits each) and report each top-8-bit key bucket's row
+    count and per-dimension min/max span — the measurable form of the
+    data-skipping guarantee: every bucket (= the file a range-
+    partitioned write would produce) is a box of side <= 64 in BOTH
+    dimensions, so parquet min/max stats prune predicates on EITHER
+    column, which a single-column sort cannot give. Pure shift/and/or
+    column arithmetic (no UDF), bit-identical across engines; the
+    oracle unrolls the same 20 interleave terms in SQL. The box-side
+    property itself is pytest-pinned."""
+    from erpl_web_spark.operators.layout import zorder_bucket_profile
+
+    d = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.col("o_orderkey") % 1024).alias("y"),
+    )
+    return zorder_bucket_profile(d, ["x", "y"], bits=10, bucket_bits=8)
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-CTE twin of graph.pagerank_int over the symmetrized
     customer<->supplier co-order graph: every round is EXACT integer

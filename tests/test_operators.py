@@ -4677,6 +4677,56 @@ def test_weighted_sample_respects_weights_statistically(spark):
     assert heavy >= 70, f"heavy rows underrepresented: {heavy}/200"
 
 
+def test_zorder_key_interleave_and_box_property(spark):
+    """zorder_key_expr must equal the Python bit-interleave model on a
+    full 32x32 grid, and the top-8-bit buckets of a 10-bit 2-D key must
+    be boxes of side <= 64 in BOTH dimensions (the data-skipping
+    guarantee the layout exists for — a single-column sort bounds only
+    one dimension)."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.layout import (
+        zorder_bucket_profile,
+        zorder_key_expr,
+    )
+
+    def model(x: int, y: int, bits: int) -> int:
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["k"]
+        for r in df.select(
+            "x", "y", zorder_key_expr(["x", "y"], bits=5).alias("k")
+        ).collect()
+    }
+    assert got == {(x, y): model(x, y, 5) for x, y in grid}
+
+    # box property on a larger pseudo-random point set
+    pts = spark.range(5000).select(
+        (F.xxhash64("id") % 1024).alias("x0"),
+        (F.xxhash64("id", F.lit(1)) % 1024).alias("y0"),
+    ).select(
+        F.abs("x0").alias("x"), F.abs("y0").alias("y")
+    )
+    prof = zorder_bucket_profile(pts, ["x", "y"], bits=10, bucket_bits=8)
+    bad = prof.where(
+        (F.col("x_max") - F.col("x_min") >= 64)
+        | (F.col("y_max") - F.col("y_min") >= 64)
+    ).count()
+    assert bad == 0
+    # 63-bit overflow guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key_expr(["x", "y"], bits=32)
+
+
 def test_pagerank_int_exact_replay(spark):
     """pagerank_int must equal an independent Python replay of the
     integer recurrence EXACTLY (bit-identical — the whole point of the
