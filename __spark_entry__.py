@@ -64,6 +64,7 @@ _SAMPLE_PRIORITY = [
     "text_bm25_topk",
     "graph_pagerank",
     "layout_zorder_profile",
+    "agg_hll_distinct",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

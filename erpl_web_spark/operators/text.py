@@ -1417,6 +1417,79 @@ def _bloom_positions(tok: Column, k: int, m_bits: int) -> Column:
     )
 
 
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column | str,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet et al.
+    2007) with ENGINE-PORTABLE registers — the third sketch next to
+    Bloom and count-min: cardinality in one pass with m = 2**p longs
+    of state per group, mergeable across partitions (register max is
+    the combine), the sketch behind every distinct-at-100-TB dashboard.
+
+    Spark-first note: for a one-shot answer inside one job use the
+    built-in ``approx_count_distinct`` (HLL++, JVM-tuned). THIS form
+    exists for what that cannot do: registers built from the repo's
+    md5 hash family are bit-identical in any engine, so a persisted /
+    cross-engine sketch — and the estimate itself — is value-hash
+    oracle-checkable, the bloom_filter_words posture applied to
+    cardinality.
+
+    Register construction in exact integer arithmetic: the 48-bit md5
+    hash splits into a p-bit register index and a (48-p)-bit tail;
+    rho = position of the tail's highest set bit from the top + 1
+    (tail 0 -> 49-p), computed via length(bin(x)) — identical in
+    Spark and DuckDB, no libm. The harmonic sum is kept INTEGER
+    (sum of 2**(49-p-rho) with empty registers contributing 2**(49-p)),
+    so the only doubles are the final alpha*m^2*2^K / S division and
+    the small-range linear-counting branch m*ln(m/V) (E_raw <= 2.5m,
+    V = empty registers > 0) — both reproducible cross-engine at the
+    1e-6 rounding the suite hashes at.
+
+    Returns (group_cols..., n_zero_regs, hll_est) per group.
+    """
+    from erpl_web_spark.operators.dedup import _md5_long48
+
+    m = 1 << p
+    tail_bits = 48 - p
+    kmax = tail_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << kmax)  # one Python double, shared w/ SQL
+
+    v = F.col(value) if isinstance(value, str) else value
+    h = _md5_long48(v)
+    idx = F.shiftright(h, tail_bits)
+    rest = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    rho = F.when(rest == F.lit(0), F.lit(kmax)).otherwise(
+        F.lit(kmax) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select(*group_cols, idx.alias("__idx"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rho").alias("__r"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("__nz"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({kmax} - __r AS INT))")
+        ).alias("__s_present"),
+    )
+    vzero = F.lit(m) - F.col("__nz")
+    s = F.col("__s_present") + vzero * F.lit(1 << kmax)
+    e_raw = F.lit(num) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (vzero > F.lit(0)),
+        F.lit(float(m)) * F.log(F.lit(m) / vzero),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *group_cols,
+        vzero.cast("long").alias("n_zero_regs"),
+        est.alias("hll_est"),
+    )
+
+
 def bloom_filter_words(
     df: DataFrame,
     text_col: str = "text",

@@ -588,6 +588,86 @@ def dedup_substring_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_report(corpus, "doc_id", "text", k=10, min_docs=2)
 
 
+def _hll_natural_oracle() -> str:
+    p = 8
+    m = 1 << p
+    kmax = 48 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << kmax)
+    g = "CASE WHEN doc_id % 10 = 0 THEN 10 + doc_id % 3 ELSE doc_id % 3 END"
+    return f"""
+    WITH {sql_natural_cte()},
+    toks AS (
+      SELECT {g} AS g, unnest({_SQL_TOKS_NAT}) AS tok FROM nat
+    ),
+    hashed AS (
+      SELECT g, tok,
+             CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h
+      FROM toks
+    ),
+    regs AS (
+      SELECT g, h >> {48 - p} AS idx,
+             MAX(CASE WHEN (h & {(1 << (48 - p)) - 1}) = 0 THEN {kmax}
+                      ELSE {kmax} - length(bin(h & {(1 << (48 - p)) - 1}))
+                 END) AS r
+      FROM hashed GROUP BY g, h >> {48 - p}
+    ),
+    pg AS (
+      SELECT g, COUNT(*) AS nz,
+             SUM(CAST(1 AS BIGINT) << ({kmax} - r)) AS sp
+      FROM regs GROUP BY g
+    ),
+    est AS (
+      SELECT g, CAST({m} - nz AS BIGINT) AS n_zero_regs,
+             CASE WHEN {num!r} / (sp + ({m} - nz) * (CAST(1 AS BIGINT) << {kmax}))
+                       <= {2.5 * m!r}
+                   AND ({m} - nz) > 0
+                  THEN {float(m)!r} * ln({m} / ({m} - nz))
+                  ELSE {num!r} / (sp + ({m} - nz) * (CAST(1 AS BIGINT) << {kmax}))
+             END AS e
+      FROM pg
+    ),
+    exact AS (
+      SELECT g, COUNT(DISTINCT tok) AS n_exact FROM toks GROUP BY g
+    )
+    SELECT est.g, exact.n_exact, est.n_zero_regs, ROUND(est.e, 6) AS hll_est_r
+    FROM est JOIN exact ON exact.g = est.g
+    """
+
+
+@register("agg_hll_distinct", oracle=_hll_natural_oracle())
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimates (text.hll_distinct, p=8 /
+    256 registers) per group over the natural corpus, next to the
+    exact distinct count — the cardinality sketch completing the
+    Bloom/count-min trio, with md5-portable registers so the ENTIRE
+    sketch (index split, leading-zero ranks via length(bin(x)), the
+    integer harmonic sum, the alpha bias constant, and the
+    linear-counting small-range branch) is value-hashed against an
+    independent DuckDB rebuild. Groups are two-tier by construction —
+    three large (~150 docs, distinct >> 2.5m: the raw-estimate branch)
+    and three small (~17 docs: the linear-counting branch) — so BOTH
+    code paths sit in the hash. The natural corpus supplies real
+    cardinality (the 40-word testdata vocabulary would leave every
+    group in the degenerate linear regime). Accuracy itself is
+    pytest-pinned (rel err within HLL's 1.04/sqrt(m) band)."""
+    from erpl_web_spark.operators.text import hll_distinct, tokens_expr
+
+    nat = natural_docs(spark, sf_dir)
+    g = F.when(
+        F.col("doc_id") % 10 == 0, F.lit(10) + F.col("doc_id") % 3
+    ).otherwise(F.col("doc_id") % 3)
+    toks = nat.select(
+        g.cast("long").alias("g"), F.explode(tokens_expr("text")).alias("tok")
+    )
+    hll = hll_distinct(toks, ["g"], "tok", p=8)
+    exact = toks.groupBy("g").agg(F.count_distinct("tok").alias("n_exact"))
+    return (
+        hll.join(exact, "g")
+        .select("g", "n_exact", "n_zero_regs", F.round("hll_est", 6).alias("hll_est_r"))
+    )
+
+
 @register(
     "curation_dsir_natural",
     oracle=f"""

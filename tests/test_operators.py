@@ -4677,6 +4677,35 @@ def test_weighted_sample_respects_weights_statistically(spark):
     assert heavy >= 70, f"heavy rows underrepresented: {heavy}/200"
 
 
+def test_hll_distinct_accuracy_bands(spark):
+    """hll_distinct (p=8, 256 registers) must land inside HyperLogLog's
+    error band on known cardinalities: 1.04/sqrt(256) = 6.5% standard
+    error for the raw branch (20000 distinct values; assert < 3 sigma),
+    and linear counting on the small-range branch (60 distinct; assert
+    < 10%). Also pins partitioning invariance — register max is the
+    combine, so the estimate cannot depend on the layout."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.text import hll_distinct
+
+    big = spark.range(20000).select(
+        F.lit(0).alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    est = hll_distinct(big, ["g"], "v", p=8).collect()[0]["hll_est"]
+    assert abs(est - 20000) / 20000 < 0.20, est
+
+    small = spark.range(60).select(
+        F.lit(0).alias("g"), F.concat(F.lit("w"), F.col("id")).alias("v")
+    )
+    est_s = hll_distinct(small, ["g"], "v", p=8).collect()[0]["hll_est"]
+    assert abs(est_s - 60) / 60 < 0.10, est_s
+
+    est2 = hll_distinct(big.repartition(13), ["g"], "v", p=8).collect()[0][
+        "hll_est"
+    ]
+    assert est2 == est  # bit-identical under any partitioning
+
+
 def test_zorder_key_interleave_and_box_property(spark):
     """zorder_key_expr must equal the Python bit-interleave model on a
     full 32x32 grid, and the top-8-bit buckets of a 10-bit 2-D key must
