@@ -763,3 +763,56 @@ def test_tokenizer_cross_engine_on_random_text(spark):
     assert con.execute(
         f"SELECT {_SQL_TOKS} FROM (SELECT 'İ' AS text)"
     ).fetchone()[0] == ["i"]
+
+
+def test_md5_long48_cross_engine_on_random_strings(spark):
+    """Randomized cross-engine pin for the _md5_long48 hash family —
+    the primitive EVERY md5-mode oracle twin (MinHash, SimHash, DSIR,
+    A-ES keys, the natural corpus itself) rests on: 500 seeded strings
+    over an adversarial alphabet (colon — the join separator, so
+    multi-arg ambiguity surfaces if an engine rendered args
+    differently — unicode accents, digits, empty-adjacent pieces)
+    hashed by the Spark expression and by the DuckDB rendering
+    CAST('0x' || substring(md5(s), 1, 12) AS BIGINT); plus the 2-arg
+    form against md5(a || ':' || b), including integer args (the
+    CAST-to-string rendering both engines must agree on)."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.dedup import _md5_long48
+
+    rng = random.Random(20138)
+    alphabet = list("abcXYZ09.,!:") + ["É", "ß", " ", "::", ":"]
+
+    def mk() -> str:
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+
+    rows = [(i, mk(), rng.randint(-10**12, 10**12)) for i in range(500)]
+    sdf = spark.createDataFrame(rows, "i long, s string, n long")
+    got = {
+        r["i"]: (r["h1"], r["h2"])
+        for r in sdf.select(
+            "i",
+            _md5_long48(F.col("s")).alias("h1"),
+            _md5_long48(F.col("s"), F.col("n")).alias("h2"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, s VARCHAR, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        i: (h1, h2)
+        for i, h1, h2 in con.execute(
+            "SELECT i,"
+            " CAST('0x' || substring(md5(s), 1, 12) AS BIGINT),"
+            " CAST('0x' || substring(md5(s || ':' || CAST(n AS VARCHAR)), 1, 12)"
+            "      AS BIGINT)"
+            " FROM t"
+        ).fetchall()
+    }
+    diffs = {i: (repr(rows[i][1]), got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:3]}"
