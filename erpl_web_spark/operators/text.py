@@ -1450,14 +1450,27 @@ def hll_distinct(
 
     Returns (group_cols..., n_zero_regs, hll_est) per group.
     """
+    return hll_estimate(hll_registers(df, group_cols, value, p), group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column | str,
+    p: int = 8,
+) -> DataFrame:
+    """The persistable SKETCH STATE behind :func:`hll_distinct`: one
+    (group, register index, rank) row per non-empty register — at most
+    2**p rows per group no matter the input size. Register max is the
+    merge, so sketches from different batches/partitions/engines
+    combine with ``hll_merge`` and only then pay :func:`hll_estimate`
+    — the incremental-index posture applied to cardinality (count
+    distinct users over a year of daily batches without re-reading
+    them). Returns (group_cols..., __idx, __r)."""
     from erpl_web_spark.operators.dedup import _md5_long48
 
-    m = 1 << p
     tail_bits = 48 - p
     kmax = tail_bits + 1
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    num = alpha * m * m * float(1 << kmax)  # one Python double, shared w/ SQL
-
     v = F.col(value) if isinstance(value, str) else value
     h = _md5_long48(v)
     idx = F.shiftright(h, tail_bits)
@@ -1465,11 +1478,37 @@ def hll_distinct(
     rho = F.when(rest == F.lit(0), F.lit(kmax)).otherwise(
         F.lit(kmax) - F.length(F.bin(rest))
     )
-    regs = (
+    return (
         df.select(*group_cols, idx.alias("__idx"), rho.alias("__rho"))
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__rho").alias("__r"))
     )
+
+
+def hll_merge(*sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union ``hll_registers`` outputs and re-max per register — the
+    lossless HLL merge (max is idempotent, commutative, associative,
+    so ANY combination order or batch split yields the identical
+    sketch; pytest-pinned)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*group_cols, "__idx").agg(F.max("__r").alias("__r"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Estimate per-group cardinality from ``hll_registers`` state —
+    see :func:`hll_distinct` for the arithmetic contract (integer
+    harmonic sum; raw vs linear-counting branch)."""
+    m = 1 << p
+    kmax = 48 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << kmax)  # one Python double, shared w/ SQL
+
     per_group = regs.groupBy(*group_cols).agg(
         F.count("*").alias("__nz"),
         F.sum(

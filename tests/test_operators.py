@@ -4706,6 +4706,39 @@ def test_hll_distinct_accuracy_bands(spark):
     assert est2 == est  # bit-identical under any partitioning
 
 
+def test_hll_registers_merge_losslessly(spark):
+    """hll_merge of per-batch register sketches must equal the sketch
+    built over the union in one pass — register max is the combine, so
+    split-then-merge is lossless and the merged estimate matches the
+    whole-corpus estimate exactly (the persisted-sketch contract:
+    distinct-over-a-year from daily register tables, no re-read)."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.text import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    whole = spark.range(5000).select(
+        F.lit(0).alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    # overlapping batches (dup values across batches must not inflate)
+    b1 = whole.where(F.col("v").substr(2, 10).cast("long") < 3000)
+    b2 = whole.where(F.col("v").substr(2, 10).cast("long") >= 2000)
+    merged = hll_merge(
+        hll_registers(b1, ["g"], "v", p=8),
+        hll_registers(b2, ["g"], "v", p=8),
+        group_cols=["g"],
+    )
+    direct = hll_registers(whole, ["g"], "v", p=8)
+    as_set = lambda d: {(r["g"], r["__idx"], r["__r"]) for r in d.collect()}
+    assert as_set(merged) == as_set(direct)
+    e_m = hll_estimate(merged, ["g"], p=8).collect()[0]["hll_est"]
+    e_d = hll_estimate(direct, ["g"], p=8).collect()[0]["hll_est"]
+    assert e_m == e_d
+
+
 def test_zorder_key_interleave_and_box_property(spark):
     """zorder_key_expr must equal the Python bit-interleave model on a
     full 32x32 grid, and the top-8-bit buckets of a 10-bit 2-D key must
