@@ -4706,6 +4706,111 @@ def test_hll_distinct_accuracy_bands(spark):
     assert est2 == est  # bit-identical under any partitioning
 
 
+def test_hll_index_incremental_batches(spark, tmp_path):
+    """The on-disk HLL index: two committed batches must estimate like
+    the one-pass sketch over their union; a replayed batch id is a
+    no-op; a torn data write without its manifest stays invisible; a
+    precision mismatch is refused (registers of different p cannot
+    merge)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.hll_index import (
+        hll_index_apply,
+        hll_index_estimate,
+        read_hll_registers,
+    )
+    from erpl_web_spark.operators.text import hll_distinct
+
+    idx = str(tmp_path / "hllidx")
+    whole = spark.range(4000).select(
+        (F.col("id") % 2).alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    b0 = whole.where(F.col("id") % 3 != 0)
+    b1 = whole.where(F.col("id") % 3 != 1)  # overlaps b0
+    hll_index_apply(b0, 0, idx, ["g"], "v", p=8)
+    hll_index_apply(b1, 1, idx, ["g"], "v", p=8)
+    got = {
+        r["g"]: r["hll_est"] for r in hll_index_estimate(spark, idx).collect()
+    }
+    direct = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(
+            b0.unionByName(b1).distinct(), ["g"], "v", p=8
+        ).collect()
+    }
+    assert got == direct  # register merge is lossless, estimates equal
+
+    # replayed batch: no-op (identical estimate, no duplicate version)
+    hll_index_apply(b0.limit(1), 0, idx, ["g"], "v", p=8)
+    got2 = {
+        r["g"]: r["hll_est"] for r in hll_index_estimate(spark, idx).collect()
+    }
+    assert got2 == got
+
+    # torn write: data dir without manifest is invisible by protocol
+    whole.limit(5).select("g", F.lit(0).alias("__idx"), F.lit(40).alias("__r")) \
+        .write.mode("overwrite").parquet(f"{idx}/hllregs=9")
+    assert {
+        r["g"]: r["hll_est"] for r in hll_index_estimate(spark, idx).collect()
+    } == got
+
+    # precision mismatch refused
+    with pytest.raises(ValueError):
+        hll_index_apply(b0, 2, idx, ["g"], "v", p=10)
+    n_regs = read_hll_registers(spark, idx).count()
+    assert n_regs <= 2 * 256
+
+
+def test_hll_index_streaming_e2e(spark, tmp_path):
+    """The HLL index behind a real checkpointed file stream:
+    foreachBatch(hll_index_apply) with epoch_id as the batch version —
+    after two availableNow passes over growing input, the index
+    estimate equals the one-pass sketch over everything seen."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.hll_index import hll_index_estimate
+    from erpl_web_spark.operators.hll_index import hll_index_apply
+    from erpl_web_spark.operators.text import hll_distinct
+
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    idx = str(tmp_path / "hidx")
+    ckpt = str(tmp_path / "hckpt")
+    schema = "g long, v string"
+
+    def run_stream():
+        (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: hll_index_apply(df, bid, idx, ["g"], "v", p=8)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 2).alias("g"),
+            F.concat(F.lit("s"), F.col("id")).alias("v"),
+        )
+
+    batch(0, 1500).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    batch(1000, 2500).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+
+    got = {r["g"]: r["hll_est"] for r in hll_index_estimate(spark, idx).collect()}
+    direct = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(batch(0, 2500), ["g"], "v", p=8).collect()
+    }
+    assert got == direct
+
+
 def test_hll_registers_merge_losslessly(spark):
     """hll_merge of per-batch register sketches must equal the sketch
     built over the union in one pass — register max is the combine, so
