@@ -663,12 +663,32 @@ def ivf_suggest_cells(
     vec_col: str = "embedding",
     k: int = 10,
     radius_mult: float = 3.0,
+    max_sample: int = 4000,
 ) -> int:
     """Suggested IVF cell count from a corpus sample's neighbor-radius
     profile — see :func:`ivf_cell_profile`. On a corpus with ~C true
     clusters resolved by the sample this returns ~C (not the
     over-partitioned stride count the r12 sweep showed losing recall).
-    Feed the result to :func:`ivf_train_centroids`'s ``n_cells``."""
+    Feed the result to :func:`ivf_train_centroids`'s ``n_cells``.
+
+    The profile is quadratic in the sample, so the config-scale
+    contract is enforced here, not just documented: a frame larger
+    than ``max_sample`` is strided down deterministically (portable
+    hash of the id — re-runs and repartitions pick the same rows)
+    before profiling. The suggestion is a neighborhood FRACTION, so it
+    is unchanged by uniform subsampling as long as clusters stay
+    resolved (a few thousand points resolve any structure a quantizer
+    can exploit)."""
+    from erpl_web_spark.operators.dedup import _md5_long48
+
+    n = sample.count()
+    if n > max_sample:
+        # keep ~max_sample rows via a deterministic hash stride
+        keep = max(1, int(round(4096 * max_sample / n)))
+        sample = sample.where(
+            F.pmod(_md5_long48(F.lit("ivfsample"), F.col(id_col)), F.lit(4096))
+            < keep
+        )
     row = ivf_cell_profile(sample, id_col, vec_col, k, radius_mult).collect()[0]
     return int(row["suggested_cells"])
 
