@@ -65,6 +65,7 @@ _SAMPLE_PRIORITY = [
     "graph_pagerank",
     "layout_zorder_profile",
     "agg_hll_distinct",
+    "text_bm25_natural",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

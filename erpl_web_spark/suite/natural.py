@@ -588,6 +588,62 @@ def dedup_substring_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_report(corpus, "doc_id", "text", k=10, min_docs=2)
 
 
+@register(
+    "text_bm25_natural",
+    oracle=f"""
+    WITH {sql_natural_cte()},
+    toks AS (SELECT doc_id, {_SQL_TOKS_NAT} AS t FROM nat),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
+          FROM toks WHERE doc_id % 25 = 0 AND doc_id < 500),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl)))) AS score
+      FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id, st
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS score_r, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+      FROM sc)
+    WHERE rank <= 3
+    """,
+)
+def text_bm25_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bm25_topk at realistic entropy — same operator, same knobs,
+    same fixed 20-query fixture, only the corpus changes: at ~2000-word
+    vocabulary a 5-token prefix is distinctive enough that BM25
+    self-retrieves the source document at rank 1 for 19/20 queries
+    (vs 4/20 on the 40-word testdata corpus, where length
+    normalization legitimately promotes shorter docs sharing the
+    corpus-frequent terms) — so the idf tier of the scorer, vacuous at
+    degenerate entropy, is exactly what this twin's value hash pins.
+    The self-retrieval property is what a retrieval stack is FOR; here
+    it is an oracle-checked corpus fact, not a unit-test fixture."""
+    from erpl_web_spark.operators.text import bm25_topk, tokens_expr
+
+    nat = natural_docs(spark, sf_dir)
+    queries = nat.where(
+        (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 500)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_expr(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    return bm25_topk(nat, queries, "doc_id", "text", k=3, k1=1.2, b=0.75)
+
+
 def _hll_natural_oracle() -> str:
     p = 8
     m = 1 << p
