@@ -1,0 +1,88 @@
+"""Incremental Count-Min index — the seventh on-disk incremental state
+(next to lexical/semantic/media/line/URL/HLL): per-batch Count-Min
+sketches (``text.countmin_sketch``) committed as versioned parquet
+under the manifest protocol, so corpus-lifetime token frequencies are
+a counter merge over at most ``batches x depth x width`` rows — the
+raw batches are never re-read.
+
+Where the HLL index merges registers by MAX, Count-Min counters are
+ADDITIVE: the per-cell SUM of the batch sketches IS the sketch of the
+concatenated corpus, bit-exactly (pytest-pinned) — so point estimates
+from the merged index carry the same one-sided ±εN contract as a
+single-pass sketch over everything. Each committed version records its
+``(depth, width)``; apply refuses a mismatch (cells of different
+geometry must not be summed).
+
+Replay-safe: the manifest is the commit point, so a foreachBatch retry
+of a committed batch id is a no-op — counters are never double-added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _index_meta(spark, path: str) -> dict:
+    from erpl_web_spark.core import manifests
+
+    versions = manifests.committed_versions(spark, path, "cms")
+    return manifests.manifest_payload(spark, path, "cms", versions[-1])
+
+
+def read_countmin_index(spark, path: str, before: int | None = None):
+    """Merged (d, w, cnt) sketch over every committed batch — per-cell
+    SUM — or None when the index is empty."""
+    from erpl_web_spark.core import manifests
+
+    union = manifests.read_committed_union(spark, path, "cms", before=before)
+    if union is None:
+        return None
+    return union.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_index_apply(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """foreachBatch sink: sketch this batch's token frequencies and
+    commit them as ``cms=<batch_id>``. Idempotent on replay; raises on
+    a (depth, width) mismatch with the existing index."""
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.text import countmin_sketch
+
+    spark = batch_df.sparkSession
+    committed = manifests.committed_versions(spark, path, "cms")
+    if batch_id in committed:
+        return  # replayed batch: counters must not be double-added
+    if committed:
+        meta = _index_meta(spark, path)
+        if meta["depth"] != depth or meta["width"] != width:
+            raise ValueError(
+                f"cms index at {path} was built with depth={meta['depth']}, "
+                f"width={meta['width']}; got depth={depth}, width={width}"
+            )
+    sk = countmin_sketch(batch_df, text_col, depth, width)
+    sk.write.mode("overwrite").parquet(f"{path}/cms={batch_id}")
+    manifests.commit_version(
+        spark, path, "cms", batch_id, payload={"depth": depth, "width": width}
+    )
+
+
+def countmin_index_lookup(
+    spark, path: str, tokens: DataFrame, tok_col: str = "tok",
+    before: int | None = None,
+):
+    """Point-estimate tokens against the merged committed index (or
+    None when empty) — (tok_col, est_n), est_n >= true count always."""
+    from erpl_web_spark.operators.text import countmin_lookup
+
+    sk = read_countmin_index(spark, path, before=before)
+    if sk is None:
+        return None
+    meta = _index_meta(spark, path)
+    return countmin_lookup(sk, tokens, tok_col, meta["depth"], meta["width"])

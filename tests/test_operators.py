@@ -4811,6 +4811,64 @@ def test_hll_index_streaming_e2e(spark, tmp_path):
     assert got == direct
 
 
+def test_countmin_index_incremental_batches(spark, tmp_path):
+    """The on-disk Count-Min index: counters are ADDITIVE, so the
+    merged index must equal the single-pass sketch over the
+    concatenated corpus BIT-EXACTLY (not just within the eps*N bound),
+    point estimates keep the one-sided >= contract, a replayed batch
+    never double-counts, and a geometry mismatch is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.cms_index import (
+        countmin_index_apply,
+        countmin_index_lookup,
+        read_countmin_index,
+    )
+    from erpl_web_spark.operators.text import countmin_sketch
+
+    idx = str(tmp_path / "cmsidx")
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, "gamma alpha")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "beta delta delta delta"), (3, "alpha")], "doc_id long, text string"
+    )
+    countmin_index_apply(b0, 0, idx, depth=4, width=64)
+    countmin_index_apply(b1, 1, idx, depth=4, width=64)
+
+    whole = b0.unionByName(b1)
+    direct = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in countmin_sketch(whole, depth=4, width=64).collect()
+    }
+    merged = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in read_countmin_index(spark, idx).collect()
+    }
+    assert merged == direct  # additive merge == sketch of concatenation
+
+    toks = spark.createDataFrame(
+        [("alpha",), ("beta",), ("delta",), ("unseen",)], "tok string"
+    )
+    est = {
+        r["tok"]: r["est_n"]
+        for r in countmin_index_lookup(spark, idx, toks).collect()
+    }
+    true = {"alpha": 3, "beta": 3, "delta": 3, "unseen": 0}
+    assert all(est[t] >= n for t, n in true.items())  # one-sided contract
+
+    # replay: counters unchanged (no double add)
+    countmin_index_apply(b0, 0, idx, depth=4, width=64)
+    assert {
+        (r["d"], r["w"]): r["cnt"]
+        for r in read_countmin_index(spark, idx).collect()
+    } == direct
+
+    with pytest.raises(ValueError):
+        countmin_index_apply(b0, 2, idx, depth=4, width=128)
+
+
 def test_hll_registers_merge_losslessly(spark):
     """hll_merge of per-batch register sketches must equal the sketch
     built over the union in one pass — register max is the combine, so
