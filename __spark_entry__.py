@@ -66,6 +66,7 @@ _SAMPLE_PRIORITY = [
     "layout_zorder_profile",
     "agg_hll_distinct",
     "text_bm25_natural",
+    "pipeline_hll_index_batches",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

@@ -724,6 +724,63 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pipeline_hll_index_batches", oracle=_hll_natural_oracle())
+def pipeline_hll_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_hll_distinct routed through the ON-DISK incremental HLL
+    index (operators.hll_index): even-id docs arrive as batch 0,
+    odd-id docs as batch 1, each batch's registers manifest-committed,
+    the estimate read back from the merged index. The oracle is the
+    SAME single-pass SQL the direct entry uses — it knows nothing
+    about batches — so hash equality IS the merge-losslessness proof
+    under the driver gate (the curation_contamination_bloom posture):
+    any double-count on replay, lost register, or torn-batch
+    visibility would flip the hash. The entry writes to a
+    per-invocation temp index, collects the 6 summary rows back and
+    removes it — suite runs stay stateless (the collect is 6 rows,
+    not corpus-scale)."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.hll_index import (
+        hll_index_apply,
+        hll_index_estimate,
+    )
+    from erpl_web_spark.operators.text import tokens_expr
+
+    nat = natural_docs(spark, sf_dir)
+    g = F.when(
+        F.col("doc_id") % 10 == 0, F.lit(10) + F.col("doc_id") % 3
+    ).otherwise(F.col("doc_id") % 3)
+    toks = nat.select(
+        F.col("doc_id"),
+        g.cast("long").alias("g"),
+        F.explode(tokens_expr("text")).alias("tok"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hllidx-suite-")
+    try:
+        hll_index_apply(
+            toks.where(F.col("doc_id") % 2 == 0), 0, tmp, ["g"], "tok", p=8
+        )
+        hll_index_apply(
+            toks.where(F.col("doc_id") % 2 == 1), 1, tmp, ["g"], "tok", p=8
+        )
+        est = hll_index_estimate(spark, tmp)
+        exact = toks.groupBy("g").agg(F.count_distinct("tok").alias("n_exact"))
+        rows = (
+            est.join(exact, "g")
+            .select(
+                "g", "n_exact", "n_zero_regs",
+                F.round("hll_est", 6).alias("hll_est_r"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "g long, n_exact bigint, n_zero_regs long, hll_est_r double"
+    )
+
+
 @register(
     "curation_dsir_natural",
     oracle=f"""
