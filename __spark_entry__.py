@@ -67,6 +67,7 @@ _SAMPLE_PRIORITY = [
     "agg_hll_distinct",
     "text_bm25_natural",
     "pipeline_hll_index_batches",
+    "cdc_scd2_intervals",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

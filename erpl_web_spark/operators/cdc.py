@@ -67,6 +67,52 @@ def apply_cdc_changes(
     return untouched.unionByName(upserts.select(*img_cols))
 
 
+def scd2_intervals(
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("D",),
+    end_prefix: str = "end_",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed change
+    stream: every surviving change row becomes one validity interval —
+    valid-from = its own ``seq_cols``, valid-to = the NEXT change's
+    ``seq_cols`` for the same key (NULL while current; emitted as
+    ``end_<seq_col>`` columns plus an ``is_current`` flag). Delete ops
+    CLOSE the prior interval without opening one: the lead() is
+    computed over ALL changes including deletes, then delete rows are
+    dropped — so a key whose latest change is a delete has a fully
+    closed history and no current row.
+
+    This is the standard warehouse treatment of a CDC/ODP delta feed
+    (as-of queries join on ``valid_from <= ts < end``): where
+    ``apply_cdc_changes`` keeps only the latest image, this keeps the
+    full history as intervals. One shuffle (the key-partitioned
+    window); change ordering must be total per key — ties on
+    ``seq_cols`` break deterministically by the remaining row content,
+    the ``apply_cdc_changes`` convention.
+    """
+    tiebreak = [
+        c
+        for c in changes.columns
+        if c not in keys and c not in seq_cols and c != op_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in seq_cols],
+        *[F.col(c).asc_nulls_last() for c in tiebreak],
+    )
+    out = changes
+    for c in seq_cols:
+        out = out.withColumn(end_prefix + c, F.lead(c).over(w))
+    out = out.withColumn(
+        "is_current", F.col(end_prefix + seq_cols[0]).isNull()
+    )
+    if op_col is not None:
+        out = out.where(~F.col(op_col).isin(*delete_ops)).drop(op_col)
+    return out
+
+
 def merge_to_parquet_snapshots(
     batch_df: DataFrame,
     batch_id: int,

@@ -2937,6 +2937,60 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_intervals",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey,
+             'cust_' || CAST(o_custkey AS VARCHAR) AS c_name,
+             o_totalprice AS c_acctbal,
+             CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             o_orderdate, o_orderkey
+      FROM orders
+    ), iv AS (
+      SELECT c_custkey, c_name, c_acctbal, op, o_orderdate, o_orderkey,
+             LEAD(o_orderdate) OVER w AS end_o_orderdate,
+             LEAD(o_orderkey) OVER w AS end_o_orderkey
+      FROM changes
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT c_custkey, c_name, c_acctbal, o_orderdate, o_orderkey,
+           end_o_orderdate,
+           CAST(end_o_orderkey AS DOUBLE) AS end_o_orderkey,
+           (end_o_orderdate IS NULL) AS is_current
+    FROM iv WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators.cdc.scd2_intervals) over the same
+    orders-as-change-feed fixture cdc_apply_merge uses: every change
+    becomes a validity interval [its (o_orderdate, o_orderkey), the
+    next change's), deletes (status 'P') close intervals without
+    opening one, the latest surviving change per key carries
+    is_current. The warehouse treatment of an ODP delta feed — full
+    history for as-of joins, where apply_cdc_changes keeps only the
+    latest image. The oracle replays the lead() window and the
+    delete-filter order exactly (lead BEFORE filtering, so a delete
+    closes its predecessor). One key-partitioned window shuffle."""
+    from erpl_web_spark.operators.cdc import scd2_intervals
+
+    o = load(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cust_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    out = scd2_intervals(
+        changes, ["c_custkey"], ["o_orderdate", "o_orderkey"], op_col="op"
+    )
+    # nullable BIGINT round-trips as float64 through the oracle's
+    # pandas frame; cast on both sides (orderkeys < 2^53, exact)
+    return out.withColumn("end_o_orderkey", F.col("end_o_orderkey").cast("double"))
+
+
+@register(
     "dedup_cluster_minhash_md5",
     oracle=f"""
     WITH RECURSIVE {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS},

@@ -4811,6 +4811,38 @@ def test_hll_index_streaming_e2e(spark, tmp_path):
     assert got == direct
 
 
+def test_scd2_intervals_history_semantics(spark):
+    """scd2_intervals on a hand-built change chain: upsert -> upsert ->
+    delete -> re-insert must yield three intervals — the first closed
+    by the second, the second closed BY THE DELETE (which emits no
+    interval itself), the re-insert current — and a key whose only
+    change is an upsert stays current with open end columns."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from erpl_web_spark.operators.cdc import scd2_intervals
+
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "U", 10),
+            (1, "a2", "U", 20),
+            (1, "a2", "D", 30),
+            (1, "a3", "U", 40),
+            (2, "b1", "U", 15),
+        ],
+        "k long, val string, op string, seq long",
+    )
+    out = {
+        (r["k"], r["seq"]): (r["val"], r["end_seq"], r["is_current"])
+        for r in scd2_intervals(changes, ["k"], ["seq"], op_col="op").collect()
+    }
+    assert out == {
+        (1, 10): ("a1", 20, False),
+        (1, 20): ("a2", 30, False),  # closed by the delete
+        (1, 40): ("a3", None, True),  # re-insert is current
+        (2, 15): ("b1", None, True),
+    }
+
+
 def test_countmin_index_incremental_batches(spark, tmp_path):
     """The on-disk Count-Min index: counters are ADDITIVE, so the
     merged index must equal the single-pass sketch over the
