@@ -68,6 +68,7 @@ _SAMPLE_PRIORITY = [
     "text_bm25_natural",
     "pipeline_hll_index_batches",
     "cdc_scd2_intervals",
+    "cdc_scd2_asof_lookup",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

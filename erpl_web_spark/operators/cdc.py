@@ -113,6 +113,48 @@ def scd2_intervals(
     return out
 
 
+def scd2_asof_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_seq: list[str],
+    hist_seq: list[str],
+    end_prefix: str = "end_",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension lookup against :func:`scd2_intervals`
+    output: each fact row joins the ONE history interval covering its
+    ``fact_seq`` position — ``hist_seq <= fact_seq < end_<hist_seq>``
+    (open end = current, covers everything after). Tuple comparisons
+    use the composite-seq lexicographic order, matching the interval
+    builder's window order.
+
+    Exactly-one-match is structural: a key's intervals partition its
+    timeline (each valid-to IS the next valid-from), so the range
+    filter after the key equi-join keeps at most one interval per
+    fact — no window, no dedup. Facts before a key's first interval
+    (or on a deleted gap) get NULLs under ``how="left"``. The join is
+    an EQUI join on the keys with the range as a post-filter: Spark
+    plans a hash join keyed on ``keys``, and per-key history fan-out
+    is bounded by that key's change count — the standard temporal-
+    dimension shape, no theta join.
+    """
+    hist = history
+    fact_tuple = F.struct(*[facts[c] for c in fact_seq])
+    from_tuple = F.struct(*[hist[c] for c in hist_seq])
+    end_cols = [end_prefix + c for c in hist_seq]
+    end_tuple = F.struct(*[hist[c] for c in end_cols])
+    cond = None
+    for k in keys:
+        c = facts[k] == hist[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (from_tuple <= fact_tuple)
+    cond = cond & (hist[end_cols[0]].isNull() | (fact_tuple < end_tuple))
+    joined = facts.join(hist, cond, how)
+    # drop the history side's duplicated key columns
+    return joined.drop(*[hist[k] for k in keys])
+
+
 def merge_to_parquet_snapshots(
     batch_df: DataFrame,
     batch_id: int,

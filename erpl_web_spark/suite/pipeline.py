@@ -2991,6 +2991,86 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_asof_lookup",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey,
+             o_totalprice AS c_acctbal,
+             CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderkey
+      FROM orders
+    ), iv AS (
+      SELECT c_custkey, c_acctbal, op, o_orderdate, o_orderkey,
+             LEAD(o_orderdate) OVER w AS end_o_orderdate,
+             LEAD(o_orderkey) OVER w AS end_o_orderkey
+      FROM changes
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey)
+    ), hist AS (
+      SELECT *, (end_o_orderdate IS NULL) AS is_current
+      FROM iv WHERE op <> 'D'
+    ), f AS (
+      SELECT o_orderkey AS fact_key, o_custkey,
+             CAST(o_orderdate AS DATE) + 30 AS ts_date
+      FROM orders
+    )
+    SELECT f.fact_key, f.o_custkey AS c_custkey,
+           h.o_orderdate AS from_date,
+           h.c_acctbal AS asof_acctbal,
+           COALESCE(CAST(h.is_current AS INT), -1) AS is_current
+    FROM f LEFT JOIN hist h
+      ON h.c_custkey = f.o_custkey
+     AND (h.o_orderdate, h.o_orderkey) <= (f.ts_date, f.fact_key)
+     AND (h.end_o_orderdate IS NULL
+          OR (f.ts_date, f.fact_key) < (h.end_o_orderdate, h.end_o_orderkey))
+    """,
+)
+def cdc_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history
+    (cdc.scd2_asof_lookup): for every order, the dimension image of
+    its customer valid 30 days after the order date — the query SCD2
+    exists to answer, and the consumer proving the intervals PARTITION
+    each key's timeline (the key equi-join + range filter yields at
+    most one match per fact structurally, no dedup; facts landing on
+    a deleted gap get NULLs). Planned as a hash join keyed on custkey
+    with the interval range as a post-filter — per-key fan-out bounded
+    by that key's change count, no theta join. The oracle replays the
+    composite-tuple comparisons lexicographically."""
+    from erpl_web_spark.operators.cdc import scd2_asof_lookup, scd2_intervals
+
+    o = load(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderkey",
+    )
+    hist = scd2_intervals(
+        changes, ["c_custkey"], ["o_orderdate", "o_orderkey"], op_col="op"
+    )
+    facts = o.select(
+        F.col("o_orderkey").alias("fact_key"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.date_add(F.col("o_orderdate"), 30).alias("ts_date"),
+    )
+    out = scd2_asof_lookup(
+        facts, hist, ["c_custkey"],
+        fact_seq=["ts_date", "fact_key"],
+        hist_seq=["o_orderdate", "o_orderkey"],
+    )
+    return out.select(
+        "fact_key", "c_custkey",
+        F.col("o_orderdate").alias("from_date"),
+        F.col("c_acctbal").alias("asof_acctbal"),
+        # nullable BOOLEAN renders differently through the two pandas
+        # paths (None vs NaN); encode as non-null int (-1 = no match)
+        F.coalesce(F.col("is_current").cast("int"), F.lit(-1)).alias(
+            "is_current"
+        ),
+    )
+
+
+@register(
     "dedup_cluster_minhash_md5",
     oracle=f"""
     WITH RECURSIVE {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS},
