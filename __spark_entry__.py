@@ -69,6 +69,7 @@ _SAMPLE_PRIORITY = [
     "pipeline_hll_index_batches",
     "cdc_scd2_intervals",
     "cdc_scd2_asof_lookup",
+    "quality_expectations",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

@@ -3071,6 +3071,119 @@ def cdc_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_expectations",
+    oracle="""
+    WITH aug AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), 'O', CAST(10.0 AS DOUBLE)),
+        (-2, 999999991, 'O', 10.0),
+        (-3, 999999992, 'O', 10.0),
+        (-4, 999999993, 'O', -5.0),
+        (-5, 999999994, 'O', -7.5),
+        (-6, 999999995, 'F', -1.0),
+        (-7, 999999996, 'X', 10.0),
+        (-100, 999999997, 'O', 10.0),
+        (-100, 999999998, 'O', 11.0)
+      ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+    ), rc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_complete_orderkey,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_complete_custkey,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_nonneg_totalprice,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_status_domain,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS f_unique_orderkey
+      FROM aug
+    ), rows_part AS (
+      SELECT 'complete_orderkey' AS check_name, n_rows,
+             f_complete_orderkey AS n_failed FROM rc
+      UNION ALL
+      SELECT 'complete_custkey', n_rows, f_complete_custkey FROM rc
+      UNION ALL
+      SELECT 'nonneg_totalprice', n_rows, f_nonneg_totalprice FROM rc
+      UNION ALL
+      SELECT 'status_domain', n_rows, f_status_domain FROM rc
+      UNION ALL
+      SELECT 'unique_orderkey', n_rows, f_unique_orderkey FROM rc
+      UNION ALL
+      SELECT 'ri_custkey_in_customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM aug
+              WHERE o_custkey IS NOT NULL),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM aug o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+    )
+    SELECT check_name, n_rows, n_failed,
+           CAST(n_failed = 0 AS INT) AS passed
+    FROM rows_part
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators.expectations) over
+    orders augmented with nine PLANTED violations (the driver corpus
+    is clean, which would leave every failure counter vacuously zero
+    — round-8 vacuity lesson): a NULL custkey, three negative prices,
+    a bad status, a duplicated orderkey pair, and six orphan custkeys.
+    Five single-pass row/uniqueness checks plus referential integrity
+    against the customer dimension (one broadcast left-anti join) —
+    failure counts land 1/1/3/1/1/8 with one check (orderkey
+    completeness) passing, so BOTH report paths sit in the value
+    hash. All row checks share ONE aggregate pass (adding a check
+    adds a column, not a scan); the publish gate every batch pipeline
+    runs before promoting data."""
+    from erpl_web_spark.operators.expectations import (
+        quality_report,
+        referential_report,
+    )
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dirty = spark.createDataFrame(
+        [
+            (-1, None, "O", 10.0),
+            (-2, 999999991, "O", 10.0),
+            (-3, 999999992, "O", 10.0),
+            (-4, 999999993, "O", -5.0),
+            (-5, 999999994, "O", -7.5),
+            (-6, 999999995, "F", -1.0),
+            (-7, 999999996, "X", 10.0),
+            (-100, 999999997, "O", 10.0),
+            (-100, 999999998, "O", 11.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    aug = base.unionByName(dirty)
+    c = load(spark, sf_dir, "customer")
+    rep = quality_report(
+        aug,
+        row_checks={
+            "complete_orderkey": F.col("o_orderkey").isNotNull(),
+            "complete_custkey": F.col("o_custkey").isNotNull(),
+            "nonneg_totalprice": F.col("o_totalprice") >= 0,
+            "status_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+        },
+        unique_keys={"unique_orderkey": ["o_orderkey"]},
+    )
+    ri = referential_report(
+        aug,
+        c.select(F.col("c_custkey").alias("o_custkey")),
+        ["o_custkey"],
+        "ri_custkey_in_customer",
+    )
+    # the RI child frame filters NULL keys, so its n_rows baseline is
+    # the non-null count - matching the oracle's scalar subqueries
+    return rep.unionByName(ri)
+
+
+@register(
     "dedup_cluster_minhash_md5",
     oracle=f"""
     WITH RECURSIVE {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS},

@@ -4811,6 +4811,38 @@ def test_hll_index_streaming_e2e(spark, tmp_path):
     assert got == direct
 
 
+def test_quality_report_counts_and_null_semantics(spark):
+    """quality_report: NULL predicate results count as FAILURES (an
+    unknown is not a pass), uniqueness counts duplicates exactly, and
+    referential_report counts orphans while exempting NULL keys."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.expectations import (
+        quality_report,
+        referential_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -4), (3, 7)], "k long, v long"
+    )
+    rep = {
+        r["check_name"]: (r["n_rows"], r["n_failed"], r["passed"])
+        for r in quality_report(
+            df,
+            row_checks={"nonneg_v": F.col("v") >= 0},
+            unique_keys={"unique_k": ["k"]},
+        ).collect()
+    }
+    # NULL v fails nonneg (unknown != pass); -4 fails; k=3 duplicated
+    assert rep == {"nonneg_v": (4, 2, 0), "unique_k": (4, 1, 0)}
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k long")
+    ri = referential_report(child, parent, ["k"], "ri").collect()[0]
+    # NULL key exempt (3-row baseline), one orphan
+    assert (ri["n_rows"], ri["n_failed"], ri["passed"]) == (3, 1, 0)
+
+
 def test_scd2_intervals_history_semantics(spark):
     """scd2_intervals on a hand-built change chain: upsert -> upsert ->
     delete -> re-insert must yield three intervals — the first closed
