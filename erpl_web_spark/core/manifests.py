@@ -305,11 +305,31 @@ def assert_no_legacy_state(spark, path: str, kind: str) -> None:
         )
 
 
-def compact_versions(spark, path: str, kind: str, keep_latest: int = 1) -> int:
+def compact_versions(
+    spark,
+    path: str,
+    kind: str,
+    keep_latest: int = 1,
+    merge=None,
+    extra_payload: dict | None = None,
+) -> int:
     """Merge old committed versions of ``kind`` into one directory to
     keep the read-side file count bounded as versions accumulate —
     generic over any state whose reader unions whole rows (the three
     dedup indexes all qualify).
+
+    ``merge`` overrides the default full-row ``dropDuplicates`` with a
+    semantic combinator (DataFrame -> DataFrame) — ONLY valid when the
+    reader's aggregation is IDEMPOTENT under row duplication, because
+    the crash-recovery contract makes merged-away rows visible TWICE
+    until the retractions complete: the HLL index qualifies (register
+    max is unchanged by doubled rows; pre-MAXing also shrinks), but
+    ADDITIVE state does NOT — doubling (d, w, cnt) rows doubles a
+    Count-Min sum, so the cms index must never be compacted with this
+    machinery (its per-batch row count is bounded at depth x width,
+    so accumulation is harmless; see operators/cms_index.py).
+    ``extra_payload`` keys are merged into the redirect manifest (the
+    sketch indexes carry their geometry there).
 
     All committed versions EXCEPT the ``keep_latest`` newest are
     unioned (full-row ``dropDuplicates``) and rewritten into a new
@@ -361,10 +381,14 @@ def compact_versions(spark, path: str, kind: str, keep_latest: int = 1) -> int:
     current = manifest_payload(spark, path, kind, target).get("data")
     if current == gen_dir:
         gen_dir += "b"
-    merged = spark.read.parquet(*old_dirs).dropDuplicates()
+    union = spark.read.parquet(*old_dirs)
+    merged = merge(union) if merge is not None else union.dropDuplicates()
     merged.write.mode("overwrite").parquet(f"{path}/{gen_dir}")
     # atomic switch: target now resolves to the merged generation
-    commit_version(spark, path, kind, target, {"data": gen_dir})
+    payload = {"data": gen_dir}
+    if extra_payload:
+        payload.update(extra_payload)
+    commit_version(spark, path, kind, target, payload)
     fs, jvm, _ = _fs(spark, path)
     for n, d in zip(to_merge, old_dirs):
         if n == target:

@@ -73,6 +73,24 @@ def countmin_index_apply(
     )
 
 
+def countmin_index_compact(spark, path: str, keep_latest: int = 1) -> int:
+    """REFUSED, deliberately: Count-Min rows are ADDITIVE, and the
+    manifest compactor's crash-recovery contract makes merged-away
+    rows visible TWICE until retractions complete — doubled rows
+    double a sum (where the HLL index's register max is unchanged),
+    so a crash mid-compaction would silently inflate every estimate.
+    Accumulation is harmless here anyway: each batch adds at most
+    depth x width rows (1024 at the defaults), so even 10k batches
+    stay a ~10M-row union. If pruning ever matters, rebuild the index
+    from scratch into a fresh path and swap — a full rewrite has no
+    double-visibility window."""
+    raise NotImplementedError(
+        "cms_index refuses compaction: additive counters are not "
+        "idempotent under the compactor's double-visibility crash "
+        "window (see docstring); rebuild into a fresh path instead"
+    )
+
+
 def countmin_index_lookup(
     spark, path: str, tokens: DataFrame, tok_col: str = "tok",
     before: int | None = None,

@@ -80,6 +80,34 @@ def hll_index_apply(
     )
 
 
+def hll_index_compact(spark, path: str, keep_latest: int = 1) -> int:
+    """Compact old committed register batches into one pre-MAXed
+    generation (``core.manifests.compact_versions`` with a semantic
+    merge): valid because register max is idempotent under the
+    protocol's crash-recovery double-visibility window — doubled rows
+    cannot change a max (unlike the ADDITIVE cms index, which refuses
+    compaction). Pre-maxing also bounds the merged directory at 2**p
+    rows per group regardless of how many batches were merged. The
+    index's (p, groups) geometry is re-attached to the redirect
+    manifest so ``_index_meta`` keeps working if the redirected
+    version ever becomes the newest."""
+    from erpl_web_spark.core import manifests
+
+    meta = _index_meta(spark, path)
+
+    def merge(union):
+        from pyspark.sql import functions as F
+
+        return union.groupBy(*meta["groups"], "__idx").agg(
+            F.max("__r").alias("__r")
+        )
+
+    return manifests.compact_versions(
+        spark, path, "hllregs", keep_latest=keep_latest,
+        merge=merge, extra_payload={"p": meta["p"], "groups": meta["groups"]},
+    )
+
+
 def hll_index_estimate(spark, path: str, before: int | None = None):
     """Per-group cardinality estimates from the committed index (or
     None when empty) — (groups..., n_zero_regs, hll_est)."""

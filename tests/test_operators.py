@@ -4933,6 +4933,46 @@ def test_countmin_index_incremental_batches(spark, tmp_path):
         countmin_index_apply(b0, 2, idx, depth=4, width=128)
 
 
+def test_hll_index_compaction_and_cms_refusal(spark, tmp_path):
+    """hll_index_compact must pre-MAX old batches into one generation
+    with the estimate unchanged and the geometry payload preserved;
+    countmin_index_compact must REFUSE (additive counters are not
+    idempotent under the compactor's double-visibility crash window)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.cms_index import countmin_index_compact
+    from erpl_web_spark.operators.hll_index import (
+        hll_index_apply,
+        hll_index_compact,
+        hll_index_estimate,
+        read_hll_registers,
+    )
+
+    idx = str(tmp_path / "hllc")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit(0).alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+
+    for i, (lo, hi) in enumerate([(0, 800), (500, 1600), (1200, 2400)]):
+        hll_index_apply(batch(lo, hi), i, idx, ["g"], "v", p=8)
+    before = hll_index_estimate(spark, idx).collect()[0]["hll_est"]
+    merged_dirs = hll_index_compact(spark, idx)
+    assert merged_dirs == 2  # batches 0 and 1 merged, newest kept
+    after = hll_index_estimate(spark, idx).collect()[0]["hll_est"]
+    assert after == before
+    # compacted register state stays bounded at <= m rows per group
+    assert read_hll_registers(spark, idx).count() <= 256
+    # a post-compaction batch still applies and reads
+    hll_index_apply(batch(2000, 3000), 3, idx, ["g"], "v", p=8)
+    assert hll_index_estimate(spark, idx).collect()[0]["hll_est"] >= after
+
+    with pytest.raises(NotImplementedError):
+        countmin_index_compact(spark, str(tmp_path / "cmsx"))
+
+
 def test_hll_registers_merge_losslessly(spark):
     """hll_merge of per-batch register sketches must equal the sketch
     built over the union in one pass — register max is the combine, so
