@@ -34,6 +34,8 @@ def quality_report(
     """
     row_checks = row_checks or {}
     unique_keys = unique_keys or {}
+    if not row_checks and not unique_keys:
+        raise ValueError("quality_report needs at least one check")
     aggs = [F.count("*").cast("long").alias("__n")]
     for name, cond in row_checks.items():
         aggs.append(
