@@ -482,15 +482,12 @@ def weighted_sample_key(
     the same set as :func:`weighted_sample` with k = |{key <= t}| —
     the keys are shared, only the selection mechanism differs.
     """
-    from erpl_web_spark.operators.dedup import _md5_long48
+    from erpl_web_spark.operators.dedup import lattice_index
 
     w = (weight_col if isinstance(weight_col, Column) else F.col(weight_col)).cast(
         "double"
     )
-    if hash_mode == "md5":
-        j = _md5_long48(F.lit(seed), F.col(id_col)) % lattice
-    else:
-        j = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(lattice))
+    j = lattice_index(seed, id_col, hash_mode, lattice)
     u = (j.cast("double") + F.lit(0.5)) / F.lit(float(lattice))
     return df.select(
         F.col(id_col), w.alias("weight"), (-F.log(u) / w).alias("es_key")
@@ -536,15 +533,11 @@ def weighted_sample_threshold(
     threshold filter) plus a count — zero corpus-sized shuffles,
     nothing corpus-sized at the driver.
     """
-    from erpl_web_spark.operators.dedup import _md5_long48
+    from erpl_web_spark.operators.dedup import lattice_index
 
     keyed = weighted_sample_key(df, weight_col, id_col, seed, hash_mode, lattice)
     cal_cut = max(1, int(round(calibration_frac * lattice)))
-    cal_seed = f"{seed}:cal"
-    if hash_mode == "md5":
-        j_cal = _md5_long48(F.lit(cal_seed), F.col(id_col)) % lattice
-    else:
-        j_cal = F.pmod(F.xxhash64(F.lit(cal_seed), F.col(id_col)), F.lit(lattice))
+    j_cal = lattice_index(f"{seed}:cal", id_col, hash_mode, lattice)
     m = max(1, int(round(k * cal_cut / lattice)))
     # TakeOrderedAndProject: m config-scale key values to the driver
     cal_keys = (

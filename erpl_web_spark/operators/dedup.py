@@ -145,6 +145,26 @@ def _md5_long48(*cols) -> Column:
     ).cast("bigint")
 
 
+def lattice_index(
+    seed: str,
+    id_col: Column | str,
+    hash_mode: str = "xxhash64",
+    lattice: int = 4096,
+) -> Column:
+    """``j`` in [0, lattice) from the portable hash of (seed, id) — the
+    ONE implementation of the seed->lattice idiom shared by the A-ES
+    race keys, their threshold-calibration membership draw, and the
+    IVF suggest-cells stride (previously three inline copies; a
+    convention change applied to one would have silently decoupled the
+    hash families the oracles replay). ``md5`` is the engine-portable
+    oracle mode; xxhash64 the production default (pmod because
+    xxhash64 is signed)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if hash_mode == "md5":
+        return _md5_long48(F.lit(seed), c) % lattice
+    return F.pmod(F.xxhash64(F.lit(seed), c), F.lit(lattice))
+
+
 def hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3,
     hash_mode: str = "xxhash64",

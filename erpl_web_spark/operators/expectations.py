@@ -29,36 +29,64 @@ def quality_report(
     ``row_checks``: name -> boolean Column that must hold on every row
     (NULL counts as a failure — an unknown is not a pass).
     ``unique_keys``: name -> key column list that must be duplicate-free
-    (n_failed = n_rows - n_distinct).
-    Returns one row per check: (check_name, n_rows, n_failed, passed 0/1).
+    over rows whose key tuple is fully non-NULL (NULL keys cannot be
+    compared for uniqueness, matching ``referential_report``'s NULL
+    exemption; check them with a completeness row check).
+    Returns one row per check: (check_name, n_rows, n_failed, passed
+    0/1). An EMPTY input passes every check with n_failed = 0 — the
+    publish gate must not three-value an empty batch. Check names are
+    carried as typed literals (never spliced into SQL), so any string
+    is a valid name; a name used in both dicts raises.
     """
     row_checks = row_checks or {}
     unique_keys = unique_keys or {}
     if not row_checks and not unique_keys:
         raise ValueError("quality_report needs at least one check")
+    dup = set(row_checks) & set(unique_keys)
+    if dup:
+        raise ValueError(f"check names used in both dicts: {sorted(dup)}")
+    # positional aliases: check names never appear in SQL identifiers
     aggs = [F.count("*").cast("long").alias("__n")]
-    for name, cond in row_checks.items():
+    names = list(row_checks) + list(unique_keys)
+    for i, cond in enumerate(row_checks.values()):
         aggs.append(
-            F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
-            .alias(f"__f_{name}")
+            .alias(f"__f{i}")
         )
-    for name, keys in unique_keys.items():
+    for j, keys in enumerate(unique_keys.values()):
+        nn = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            nn = c if nn is None else nn & c
         aggs.append(
-            (F.count("*") - F.count_distinct(*[F.col(k) for k in keys]))
+            (
+                F.coalesce(F.sum(nn.cast("int")), F.lit(0))
+                - F.count_distinct(*[F.col(k) for k in keys])
+            )
             .cast("long")
-            .alias(f"__f_{name}")
+            .alias(f"__f{len(row_checks) + j}")
         )
     one = df.agg(*aggs)
-    names = list(row_checks) + list(unique_keys)
-    stack = ", ".join(f"'{n}', __f_{n}" for n in names)
-    return one.selectExpr(
-        f"stack({len(names)}, {stack}) AS (check_name, n_failed)", "__n AS n_rows"
-    ).select(
-        "check_name",
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("check_name"),
+                    F.col(f"__f{i}").alias("n_failed"),
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+    ).alias("__c")
+    return one.select(pairs, F.col("__n").alias("n_rows")).select(
+        F.col("__c.check_name").alias("check_name"),
         "n_rows",
-        "n_failed",
-        (F.col("n_failed") == 0).cast("int").alias("passed"),
+        F.col("__c.n_failed").alias("n_failed"),
+        (F.col("__c.n_failed") == 0).cast("int").alias("passed"),
     )
 
 

@@ -233,9 +233,13 @@ def pagerank_int(
     """
     from erpl_web_spark.operators._cache import track_persist
 
+    # simple-graph semantics in BOTH modes: duplicate input edges are
+    # collapsed (a multigraph feed would otherwise weight shares by
+    # edge multiplicity in directed mode only — an undocumented
+    # asymmetry with the symmetrized path's distinct)
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    )
+    ).distinct()
     if symmetrize:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -618,17 +618,25 @@ def ivf_point_profile(
     self included, within r* = radius_mult x median(dk)). Use it to
     inspect the cluster-size spectrum behind the scalar suggestion
     (e.g. skewed cluster populations show as multimodal n_within).
-    Returns (id_col, dk, n_within, n_sample_d)."""
+    Returns (id_col, dk, n_within, n_sample_d).
+
+    The O(n^2) pair frame feeds three consumers (the k-NN window, the
+    median, the radius count), so it is persisted for the duration of
+    the plan — registry-tracked, released between suite queries —
+    paying the quadratic cost once instead of three times."""
+    from erpl_web_spark.operators._cache import track_persist
+
     a = sample.select(F.col(id_col).alias("__pi"), F.col(vec_col).alias("va"))
     b = sample.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
-    pairs = (
+    pairs = track_persist(
         a.crossJoin(F.broadcast(b))
         .where(F.col("__pi") != F.col("ib"))
         .select(
             "__pi",
             "ib",
             (F.lit(1.0) - cosine_expr(F.col("va"), F.col("vb"))).alias("d"),
-        )
+        ),
+        "ivf_point_profile",
     )
     w = Window.partitionBy("__pi").orderBy("d", "ib")
     dk = (
@@ -679,15 +687,22 @@ def ivf_suggest_cells(
     is unchanged by uniform subsampling as long as clusters stay
     resolved (a few thousand points resolve any structure a quantizer
     can exploit)."""
-    from erpl_web_spark.operators.dedup import _md5_long48
+    from erpl_web_spark.operators.dedup import lattice_index
 
     n = sample.count()
     if n > max_sample:
         # keep ~max_sample rows via a deterministic hash stride
         keep = max(1, int(round(4096 * max_sample / n)))
         sample = sample.where(
-            F.pmod(_md5_long48(F.lit("ivfsample"), F.col(id_col)), F.lit(4096))
-            < keep
+            lattice_index("ivfsample", id_col, "md5", 4096) < keep
+        )
+        n = sample.count()
+    if n <= k:
+        # no rank-k neighbor exists: the profile would average over
+        # zero rows and greatest(1, NULL) would silently suggest 1
+        raise ValueError(
+            f"sample has {n} rows but the profile needs more than k={k}; "
+            "pass a larger sample or a smaller k"
         )
     row = ivf_cell_profile(sample, id_col, vec_col, k, radius_mult).collect()[0]
     return int(row["suggested_cells"])

@@ -1479,7 +1479,12 @@ def hll_registers(
         F.lit(kmax) - F.length(F.bin(rest))
     )
     return (
-        df.select(*group_cols, idx.alias("__idx"), rho.alias("__rho"))
+        # NULLs are excluded, matching count_distinct semantics (and
+        # the DuckDB twin, where md5(NULL) is NULL): without the filter
+        # _md5_long48's concat_ws renders NULL as '' — a phantom extra
+        # value that also collides with genuine empty strings
+        df.where(v.isNotNull())
+        .select(*group_cols, idx.alias("__idx"), rho.alias("__rho"))
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__rho").alias("__r"))
     )

@@ -588,37 +588,16 @@ def dedup_substring_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_report(corpus, "doc_id", "text", k=10, min_docs=2)
 
 
-@register(
-    "text_bm25_natural",
-    oracle=f"""
-    WITH {sql_natural_cte()},
-    toks AS (SELECT doc_id, {_SQL_TOKS_NAT} AS t FROM nat),
-    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                  AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-    q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:5])) AS term
-          FROM toks WHERE doc_id % 25 = 0 AND doc_id < 500),
-    sc AS (
-      SELECT q.query_id, tf.doc_id,
-             SUM(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                 * (tf.tf * 2.2)
-                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl)))) AS score
-      FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-           JOIN dl ON dl.doc_id = tf.doc_id, st
-      GROUP BY q.query_id, tf.doc_id
+def _bm25_natural_oracle() -> str:
+    from erpl_web_spark.suite.pipeline import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        f"{sql_natural_cte()},\n"
+        f"    toks AS (SELECT doc_id, {_SQL_TOKS_NAT} AS t FROM nat)"
     )
-    SELECT query_id, doc_id, ROUND(score, 6) AS score_r, CAST(rank AS INT) AS rank
-    FROM (
-      SELECT query_id, doc_id, score,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
-      FROM sc)
-    WHERE rank <= 3
-    """,
-)
+
+
+@register("text_bm25_natural", oracle=_bm25_natural_oracle())
 def text_bm25_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_bm25_topk at realistic entropy — same operator, same knobs,
     same fixed 20-query fixture, only the corpus changes: at ~2000-word

@@ -3097,7 +3097,7 @@ def cdc_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END) AS BIGINT) AS f_nonneg_totalprice,
              CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)
                            THEN 1 ELSE 0 END) AS BIGINT) AS f_status_domain,
-             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
                AS f_unique_orderkey
       FROM aug
     ), rows_part AS (
@@ -5279,10 +5279,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=3, min_df=2)
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+def bm25_oracle_sql(toks_prelude: str) -> str:
+    """Shared BM25 top-3 oracle: the full scorer (postings, doc
+    lengths, df, 1-row N/avgdl model, Robertson idf with the exact
+    2.2/1.2/0.25/0.75 literals, 1e-6-rounded ranking, fixed 20-query
+    prefix fixture) over whatever ``toks(doc_id, t)`` CTE prelude the
+    caller supplies — ONE copy of the scorer SQL serves both the
+    testdata entry and the natural-entropy twin, so a knob change
+    cannot silently fork the two gates."""
+    return f"""
+    WITH {toks_prelude},
     terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
@@ -5307,7 +5313,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
       FROM sc)
     WHERE rank <= 3
-    """,
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=bm25_oracle_sql(
+        f"toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)"
+    ),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-3 retrieval (operators.text.bm25_topk, k1=1.2,

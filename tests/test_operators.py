@@ -4842,6 +4842,37 @@ def test_quality_report_counts_and_null_semantics(spark):
     # NULL key exempt (3-row baseline), one orphan
     assert (ri["n_rows"], ri["n_failed"], ri["passed"]) == (3, 1, 0)
 
+    # NULL-keyed rows are EXEMPT from uniqueness (cannot be compared),
+    # not counted as duplicates
+    nk = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    u = quality_report(nk, unique_keys={"u": ["k"]}).collect()[0]
+    assert (u["n_failed"], u["passed"]) == (0, 1)
+
+    # an EMPTY batch passes every check with 0 failures (no
+    # three-valued NULL report at the publish gate)
+    empty = spark.createDataFrame([], "k long, v long")
+    er = {
+        r["check_name"]: (r["n_rows"], r["n_failed"], r["passed"])
+        for r in quality_report(
+            empty,
+            row_checks={"nonneg_v": F.col("v") >= 0},
+            unique_keys={"unique_k": ["k"]},
+        ).collect()
+    }
+    assert er == {"nonneg_v": (0, 0, 1), "unique_k": (0, 0, 1)}
+
+    # adversarial check names are data, not SQL
+    wr = quality_report(
+        df, row_checks={"price's check, has space": F.col("v") >= 0}
+    ).collect()[0]
+    assert wr["check_name"] == "price's check, has space"
+    import pytest
+
+    with pytest.raises(ValueError):
+        quality_report(
+            df, row_checks={"x": F.col("v") >= 0}, unique_keys={"x": ["k"]}
+        )
+
 
 def test_scd2_intervals_history_semantics(spark):
     """scd2_intervals on a hand-built change chain: upsert -> upsert ->

@@ -37,7 +37,18 @@ def main() -> None:
             )
             row = hll_distinct(df, ["g"], "v", p=p).collect()[0]
             est = row["hll_est"]
-            branch = "linear" if (row["n_zero_regs"] > 0 and est <= 2.5 * m) else "raw"
+            # branch label from the RAW estimate the operator actually
+            # branches on (the final est can cross 2.5m after the
+            # linear-counting formula is applied)
+            v0 = row["n_zero_regs"]
+            import math
+
+            e_lin = m * math.log(m / v0) if v0 > 0 else None
+            branch = (
+                "linear"
+                if v0 > 0 and (e_lin is not None and abs(est - e_lin) < 1e-6)
+                else "raw"
+            )
             print(f"{n:>10} {p:>3} {m:>5} {est:>12.1f} "
                   f"{abs(est - n) / n:>8.4f} {1.04 / m ** 0.5:>13.4f} {branch:>7}")
 
