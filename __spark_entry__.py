@@ -70,6 +70,7 @@ _SAMPLE_PRIORITY = [
     "cdc_scd2_intervals",
     "cdc_scd2_asof_lookup",
     "quality_expectations",
+    "graph_triangles",
     # -- latest driver row is r09 --
     "agg_approx_distinct",
     "agg_histogram",

@@ -186,6 +186,73 @@ def component_best(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    clustering-coefficient ingredient and the third graph family next
+    to connected components and PageRank.
+
+    Degree-oriented node-iterator (the MapReduce-classic Suri/Vassilvitskii
+    shape): every edge is directed from its lower-(degree, id) endpoint
+    to the higher, so each triangle is enumerated EXACTLY once as a
+    wedge at its lowest-ordered vertex plus one closing-edge lookup,
+    and the wedge join's fan-out per node is its ORIENTED out-degree —
+    bounded by O(sqrt(|E|)) regardless of raw degree skew. A celebrity
+    node with 10^6 neighbors contributes ~zero wedges (everything
+    orients INTO it); the canonical-order formulation would put 10^12
+    pairs through that node. Shuffles carry (long, long) rows keyed on
+    node ids; the closing-edge probe is an equi-join against the
+    canonical edge set.
+
+    Duplicate edges, self-loops, and direction are normalized away
+    (simple undirected graph). Returns (id, n_triangles) for every
+    node in at least one triangle.
+    """
+    from erpl_web_spark.operators._cache import track_persist
+
+    u = F.col(src).cast("long")
+    v = F.col(dst).cast("long")
+    ce = track_persist(
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct(),
+        "triangle_edges",
+    )
+    deg = (
+        ce.select(F.col("u").alias("id"))
+        .unionByName(ce.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    ranked = ce.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = track_persist(
+        ranked.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        ),
+        "triangle_oriented",
+    )
+    x = o.select(F.col("a"), F.col("b").alias("b1"))
+    y = o.select(F.col("a"), F.col("b").alias("b2"))
+    wedges = x.join(y, "a").where(F.col("b1") < F.col("b2"))
+    closing = ce.select(F.col("u").alias("b1"), F.col("v").alias("b2"))
+    tris = wedges.join(closing, ["b1", "b2"])
+    per_node = (
+        tris.select(F.explode(F.array("a", "b1", "b2")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_node
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "src",

@@ -5394,6 +5394,52 @@ def layout_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_bucket_profile(d, ["x", "y"], bits=10, bucket_bits=8)
 
 
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH ce AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM ce a JOIN ce b ON b.u = a.v
+           JOIN ce c ON c.u = a.u AND c.v = b.v
+    ), nodes AS (
+      SELECT x AS id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY id
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_counts) over the
+    co-purchase graph — parts appearing in the same order are edges;
+    triangles are co-purchase cliques, the clustering signal
+    recommendation/dedup graphs use. Spark runs the degree-ORIENTED
+    node-iterator (each triangle enumerated once at its lowest-
+    (degree, id) vertex; wedge fan-out bounded by the oriented
+    out-degree O(sqrt(E)) regardless of raw skew — the celebrity-node
+    formulation); the oracle enumerates canonically ordered triples
+    with a 3-way self-join. Different enumeration orders, identical
+    per-node counts — which is exactly what the value hash pins."""
+    from erpl_web_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-CTE twin of graph.pagerank_int over the symmetrized
     customer<->supplier co-order graph: every round is EXACT integer

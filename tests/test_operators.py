@@ -5087,6 +5087,37 @@ def test_zorder_key_interleave_and_box_property(spark):
         zorder_key_expr(["x", "y"], bits=32)
 
 
+def test_triangle_counts_known_graphs(spark):
+    """triangle_counts on graphs with known answers: K4 gives every
+    node C(3,2)=3 triangles; a path gives none; two triangles sharing
+    an edge give the shared endpoints 2 and the apexes 1; duplicate /
+    reversed / self-loop edges are normalized away."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from erpl_web_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
+
+    # bowtie: triangles {0,1,2} and {1,2,3} share edge (1,2); add noise
+    # duplicates, a reversal, and a self-loop
+    bow = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 1), (1, 3), (2, 3), (3, 3), (0, 1)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(bow).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
 def test_pagerank_int_exact_replay(spark):
     """pagerank_int must equal an independent Python replay of the
     integer recurrence EXACTLY (bit-identical — the whole point of the
