@@ -4811,6 +4811,43 @@ def test_hll_index_streaming_e2e(spark, tmp_path):
     assert got == direct
 
 
+def test_scd2_asof_lookup_boundaries(spark):
+    """scd2_asof_lookup on a hand-built history: a fact AT an
+    interval's valid-from matches it (closed start), a fact AT the
+    next change's seq matches the NEXT interval (open end), a fact
+    before the first change gets NULLs, a fact in a deleted gap gets
+    NULLs, and a fact after a re-insert matches the current row."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from erpl_web_spark.operators.cdc import scd2_asof_lookup, scd2_intervals
+
+    changes = spark.createDataFrame(
+        [(1, "a1", "U", 10), (1, "a2", "U", 20), (1, "a2", "D", 30),
+         (1, "a3", "U", 40)],
+        "k long, val string, op string, seq long",
+    )
+    hist = scd2_intervals(changes, ["k"], ["seq"], op_col="op")
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 20), (103, 1, 35),
+         (104, 1, 50), (105, 2, 10)],
+        "fid long, k long, ts long",
+    )
+    out = {
+        r["fid"]: r["val"]
+        for r in scd2_asof_lookup(
+            facts, hist, ["k"], fact_seq=["ts"], hist_seq=["seq"]
+        ).collect()
+    }
+    assert out == {
+        100: None,   # before first change
+        101: "a1",   # closed start: ts == valid_from
+        102: "a2",   # open end: ts == next change's seq -> next interval
+        103: None,   # deleted gap (delete at 30 closed a2, nothing open)
+        104: "a3",   # re-insert current
+        105: None,   # unknown key
+    }
+
+
 def test_quality_report_counts_and_null_semantics(spark):
     """quality_report: NULL predicate results count as FAILURES (an
     unknown is not a pass), uniqueness counts duplicates exactly, and
