@@ -816,3 +816,53 @@ def test_md5_long48_cross_engine_on_random_strings(spark):
     }
     diffs = {i: (repr(rows[i][1]), got[i], want[i]) for i in got if got[i] != want[i]}
     assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:3]}"
+
+
+def test_shingles_cross_engine_on_random_text(spark):
+    """Randomized cross-engine equivalence for the 3-token shingle
+    assembly — dedup.shingles_expr (guarded sliding window + concat_ws
+    + array_distinct) vs the _SQL_SHINGLES DuckDB rendering every
+    containment/Jaccard/MinHash oracle builds on: 400 seeded strings
+    with 0..8 tokens (the k-boundary: <3 tokens must yield an EMPTY
+    set in both engines, not bogus slices — the sequence(1, n-2)
+    count-DOWN hazard shingles_expr guards), repeated tokens (distinct
+    semantics), and messy whitespace from the tokenizer's shared
+    domain."""
+    import random
+
+    import duckdb
+
+    from erpl_web_spark.operators.dedup import shingles_expr
+    from erpl_web_spark.suite.pipeline import _SQL_SHINGLES, _SQL_TOKS
+
+    rng = random.Random(20139)
+    words = ["alpha", "beta", "Gamma", "dd", "x9", "beta"]
+    seps = [" ", "  ", "\t", "\n"]
+
+    def mk() -> str:
+        n = rng.randint(0, 8)
+        return rng.choice(seps).join(rng.choice(words) for _ in range(n))
+
+    rows = [(i, mk()) for i in range(400)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in sdf.select(
+            "doc_id", shingles_expr("text", 3).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        i: sorted(sh)
+        for i, sh in con.execute(
+            f"SELECT doc_id, {_SQL_SHINGLES} FROM "
+            f"(SELECT doc_id, {_SQL_TOKS} AS __toks FROM t)"
+        ).fetchall()
+    }
+    diffs = {i: (repr(rows[i][1]), got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not diffs, f"{len(diffs)} divergences, first: {list(diffs.items())[:3]}"
+    # the k-boundary is exercised, not vacuous: some docs are sub-3-token
+    assert any(len(s) == 0 for s in got.values())
+    assert any(len(s) > 0 for s in got.values())
