@@ -30,6 +30,7 @@ def apply_cdc_changes(
     op_col: str | None = None,
     seq_cols: list[str] | None = None,
     delete_ops: tuple[str, ...] = ("D",),
+    validate: bool = False,
 ) -> DataFrame:
     """Merge ``changes`` into ``base``: the latest change per key wins;
     delete ops remove the key, anything else upserts the full row image.
@@ -39,9 +40,32 @@ def apply_cdc_changes(
     delete) and ``seq_cols`` (change ordering — REQUIRED for
     determinism whenever a batch may carry several changes for one key;
     without it the batch must be key-unique, as ODP per-request deltas
-    are).
+    are). A NULL ``op_col`` value upserts (NULL is "not a delete op",
+    not "drop the row" — the isin predicate is wrapped null-safely so
+    three-valued logic can't silently discard the change).
+
+    ``validate=True`` enforces the seq_cols=None key-uniqueness
+    contract with one cheap count-distinct action on the (skinny) key
+    projection of the batch and raises naming the duplicate count —
+    a malformed feed fails loudly instead of silently emitting
+    duplicate key rows into the snapshot.
     """
     img_cols = base.columns
+    if validate and not seq_cols:
+        kd = changes.select(*keys)
+        # distinct over a STRUCT of the keys: a struct is never NULL
+        # itself, so NULL key components still count as distinct values
+        # (bare count_distinct(k) would skip NULL-keyed rows entirely)
+        n_rows, n_keys = kd.groupBy().agg(
+            F.count(F.lit(1)), F.count_distinct(F.struct(*keys))
+        ).first()
+        if n_rows != n_keys:
+            raise ValueError(
+                "apply_cdc_changes: seq_cols=None requires a key-unique "
+                f"batch, but {n_rows - n_keys} duplicate key row(s) found "
+                "— pass seq_cols so the latest change per key can win "
+                "deterministically"
+            )
     if seq_cols:
         # Ties on the sequence columns break deterministically by the
         # remaining row content (arbitrary but stable across runs and
@@ -63,8 +87,16 @@ def apply_cdc_changes(
     untouched = base.join(latest.select(*keys), keys, "left_anti")
     upserts = latest
     if op_col is not None:
-        upserts = upserts.where(~F.col(op_col).isin(*delete_ops))
+        upserts = upserts.where(_not_a_delete(op_col, delete_ops))
     return untouched.unionByName(upserts.select(*img_cols))
+
+
+def _not_a_delete(op_col: str, delete_ops: tuple[str, ...]):
+    """Null-safe "keep this change" predicate: a NULL op is NOT a
+    delete, so the row upserts. A bare ``~col.isin(...)`` evaluates to
+    NULL for a NULL op and where() would silently drop the row —
+    three-valued logic turning "unknown op" into "delete"."""
+    return ~F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False))
 
 
 def scd2_intervals(
@@ -109,7 +141,9 @@ def scd2_intervals(
         "is_current", F.col(end_prefix + seq_cols[0]).isNull()
     )
     if op_col is not None:
-        out = out.where(~F.col(op_col).isin(*delete_ops)).drop(op_col)
+        # null-safe: a NULL op opens an interval like any upsert (see
+        # _not_a_delete — bare ~isin would NULL out and drop the row)
+        out = out.where(_not_a_delete(op_col, delete_ops)).drop(op_col)
     return out
 
 
@@ -262,12 +296,27 @@ def digest_diff(
 ) -> DataFrame:
     """added/removed/changed rows from two (id, digest) tables: one
     full-outer shuffle on the id, unchanged rows dropped, so the output
-    is O(churn)."""
-    o = old_digests.withColumnRenamed("digest", "__h_old")
-    n = new_digests.withColumnRenamed("digest", "__h_new")
-    joined = o.join(n, id_col, "full_outer")
+    is O(churn).
+
+    The join is NULL-SAFE on the id (``eqNullSafe`` — still an
+    equi-join for the planner, the key is just wrapped), so a NULL-id
+    row present in both snapshots compares its digests like any other
+    id instead of reporting a phantom added+removed pair. Limitation
+    (documented, matching the snapshot contract that ids are unique):
+    at most ONE NULL id per side — several NULL ids would cross-join
+    among themselves, as they would under any grouping of "the" NULL
+    key."""
+    o = old_digests.select(
+        F.col(id_col).alias("__id_old"), F.col("digest").alias("__h_old")
+    )
+    n = new_digests.select(
+        F.col(id_col).alias("__id_new"), F.col("digest").alias("__h_new")
+    )
+    joined = o.join(
+        n, F.col("__id_old").eqNullSafe(F.col("__id_new")), "full_outer"
+    )
     return joined.select(
-        id_col,
+        F.coalesce(F.col("__id_new"), F.col("__id_old")).alias(id_col),
         F.when(F.col("__h_old").isNull(), F.lit("added"))
         .when(F.col("__h_new").isNull(), F.lit("removed"))
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))

@@ -319,6 +319,21 @@ def pagerank_int(
         .distinct(),
         "pagerank_nodes",
     )
+    # Overflow precondition, checked exactly: total mass never exceeds
+    # N * unit (induction: M_{k+1} <= N*base + d/100*M_k <= N*unit), so
+    # the widest intermediate is damping_pct * m <= damping_pct * N *
+    # unit. Requiring that to fit in BIGINT makes the "exact at any
+    # scale" claim honest — a >1e8-node hub graph at unit=1e9 would
+    # otherwise overflow 85*m silently. nodes is persisted and reused
+    # every round, so the count() materializes work we need anyway.
+    n_nodes = nodes.count()
+    if damping_pct * n_nodes * unit >= 2**63:
+        raise ValueError(
+            f"pagerank_int: damping_pct*N*unit = {damping_pct}*{n_nodes}*"
+            f"{unit} exceeds BIGINT — lower `unit` (precision trades off "
+            f"against headroom; unit <= {2**63 // (damping_pct * n_nodes)} "
+            "fits this graph)"
+        )
     base = (100 - damping_pct) * unit // 100
     ranks = nodes.select("id", F.lit(unit).cast("long").alias("rank_int"))
     for _ in range(iterations):

@@ -182,13 +182,15 @@ def redact_pii(
     extend. Adds ``{out}`` plus ``{out}_n_hits`` (count of redactions).
     """
     pats = patterns or PII_PATTERNS
-    c = F.col(text_col)
-    red = c
-    for kind, pat in pats.items():
-        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    # Hits counted per pattern on the PRE-replacement intermediate
+    # (regexp_extract_all on the text that pattern actually saw), not
+    # by counting [KIND] markers in the output — input that already
+    # contains a literal '[EMAIL]' is not miscounted as a redaction.
+    red = F.col(text_col)
     hits = F.lit(0)
-    for kind in pats:
-        hits = hits + F.size(F.split(red, F.lit(f"\\[{kind.upper()}\\]"))) - 1
+    for kind, pat in pats.items():
+        hits = hits + F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     return df.withColumn(out, red).withColumn(f"{out}_n_hits", hits.cast("int"))
 
 
@@ -812,6 +814,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval: score every (query, document) pair
     sharing at least one term and keep each query's ``k`` best — the
@@ -838,6 +841,16 @@ def bm25_topk(
     path when the cap is off). Ranking uses the score ROUNDED to 1e-6
     (ties -> doc id) so ranks are reproducible across engines and
     summation orders. Returns (query_id, doc_id, score_r, rank).
+
+    ``broadcast_queries`` (default True) fits the documented
+    fixed-query contract — a benchmark/decontamination term set small
+    enough for every executor. Hard-negative mining runs
+    queries ≈ corpus, where a broadcast would OOM the executors:
+    ``broadcast_queries=False`` switches the postings⋈query-terms join
+    to a shuffle join on ``term`` (hint pinned so AQE can't silently
+    re-broadcast in tests), the ``ann_top_k_ivf.broadcast_probes``
+    contract. Identical results either way — only the physical join
+    strategy changes (pinned by pytest).
     """
     from pyspark.sql.window import Window
 
@@ -870,9 +883,13 @@ def bm25_topk(
             * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("__avgdl")))
         )
     )
-    scored = (
+    qjoin = (
         tf.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        if broadcast_queries
+        else tf.join(qterms.hint("shuffle_hash"), "term")
+    )
+    scored = (
+        qjoin.join(dfreq, "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, id_col)

@@ -1659,21 +1659,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("left_id", "right_id", F.round("cosine", 6).alias("cosine_r"))
 
 
-_PII_SQL = r"""
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
-        '\b\d{3}-\d{2}-\d{4}\b', '[SSN_LIKE]', 'g'),
-      '\+?\d[\d\s()-]{7,}\d', '[PHONE]', 'g')
-"""
-
-
 @register(
     "text_redact_pii",
-    oracle=f"""
+    oracle=rf"""
     WITH aug AS (
       SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1682,13 +1670,30 @@ _PII_SQL = r"""
                   || repeat(' backup 10.9.8.7', CAST(doc_id % 3 AS INT))
                AS text
       FROM documents
+    ), steps AS (
+      -- hit counts come from each pattern's PRE-replacement intermediate
+      -- (the operator contract: a literal '[EMAIL]' already present in
+      -- the input is not a redaction hit), replacements chain in order
+      SELECT doc_id, text AS r0,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g') AS r1
+      FROM aug
+    ), steps2 AS (
+      SELECT *, regexp_replace(r1,
+               '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '[IPV4]', 'g') AS r2
+      FROM steps
+    ), steps3 AS (
+      SELECT *, regexp_replace(r2,
+               '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN_LIKE]', 'g') AS r3
+      FROM steps2
     )
-    SELECT doc_id, {_PII_SQL} AS redacted,
-           CAST(len(string_split({_PII_SQL}, '[EMAIL]')) - 1
-              + len(string_split({_PII_SQL}, '[IPV4]')) - 1
-              + len(string_split({_PII_SQL}, '[PHONE]')) - 1
-              + len(string_split({_PII_SQL}, '[SSN_LIKE]')) - 1 AS INT) AS redacted_n_hits
-    FROM aug
+    SELECT doc_id,
+           regexp_replace(r3, '\+?\d[\d\s()-]{{7,}}\d', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(r0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+              + len(regexp_extract_all(r1, '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b'))
+              + len(regexp_extract_all(r2, '\b\d{{3}}-\d{{2}}-\d{{4}}\b'))
+              + len(regexp_extract_all(r3, '\+?\d[\d\s()-]{{7,}}\d')) AS INT) AS redacted_n_hits
+    FROM steps3
     """,
 )
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

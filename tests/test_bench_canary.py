@@ -20,6 +20,22 @@ from __future__ import annotations
 import subprocess
 import time
 
+import pytest
+
+
+def _require_quiet_machine(threshold: float = 0.5) -> None:
+    """Precondition-skip on a busy host (VERDICT r13 Next #2): these
+    pins assert "no foreign load", so a genuinely-loaded machine (e.g.
+    a concurrent 32-core oracle gate) fails them BY CONSTRUCTION — the
+    meter correctly reporting real foreign load is not a meter bug.
+    Measure an idle window first (min over 3 reps, so one transient
+    burst can't force the skip) and skip when the host already reads
+    above ``threshold`` foreign cores; when the precondition holds the
+    assertions stay sharp."""
+    idle = min(_window(lambda: time.sleep(0.4)) for _ in range(3))
+    if idle > threshold:
+        pytest.skip(f"machine not quiet: ext_cores={idle:.2f}")
+
 
 def _burn(seconds: float) -> None:
     t0 = time.time()
@@ -40,6 +56,7 @@ def _window(action) -> float:
 
 
 def test_ext_cores_excludes_self_load():
+    _require_quiet_machine()
     best = min(_window(lambda: _burn(0.6)) for _ in range(5))
     # a full core of self CPU must not register as foreign; a transient
     # host burst cannot contaminate all 5 windows
@@ -47,6 +64,8 @@ def test_ext_cores_excludes_self_load():
 
 
 def test_ext_cores_excludes_child_load():
+    _require_quiet_machine()
+
     def children():
         procs = [
             subprocess.Popen(
@@ -65,6 +84,9 @@ def test_ext_cores_excludes_child_load():
 
 
 def test_ext_cores_detects_foreign_load():
+    # detection needs ~4 spare cores for the burners to actually run;
+    # a laxer threshold than the exclusion pins (delta-based assert)
+    _require_quiet_machine(threshold=8.0)
     baseline = min(_window(lambda: time.sleep(0.8)) for _ in range(3))
 
     # orphan the burners (sh exits -> they reparent to init = foreign)

@@ -477,6 +477,11 @@ def test_redact_pii(spark):
         (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567"),
         (2, "server 192.168.0.1 ssn 123-45-6789"),
         (3, "nothing sensitive here"),
+        # ADVICE r13: a literal marker already in the input is NOT a
+        # redaction hit (hits counted on pre-replacement text, not by
+        # counting [KIND] markers in the output)
+        (4, "docs mention the [EMAIL] placeholder and [IPV4] syntax"),
+        (5, "[PHONE] already masked, plus real mail a@b.io"),
     ]
     df = spark.createDataFrame(rows, "id int, text string")
     got = {r["id"]: r for r in redact_pii(df, "text").collect()}
@@ -486,6 +491,8 @@ def test_redact_pii(spark):
     assert "[IPV4]" in got[2]["redacted"] and "[SSN_LIKE]" in got[2]["redacted"]
     assert got[2]["redacted_n_hits"] == 2
     assert got[3]["redacted"] == rows[2][1] and got[3]["redacted_n_hits"] == 0
+    assert got[4]["redacted"] == rows[3][1] and got[4]["redacted_n_hits"] == 0
+    assert got[5]["redacted_n_hits"] == 1 and "a@b.io" not in got[5]["redacted"]
 
 
 def test_repetition_stats(spark):
@@ -2113,6 +2120,81 @@ def test_snapshot_diff_null_vs_literal_null_string(spark):
     new = spark.createDataFrame([(1, "null")], "id long, t string")
     got = snapshot_diff(old, new, "id", ["t"]).collect()
     assert [(r["id"], r["status"]) for r in got] == [(1, "changed")]
+
+
+def test_snapshot_diff_null_id_not_phantom_churn(spark):
+    """ADVICE r13: a NULL-id row present in both snapshots with equal
+    content must be UNCHANGED (dropped), not a phantom added+removed
+    pair — the digest join is null-safe on the id. With changed
+    content it reports exactly one 'changed' row carrying the NULL
+    id."""
+    from erpl_web_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "b")], "id string, t string"
+    )
+    same = spark.createDataFrame(
+        [(None, "a"), (1, "b")], "id string, t string"
+    )
+    assert snapshot_diff(old, same, "id", ["t"]).count() == 0
+    new = spark.createDataFrame(
+        [(None, "A"), (1, "b")], "id string, t string"
+    )
+    got = snapshot_diff(old, new, "id", ["t"]).collect()
+    assert [(r["id"], r["status"]) for r in got] == [(None, "changed")]
+
+
+def test_apply_cdc_changes_null_op_upserts(spark):
+    """ADVICE r13 (medium): a NULL op must UPSERT (the docstring
+    contract — 'anything else upserts'), not vanish through
+    three-valued ~isin logic; same for scd2_intervals, where a NULL-op
+    change must open an interval like any upsert."""
+    from erpl_web_spark.operators.cdc import apply_cdc_changes, scd2_intervals
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, t string")
+    changes = spark.createDataFrame(
+        [(1, "A", None), (2, "b", "D"), (3, "c", None)],
+        "k long, t string, op string",
+    )
+    merged = apply_cdc_changes(base, changes, ["k"], op_col="op")
+    assert sorted((r["k"], r["t"]) for r in merged.collect()) == [
+        (1, "A"),
+        (3, "c"),
+    ]
+    hist = spark.createDataFrame(
+        [(1, "a", 1, "I"), (1, "b", 2, None), (1, None, 3, "D")],
+        "k long, t string, seq long, op string",
+    )
+    rows = scd2_intervals(hist, ["k"], ["seq"], op_col="op").collect()
+    # the NULL-op change at seq=2 opens an interval, closed by the delete
+    assert sorted((r["seq"], r["end_seq"], r["is_current"]) for r in rows) == [
+        (1, 2, False),
+        (2, 3, False),
+    ]
+
+
+def test_apply_cdc_changes_validate_rejects_duplicate_keys(spark):
+    """ADVICE r13: validate=True enforces the seq_cols=None
+    key-uniqueness contract loudly instead of silently emitting
+    duplicate key rows; a key-unique batch passes, and NULL-keyed rows
+    still count toward uniqueness (struct-distinct, not bare
+    count_distinct)."""
+    import pytest
+
+    from erpl_web_spark.operators.cdc import apply_cdc_changes
+
+    base = spark.createDataFrame([("1", "a")], "k string, t string")
+    dup = spark.createDataFrame(
+        [("1", "x"), ("1", "y"), (None, "z"), (None, "w")],
+        "k string, t string",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        apply_cdc_changes(base, dup, ["k"], validate=True)
+    ok = spark.createDataFrame(
+        [("1", "x"), ("2", "y"), (None, "z")], "k string, t string"
+    )
+    merged = apply_cdc_changes(base, ok, ["k"], validate=True)
+    assert merged.count() == 3
 
 
 def test_snapshot_diff_feeds_apply_cdc_changes(spark):
@@ -5208,6 +5290,26 @@ def test_pagerank_int_exact_replay(spark):
     assert abs(sum(gsym.values()) - n * unit) < 0.001 * n * unit
 
 
+def test_pagerank_int_overflow_precondition(spark):
+    """ADVICE r13: damping_pct * N * unit must fit in BIGINT or the
+    85*m intermediate can overflow silently on a hub-concentrated
+    graph — the operator now checks the bound exactly and raises with
+    a usable unit suggestion; a unit just under the bound runs."""
+    import pytest
+
+    from erpl_web_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    too_big = 2**63 // (85 * 4) + 1  # 4 nodes, damping 85
+    with pytest.raises(ValueError, match="exceeds BIGINT"):
+        pagerank_int(edges, iterations=1, unit=too_big)
+    ok_unit = 2**63 // (85 * 4) - 1
+    got = pagerank_int(edges, iterations=1, unit=ok_unit).collect()
+    assert len(got) == 4 and all(r["rank_int"] >= 0 for r in got)
+
+
 def test_bm25_ranking_semantics(spark):
     """bm25_topk must honor the three BM25 axioms the formula encodes:
     (1) idf — a query term that is RARE in the corpus contributes more
@@ -5253,6 +5355,45 @@ def test_bm25_ranking_semantics(spark):
     # apple-only query returns nothing
     q = spark.createDataFrame([(0, "apple")], "query_id long, query_text string")
     assert bm25_topk(corpus, q, k=5, max_df=3).count() == 0
+
+
+def test_bm25_broadcast_and_shuffle_paths_agree(spark):
+    """broadcast_queries=False (VERDICT r13 Next #3, the hard-negative-
+    mining contract where queries ≈ corpus and a broadcast would OOM)
+    must produce IDENTICAL results to the default broadcast path — only
+    the physical join strategy may differ. Pinned on a corpus-sized
+    query set (every doc's own text as a query) so the shuffle path is
+    exercised with the fan-out it exists for, plus a plan assert that
+    the broadcast hint is really gone."""
+    from erpl_web_spark.operators.text import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "zebra apple apple apple"),
+            (2, "apple banana banana banana"),
+            (3, "apple cherry"),
+            (4, "apple cherry date elderberry fig grape kiwi lemon"),
+            (5, "quux corge grault"),
+            (6, "banana date zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = corpus.selectExpr(
+        "doc_id AS query_id", "text AS query_text"
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    via_bcast = {
+        key(r): (r["doc_id"], r["score_r"])
+        for r in bm25_topk(corpus, queries, k=3).collect()
+    }
+    shuffled = bm25_topk(corpus, queries, k=3, broadcast_queries=False)
+    via_shuffle = {
+        key(r): (r["doc_id"], r["score_r"]) for r in shuffled.collect()
+    }
+    assert via_shuffle == via_bcast and len(via_bcast) > 0
+    # physical pin: no broadcast of the query-term side in the plan
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_ivf_suggest_cells_recovers_true_cluster_count(spark):
