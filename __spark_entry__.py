@@ -31,68 +31,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 13 (VERDICT r12 Next #1): latest-row histogram over the
-# CORRECTNESS_r*.json union is r08x15 / r09x48 / r10x49 / r11x46 /
-# r12x50 — the fifteen r08-stale names lead (the only entries whose
-# latest driver row is r08), then the round-13 additions (which need
-# their first driver rows), then the 48-name r09 band alphabetically;
-# the ~16 r09 names past the 50-sample prefix fill the next round.
-# Names are stable; unlisted entries keep registration order after
-# these.
+# Round 14 (VERDICT r13 Next #1): latest-row histogram over the
+# CORRECTNESS_r*.json union is r09x28 / r10x50 / r11x50 / r12x50 /
+# r13x50 — the 28 r09-stale names lead (judge-listed burn-down set),
+# then the single round-14 addition (first driver row), then the
+# alphabetically-first 21 of the r10 band to fill the 50-slot prefix;
+# the remaining 29 r10 names queue behind them for round 15. Names are
+# stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
-    # -- latest driver row is r08 (missed the r12 prefix) --
-    "text_clean_lines",
-    "text_countmin_topk",
-    "text_gopher_rules",
-    "text_line_dedup",
-    "text_line_dedup_keepfirst",
-    "text_line_dedup_salted",
-    "text_normalize",
-    "text_paragraph_dedup",
-    "text_quality",
-    "text_quality_linear",
-    "text_redact_pii",
-    "text_token_diversity",
-    "text_unigram_freq_salted",
-    "text_vocab_topk",
-    "udtf_chunk_tokens",
-    # -- new in round 13 (need their first driver rows) --
-    "dedup_containment_natural",
-    "dedup_substring_natural",
-    "curation_weighted_threshold",
-    "similarity_ivf_cell_profile",
-    "text_bm25_topk",
-    "graph_pagerank",
-    "layout_zorder_profile",
-    "agg_hll_distinct",
-    "text_bm25_natural",
-    "pipeline_hll_index_batches",
-    "cdc_scd2_intervals",
-    "cdc_scd2_asof_lookup",
-    "quality_expectations",
-    "graph_triangles",
-    # -- latest driver row is r09 --
-    "agg_approx_distinct",
-    "agg_histogram",
-    "asof_join_forward",
-    "bitwise_funcs",
-    "cdc_snapshot_diff",
-    "codec_funcs",
-    "cohort_retention",
-    "curation_decontaminate_semantic",
-    "curation_temperature_mixture",
-    "dedup_minhash_lsh_md5",
-    "dedup_source_overlap",
-    "dedup_substring_scrub",
-    "diag_profile_orders",
-    "events_resample_1h",
-    "events_value_anomaly",
-    "funnel_stages",
-    "interval_funcs",
-    "interval_join_bucketed",
-    "match_fuzzy_parts",
-    "match_resolve_parts",
-    "min_cost_supplier",
+    # -- latest driver row is r09 (the r13-verdict burn-down list) --
+    "dedup_cluster_minhash",
     "multimodal_audio_chunks",
     "null_safe_funcs",
     "odata_apply_groupby",
@@ -120,6 +68,60 @@ _SAMPLE_PRIORITY = [
     "text_lang_confusion",
     "text_tfidf_topk",
     "unpivot_part_attrs",
+    # -- new in round 14 (needs its first driver row) --
+    "quality_drift_report",
+    # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
+    "analytics_event_transitions",
+    "analytics_market_basket",
+    "analytics_rfm_segments",
+    "array_funcs",
+    "asof_join_events",
+    "cdc_delta_batch",
+    "date_funcs",
+    "dedup_cluster_minhash_md5",
+    "dedup_simhash_md5",
+    "dedup_url_canonical",
+    "dedup_winnow_overlap",
+    "dedup_winnow_scrub",
+    "distinct_projection",
+    "embedding_matryoshka_audit",
+    "filter_in_case_coalesce",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_semi",
+    "join_theta_pairs",
+    "json_funcs",
+    # -- remainder of the r10 band queues for round 15 --
+    "map_funcs",
+    "math_funcs",
+    "multimodal_dhash_pairs",
+    "multimodal_dhash_values",
+    "odata_expand_nested",
+    "odata_select_filter_top",
+    "pipeline_pack_nextfit",
+    "pipeline_url_index_batches",
+    "pivot_order_status",
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q11_important_stock",
+    "q12_shipping_modes",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "set_intersect",
+    "set_union",
+    "similarity_ann_lsh_md5",
+    "similarity_knn_label_eval",
+    "sort_topk",
+    "string_funcs",
+    "text_bigram_coverage",
+    "text_bigram_logprob",
+    "text_bloom_membership",
+    "text_bpe_merges",
+    "text_chunk_windows",
+    "text_hashed_features",
+    "text_url_canonicalize",
 ]
 
 

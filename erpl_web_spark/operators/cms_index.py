@@ -81,14 +81,86 @@ def countmin_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     so a crash mid-compaction would silently inflate every estimate.
     Accumulation is harmless here anyway: each batch adds at most
     depth x width rows (1024 at the defaults), so even 10k batches
-    stay a ~10M-row union. If pruning ever matters, rebuild the index
-    from scratch into a fresh path and swap — a full rewrite has no
-    double-visibility window."""
+    stay a ~10M-row union. If pruning ever matters, use
+    ``countmin_index_rebuild`` — a full rewrite into a fresh path has
+    no double-visibility window."""
     raise NotImplementedError(
         "cms_index refuses compaction: additive counters are not "
         "idempotent under the compactor's double-visibility crash "
-        "window (see docstring); rebuild into a fresh path instead"
+        "window (see docstring); use countmin_index_rebuild into a "
+        "fresh path instead"
     )
+
+
+def countmin_index_rebuild(spark, path: str, dest_path: str) -> int:
+    """The compaction RECIPE ``countmin_index_compact`` prescribes,
+    made an operator (VERDICT r13 Next #4): merge every committed
+    batch sketch into ONE version at a FRESH path and commit it there —
+    the full-rewrite pruning path that has no double-visibility window,
+    because readers keep resolving the OLD path until the caller swaps
+    to ``dest_path``. After the swap, ``countmin_index_apply`` appends
+    to the rebuilt index exactly as before (streaming batch ids stay
+    monotone past the rebuilt version).
+
+    One pass: the per-cell SUM over the committed union (additivity
+    makes that SUM bit-identical to a single-pass sketch of the whole
+    corpus, the property the index is built on) written as
+    ``cms=<last batch id>`` under the manifest protocol. The payload
+    records geometry plus the rebuilt batch ids for audit.
+
+    Crash/replay safety, by construction:
+    - crash BEFORE the dest commit — dest holds torn data with no
+      manifest (invisible to readers); the source is never touched;
+      re-running redoes the rebuild from the same committed union.
+    - crash AFTER the dest commit — re-running uncommits, rewrites
+      byte-identical rows, and recommits: idempotent.
+    - rebuilding IN PLACE is refused — that is exactly the refused
+      compaction (the source must stay readable until the swap).
+
+    Raises when the source is empty or ``dest_path`` already holds a
+    committed version with different (depth, width). Returns the
+    version id committed at ``dest_path``.
+    """
+    from erpl_web_spark.core import manifests
+
+    if dest_path.rstrip("/") == path.rstrip("/"):
+        raise ValueError(
+            "countmin_index_rebuild: dest_path must differ from path — "
+            "an in-place rewrite is the refused compaction (readers "
+            "would see merged-away rows twice in the crash window)"
+        )
+    committed = manifests.committed_versions(spark, path, "cms")
+    if not committed:
+        raise ValueError(f"countmin_index_rebuild: no committed index at {path}")
+    meta = _index_meta(spark, path)
+    dest_committed = manifests.committed_versions(spark, dest_path, "cms")
+    for n in dest_committed:
+        dmeta = manifests.manifest_payload(spark, dest_path, "cms", n)
+        if dmeta.get("depth") != meta["depth"] or dmeta.get("width") != meta["width"]:
+            raise ValueError(
+                f"countmin_index_rebuild: dest {dest_path} holds a "
+                f"depth={dmeta.get('depth')}, width={dmeta.get('width')} "
+                f"index; source is depth={meta['depth']}, width={meta['width']}"
+            )
+    merged = read_countmin_index(spark, path)
+    n = committed[-1]
+    # replay guard, the merge-sink discipline: retract a previous
+    # attempt's manifest BEFORE clobbering its data directory
+    manifests.uncommit_version(spark, dest_path, "cms", n)
+    merged.write.mode("overwrite").parquet(f"{dest_path}/cms={n}")
+    manifests.commit_version(
+        spark,
+        dest_path,
+        "cms",
+        n,
+        payload={
+            "depth": meta["depth"],
+            "width": meta["width"],
+            "rebuilt_from": path,
+            "rebuilt_batches": committed,
+        },
+    )
+    return n
 
 
 def countmin_index_lookup(

@@ -11,6 +11,14 @@ count vs count_distinct; referential integrity is one left-anti join
 per (child, parent) pair, broadcast when the parent's key side is
 dimension-sized. Nothing corpus-scale reaches the driver — the report
 is checks-many rows.
+
+Round 14 adds the CROSS-BATCH tier (the Deequ anomaly-detection
+shape): :func:`batch_metrics` profiles a batch as tall (metric, value)
+rows, :func:`metrics_apply` persists them under the manifest commit
+protocol (the HLL/CMS index pattern), and :func:`drift_report`
+compares the latest committed batch against the previous one under
+per-metric relative/absolute tolerances — so a publish gate catches
+"this batch is fine in isolation but 40% smaller than yesterday".
 """
 
 from __future__ import annotations
@@ -87,6 +95,165 @@ def quality_report(
         "n_rows",
         F.col("__c.n_failed").alias("n_failed"),
         (F.col("__c.n_failed") == 0).cast("int").alias("passed"),
+    )
+
+
+def batch_metrics(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    rate_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-pass profile of a batch as tall (metric, value) rows — the
+    unit of state the cross-batch drift tier persists (VERDICT r13
+    Next #5, the Deequ anomaly-detection shape): ``n_rows``,
+    ``n_distinct_keys`` (struct-distinct over ``key_cols``, so NULL
+    key components still count), and ``null_rate:<col>`` per rate
+    column (NULL-count / n_rows; 0.0 on an empty batch — an absent
+    batch has no nulls, and the gate must not three-value emptiness).
+
+    Values are doubles, exact for any count below 2^53; rates divide
+    two exact counts, so the SAME inputs give bit-identical doubles in
+    any IEEE engine — what makes the drift oracle value-hashable.
+    ONE aggregate pass regardless of metric count (a metric is a
+    column of the agg, not a scan).
+    """
+    key_cols = key_cols or []
+    rate_cols = rate_cols or []
+    aggs = [F.count("*").cast("double").alias("n_rows")]
+    names = ["n_rows"]
+    if key_cols:
+        aggs.append(
+            F.count_distinct(F.struct(*key_cols)).cast("double").alias("__k")
+        )
+        names.append("n_distinct_keys")
+    for i, c in enumerate(rate_cols):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")).cast("double")
+                / F.count("*"),
+                F.lit(0.0),
+            ).alias(f"__r{i}")
+        )
+        names.append(f"null_rate:{c}")
+    one = df.agg(*aggs)
+    cols = ["n_rows"] + (["__k"] if key_cols else []) + [
+        f"__r{i}" for i in range(len(rate_cols))
+    ]
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("metric"), F.col(c).alias("value")
+                )
+                for n, c in zip(names, cols)
+            ]
+        )
+    ).alias("__m")
+    return one.select(pairs).select(
+        F.col("__m.metric").alias("metric"), F.col("__m.value").alias("value")
+    )
+
+
+def metrics_apply(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    key_cols: list[str] | None = None,
+    rate_cols: list[str] | None = None,
+) -> None:
+    """foreachBatch sink: persist this batch's :func:`batch_metrics`
+    as ``metrics=<batch_id>`` under the manifest commit protocol (the
+    HLL/CMS index discipline — manifest written strictly after the
+    parquet write, so a torn write is invisible and a replayed batch
+    id is a no-op). State is metrics-many rows per batch: the history
+    a publish gate needs for drift checks, at no corpus-scale cost."""
+    from erpl_web_spark.core import manifests
+
+    spark = batch_df.sparkSession
+    if batch_id in manifests.committed_versions(spark, path, "metrics"):
+        return  # replay: history must not gain a duplicate batch
+    m = batch_metrics(batch_df, key_cols, rate_cols)
+    m.write.mode("overwrite").parquet(f"{path}/metrics={batch_id}")
+    manifests.commit_version(spark, path, "metrics", batch_id)
+
+
+def drift_report(
+    spark,
+    path: str,
+    tolerances: dict[str, tuple[str, float]],
+    before: int | None = None,
+) -> DataFrame | None:
+    """Compare the latest committed metrics batch against the previous
+    one — the cross-batch tier a real publish gate runs NEXT TO the
+    single-batch :func:`quality_report` (row-count delta, distinct-key
+    delta, null-rate drift vs the last committed batch).
+
+    ``tolerances``: metric -> ("rel", limit) or ("abs", limit).
+    rel compares ``|curr/prev - 1|`` (the rate-of-change contract for
+    counts); abs compares ``|curr - prev|`` (for rates already in
+    [0, 1]). A vanished baseline (prev = 0, curr > 0) has no defined
+    relative change: delta is NULL and the check FAILS — unknown is
+    not a pass, the ``quality_report`` NULL convention. prev = curr =
+    0 is drift 0. The limit is inclusive: delta == limit passes
+    (pytest pins the boundary).
+
+    Returns one row per toleranced metric — (curr_batch, metric,
+    prev_value, curr_value, delta rounded to 1e-9, mode, max_delta,
+    passed 0/1) — or None with fewer than two committed batches
+    (no history yet; nothing to drift against). ``before`` restricts
+    to batches strictly below it, so a gate can replay any historical
+    pair. Both sides of the comparison are metrics-many rows: the
+    whole report is a driver-side-trivial join, never a corpus scan.
+    """
+    from erpl_web_spark.core import manifests
+
+    versions = manifests.committed_versions(spark, path, "metrics", before=before)
+    if len(versions) < 2:
+        return None
+    prev_id, curr_id = versions[-2], versions[-1]
+    prev = spark.read.parquet(f"{path}/metrics={prev_id}").select(
+        "metric", F.col("value").alias("prev_value")
+    )
+    curr = spark.read.parquet(f"{path}/metrics={curr_id}").select(
+        "metric", F.col("value").alias("curr_value")
+    )
+    joined = prev.join(curr, "metric", "full_outer")
+    tol_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("metric"),
+                    F.lit(mode).alias("mode"),
+                    F.lit(float(limit)).alias("max_delta"),
+                )
+                for m, (mode, limit) in tolerances.items()
+            ]
+        )
+    ).alias("__t")
+    tol_df = spark.range(1).select(tol_rows).select(
+        "__t.metric", "__t.mode", "__t.max_delta"
+    )
+    out = joined.join(tol_df, "metric")
+    delta = F.when(
+        F.col("mode") == "abs",
+        F.abs(F.col("curr_value") - F.col("prev_value")),
+    ).otherwise(
+        F.when(F.col("prev_value") > 0.0,
+               F.abs(F.col("curr_value") / F.col("prev_value") - 1.0))
+        .when(F.col("curr_value") == 0.0, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return out.select(
+        F.lit(int(curr_id)).cast("long").alias("curr_batch"),
+        "metric",
+        "prev_value",
+        "curr_value",
+        F.round(delta, 9).alias("delta"),
+        "mode",
+        "max_delta",
+        (delta.isNotNull() & (delta <= F.col("max_delta")))
+        .cast("int")
+        .alias("passed"),
     )
 
 

@@ -261,6 +261,9 @@ def pagerank_int(
     damping_pct: int = 85,
     unit: int = 1_000_000_000,
     symmetrize: bool = False,
+    tol: int | None = None,
+    checkpoint_every: int = 5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over an edge list in EXACT integer arithmetic — the
     iterative-algorithm counterpart of ``connected_components`` (seed
@@ -297,6 +300,25 @@ def pagerank_int(
     a fixed constant (PageRank converges geometrically; 5-20 rounds is
     the production norm). Returns (id, rank_int) for every node
     appearing in the (symmetrized) edge set.
+
+    ``tol`` (VERDICT r13 Next #6) optionally early-stops: after each
+    round the L1 delta sum(|r_{k+1} - r_k|) IN INTEGER UNITS is
+    measured with one bounded action (the ``connected_components``
+    posture — a skinny self-join + one aggregate) and the loop exits
+    once delta <= tol. Because the update is a deterministic integer
+    map, a round with delta = 0 is an EXACT fixpoint: stopping there
+    is bit-identical to running every remaining round (pytest-pinned),
+    so tol=0 is safe and tol>0 trades bounded rank error for rounds.
+
+    Lineage guard: ranks are localCheckpoint'ed every
+    ``checkpoint_every`` rounds (every round when ``tol`` is set —
+    the delta action materializes them anyway), so a 20-iteration run
+    carries constant-depth lineage instead of 20 rounds of nested
+    joins — the growth that OOMs the driver before the data does.
+
+    ``stats``, when a dict is passed, is filled with
+    ``{"rounds": <executed>, "final_delta": <int|None>}`` so callers
+    (and tests) can observe that the early stop actually engaged.
     """
     from erpl_web_spark.operators._cache import track_persist
 
@@ -336,7 +358,8 @@ def pagerank_int(
         )
     base = (100 - damping_pct) * unit // 100
     ranks = nodes.select("id", F.lit(unit).cast("long").alias("rank_int"))
-    for _ in range(iterations):
+    rounds_run, final_delta = 0, None
+    for i in range(iterations):
         contrib = (
             links.join(ranks, links["src"] == ranks["id"])
             .select(
@@ -346,7 +369,7 @@ def pagerank_int(
             .groupBy("id")
             .agg(F.sum("share").alias("m"))
         )
-        ranks = nodes.join(contrib, "id", "left").select(
+        new_ranks = nodes.join(contrib, "id", "left").select(
             "id",
             (
                 F.lit(base)
@@ -355,4 +378,24 @@ def pagerank_int(
                 )
             ).cast("long").alias("rank_int"),
         )
+        if tol is not None or (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        rounds_run = i + 1
+        if tol is not None:
+            prev = ranks.select(
+                F.col("id"), F.col("rank_int").alias("__prev")
+            )
+            final_delta = int(
+                new_ranks.join(prev, "id")
+                .agg(F.sum(F.abs(F.col("rank_int") - F.col("__prev"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if final_delta <= tol:
+                break
+        else:
+            ranks = new_ranks
+    if stats is not None:
+        stats["rounds"] = rounds_run
+        stats["final_delta"] = final_delta
     return ranks

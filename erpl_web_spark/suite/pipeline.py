@@ -3189,6 +3189,116 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_drift_report",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey % 3 AS bid0, o_orderkey, o_custkey, o_orderpriority
+      FROM orders
+    ), batches AS (
+      SELECT CAST(bid0 AS BIGINT) AS bid, o_custkey,
+             CASE WHEN bid0 = 2 AND o_orderkey % 4 = 0
+                  THEN NULL ELSE o_orderpriority END AS o_orderpriority
+      FROM b
+      WHERE bid0 < 2 OR o_orderkey % 5 <> 0
+    ), m AS (
+      SELECT bid,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_keys,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS nullrate
+      FROM batches GROUP BY bid
+    ), pairs AS (
+      SELECT c.bid AS curr_batch,
+             p.n_rows AS pn, c.n_rows AS cn,
+             p.n_keys AS pk, c.n_keys AS ck,
+             p.nullrate AS pr, c.nullrate AS cr
+      FROM m p JOIN m c ON c.bid = p.bid + 1
+    ), tall AS (
+      SELECT curr_batch, 'n_rows' AS metric, pn AS prev_value,
+             cn AS curr_value, 'rel' AS mode, 0.1 AS max_delta FROM pairs
+      UNION ALL
+      SELECT curr_batch, 'n_distinct_keys', pk, ck, 'rel', 0.25 FROM pairs
+      UNION ALL
+      SELECT curr_batch, 'null_rate:o_orderpriority', pr, cr, 'abs', 0.1 FROM pairs
+    ), d AS (
+      SELECT *,
+             CASE WHEN mode = 'abs' THEN abs(curr_value - prev_value)
+                  WHEN prev_value > 0 THEN abs(curr_value / prev_value - 1.0)
+                  WHEN curr_value = 0 THEN 0.0
+                  ELSE NULL END AS raw_delta
+      FROM tall
+    )
+    SELECT curr_batch, metric, prev_value, curr_value,
+           ROUND(raw_delta, 6) AS delta_r, mode, max_delta,
+           CAST(raw_delta IS NOT NULL AND raw_delta <= max_delta AS INT)
+             AS passed
+    FROM d
+    """,
+)
+def quality_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch drift gate (operators.expectations drift tier,
+    VERDICT r13 Next #5): orders arrive as three batches split on
+    o_orderkey % 3, each batch's profile metrics (row count, distinct
+    custkeys, o_orderpriority null rate) manifest-committed via metrics_apply;
+    drift_report then compares consecutive committed batches under
+    per-metric tolerances. Batch 2 carries PLANTED drift — one in five
+    rows dropped (rel row-count drift ~0.2 > the 0.1 tolerance) and
+    o_orderpriority nulled on orderkey % 4 = 0 (abs null-rate drift ~0.19 >
+    0.1) — so the batch 0->1 pair passes everything and the 1->2 pair
+    fails two of three checks: BOTH report paths sit in the value
+    hash. The oracle recomputes the same metrics and drift formula
+    straight from the table — it knows nothing about the on-disk
+    history, so hash equality also proves the manifest round-trip is
+    lossless. Metrics state is metrics-many rows per batch; the report
+    never rescans the corpus."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.expectations import drift_report, metrics_apply
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3).alias("bid"), "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    tolerances = {
+        "n_rows": ("rel", 0.1),
+        "n_distinct_keys": ("rel", 0.25),
+        "null_rate:o_orderpriority": ("abs", 0.1),
+    }
+    tmp = tempfile.mkdtemp(prefix="driftidx-suite-")
+    try:
+        for bid in (0, 1, 2):
+            batch = o.where(F.col("bid") == bid)
+            if bid == 2:
+                batch = batch.where(F.col("o_orderkey") % 5 != 0).withColumn(
+                    "o_orderpriority",
+                    F.when(F.col("o_orderkey") % 4 == 0, F.lit(None)).otherwise(
+                        F.col("o_orderpriority")
+                    ),
+                )
+            metrics_apply(
+                batch, bid, tmp, key_cols=["o_custkey"], rate_cols=["o_orderpriority"]
+            )
+        pair01 = drift_report(spark, tmp, tolerances, before=2)
+        pair12 = drift_report(spark, tmp, tolerances)
+        rows = (
+            pair01.unionByName(pair12)
+            .select(
+                "curr_batch", "metric", "prev_value", "curr_value",
+                F.round("delta", 6).alias("delta_r"), "mode", "max_delta",
+                "passed",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "curr_batch long, metric string, prev_value double, curr_value double, "
+        "delta_r double, mode string, max_delta double, passed int",
+    )
+
+
+@register(
     "dedup_cluster_minhash_md5",
     oracle=f"""
     WITH RECURSIVE {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS},

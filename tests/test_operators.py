@@ -4993,6 +4993,91 @@ def test_quality_report_counts_and_null_semantics(spark):
         )
 
 
+def test_drift_report_tolerance_boundary_and_null_semantics(spark, tmp_path):
+    """Cross-batch drift tier (VERDICT r13 Next #5): the tolerance is
+    INCLUSIVE (delta == limit passes, the tiniest excess fails — pinned
+    with an exactly-representable 0.25 rel delta), a vanished baseline
+    (prev=0, curr>0) is a NULL-delta FAIL, prev=curr=0 is drift 0,
+    fewer than two committed batches yields None (no history), a
+    replayed batch id never duplicates history, and a metric present
+    on only one side fails."""
+    import pytest  # noqa: F401
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.expectations import (
+        batch_metrics,
+        drift_report,
+        metrics_apply,
+    )
+
+    path = str(tmp_path / "metrics")
+
+    # batch 0: 4 rows, no nulls in v; batch 1: 5 rows (rel delta
+    # exactly 0.25 — 5/4-1 is exact in binary), v entirely null
+    b0 = spark.createDataFrame([(i, "x") for i in range(4)], "k long, v string")
+    b1 = spark.createDataFrame([(i, None) for i in range(5)], "k long, v string")
+    metrics_apply(b0, 0, path, key_cols=["k"], rate_cols=["v"])
+    assert drift_report(spark, path, {"n_rows": ("rel", 0.25)}) is None
+    metrics_apply(b1, 1, path, key_cols=["k"], rate_cols=["v"])
+    # replayed batch id: history unchanged (still exactly 2 versions)
+    metrics_apply(b0, 1, path, key_cols=["k"], rate_cols=["v"])
+    assert manifests.committed_versions(spark, path, "metrics") == [0, 1]
+
+    def report(tol):
+        return {
+            r["metric"]: r
+            for r in drift_report(spark, path, tol).collect()
+        }
+
+    at = report({"n_rows": ("rel", 0.25), "null_rate:v": ("abs", 1.0)})
+    assert at["n_rows"]["delta"] == 0.25 and at["n_rows"]["passed"] == 1
+    assert at["null_rate:v"]["delta"] == 1.0 and at["null_rate:v"]["passed"] == 1
+    below = report({"n_rows": ("rel", 0.2499999), "null_rate:v": ("abs", 0.9)})
+    assert below["n_rows"]["passed"] == 0
+    assert below["null_rate:v"]["passed"] == 0
+
+    # vanished baseline: prev=0 distinct keys is undefined relative
+    # change -> NULL delta, FAIL; prev=curr=0 is drift 0, PASS
+    p2 = str(tmp_path / "zero")
+    e0 = spark.createDataFrame([], "k string, v string")  # 0 rows
+    e1 = spark.createDataFrame([("a", None)], "k string, v string")
+    metrics_apply(e0, 0, p2, key_cols=["k"], rate_cols=["v"])
+    metrics_apply(e1, 1, p2, key_cols=["k"], rate_cols=["v"])
+    z = {
+        r["metric"]: r
+        for r in drift_report(
+            spark, p2, {"n_rows": ("rel", 100.0), "null_rate:v": ("abs", 2.0)}
+        ).collect()
+    }
+    assert z["n_rows"]["delta"] is None and z["n_rows"]["passed"] == 0
+    # empty batch's null rate is 0.0 (not NULL): abs drift 1.0, passes
+    assert z["null_rate:v"]["delta"] == 1.0 and z["null_rate:v"]["passed"] == 1
+
+    # prev = curr = 0 (two empty batches) is drift 0: PASS
+    p4 = str(tmp_path / "empty2")
+    metrics_apply(e0, 0, p4, key_cols=["k"])
+    metrics_apply(e0, 1, p4, key_cols=["k"])
+    z2 = {
+        r["metric"]: r
+        for r in drift_report(spark, p4, {"n_rows": ("rel", 0.0)}).collect()
+    }
+    assert z2["n_rows"]["delta"] == 0.0 and z2["n_rows"]["passed"] == 1
+
+    # a metric only one side has (schema change between batches) fails
+    p3 = str(tmp_path / "skew")
+    metrics_apply(b0, 0, p3, key_cols=["k"])  # no rate metric
+    metrics_apply(b1, 1, p3, key_cols=["k"], rate_cols=["v"])
+    s = {
+        r["metric"]: r
+        for r in drift_report(spark, p3, {"null_rate:v": ("abs", 1.0)}).collect()
+    }
+    assert s["null_rate:v"]["passed"] == 0
+
+    # batch_metrics tall shape is (metric, value) with exact counts
+    got = {r["metric"]: r["value"] for r in batch_metrics(b0, ["k"], ["v"]).collect()}
+    assert got == {"n_rows": 4.0, "n_distinct_keys": 4.0, "null_rate:v": 0.0}
+
+
 def test_scd2_intervals_history_semantics(spark):
     """scd2_intervals on a hand-built change chain: upsert -> upsert ->
     delete -> re-insert must yield three intervals — the first closed
@@ -5081,6 +5166,105 @@ def test_countmin_index_incremental_batches(spark, tmp_path):
 
     with pytest.raises(ValueError):
         countmin_index_apply(b0, 2, idx, depth=4, width=128)
+
+
+def test_countmin_index_rebuild(spark, tmp_path):
+    """countmin_index_rebuild (VERDICT r13 Next #4): the fresh-path
+    rewrite the compaction refusal prescribes. Estimates must be
+    IDENTICAL pre/post rebuild, the rebuilt index collapses to one
+    committed version, a crash mid-rebuild (torn dest data, no
+    manifest) replays to the same result, a second run is idempotent,
+    appends continue after the swap, and an in-place rebuild is
+    refused."""
+    import pytest
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.cms_index import (
+        countmin_index_apply,
+        countmin_index_lookup,
+        countmin_index_rebuild,
+        read_countmin_index,
+    )
+
+    idx = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    batches = [
+        spark.createDataFrame(
+            [(0, "alpha beta beta"), (1, "gamma alpha")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(2, "beta delta delta delta"), (3, "alpha")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(4, "alpha epsilon epsilon")], "doc_id long, text string"
+        ),
+    ]
+    for i, b in enumerate(batches):
+        countmin_index_apply(b, i, idx, depth=4, width=64)
+    toks = spark.createDataFrame(
+        [("alpha",), ("beta",), ("delta",), ("epsilon",), ("unseen",)],
+        "tok string",
+    )
+
+    def estimates(path):
+        return {
+            r["tok"]: r["est_n"]
+            for r in countmin_index_lookup(spark, path, toks).collect()
+        }
+
+    pre = estimates(idx)
+
+    # crash window 1 — mid data write (no _SUCCESS): invisible to readers
+    import os
+
+    spark.createDataFrame([(0, 0, 99)], "d int, w int, cnt long").write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/cms=2")
+    os.remove(f"{dest}/cms=2/_SUCCESS")
+    assert read_countmin_index(spark, dest) is None
+    # crash window 2 — data committed (_SUCCESS) but manifest missing:
+    # a reader refuses LOUDLY instead of guessing at the torn state...
+    open(f"{dest}/cms=2/_SUCCESS", "w").close()
+    with pytest.raises(RuntimeError, match="pre-manifest"):
+        read_countmin_index(spark, dest)
+
+    # ...and the rebuild replay repairs both windows
+    n = countmin_index_rebuild(spark, idx, dest)
+    assert n == 2
+    assert manifests.committed_versions(spark, dest, "cms") == [2]
+    assert estimates(dest) == pre  # identical pre/post
+    # merged cells equal the source's merged view bit-exactly
+    src_cells = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in read_countmin_index(spark, idx).collect()
+    }
+    dest_cells = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in read_countmin_index(spark, dest).collect()
+    }
+    assert dest_cells == src_cells
+
+    # idempotent second run (replay after a post-commit crash)
+    assert countmin_index_rebuild(spark, idx, dest) == 2
+    assert estimates(dest) == pre
+
+    # appends continue past the rebuilt version at the new path
+    extra = spark.createDataFrame([(5, "alpha alpha")], "doc_id long, text string")
+    countmin_index_apply(extra, 3, dest, depth=4, width=64)
+    post = estimates(dest)
+    assert post["alpha"] >= pre["alpha"] + 2
+    assert post["unseen"] >= 0 and post["delta"] >= pre["delta"]
+
+    # in-place rebuild is the refused compaction
+    with pytest.raises(ValueError, match="in-place"):
+        countmin_index_rebuild(spark, idx, idx)
+    # geometry mismatch at dest is refused
+    other = str(tmp_path / "other")
+    countmin_index_apply(batches[0], 0, other, depth=4, width=128)
+    with pytest.raises(ValueError, match="width"):
+        countmin_index_rebuild(spark, other, dest)
 
 
 def test_hll_index_compaction_and_cms_refusal(spark, tmp_path):
@@ -5308,6 +5492,49 @@ def test_pagerank_int_overflow_precondition(spark):
     ok_unit = 2**63 // (85 * 4) - 1
     got = pagerank_int(edges, iterations=1, unit=ok_unit).collect()
     assert len(got) == 4 and all(r["rank_int"] >= 0 for r in got)
+
+
+def test_pagerank_int_early_stop_and_lineage_guard(spark):
+    """tol early-stop (VERDICT r13 Next #6): the integer update is a
+    deterministic map, so a delta=0 round is an EXACT fixpoint —
+    stopping there must be bit-identical to running every remaining
+    round; the stats hook shows the stop actually engaged, and the
+    per-round localCheckpoint keeps a long run's lineage constant
+    (pinned indirectly: a 25-round run completes without the driver
+    choking on nested-join plan growth)."""
+    from erpl_web_spark.operators.graph import pagerank_int
+
+    # strongly connected with off-cycle mass so convergence is not
+    # instant: 1->2->3->1 plus 4->1, 1->4; unit=1000 reaches the exact
+    # integer fixpoint at round 18 (Python-modelled), inside 22 rounds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (1, 4)], "src long, dst long"
+    )
+    full = {
+        r["id"]: r["rank_int"]
+        for r in pagerank_int(edges, iterations=22, unit=1000).collect()
+    }
+    stats: dict = {}
+    stopped = {
+        r["id"]: r["rank_int"]
+        for r in pagerank_int(
+            edges, iterations=22, unit=1000, tol=0, stats=stats
+        ).collect()
+    }
+    assert stats["final_delta"] == 0
+    assert stats["rounds"] < 22  # the early stop engaged
+    assert stopped == full  # bit-identical to the un-stopped run
+    # tol > 0 stops no later; geometric tail bounds the distance to the
+    # fixpoint by tol * 100/(100-damping) = 50 * 100/15
+    s2: dict = {}
+    near = {
+        r["id"]: r["rank_int"]
+        for r in pagerank_int(
+            edges, iterations=22, unit=1000, tol=50, stats=s2
+        ).collect()
+    }
+    assert s2["rounds"] <= stats["rounds"]
+    assert sum(abs(near[k] - full[k]) for k in full) <= 50 * 100 // 15 + 4
 
 
 def test_bm25_ranking_semantics(spark):
