@@ -68,8 +68,9 @@ _SAMPLE_PRIORITY = [
     "text_lang_confusion",
     "text_tfidf_topk",
     "unpivot_part_attrs",
-    # -- new in round 14 (needs its first driver row) --
+    # -- new in round 14 (need their first driver rows) --
     "quality_drift_report",
+    "quality_drift_histogram",
     # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
     "analytics_event_transitions",
     "analytics_market_basket",

@@ -102,6 +102,7 @@ def batch_metrics(
     df: DataFrame,
     key_cols: list[str] | None = None,
     rate_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> DataFrame:
     """One-pass profile of a batch as tall (metric, value) rows — the
     unit of state the cross-batch drift tier persists (VERDICT r13
@@ -116,9 +117,21 @@ def batch_metrics(
     any IEEE engine — what makes the drift oracle value-hashable.
     ONE aggregate pass regardless of metric count (a metric is a
     column of the agg, not a scan).
+
+    ``hist_cols``: col -> (lo, hi, nbins) adds ``hist:<col>:<bin>``
+    metrics — each bin's SHARE of the column's non-NULL values under
+    fixed equi-width binning (``floor((v - lo) / (hi - lo) * nbins)``,
+    clamped to [0, nbins-1] so outliers land in the edge bins instead
+    of vanishing). Fixed bins, not quantiles, deliberately: shares are
+    exact count ratios (bit-identical cross-engine, mergeable across
+    partitions inside the same aggregate) and an abs tolerance per bin
+    in :func:`drift_report` is the distribution-shift check — see
+    :func:`hist_tolerances`. NULLs are excluded here (null_rate owns
+    them); an all-NULL or empty batch emits share 0.0 for every bin.
     """
     key_cols = key_cols or []
     rate_cols = rate_cols or []
+    hist_cols = hist_cols or {}
     aggs = [F.count("*").cast("double").alias("n_rows")]
     names = ["n_rows"]
     if key_cols:
@@ -135,10 +148,44 @@ def batch_metrics(
             ).alias(f"__r{i}")
         )
         names.append(f"null_rate:{c}")
+    n_hist = 0
+    for c, (lo, hi, nbins) in hist_cols.items():
+        v = F.col(c).cast("double")
+        binned = F.least(
+            F.lit(nbins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (v - F.lit(float(lo)))
+                    / F.lit(float(hi) - float(lo))
+                    * F.lit(nbins)
+                ).cast("int"),
+            ),
+        )
+        for b in range(nbins):
+            # the isNotNull gate matters: Spark's greatest() IGNORES
+            # NULLs, so a NULL value's clamp lands on 0, not NULL —
+            # ungated, every NULL row would count into bin 0
+            aggs.append(
+                F.coalesce(
+                    F.try_divide(
+                        F.sum(
+                            (v.isNotNull() & (binned == b)).cast("long")
+                        ).cast("double"),
+                        F.sum(v.isNotNull().cast("long")),
+                    ),
+                    F.lit(0.0),
+                ).alias(f"__h{n_hist}")
+            )
+            names.append(f"hist:{c}:{b}")
+            n_hist += 1
     one = df.agg(*aggs)
-    cols = ["n_rows"] + (["__k"] if key_cols else []) + [
-        f"__r{i}" for i in range(len(rate_cols))
-    ]
+    cols = (
+        ["n_rows"]
+        + (["__k"] if key_cols else [])
+        + [f"__r{i}" for i in range(len(rate_cols))]
+        + [f"__h{i}" for i in range(n_hist)]
+    )
     pairs = F.explode(
         F.array(
             *[
@@ -154,12 +201,25 @@ def batch_metrics(
     )
 
 
+def hist_tolerances(
+    col: str, nbins: int, limit: float
+) -> dict[str, tuple[str, float]]:
+    """Tolerance dict for one histogram column: every ``hist:<col>:<b>``
+    bin share compared with abs ``limit``. Per-bin abs share delta is
+    the distribution-shift check — a mass shift of x into a bin moves
+    that bin's share by x, so limit bounds the detectable shift
+    directly (and SUM of per-bin deltas is 2x total-variation
+    distance, for calibration)."""
+    return {f"hist:{col}:{b}": ("abs", limit) for b in range(nbins)}
+
+
 def metrics_apply(
     batch_df: DataFrame,
     batch_id: int,
     path: str,
     key_cols: list[str] | None = None,
     rate_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> None:
     """foreachBatch sink: persist this batch's :func:`batch_metrics`
     as ``metrics=<batch_id>`` under the manifest commit protocol (the
@@ -172,7 +232,7 @@ def metrics_apply(
     spark = batch_df.sparkSession
     if batch_id in manifests.committed_versions(spark, path, "metrics"):
         return  # replay: history must not gain a duplicate batch
-    m = batch_metrics(batch_df, key_cols, rate_cols)
+    m = batch_metrics(batch_df, key_cols, rate_cols, hist_cols)
     m.write.mode("overwrite").parquet(f"{path}/metrics={batch_id}")
     manifests.commit_version(spark, path, "metrics", batch_id)
 

@@ -3299,6 +3299,99 @@ def quality_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_drift_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_orderkey % 2 AS BIGINT) AS bid,
+             CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+                  THEN o_totalprice * 1.4 ELSE o_totalprice END AS v
+      FROM orders
+    ), binned AS (
+      SELECT bid,
+             LEAST(5, GREATEST(0,
+               CAST(FLOOR((v - 0.0) / 480000.0 * 6) AS INT))) AS bin
+      FROM b WHERE v IS NOT NULL
+    ), cnt AS (
+      SELECT bid, bin, COUNT(*) AS c FROM binned GROUP BY bid, bin
+    ), tot AS (
+      SELECT bid, COUNT(*) AS tn FROM binned GROUP BY bid
+    ), bins AS (SELECT CAST(UNNEST(range(6)) AS INT) AS bin),
+    grid AS (SELECT DISTINCT bid FROM b),
+    shares AS (
+      SELECT p.bid, p.bin, CAST(COALESCE(c.c, 0) AS DOUBLE) / t.tn AS share
+      FROM (SELECT bid, bin FROM grid CROSS JOIN bins) p
+      LEFT JOIN cnt c ON c.bid = p.bid AND c.bin = p.bin
+      JOIN tot t ON t.bid = p.bid
+    )
+    SELECT CAST(1 AS BIGINT) AS curr_batch,
+           'hist:o_totalprice:' || CAST(s0.bin AS VARCHAR) AS metric,
+           s0.share AS prev_value, s1.share AS curr_value,
+           ROUND(abs(s1.share - s0.share), 6) AS delta_r,
+           'abs' AS mode, 0.03 AS max_delta,
+           CAST(abs(s1.share - s0.share) <= 0.03 AS INT) AS passed
+    FROM shares s0 JOIN shares s1
+      ON s1.bin = s0.bin AND s0.bid = 0 AND s1.bid = 1
+    """,
+)
+def quality_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift drift check (expectations hist_cols, round
+    14): per-bin o_totalprice SHARES under fixed 6-bin equi-width
+    binning on [0, 480000) (outliers clamp into the edge bins), each
+    bin's abs share delta between two order batches checked against a
+    0.03 tolerance via hist_tolerances. Batch 1 carries a PLANTED
+    shift — every third odd-key order's price scaled x1.4, pushing
+    mass into the top bin (delta ~0.08, FAILS) while the middle bins
+    stay within tolerance (PASS) — so both report paths sit in the
+    value hash at every SF. Fixed bins, not quantiles, deliberately:
+    shares are exact count ratios (bit-identical cross-engine,
+    mergeable inside ONE aggregate pass per batch); the oracle
+    recomputes binning + shares + drift straight from the table,
+    proving the manifest metrics round-trip lossless."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.expectations import (
+        drift_report,
+        hist_tolerances,
+        metrics_apply,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    shifted = o.withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0),
+            F.col("o_totalprice") * 1.4,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    tmp = tempfile.mkdtemp(prefix="drifthist-suite-")
+    try:
+        for bid in (0, 1):
+            metrics_apply(
+                shifted.where(F.col("o_orderkey") % 2 == bid),
+                bid,
+                tmp,
+                hist_cols={"o_totalprice": (0.0, 480000.0, 6)},
+            )
+        rep = drift_report(spark, tmp, hist_tolerances("o_totalprice", 6, 0.03))
+        rows = (
+            rep.select(
+                "curr_batch", "metric", "prev_value", "curr_value",
+                F.round("delta", 6).alias("delta_r"), "mode", "max_delta",
+                "passed",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "curr_batch long, metric string, prev_value double, curr_value double, "
+        "delta_r double, mode string, max_delta double, passed int",
+    )
+
+
+@register(
     "dedup_cluster_minhash_md5",
     oracle=f"""
     WITH RECURSIVE {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS},

@@ -2375,6 +2375,74 @@ def test_bpe_encode_uses_merges_in_rank_order(spark):
     assert sorted(map(tuple, merges.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_drift_metrics_streaming_end_to_end(spark, tmp_path):
+    """The drift tier behind a REAL checkpointed stream: one export
+    file per micro-batch -> foreachBatch metrics_apply; after two
+    batches drift_report sees exactly one (prev, curr) pair, a
+    re-delivered batch id leaves history unchanged (exactly-once per
+    batch via the manifest guard), and a post-hoc direct replay call
+    is a no-op."""
+    import os
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.expectations import drift_report, metrics_apply
+
+    src = str(tmp_path / "exports")
+    hist = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "k long, v string"
+
+    def sink(df, bid):
+        metrics_apply(df, bid, hist, key_cols=["k"], rate_cols=["v"])
+
+    def run():
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    def export(rows, name):
+        d = src + "/tmp"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(d)
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                os.rename(f"{d}/{f}", f"{src}/{name}.json")
+
+    export([(1, "a"), (2, "b"), (3, "c"), (4, "d")], "export0")
+    run()
+    assert drift_report(spark, hist, {"n_rows": ("rel", 0.5)}) is None
+    export([(1, "a"), (2, None)], "export1")
+    run()
+    rep = {
+        r["metric"]: r
+        for r in drift_report(
+            spark, hist, {"n_rows": ("rel", 0.25), "null_rate:v": ("abs", 0.6)}
+        ).collect()
+    }
+    # 4 -> 2 rows: rel delta 0.5 fails 0.25; null rate 0 -> 0.5 passes
+    assert rep["n_rows"]["delta"] == 0.5 and rep["n_rows"]["passed"] == 0
+    assert rep["null_rate:v"]["delta"] == 0.5 and rep["null_rate:v"]["passed"] == 1
+    assert manifests.committed_versions(spark, hist, "metrics") == [0, 1]
+
+    # crash-after-commit replay: same batch id, history unchanged
+    metrics_apply(
+        spark.createDataFrame([(9, "z")], schema), 1, hist,
+        key_cols=["k"], rate_cols=["v"],
+    )
+    assert manifests.committed_versions(spark, hist, "metrics") == [0, 1]
+    rep2 = drift_report(spark, hist, {"n_rows": ("rel", 0.25)}).first()
+    assert rep2["curr_value"] == 2.0  # still batch 1's metrics, not 9/z
+
+
 def test_snapshot_stream_to_changes_end_to_end(spark, tmp_path):
     """Stream of full snapshot exports -> change feed: first export is
     all 'added', the second yields exactly its churn, and only digests
@@ -5076,6 +5144,57 @@ def test_drift_report_tolerance_boundary_and_null_semantics(spark, tmp_path):
     # batch_metrics tall shape is (metric, value) with exact counts
     got = {r["metric"]: r["value"] for r in batch_metrics(b0, ["k"], ["v"]).collect()}
     assert got == {"n_rows": 4.0, "n_distinct_keys": 4.0, "null_rate:v": 0.0}
+
+
+def test_batch_metrics_histogram_shares(spark, tmp_path):
+    """hist_cols binning semantics: exact equi-width shares over the
+    non-NULL values, outliers CLAMPED into the edge bins (not
+    dropped), NULLs excluded from the denominator (null_rate owns
+    them), all-NULL column -> every bin share 0.0; and the per-bin abs
+    drift detects a planted mass shift while stable bins pass."""
+    from erpl_web_spark.operators.expectations import (
+        batch_metrics,
+        drift_report,
+        hist_tolerances,
+        metrics_apply,
+    )
+
+    # 8 non-null values on [0, 10) with 5 bins (width 2): bins get
+    # 2/8, 2/8, 0, 2/8, 2/8 — including the clamped outliers -3 -> bin
+    # 0 and 99 -> bin 4; one NULL excluded from the denominator
+    vals = [0.1, 1.9, 2.0, 3.5, 6.0, 7.9, -3.0, 99.0, None]
+    df = spark.createDataFrame([(float(v),) if v is not None else (None,) for v in vals], "x double")
+    got = {
+        r["metric"]: r["value"]
+        for r in batch_metrics(df, hist_cols={"x": (0.0, 10.0, 5)}).collect()
+    }
+    # bin0: 0.1, 1.9, clamped -3; bin1: 2.0, 3.5; bin3: 6.0, 7.9;
+    # bin4: clamped 99
+    expect = {0: 3 / 8, 1: 2 / 8, 2: 0.0, 3: 2 / 8, 4: 1 / 8}
+    assert {b: got[f"hist:x:{b}"] for b in range(5)} == expect
+    assert got["n_rows"] == 9.0
+
+    # all-NULL column: shares all 0.0, not NULL/NaN
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    g2 = {
+        r["metric"]: r["value"]
+        for r in batch_metrics(allnull, hist_cols={"x": (0.0, 10.0, 3)}).collect()
+    }
+    assert [g2[f"hist:x:{b}"] for b in range(3)] == [0.0, 0.0, 0.0]
+
+    # drift: batch 1 moves half of bin-0's mass to bin 4
+    p = str(tmp_path / "hist")
+    b0 = spark.createDataFrame([(float(v),) for v in [1.0] * 4 + [9.0] * 4], "x double")
+    b1 = spark.createDataFrame([(float(v),) for v in [1.0] * 2 + [9.0] * 6], "x double")
+    metrics_apply(b0, 0, p, hist_cols={"x": (0.0, 10.0, 5)})
+    metrics_apply(b1, 1, p, hist_cols={"x": (0.0, 10.0, 5)})
+    rep = {
+        r["metric"]: r
+        for r in drift_report(spark, p, hist_tolerances("x", 5, 0.1)).collect()
+    }
+    assert rep["hist:x:0"]["passed"] == 0 and rep["hist:x:0"]["delta"] == 0.25
+    assert rep["hist:x:4"]["passed"] == 0
+    assert all(rep[f"hist:x:{b}"]["passed"] == 1 for b in (1, 2, 3))
 
 
 def test_scd2_intervals_history_semantics(spark):

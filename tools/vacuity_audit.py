@@ -38,6 +38,14 @@ sys.path.insert(0, ".")
 # column (single-row aggregates). Keyed by query name; values map column
 # -> one-line reason. Keep in sync with COVERAGE.md round-8 triage.
 REVIEWED: dict[str, dict[str, str]] = {
+    "quality_drift_histogram": {
+        "curr_batch": "one (prev, curr) pair by design — the multi-pair "
+        "path is hashed by quality_drift_report's varied curr_batch",
+        "mode": "hist_tolerances emits abs-only; rel lives in "
+        "quality_drift_report's hash",
+        "max_delta": "single planted tolerance; the pass/fail VARIATION "
+        "is in delta_r and passed, both non-constant",
+    },
     "q06_revenue_delta": {"*": "single-row TPC-H aggregate"},
     "q14_promo_revenue": {"*": "single-row TPC-H aggregate"},
     "q15_top_supplier": {"*": "single-row top-1 result"},
