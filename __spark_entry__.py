@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY = [
     # -- new in round 14 (need their first driver rows) --
     "quality_drift_report",
     "quality_drift_histogram",
+    "pipeline_cms_index_rebuild",
     # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
     "analytics_event_transitions",
     "analytics_market_basket",

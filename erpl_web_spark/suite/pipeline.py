@@ -3773,9 +3773,11 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_countmin_topk",
-    oracle=f"""
+# shared by text_countmin_topk and pipeline_cms_index_rebuild: the
+# rebuild entry reuses the SAME single-pass oracle, so hash equality IS
+# the proof that batched apply + rebuild is lossless (the
+# curation_contamination_bloom result-invariance posture)
+_SQL_CMS_TOPK_ORACLE = f"""
     WITH toks AS (
       SELECT unnest({_SQL_TOKS}) AS tok FROM documents
     ), exact AS (
@@ -3806,8 +3808,10 @@ def text_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.tok, e.exact_n, est.est_n,
            est.est_n - e.exact_n AS overcount
     FROM exact e JOIN est USING (tok)
-    """,
-)
+    """
+
+
+@register("text_countmin_topk", oracle=_SQL_CMS_TOPK_ORACLE)
 def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point estimates vs exact counts for the corpus'
     top-10 tokens (operators.text.countmin_sketch / countmin_lookup):
@@ -3849,6 +3853,70 @@ def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_n",
         "est_n",
         (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@register("pipeline_cms_index_rebuild", oracle=_SQL_CMS_TOPK_ORACLE)
+def pipeline_cms_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_countmin_topk routed through the ON-DISK incremental
+    Count-Min index AND a full rebuild (operators.cms_index, VERDICT
+    r13 Next #4): documents arrive as three batches split on
+    doc_id % 3, each batch's sketch manifest-committed, then
+    countmin_index_rebuild collapses the three committed versions into
+    ONE at a fresh path, and the top-10+sentinel lookup reads the
+    REBUILT index. The oracle is the SAME single-pass SQL the direct
+    entry uses — it knows nothing about batches or the rebuild — so
+    hash equality proves the additive batch merge AND the rebuild are
+    lossless end-to-end under the driver gate (any double-count,
+    dropped cell, or torn-swap visibility would flip the hash). The
+    entry writes per-invocation temp indexes, collects the 11 summary
+    rows, and removes them — suite runs stay stateless."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.cms_index import (
+        countmin_index_apply,
+        countmin_index_lookup,
+        countmin_index_rebuild,
+    )
+    from erpl_web_spark.operators.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(F.explode(tokens_expr("text")).alias("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(10)
+        .unionAll(
+            spark.createDataFrame(
+                [("__cms_unseen__", 0)], "tok string, exact_n bigint"
+            )
+        )
+    )
+    src = tempfile.mkdtemp(prefix="cmsidx-suite-")
+    dest = tempfile.mkdtemp(prefix="cmsidx-rebuilt-")
+    try:
+        for bid in (0, 1, 2):
+            countmin_index_apply(
+                docs.where(F.col("doc_id") % 3 == bid), bid, src,
+                depth=3, width=16,
+            )
+        countmin_index_rebuild(spark, src, dest)
+        est = countmin_index_lookup(spark, dest, exact.select("tok"))
+        rows = (
+            exact.join(est, "tok")
+            .select(
+                "tok", "exact_n", "est_n",
+                (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tok string, exact_n bigint, est_n bigint, overcount bigint"
     )
 
 
