@@ -117,9 +117,12 @@ def countmin_index_rebuild(spark, path: str, dest_path: str) -> int:
     - rebuilding IN PLACE is refused — that is exactly the refused
       compaction (the source must stay readable until the swap).
 
-    Raises when the source is empty or ``dest_path`` already holds a
-    committed version with different (depth, width). Returns the
-    version id committed at ``dest_path``.
+    Raises when the source is empty, when ``dest_path`` already holds
+    committed versions other than the rebuild's own id (only the
+    crashed-after-commit replay may find its version there — any other
+    live version would be double-counted by the merged read), or when
+    the replay version's (depth, width) differs. Returns the version
+    id committed at ``dest_path``.
     """
     from erpl_web_spark.core import manifests
 
@@ -133,8 +136,22 @@ def countmin_index_rebuild(spark, path: str, dest_path: str) -> int:
     if not committed:
         raise ValueError(f"countmin_index_rebuild: no committed index at {path}")
     meta = _index_meta(spark, path)
+    n = committed[-1]
     dest_committed = manifests.committed_versions(spark, dest_path, "cms")
-    for n in dest_committed:
+    # The ONLY committed version the dest may hold is n itself — the
+    # crashed-after-commit replay. Anything else (a previous rebuild's
+    # different id, or post-swap appended batches) means the rebuilt
+    # TOTAL would sit next to live additive versions and the merged
+    # read would double-count every cell.
+    foreign = [v for v in dest_committed if v != n]
+    if foreign:
+        raise ValueError(
+            f"countmin_index_rebuild: dest {dest_path} already holds "
+            f"committed versions {foreign}; a rebuilt total next to "
+            f"live versions would double-count — rebuild into a fresh "
+            f"path and swap"
+        )
+    if dest_committed:
         dmeta = manifests.manifest_payload(spark, dest_path, "cms", n)
         if dmeta.get("depth") != meta["depth"] or dmeta.get("width") != meta["width"]:
             raise ValueError(
@@ -143,7 +160,6 @@ def countmin_index_rebuild(spark, path: str, dest_path: str) -> int:
                 f"index; source is depth={meta['depth']}, width={meta['width']}"
             )
     merged = read_countmin_index(spark, path)
-    n = committed[-1]
     # replay guard, the merge-sink discipline: retract a previous
     # attempt's manifest BEFORE clobbering its data directory
     manifests.uncommit_version(spark, dest_path, "cms", n)

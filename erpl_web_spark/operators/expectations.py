@@ -255,7 +255,10 @@ def drift_report(
     relative change: delta is NULL and the check FAILS — unknown is
     not a pass, the ``quality_report`` NULL convention. prev = curr =
     0 is drift 0. The limit is inclusive: delta == limit passes
-    (pytest pins the boundary).
+    (pytest pins the boundary). A toleranced metric recorded in
+    NEITHER batch still gets its row — NULL values, delta NULL,
+    passed 0 — so a misspelled or never-collected metric fails the
+    gate loudly instead of silently vanishing from the report.
 
     Returns one row per toleranced metric — (curr_batch, metric,
     prev_value, curr_value, delta rounded to 1e-9, mode, max_delta,
@@ -293,7 +296,10 @@ def drift_report(
     tol_df = spark.range(1).select(tol_rows).select(
         "__t.metric", "__t.mode", "__t.max_delta"
     )
-    out = joined.join(tol_df, "metric")
+    # Drive from the tolerance side: a toleranced metric absent from
+    # BOTH batches must still surface (NULL values, passed 0) — a gate
+    # that asked for a check must see its verdict, not a missing row.
+    out = tol_df.join(joined, "metric", "left")
     delta = F.when(
         F.col("mode") == "abs",
         F.abs(F.col("curr_value") - F.col("prev_value")),

@@ -5121,6 +5121,14 @@ def test_drift_report_tolerance_boundary_and_null_semantics(spark, tmp_path):
     # empty batch's null rate is 0.0 (not NULL): abs drift 1.0, passes
     assert z["null_rate:v"]["delta"] == 1.0 and z["null_rate:v"]["passed"] == 1
 
+    # a toleranced metric absent from BOTH batches must FAIL loudly
+    # (one row, NULL values, passed 0), not silently vanish from the
+    # report — a gate that asks for a check must see its verdict
+    ghost = report({"n_rows": ("rel", 0.25), "null_rate:nosuch": ("abs", 1.0)})
+    assert ghost["null_rate:nosuch"]["passed"] == 0
+    assert ghost["null_rate:nosuch"]["prev_value"] is None
+    assert ghost["n_rows"]["passed"] == 1  # real metrics unaffected
+
     # prev = curr = 0 (two empty batches) is drift 0: PASS
     p4 = str(tmp_path / "empty2")
     metrics_apply(e0, 0, p4, key_cols=["k"])
@@ -5379,11 +5387,19 @@ def test_countmin_index_rebuild(spark, tmp_path):
     # in-place rebuild is the refused compaction
     with pytest.raises(ValueError, match="in-place"):
         countmin_index_rebuild(spark, idx, idx)
-    # geometry mismatch at dest is refused
+    # a dest already holding OTHER committed versions (the post-swap
+    # appended batch 3 above) must be refused: writing the rebuilt
+    # total NEXT TO live versions would double-count every cell
+    with pytest.raises(ValueError, match="already holds"):
+        countmin_index_rebuild(spark, idx, dest)
+    # geometry mismatch at a replay-shaped dest (holds ONLY the
+    # rebuilt version id, but with different geometry) is refused
     other = str(tmp_path / "other")
     countmin_index_apply(batches[0], 0, other, depth=4, width=128)
+    dest2 = str(tmp_path / "dest2")
+    countmin_index_apply(batches[0], 0, dest2, depth=4, width=64)
     with pytest.raises(ValueError, match="width"):
-        countmin_index_rebuild(spark, other, dest)
+        countmin_index_rebuild(spark, other, dest2)
 
 
 def test_hll_index_compaction_and_cms_refusal(spark, tmp_path):
