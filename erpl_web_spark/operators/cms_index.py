@@ -13,32 +13,31 @@ single-pass sketch over everything. Each committed version records its
 ``(depth, width)``; apply refuses a mismatch (cells of different
 geometry must not be summed).
 
-Replay-safe: the manifest is the commit point, so a foreachBatch retry
-of a committed batch id is a no-op — counters are never double-added.
+The versioned-parquet protocol itself — apply/read/rebuild, replay
+no-ops, the compaction refusal — is the shared additive-index core
+(``operators.additive_index``), one implementation serving this family
+and the log-bucket quantile index (``qsketch``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from erpl_web_spark.operators import additive_index as _ai
+
+_KIND = "cms"
+_KEYS = ["d", "w"]
+_GEOM = ["depth", "width"]
 
 
 def _index_meta(spark, path: str) -> dict:
-    from erpl_web_spark.core import manifests
-
-    versions = manifests.committed_versions(spark, path, "cms")
-    return manifests.manifest_payload(spark, path, "cms", versions[-1])
+    return _ai.index_meta(spark, path, _KIND)
 
 
 def read_countmin_index(spark, path: str, before: int | None = None):
     """Merged (d, w, cnt) sketch over every committed batch — per-cell
     SUM — or None when the index is empty."""
-    from erpl_web_spark.core import manifests
-
-    union = manifests.read_committed_union(spark, path, "cms", before=before)
-    if union is None:
-        return None
-    return union.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+    return _ai.index_read(spark, path, _KIND, _KEYS, before=before)
 
 
 def countmin_index_apply(
@@ -52,24 +51,11 @@ def countmin_index_apply(
     """foreachBatch sink: sketch this batch's token frequencies and
     commit them as ``cms=<batch_id>``. Idempotent on replay; raises on
     a (depth, width) mismatch with the existing index."""
-    from erpl_web_spark.core import manifests
     from erpl_web_spark.operators.text import countmin_sketch
 
-    spark = batch_df.sparkSession
-    committed = manifests.committed_versions(spark, path, "cms")
-    if batch_id in committed:
-        return  # replayed batch: counters must not be double-added
-    if committed:
-        meta = _index_meta(spark, path)
-        if meta["depth"] != depth or meta["width"] != width:
-            raise ValueError(
-                f"cms index at {path} was built with depth={meta['depth']}, "
-                f"width={meta['width']}; got depth={depth}, width={width}"
-            )
     sk = countmin_sketch(batch_df, text_col, depth, width)
-    sk.write.mode("overwrite").parquet(f"{path}/cms={batch_id}")
-    manifests.commit_version(
-        spark, path, "cms", batch_id, payload={"depth": depth, "width": width}
+    _ai.index_apply(
+        sk, batch_id, path, _KIND, {"depth": depth, "width": width}
     )
 
 
@@ -84,99 +70,19 @@ def countmin_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     stay a ~10M-row union. If pruning ever matters, use
     ``countmin_index_rebuild`` — a full rewrite into a fresh path has
     no double-visibility window."""
-    raise NotImplementedError(
-        "cms_index refuses compaction: additive counters are not "
-        "idempotent under the compactor's double-visibility crash "
-        "window (see docstring); use countmin_index_rebuild into a "
-        "fresh path instead"
-    )
+    _ai.index_refuse_compact(_KIND, "countmin_index_rebuild")
 
 
 def countmin_index_rebuild(spark, path: str, dest_path: str) -> int:
     """The compaction RECIPE ``countmin_index_compact`` prescribes,
     made an operator (VERDICT r13 Next #4): merge every committed
-    batch sketch into ONE version at a FRESH path and commit it there —
-    the full-rewrite pruning path that has no double-visibility window,
-    because readers keep resolving the OLD path until the caller swaps
-    to ``dest_path``. After the swap, ``countmin_index_apply`` appends
-    to the rebuilt index exactly as before (streaming batch ids stay
-    monotone past the rebuilt version).
-
-    One pass: the per-cell SUM over the committed union (additivity
-    makes that SUM bit-identical to a single-pass sketch of the whole
-    corpus, the property the index is built on) written as
-    ``cms=<last batch id>`` under the manifest protocol. The payload
-    records geometry plus the rebuilt batch ids for audit.
-
-    Crash/replay safety, by construction:
-    - crash BEFORE the dest commit — dest holds torn data with no
-      manifest (invisible to readers); the source is never touched;
-      re-running redoes the rebuild from the same committed union.
-    - crash AFTER the dest commit — re-running uncommits, rewrites
-      byte-identical rows, and recommits: idempotent.
-    - rebuilding IN PLACE is refused — that is exactly the refused
-      compaction (the source must stay readable until the swap).
-
-    Raises when the source is empty, when ``dest_path`` already holds
-    committed versions other than the rebuild's own id (only the
-    crashed-after-commit replay may find its version there — any other
-    live version would be double-counted by the merged read), or when
-    the replay version's (depth, width) differs. Returns the version
-    id committed at ``dest_path``.
-    """
-    from erpl_web_spark.core import manifests
-
-    if dest_path.rstrip("/") == path.rstrip("/"):
-        raise ValueError(
-            "countmin_index_rebuild: dest_path must differ from path — "
-            "an in-place rewrite is the refused compaction (readers "
-            "would see merged-away rows twice in the crash window)"
-        )
-    committed = manifests.committed_versions(spark, path, "cms")
-    if not committed:
-        raise ValueError(f"countmin_index_rebuild: no committed index at {path}")
-    meta = _index_meta(spark, path)
-    n = committed[-1]
-    dest_committed = manifests.committed_versions(spark, dest_path, "cms")
-    # The ONLY committed version the dest may hold is n itself — the
-    # crashed-after-commit replay. Anything else (a previous rebuild's
-    # different id, or post-swap appended batches) means the rebuilt
-    # TOTAL would sit next to live additive versions and the merged
-    # read would double-count every cell.
-    foreign = [v for v in dest_committed if v != n]
-    if foreign:
-        raise ValueError(
-            f"countmin_index_rebuild: dest {dest_path} already holds "
-            f"committed versions {foreign}; a rebuilt total next to "
-            f"live versions would double-count — rebuild into a fresh "
-            f"path and swap"
-        )
-    if dest_committed:
-        dmeta = manifests.manifest_payload(spark, dest_path, "cms", n)
-        if dmeta.get("depth") != meta["depth"] or dmeta.get("width") != meta["width"]:
-            raise ValueError(
-                f"countmin_index_rebuild: dest {dest_path} holds a "
-                f"depth={dmeta.get('depth')}, width={dmeta.get('width')} "
-                f"index; source is depth={meta['depth']}, width={meta['width']}"
-            )
-    merged = read_countmin_index(spark, path)
-    # replay guard, the merge-sink discipline: retract a previous
-    # attempt's manifest BEFORE clobbering its data directory
-    manifests.uncommit_version(spark, dest_path, "cms", n)
-    merged.write.mode("overwrite").parquet(f"{dest_path}/cms={n}")
-    manifests.commit_version(
-        spark,
-        dest_path,
-        "cms",
-        n,
-        payload={
-            "depth": meta["depth"],
-            "width": meta["width"],
-            "rebuilt_from": path,
-            "rebuilt_batches": committed,
-        },
-    )
-    return n
+    batch sketch into ONE version at a FRESH path and commit it there,
+    readers resolving the OLD path until the caller swaps. Crash/
+    replay semantics, the foreign-version and geometry guards, and the
+    in-place refusal are the shared additive-index contract — see
+    :func:`additive_index.index_rebuild` (pytest pins them on THIS
+    family). Returns the version id committed at ``dest_path``."""
+    return _ai.index_rebuild(spark, path, dest_path, _KIND, _KEYS, _GEOM)
 
 
 def countmin_index_lookup(

@@ -3920,6 +3920,132 @@ def pipeline_cms_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared by agg_quantile_sketch and pipeline_qsketch_index_batches (the
+# _SQL_CMS_TOPK_ORACLE posture): the index entry reuses the SAME
+# single-pass oracle, so hash equality proves the additive batch merge
+# and the rebuild are lossless. Pure integer arithmetic end to end —
+# bit mapping via length(format('{:b}', v)), integer ceil-division
+# ranks — so the sketch is bit-identical cross-engine.
+_SQL_QSKETCH_ORACLE = """
+    WITH vals AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), sb AS (
+      SELECT v, greatest(length(format('{:b}', v)) - 1 - 4, 0) AS s
+      FROM vals WHERE v >= 0
+    ), sk AS (
+      SELECT ((v >> s) << s) AS edge, (CAST(1 AS BIGINT) << s) AS width,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sb GROUP BY 1, 2
+    ), cum AS (
+      SELECT edge, width, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY edge) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM sk
+    ), q AS (
+      SELECT unnest([10, 250, 500, 750, 900, 950, 990, 999]) AS q_permille
+    ), hits AS (
+      SELECT CAST(q.q_permille AS INT) AS q_permille,
+             (CAST(q.q_permille AS BIGINT) * c.n + 999) // 1000 AS rank_r,
+             c.edge, c.width, c.cum, c.cnt
+      FROM q JOIN cum c
+        ON c.cum >= (CAST(q.q_permille AS BIGINT) * c.n + 999) // 1000
+    ), pick AS (
+      SELECT q_permille, rank_r, MIN(edge) AS est_edge
+      FROM hits GROUP BY 1, 2
+    )
+    SELECT p.q_permille, CAST(p.rank_r AS BIGINT) AS rank_r,
+           CAST(p.est_edge AS BIGINT) AS est_edge,
+           CAST(h.width AS BIGINT) AS bucket_width,
+           CAST(h.cum - h.cnt AS BIGINT) AS n_below,
+           CAST(h.cum AS BIGINT) AS n_through
+    FROM pick p JOIN hits h
+      ON h.q_permille = p.q_permille AND h.edge = p.est_edge
+    """
+
+_QSKETCH_QS = [10, 250, 500, 750, 900, 950, 990, 999]
+
+
+def _lineitem_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l_extendedprice as exact integer cents — floor(x*100) in BOTH
+    engines (truncating casts round differently; floor does not)."""
+    return load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("v")
+    )
+
+
+@register("agg_quantile_sketch", oracle=_SQL_QSKETCH_ORACLE)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-bucket quantile sketch (operators.qsketch — the DDSketch
+    idea with a power-of-two base, so every step is integer bit
+    arithmetic) over lineitem price cents: 8 quantiles from p01 to
+    p99.9, each row carrying the structural containment proof
+    ``n_below < rank_r <= n_through`` that the true rank-r value lies
+    inside the reported bucket, whose relative width is <= 2**-4 =
+    6.25%. The sketch is at most ~1 072 (edge, width, cnt) rows
+    REGARDLESS of corpus size — one map-side-combined groupBy reduces
+    the corpus; the quantile extraction windows over the SKETCH only
+    (config-scale, never corpus-scale). All-integer arithmetic makes
+    the whole estimate bit-identical in DuckDB, so the error contract
+    is value-hash-checked, not asserted — the exact-percentile
+    alternative at 100 TB is a corpus sort; this is one scan."""
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_quantiles,
+        logbucket_sketch,
+    )
+
+    sk = logbucket_sketch(_lineitem_cents(spark, sf_dir), "v", sub_bits=4)
+    return logbucket_quantiles(sk, _QSKETCH_QS)
+
+
+@register("pipeline_qsketch_index_batches", oracle=_SQL_QSKETCH_ORACLE)
+def pipeline_qsketch_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_quantile_sketch routed through the ON-DISK incremental
+    quantile index AND a full rebuild (operators.qsketch riding the
+    shared additive-index core): lineitem arrives as three batches
+    split on l_orderkey % 3, each batch's bucket sketch manifest-
+    committed, then qsketch_index_rebuild collapses the three versions
+    into ONE at a fresh path and the 8 quantiles are read from the
+    REBUILT index. The oracle is the SAME single-pass SQL the direct
+    entry uses — it knows nothing about batches or the rebuild — so
+    hash equality proves the additive bucket merge AND the rebuild are
+    lossless end-to-end under the driver gate (the
+    pipeline_cms_index_rebuild result-invariance posture). Temp
+    indexes are per-invocation and removed — suite runs stay
+    stateless."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.qsketch import (
+        qsketch_index_apply,
+        qsketch_index_quantiles,
+        qsketch_index_rebuild,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("v"),
+    )
+    src = tempfile.mkdtemp(prefix="qskidx-suite-")
+    dest = tempfile.mkdtemp(prefix="qskidx-rebuilt-")
+    try:
+        for bid in (0, 1, 2):
+            qsketch_index_apply(
+                li.where(F.col("l_orderkey") % 3 == bid), bid, src,
+                "v", sub_bits=4,
+            )
+        qsketch_index_rebuild(spark, src, dest)
+        rows = qsketch_index_quantiles(spark, dest, _QSKETCH_QS).collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "q_permille int, rank_r bigint, est_edge bigint, "
+        "bucket_width bigint, n_below bigint, n_through bigint",
+    )
+
+
 @register(
     "text_winnow_fingerprints",
     oracle="""

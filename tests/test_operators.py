@@ -5402,6 +5402,130 @@ def test_countmin_index_rebuild(spark, tmp_path):
         countmin_index_rebuild(spark, other, dest2)
 
 
+def test_logbucket_sketch_and_quantiles(spark):
+    """Log-bucket quantile sketch (operators.qsketch): the bucket map's
+    relative-width guarantee (width/edge <= 2**-sub_bits for non-
+    singleton buckets), quantile containment (the true rank-r value
+    lies inside the reported bucket, with the structural
+    n_below < r <= n_through proof), exclusion of NULL/negative values,
+    and additive merge == single-pass sketch BIT-EXACTLY on an
+    arbitrary split."""
+    import math
+
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_merge,
+        logbucket_quantiles,
+        logbucket_sketch,
+    )
+
+    # deterministic heavy-tailed values spanning 7 decades, with dups
+    vals = sorted((i * i * i + 7) % (10 ** (1 + (i % 7))) for i in range(400))
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    sk = logbucket_sketch(df, "v", sub_bits=4)
+    buckets = {r["edge"]: (r["width"], r["cnt"]) for r in sk.collect()}
+    assert sum(c for _, c in buckets.values()) == len(vals)
+    for edge, (width, _) in buckets.items():
+        # singleton below 2**(m+1); otherwise rel width <= 2**-m
+        assert width == 1 or width * 16 <= edge
+
+    qs = [10, 500, 900, 999]
+    out = {r["q_permille"]: r for r in logbucket_quantiles(sk, qs).collect()}
+    n = len(vals)
+    for q in qs:
+        r = math.ceil(q * n / 1000)
+        true = vals[r - 1]
+        row = out[q]
+        assert row["rank_r"] == r
+        assert row["est_edge"] <= true < row["est_edge"] + row["bucket_width"]
+        assert row["n_below"] < r <= row["n_through"]
+        # the relative-error contract the docstring claims
+        if true > 0:
+            assert (true - row["est_edge"]) / true <= 2 ** -4 + 1e-12
+
+    # NULLs and negatives are excluded, not mis-bucketed
+    df2 = spark.createDataFrame([(None,), (-5,), (7,), (0,)], "v bigint")
+    sk2 = {r["edge"]: r["cnt"] for r in
+           logbucket_sketch(df2, "v", sub_bits=4).collect()}
+    assert sk2 == {7: 1, 0: 1}
+
+    # additive merge on an arbitrary split == one-pass sketch, bit-exact
+    a = df.where(F.col("v") % 3 != 1)
+    b = df.where(F.col("v") % 3 == 1)
+    merged = {
+        (r["edge"], r["width"]): r["cnt"]
+        for r in logbucket_merge(
+            logbucket_sketch(a, "v", sub_bits=4),
+            logbucket_sketch(b, "v", sub_bits=4),
+        ).collect()
+    }
+    direct = {(r["edge"], r["width"]): (r["cnt"]) for r in sk.collect()}
+    assert merged == direct
+
+
+def test_qsketch_index_batches_and_rebuild(spark, tmp_path):
+    """The on-disk quantile index rides the shared additive-index core
+    (whose crash/replay/guard matrix is pinned on the CMS family):
+    here pin the family-specific wiring — merged index == single-pass
+    sketch bit-exactly, replay no-op, sub_bits mismatch refused,
+    rebuild collapses to one version with IDENTICAL quantiles, compact
+    refuses."""
+    import pytest
+
+    from erpl_web_spark.core import manifests
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_sketch,
+        qsketch_index_apply,
+        qsketch_index_compact,
+        qsketch_index_quantiles,
+        qsketch_index_rebuild,
+        read_qsketch_index,
+    )
+
+    idx = str(tmp_path / "qsrc")
+    whole = spark.range(1000).select((F.col("id") * 37 % 90000).alias("v"))
+    batches = [
+        spark.range(1000).where(F.col("id") % 3 == i).select(
+            (F.col("id") * 37 % 90000).alias("v")
+        )
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        qsketch_index_apply(b, i, idx, "v", sub_bits=4)
+
+    direct = {
+        (r["edge"], r["width"]): r["cnt"]
+        for r in logbucket_sketch(whole, "v", sub_bits=4).collect()
+    }
+    merged = {
+        (r["edge"], r["width"]): r["cnt"]
+        for r in read_qsketch_index(spark, idx).collect()
+    }
+    assert merged == direct
+
+    # replay is a no-op
+    qsketch_index_apply(batches[0], 0, idx, "v", sub_bits=4)
+    assert {
+        (r["edge"], r["width"]): r["cnt"]
+        for r in read_qsketch_index(spark, idx).collect()
+    } == direct
+
+    with pytest.raises(ValueError, match="sub_bits"):
+        qsketch_index_apply(batches[0], 9, idx, "v", sub_bits=5)
+
+    pre = {(r["q_permille"], r["est_edge"], r["rank_r"])
+           for r in qsketch_index_quantiles(spark, idx, [500, 990]).collect()}
+    dest = str(tmp_path / "qdest")
+    assert qsketch_index_rebuild(spark, idx, dest) == 2
+    assert manifests.committed_versions(spark, dest, "qsk") == [2]
+    post = {(r["q_permille"], r["est_edge"], r["rank_r"])
+            for r in qsketch_index_quantiles(spark, dest, [500, 990]).collect()}
+    assert post == pre
+    with pytest.raises(ValueError, match="in-place"):
+        qsketch_index_rebuild(spark, idx, idx)
+    with pytest.raises(NotImplementedError):
+        qsketch_index_compact(spark, idx)
+
+
 def test_hll_index_compaction_and_cms_refusal(spark, tmp_path):
     """hll_index_compact must pre-MAX old batches into one generation
     with the estimate unchanged and the geometry payload preserved;
