@@ -1394,3 +1394,70 @@ def embedding_index_compact(spark, path: str, keep_latest: int = 1) -> int:
     from erpl_web_spark.core import manifests
 
     return manifests.compact_versions(spark, path, "batch", keep_latest)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    max_rank: int = 10,
+    top_k: int = 5,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of several per-query top-K lists — the standard hybrid-retrieval
+    combiner for a lexical ranker (``text.bm25_topk``) plus a semantic
+    one (``cosine_top_k`` / the ANN paths): a document's fused score is
+    the sum over lists of ``1/(k + rank)``, which rewards appearing in
+    MANY lists near the top without ever comparing incommensurable raw
+    scores (BM25 logs vs cosines).
+
+    INTEGER-exact: the canonical double ``1/(k+rank)`` sums in
+    aggregation order, so two engines (or two partitionings) can
+    disagree in the last ulp and flip a tie. Instead each occurrence
+    contributes ``L // (k + rank)`` where L = lcm(k+1 .. k+max_rank) —
+    exact BIGINT division by construction, order-insensitive addition,
+    identical ranking to the real-valued RRF (a positive constant
+    scaling). ``rrf_int / L`` recovers the textbook score when a
+    comparable double is wanted.
+
+    Each input must have (query_id, doc_id, rank) with
+    1 <= rank <= max_rank (violations raise at plan build for the
+    static bound; per-row enforcement is the producer's top-K
+    contract). Output: (query_id, doc_id, rrf_int, n_lists, rank) —
+    top ``top_k`` per query by (rrf_int DESC, doc_id ASC).
+
+    Scale posture: inputs are top-K lists, so the union is
+    queries x K x n_lists skinny rows — one groupBy on (query, doc)
+    with map-side combine, one WindowGroupLimit per query. The corpus
+    was reduced by the upstream rankers; fusion never touches it.
+    """
+    import math
+
+    if max_rank < 1:
+        raise ValueError("rrf_fuse: max_rank must be >= 1")
+    scale = math.lcm(*range(k + 1, k + max_rank + 1))
+    if scale * len(rankings) >= 2 ** 63:
+        raise ValueError(
+            f"rrf_fuse: lcm({k + 1}..{k + max_rank}) = {scale} cannot be "
+            f"summed over {len(rankings)} lists in BIGINT — lower "
+            f"max_rank or k"
+        )
+    it = iter(rankings)
+    u = next(it).select("query_id", "doc_id", "rank")
+    for r in it:
+        u = u.unionByName(r.select("query_id", "doc_id", "rank"))
+    contrib = u.select(
+        "query_id",
+        "doc_id",
+        F.expr(f"CAST({scale} AS BIGINT) div (CAST({k} AS BIGINT) + rank)")
+        .alias("c"),
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("rrf_int"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_int").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= top_k)

@@ -5681,16 +5681,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=3, min_df=2)
 
 
-def bm25_oracle_sql(toks_prelude: str) -> str:
-    """Shared BM25 top-3 oracle: the full scorer (postings, doc
-    lengths, df, 1-row N/avgdl model, Robertson idf with the exact
-    2.2/1.2/0.25/0.75 literals, 1e-6-rounded ranking, fixed 20-query
-    prefix fixture) over whatever ``toks(doc_id, t)`` CTE prelude the
-    caller supplies — ONE copy of the scorer SQL serves both the
-    testdata entry and the natural-entropy twin, so a knob change
-    cannot silently fork the two gates."""
-    return f"""
-    WITH {toks_prelude},
+def bm25_scorer_ctes(toks_prelude: str) -> str:
+    """The BM25 scorer as a reusable CTE chain ending in
+    ``sc(query_id, doc_id, score)``: postings, doc lengths, df, 1-row
+    N/avgdl model, Robertson idf with the exact 2.2/1.2/0.25/0.75
+    literals, fixed 20-query prefix fixture — ONE copy of the scorer
+    SQL serves the testdata entry, the natural-entropy twin, AND the
+    RRF hybrid oracle, so a knob change cannot silently fork the
+    gates."""
+    return f"""{toks_prelude},
     terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
@@ -5707,7 +5706,14 @@ def bm25_oracle_sql(toks_prelude: str) -> str:
       FROM tf JOIN q USING (term) JOIN dfreq USING (term)
            JOIN dl ON dl.doc_id = tf.doc_id, st
       GROUP BY q.query_id, tf.doc_id
-    )
+    )"""
+
+
+def bm25_oracle_sql(toks_prelude: str) -> str:
+    """BM25 top-3 oracle: the shared scorer CTEs plus the 1e-6-rounded
+    ranking tail (ties -> doc id)."""
+    return f"""
+    WITH {bm25_scorer_ctes(toks_prelude)}
     SELECT query_id, doc_id, ROUND(score, 6) AS score_r, CAST(rank AS INT) AS rank
     FROM (
       SELECT query_id, doc_id, score,
@@ -5751,6 +5757,100 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return bm25_topk(d, queries, "doc_id", "text", k=3, k1=1.2, b=0.75)
+
+
+def _rrf_oracle() -> str:
+    """DuckDB twin of retrieval_hybrid_rrf: the shared BM25 scorer CTEs
+    (top-10 tail), the cosine ranker over the SAME 20 query ids, and
+    the integer-exact RRF combine — contributions are
+    lcm(61..70) // (60 + rank), so the fused score is an
+    order-insensitive BIGINT sum in both engines."""
+    import math
+
+    scale = math.lcm(*range(61, 71))
+    return f"""
+    WITH {bm25_scorer_ctes(
+        f"toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)"
+    )},
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+      FROM sc
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    sem_sc AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+             list_dot_product(p.emb, c.emb)
+               / (sqrt(list_dot_product(p.emb, p.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+      FROM v p JOIN v c
+        ON p.vec_id % 25 = 0 AND p.vec_id < 500 AND p.vec_id <> c.vec_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, doc_id) AS rank
+      FROM sem_sc
+    ),
+    uni AS (
+      SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10
+      UNION ALL
+      SELECT query_id, doc_id, rank FROM sem WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM({scale} // (60 + rank)) AS BIGINT) AS rrf_int,
+             CAST(COUNT(*) AS INT) AS n_lists
+      FROM uni GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_int, n_lists, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, doc_id, rrf_int, n_lists,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_int DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= 5
+    """
+
+
+@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 (text.bm25_topk) and embedding
+    cosine top-10 (similarity.cosine_top_k_blas) over the SAME 20-query
+    fixture (doc_id ≡ vec_id by testdata construction), fused by
+    INTEGER-exact Reciprocal Rank Fusion (similarity.rrf_fuse, k=60) —
+    the standard two-tower + lexical combiner a retrieval/curation
+    stack runs, with contributions lcm(61..70) // (60 + rank) so the
+    fused score is an order-insensitive BIGINT sum: no double-sum tie
+    ambiguity across engines or partitionings. Each ranker keeps its
+    own scale posture (BM25's broadcast-pruned inverted index, the
+    BLAS shortlist); fusion itself touches only queries x 10 x 2
+    skinny rows — one map-side-combined groupBy plus a
+    WindowGroupLimit."""
+    from erpl_web_spark.operators.similarity import rrf_fuse
+    from erpl_web_spark.operators.text import bm25_topk, tokens_expr
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = d.where(
+        (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 500)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_expr(F.col("text")), 1, 5), " ").alias(
+            "query_text"
+        ),
+    )
+    lex = bm25_topk(d, queries, "doc_id", "text", k=10, k1=1.2, b=0.75)
+    probes = emb.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500))
+    sem = cosine_top_k_blas(emb, probes, "vec_id", "embedding", k=10).select(
+        F.col("probe_id").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, sem], k=60, max_rank=10, top_k=5)
 
 
 def _zorder_oracle() -> str:

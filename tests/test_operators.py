@@ -5402,6 +5402,64 @@ def test_countmin_index_rebuild(spark, tmp_path):
         countmin_index_rebuild(spark, other, dest2)
 
 
+def test_rrf_fuse_matches_textbook_model(spark):
+    """similarity.rrf_fuse: the integer contributions
+    lcm // (k + rank) must rank identically to the textbook
+    sum(1/(k+rank)) double RRF (positive constant scaling), count
+    n_lists, and refuse parameter combos whose lcm cannot be summed
+    in BIGINT."""
+    import math
+
+    import pytest
+
+    from erpl_web_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = rrf_fuse([lex, sem], k=60, max_rank=10, top_k=5).collect()
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_int"], r["n_lists"], r["rank"])
+        for r in out
+    }
+    scale = math.lcm(*range(61, 71))
+    model = {}
+    for rows in (
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)],
+    ):
+        for q, d, r in rows:
+            s, n = model.get((q, d), (0, 0))
+            model[(q, d)] = (s + scale // (60 + r), n + 1)
+    # integer sums and list counts match the python model exactly
+    assert {kk: vv[:2] for kk, vv in got.items()} == model
+    # ranking matches the textbook double-RRF ordering per query
+    for q in (1, 2):
+        docs = sorted(
+            (d for (qq, d) in model if qq == q),
+            key=lambda d: (-sum(
+                1.0 / (60 + r)
+                for rows in (
+                    [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+                    [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)],
+                )
+                for (qq, dd, r) in rows if qq == q and dd == d
+            ), d),
+        )
+        for i, d in enumerate(docs, start=1):
+            assert got[(q, d)][2] == i
+    # doc 11 appears in both lists and outranks every single-list doc
+    assert got[(1, 11)][1] == 2 and got[(1, 11)][2] == 1
+
+    with pytest.raises(ValueError, match="BIGINT"):
+        rrf_fuse([lex, sem], k=60, max_rank=40)
+
+
 def test_logbucket_sketch_and_quantiles(spark):
     """Log-bucket quantile sketch (operators.qsketch): the bucket map's
     relative-width guarantee (width/edge <= 2**-sub_bits for non-
