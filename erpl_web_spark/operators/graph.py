@@ -399,3 +399,75 @@ def pagerank_int(
         stats["rounds"] = rounds_run
         stats["final_delta"] = final_delta
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    symmetrize: bool = True,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan,
+    Albert & Kumara 2007) with self-retention — the community family
+    next to ``connected_components`` (which finds REACHABILITY classes)
+    and ``pagerank_int`` (authority): each node repeatedly adopts the
+    most frequent label in its closed neighborhood, so densely
+    connected clusters agree on a label while bridges between them stay
+    minority votes.
+
+    Deterministic by construction where textbook LPA is randomized:
+    labels start as the node id, updates are SYNCHRONOUS (all nodes
+    step on the round-k state), each node's own current label votes
+    once alongside its neighbors' (the retention variant — also the
+    standard fix for the bipartite two-coloring oscillation), and vote
+    ties break to the SMALLEST label. Every step is integer counting
+    and min/max — no doubles — so the round-k state is bit-identical
+    under any partitioning or engine, and a SQL oracle can unroll the
+    rounds as CTEs (the ``pagerank_int`` posture).
+
+    Scale shape: per round one hash join of (id, label) onto the
+    persisted edge list, one (id, label) vote count with map-side
+    combine, and one max_by per node — skinny BIGINT rows throughout,
+    no driver-side graph state; labels are localCheckpoint'ed every
+    ``checkpoint_every`` rounds (the ``pagerank_int`` lineage guard).
+    ``iterations`` is a fixed constant: LPA reaches label consensus in
+    a handful of rounds on clustered graphs, and a FIXED round count is
+    what keeps the unrolled oracle exact.
+
+    Returns (id, label) for every node in the (symmetrized) edge set.
+    """
+    from erpl_web_spark.operators._cache import track_persist
+
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    e = track_persist(e, "labelprop_edges")
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    for i in range(iterations):
+        votes = e.join(labels, e["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        ).unionByName(labels)  # self-retention vote
+        counts = votes.groupBy("id", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        # max over (count, -label): most frequent label, ties -> smallest
+        labels = counts.groupBy("id").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+            ).alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -6008,6 +6008,85 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iterations=5, symmetrize=True)
 
 
+def _labelprop_oracle(iterations: int = 4) -> str:
+    """Unrolled-CTE twin of graph.label_propagation over the
+    same-nation customer<->supplier co-order graph: every round is the
+    deterministic synchronous vote (neighbor labels + the node's own,
+    count ties to the SMALLEST label) in pure integer counting, so the
+    value hash pins the whole iterative consensus — the
+    _pagerank_oracle idiom for the community family."""
+    rounds = []
+    prev = "l0"
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+    l{k} AS MATERIALIZED (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM (
+          SELECT id, lab, COUNT(*) AS c FROM (
+            SELECT e.dst AS id, p.lab
+            FROM edges e JOIN {prev} p ON p.id = e.src
+            UNION ALL SELECT id, lab FROM {prev}
+          ) GROUP BY id, lab)
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey = s.s_nationkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0
+      UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    l0 AS (SELECT id, id AS lab FROM nodes),
+    {",".join(rounds)}
+    SELECT id, CAST(lab AS BIGINT) AS label FROM {prev}
+    """
+
+
+@register("graph_labelprop", oracle=_labelprop_oracle())
+def graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (graph.label_propagation, 4 synchronous rounds, self-retention,
+    ties to smallest label) over the customer<->supplier co-order
+    graph RESTRICTED to same-nation pairs — the nation partition gives
+    the graph >= 25 ground-truth communities no propagation can merge,
+    so the label column stays varied while dense within-nation
+    clusters reach consensus: the community-detection tier between
+    connected_components (pure reachability) and pagerank (authority).
+    Pure integer counting makes every round bit-identical across
+    engines and partitionings; the oracle unrolls all 4 rounds as CTEs
+    and value-hashes every node's final label. Per round: one hash
+    join onto the persisted edge list + one vote count with map-side
+    combine + one max_by per node."""
+    from erpl_web_spark.operators.graph import label_propagation
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, iterations=4, symmetrize=True)
+
+
 @register(
     "pipeline_corpus_report",
     oracle=f"""

@@ -5402,6 +5402,62 @@ def test_countmin_index_rebuild(spark, tmp_path):
         countmin_index_rebuild(spark, other, dest2)
 
 
+def test_label_propagation_model_and_communities(spark):
+    """graph.label_propagation: bit-identical to a Python model of the
+    deterministic synchronous vote (neighbor + self labels, count ties
+    to smallest) on a pseudo-random graph, and on two K5 cliques joined
+    by one bridge the cliques reach DISTINCT internal consensus — the
+    community behavior connected_components cannot express (one
+    component, two communities)."""
+    from erpl_web_spark.operators.graph import label_propagation
+
+    def model(edge_list, rounds):
+        adj = {}
+        nodes = set()
+        for a, b in edge_list:
+            for x, y in ((a, b), (b, a)):
+                adj.setdefault(x, set()).add(y)
+                nodes.add(x)
+        lab = {v: v for v in nodes}
+        for _ in range(rounds):
+            nxt = {}
+            for v in nodes:
+                votes = {}
+                for u in adj.get(v, ()):
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+                votes[lab[v]] = votes.get(lab[v], 0) + 1
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            lab = nxt
+        return lab
+
+    # pseudo-random sparse graph, deterministic
+    rand_edges = sorted(
+        {((i * 7919) % 37, (i * i * 104729 + 3) % 37) for i in range(80)}
+        - {(v, v) for v in range(37)}
+    )
+    df = spark.createDataFrame(rand_edges, "src long, dst long")
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert got == model(rand_edges, 3)
+
+    # two K5 cliques bridged by a single edge: distinct consensus labels
+    k5a = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    k5b = [(a, b) for a in range(6, 11) for b in range(a + 1, 11)]
+    bridge = [(5, 6)]
+    cl = spark.createDataFrame(k5a + k5b + bridge, "src long, dst long")
+    labs = {
+        r["id"]: r["label"]
+        for r in label_propagation(cl, iterations=4).collect()
+    }
+    assert len({labs[v] for v in range(1, 6)}) == 1
+    assert len({labs[v] for v in range(6, 11)}) == 1
+    assert labs[1] != labs[10]
+    assert labs == model(k5a + k5b + bridge, 4)
+
+
 def test_rrf_fuse_matches_textbook_model(spark):
     """similarity.rrf_fuse: the integer contributions
     lcm // (k + rank) must rank identically to the textbook
