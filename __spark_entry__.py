@@ -34,9 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 14 (VERDICT r13 Next #1): latest-row histogram over the
 # CORRECTNESS_r*.json union is r09x28 / r10x50 / r11x50 / r12x50 /
 # r13x50 — the 28 r09-stale names lead (judge-listed burn-down set),
-# then the single round-14 addition (first driver row), then the
-# alphabetically-first 21 of the r10 band to fill the 50-slot prefix;
-# the remaining 29 r10 names queue behind them for round 15. Names are
+# then the round-14 additions (need their first driver rows), then the
+# alphabetically-first r10-band names to fill the 50-slot prefix; the
+# remaining r10 names queue behind them for round 15. Names are
 # stable; unlisted entries keep registration order after these.
 _SAMPLE_PRIORITY = [
     # -- latest driver row is r09 (the r13-verdict burn-down list) --
@@ -72,6 +72,10 @@ _SAMPLE_PRIORITY = [
     "quality_drift_report",
     "quality_drift_histogram",
     "pipeline_cms_index_rebuild",
+    "agg_quantile_sketch",
+    "pipeline_qsketch_index_batches",
+    "retrieval_hybrid_rrf",
+    "graph_labelprop",
     # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
     "analytics_event_transitions",
     "analytics_market_basket",
