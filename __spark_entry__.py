@@ -76,6 +76,7 @@ _SAMPLE_PRIORITY = [
     "pipeline_qsketch_index_batches",
     "retrieval_hybrid_rrf",
     "graph_labelprop",
+    "diag_skew_profile",
     # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
     "analytics_event_transitions",
     "analytics_market_basket",

@@ -298,3 +298,93 @@ def corr_matrix(df: DataFrame, cols: list[str], unit_scale: int = 100) -> DataFr
     return out.selectExpr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, pearson_r)"
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    surface: str,
+    top_k: int = 5,
+    target_rows_per_task: int = 4096,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic — the measurement that decides
+    between a plain join/groupBy, AQE's runtime skew split, and an
+    explicit :func:`salted_join`: per-key counts (ONE map-side-combined
+    groupBy, the same shuffle the diagnosed operation would run), the
+    ``top_k`` heavy hitters, and the count DISTRIBUTION summarized by
+    the log-bucket quantile sketch (``operators.qsketch`` — the p50/p99
+    bucket edges of rows-per-key, integer-exact so the whole profile is
+    value-hash-checkable cross-engine).
+
+    Each heavy-hitter row carries the corpus scalars alongside it:
+
+        (surface, hitter_rank, key, cnt, share_permille,
+         n_rows, n_keys, max_cnt, p50_cnt_edge, p99_cnt_edge,
+         suggested_salt)
+
+    ``share_permille = cnt * 1000 div n_rows`` and ``suggested_salt =
+    ceil(max_cnt / target_rows_per_task)`` are integer arithmetic: the
+    salt factor that caps the hottest key's per-reducer rows at the
+    target is exactly the ``salt`` argument :func:`salted_join` takes,
+    closing the measure -> configure loop. suggested_salt = 1 reads as
+    "no salting needed".
+
+    Scale shape: the key-count groupBy is the only corpus-scale stage;
+    hitters come from a TakeOrderedAndProject (never a full-table
+    window), the scalar moments from one aggregate over the skinny
+    count frame, and the quantile sketch is geometry-bounded (~1k
+    rows). ``surface`` tags the profiled key so several profiles can
+    union into one report.
+    """
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_quantiles,
+        logbucket_sketch,
+    )
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # selection AND ranking both tie-break on the ORIGINAL key type —
+    # ranking a numeric key's ties as strings would disagree with the
+    # selection order (and any SQL twin) whenever 2 vs 10 tie
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    hitters = (
+        counts.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .limit(top_k)
+        .withColumn("hitter_rank", F.row_number().over(w).cast("int"))
+        .select(
+            F.col(key_col).cast("string").alias("key"), "cnt", "hitter_rank"
+        )
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    qs = logbucket_quantiles(
+        logbucket_sketch(counts, "cnt", sub_bits), [500, 990]
+    )
+    p50 = qs.where(F.col("q_permille") == 500).select(
+        F.col("est_edge").alias("p50_cnt_edge")
+    )
+    p99 = qs.where(F.col("q_permille") == 990).select(
+        F.col("est_edge").alias("p99_cnt_edge")
+    )
+    t = int(target_rows_per_task)
+    return (
+        hitters.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            F.lit(surface).alias("surface"),
+            "hitter_rank",
+            "key",
+            "cnt",
+            F.expr("cnt * 1000 div n_rows").alias("share_permille"),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "p50_cnt_edge",
+            "p99_cnt_edge",
+            F.expr(f"(max_cnt + {t - 1}) div {t}").alias("suggested_salt"),
+        )
+    )

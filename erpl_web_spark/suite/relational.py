@@ -1175,6 +1175,104 @@ def diag_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skew_oracle() -> str:
+    """Twin of operators.relational.skew_profile over two surfaces —
+    per-key counts, top-5 hitters (count ties to the smallest key in
+    its ORIGINAL type), integer share/salt arithmetic, and the
+    log-bucket p50/p99 of rows-per-key (the qsketch bit arithmetic
+    inlined over the count column)."""
+    def surface(s: str, src: str, label: str) -> str:
+        return f"""
+    {s}_counts AS (
+      SELECT k AS key_t, CAST(COUNT(*) AS BIGINT) AS cnt FROM {src} GROUP BY 1
+    ),
+    {s}_stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM {s}_counts
+    ),
+    {s}_sb AS (
+      SELECT cnt, greatest(length(format('{{:b}}', cnt)) - 1 - 4, 0) AS s
+      FROM {s}_counts
+    ),
+    {s}_sk AS (
+      SELECT ((cnt >> s) << s) AS edge, CAST(COUNT(*) AS BIGINT) AS bc
+      FROM {s}_sb GROUP BY 1
+    ),
+    {s}_cum AS (
+      SELECT edge, CAST(SUM(bc) OVER (ORDER BY edge) AS BIGINT) AS cum,
+             CAST(SUM(bc) OVER () AS BIGINT) AS n
+      FROM {s}_sk
+    ),
+    {s}_q AS (
+      SELECT q, MIN(edge) AS est FROM (
+        SELECT qq.q, c.edge
+        FROM (SELECT unnest([500, 990]) AS q) qq JOIN {s}_cum c
+          ON c.cum >= (CAST(qq.q AS BIGINT) * c.n + 999) // 1000
+      ) GROUP BY q
+    ),
+    {s}_hit AS (
+      SELECT key_t, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key_t ASC) AS hitter_rank
+      FROM {s}_counts ORDER BY cnt DESC, key_t ASC LIMIT 5
+    ),
+    {s}_out AS (
+      SELECT '{label}' AS surface, CAST(h.hitter_rank AS INT) AS hitter_rank,
+             CAST(h.key_t AS VARCHAR) AS key, h.cnt,
+             CAST(h.cnt * 1000 // st.n_rows AS BIGINT) AS share_permille,
+             st.n_rows, st.n_keys, st.max_cnt,
+             CAST(p50.est AS BIGINT) AS p50_cnt_edge,
+             CAST(p99.est AS BIGINT) AS p99_cnt_edge,
+             CAST((st.max_cnt + 255) // 256 AS BIGINT) AS suggested_salt
+      FROM {s}_hit h, {s}_stats st,
+           (SELECT est FROM {s}_q WHERE q = 500) p50(est),
+           (SELECT est FROM {s}_q WHERE q = 990) p99(est)
+    )"""
+
+    # the documents token fragment (= pipeline._SQL_TOKS, inlined to
+    # keep suite modules import-independent)
+    toks_src = (
+        "(SELECT unnest(list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> '')) AS k FROM documents)"
+    )
+    users_src = "(SELECT user_id AS k FROM events)"
+    return f"""
+    WITH {surface('a', toks_src, 'doc_tokens')},
+    {surface('b', users_src, 'event_users')}
+    SELECT * FROM a_out UNION ALL SELECT * FROM b_out
+    """
+
+
+@register("diag_skew_profile", oracle=_skew_oracle())
+def diag_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators.relational.skew_profile)
+    over two key surfaces in one report: the Zipf document-token
+    column (the viral-term risk BM25's max_df and the salted unigram
+    entries mitigate) and the near-uniform events.user_id (the
+    suggested_salt = 1 negative control). Each surface costs the SAME
+    map-side-combined groupBy the diagnosed operation would run; heavy
+    hitters come from TakeOrderedAndProject, the count distribution
+    from the geometry-bounded log-bucket quantile sketch — so the
+    whole profile, including the suggested salted_join factor, is
+    integer arithmetic and value-hash-checked cross-engine. The
+    measure -> configure loop for join_salted_skew, as an operator."""
+    from erpl_web_spark.operators.relational import skew_profile
+    from erpl_web_spark.operators.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(F.explode(tokens_expr("text")).alias("tok"))
+    users = load(spark, sf_dir, "events").select("user_id")
+    # target 256 is deliberately tight so the testdata-scale corpus
+    # exercises the salt arithmetic with a non-trivial factor (the
+    # production target is ~10^6 rows/task; the formula is the same)
+    return skew_profile(
+        toks, "tok", "doc_tokens", target_rows_per_task=256
+    ).unionByName(
+        skew_profile(users, "user_id", "event_users", target_rows_per_task=256)
+    )
+
+
 @register(
     "interval_join_bucketed",
     oracle="""

@@ -4961,6 +4961,70 @@ def test_hll_index_streaming_e2e(spark, tmp_path):
     assert got == direct
 
 
+def test_qsketch_index_streaming_e2e(spark, tmp_path):
+    """The quantile index behind a real checkpointed file stream:
+    foreachBatch(qsketch_index_apply) with epoch_id as the batch
+    version — after two availableNow passes over growing input, the
+    merged index equals the one-pass sketch over everything seen
+    BIT-EXACTLY (additivity), and quantile estimates match."""
+    from pyspark.sql import functions as F
+
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_quantiles,
+        logbucket_sketch,
+        qsketch_index_apply,
+        qsketch_index_quantiles,
+        read_qsketch_index,
+    )
+
+    src = tmp_path / "qssrc"
+    src.mkdir()
+    idx = str(tmp_path / "qsidx")
+    ckpt = str(tmp_path / "qsckpt")
+
+    def run_stream():
+        (
+            spark.readStream.schema("v long")
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: qsketch_index_apply(df, bid, idx, "v", sub_bits=4)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            ((F.col("id") * F.col("id") * 31) % 700000).alias("v")
+        )
+
+    batch(0, 1500).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    batch(1500, 3000).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+
+    merged = {
+        (r["edge"], r["width"]): r["cnt"]
+        for r in read_qsketch_index(spark, idx).collect()
+    }
+    direct_sk = logbucket_sketch(batch(0, 3000), "v", sub_bits=4)
+    direct = {
+        (r["edge"], r["width"]): r["cnt"] for r in direct_sk.collect()
+    }
+    assert merged == direct
+    got_q = {
+        r["q_permille"]: (r["rank_r"], r["est_edge"])
+        for r in qsketch_index_quantiles(spark, idx, [500, 990]).collect()
+    }
+    want_q = {
+        r["q_permille"]: (r["rank_r"], r["est_edge"])
+        for r in logbucket_quantiles(direct_sk, [500, 990]).collect()
+    }
+    assert got_q == want_q
+
+
 def test_scd2_asof_lookup_boundaries(spark):
     """scd2_asof_lookup on a hand-built history: a fact AT an
     interval's valid-from matches it (closed start), a fact AT the
@@ -5400,6 +5464,40 @@ def test_countmin_index_rebuild(spark, tmp_path):
     countmin_index_apply(batches[0], 0, dest2, depth=4, width=64)
     with pytest.raises(ValueError, match="width"):
         countmin_index_rebuild(spark, other, dest2)
+
+
+def test_skew_profile_hot_key_and_tiebreak(spark):
+    """relational.skew_profile: a planted hot key must surface as
+    hitter 1 with the exact integer share and the salted_join factor
+    that caps its per-reducer rows at the target; count ties must rank
+    by the ORIGINAL numeric key order (2 before 10), not string order;
+    the p50 bucket must contain the uniform-key count."""
+    from erpl_web_spark.operators.relational import skew_profile
+
+    hot = spark.range(10_000).select(F.lit(0).cast("long").alias("k"))
+    cold = spark.range(5_000).select((F.col("id") % 100 + 1).alias("k"))
+    prof = {
+        r["hitter_rank"]: r
+        for r in skew_profile(
+            hot.unionByName(cold), "k", "t", top_k=3,
+            target_rows_per_task=1000,
+        ).collect()
+    }
+    top = prof[1]
+    assert top["key"] == "0" and top["cnt"] == 10_000
+    assert top["n_rows"] == 15_000 and top["n_keys"] == 101
+    assert top["share_permille"] == 10_000 * 1000 // 15_000
+    assert top["suggested_salt"] == 10  # ceil(10000 / 1000)
+    # every cold key has exactly 50 rows: p50 bucket must contain 50
+    assert top["p50_cnt_edge"] <= 50 < top["p50_cnt_edge"] * 2 + 2
+    # ranks 2 and 3 are count-tied cold keys: numeric order, so 1, 2
+    assert (prof[2]["key"], prof[3]["key"]) == ("1", "2")
+
+    # explicit numeric-vs-string tiebreak: keys 2 and 10, equal counts
+    tie = spark.createDataFrame([(2,), (10,)], "k long")
+    t = {r["hitter_rank"]: r["key"]
+         for r in skew_profile(tie, "k", "t", top_k=2).collect()}
+    assert (t[1], t[2]) == ("2", "10")
 
 
 def test_label_propagation_model_and_communities(spark):
