@@ -77,6 +77,8 @@ _SAMPLE_PRIORITY = [
     "retrieval_hybrid_rrf",
     "graph_labelprop",
     "diag_skew_profile",
+    "diag_join_size_estimate",
+    "layout_range_bounds",
     # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
     "analytics_event_transitions",
     "analytics_market_basket",

@@ -219,3 +219,92 @@ def qsketch_index_quantiles(
     if sk is None:
         return None
     return logbucket_quantiles(sk, qs_permille)
+
+
+def logbucket_equidepth(
+    sketch: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-depth range-partition bounds from a :func:`logbucket_sketch`
+    — the planner input for ``df.repartitionByRange(n, col)`` / a
+    range-partitioned write, derived from ONE corpus pass instead of
+    the sampling pass Spark's RangePartitioner would run: boundary k
+    (k = 1..n-1) is the quantile estimate at rank ``ceil(k * N / n)``,
+    and because boundaries are bucket lower edges, the ACHIEVED
+    partition sizes are exact cumulative-count differences read off the
+    same sketch — the balance audit costs nothing extra.
+
+    Returns one row per resulting partition:
+
+        (bucket, lo_edge, n_rows, ideal_rows, balance_permille)
+
+    where partition ``bucket`` holds values in [lo_edge, next lo_edge)
+    — bucket 0 starts at 0 (the sketch domain is non-negative by
+    contract) and the last bucket is open above, so every column is
+    NULL-free integers. ``n_rows`` is the EXACT row count that split
+    would realize, ``ideal_rows = N div n`` and ``balance_permille =
+    n_rows * 1000 div ideal_rows`` (1000 = perfectly balanced; kept
+    positive-integer so floor division agrees across engines).
+    Bucket-width granularity bounds the imbalance: a boundary can miss
+    its ideal rank only by rows sharing the boundary bucket, i.e. by
+    <= 2**-sub_bits of the local density.
+
+    All integer arithmetic over the geometry-bounded sketch — the
+    windows here touch <= ~1k + n rows, never the corpus.
+    """
+    if n_buckets < 2:
+        raise ValueError("logbucket_equidepth: n_buckets must be >= 2")
+    spark = sketch.sparkSession
+    w = Window.orderBy("edge").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+    )
+    kdf = spark.createDataFrame(
+        [(int(k),) for k in range(1, n_buckets)], "k int"
+    )
+    bounds = (
+        cum.crossJoin(F.broadcast(kdf))
+        .where(
+            F.col("cum")
+            >= F.expr(f"(CAST(k AS BIGINT) * n + {n_buckets - 1}) div {n_buckets}")
+        )
+        .groupBy("k")
+        .agg(
+            F.min_by(F.struct("edge", "cum", "cnt", "n"), F.col("edge")).alias("b")
+        )
+        .select(
+            "k",
+            F.col("b.edge").alias("edge"),
+            (F.col("b.cum") - F.col("b.cnt")).alias("n_below"),
+            F.col("b.n").alias("n"),
+        )
+    )
+    total = sketch.agg(F.sum("cnt").alias("n")).select(
+        F.lit(n_buckets).cast("int").alias("k"),
+        F.lit(0).cast("long").alias("edge"),  # unused sentinel row
+        F.col("n").alias("n_below"),
+        "n",
+    )
+    first = sketch.agg(F.sum("cnt").alias("n")).select(
+        F.lit(0).cast("int").alias("k"),
+        F.lit(0).cast("long").alias("edge"),
+        F.lit(0).cast("long").alias("n_below"),
+        "n",
+    )
+    allb = bounds.unionByName(first).unionByName(total)
+    lw = Window.orderBy("k")
+    out = (
+        allb.withColumn("next_below", F.lead("n_below").over(lw))
+        .where(F.col("k") < n_buckets)
+        .select(
+            F.col("k").alias("bucket"),
+            F.col("edge").alias("lo_edge"),
+            (F.col("next_below") - F.col("n_below")).alias("n_rows"),
+            F.expr(f"n div {n_buckets}").alias("ideal_rows"),
+            F.expr(
+                f"(next_below - n_below) * 1000 div (n div {n_buckets})"
+            ).alias("balance_permille"),
+        )
+    )
+    return out

@@ -388,3 +388,47 @@ def skew_profile(
             F.expr(f"(max_cnt + {t - 1}) div {t}").alias("suggested_salt"),
         )
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Equi-join OUTPUT-size estimate from two Count-Min sketches,
+    without running the join — the sketch inner-product technique
+    (Alon-Matias-Szegedy frequency moments; Cormode & Muthukrishnan
+    2005 §4.2 for the CM form): the true join size is
+    ``sum over keys of cntL(k) * cntR(k)``, and for each hash row d,
+    ``sum over w of sketchL[d,w] * sketchR[d,w]`` never undercounts it
+    (colliding keys only ADD cross terms); the estimate takes the MIN
+    over the depth rows, with expected overcount <= |L|*|R| / width.
+
+    The decision this powers at 100 TB: before committing to a join
+    strategy, two geometry-bounded sketches (depth x width rows each,
+    one map-side-combined pass per side — reusable across MANY join
+    candidates) predict whether the output explodes (key-skew cross
+    products, accidental many-to-many) — the same summary-first
+    posture as :func:`skew_profile`, but for the PAIRED distribution.
+
+    All-integer arithmetic on md5 buckets (``text.countmin_sketch_col``),
+    so the estimate — and therefore its one-sided >= contract — is
+    bit-identical cross-engine and value-hash-checkable. Returns one
+    row: (est_join_rows,). Compare with the realized count to audit.
+    """
+    from erpl_web_spark.operators.text import countmin_sketch_col
+
+    skl = countmin_sketch_col(left.select(F.col(left_key)), left_key, depth, width)
+    skr = countmin_sketch_col(
+        right.select(F.col(right_key)), right_key, depth, width
+    )
+    prod = (
+        skl.alias("a")
+        .join(skr.alias("b"), ["d", "w"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return prod.agg(F.min("ip").alias("est_join_rows"))

@@ -1344,15 +1344,34 @@ def countmin_sketch(
     never undercounts, overcounts by at most εN = e/width · N with
     probability 1-δ = 1-e^-depth)."""
     toks = df.select(F.explode(tokens_expr(text_col)).alias("tok"))
-    rows = toks.select(
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "tok"
+    return countmin_sketch_col(toks, "tok", depth, width)
+
+
+def countmin_sketch_col(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of a COLUMN's value frequencies — the same
+    md5-bucketed (d, w, cnt) construction :func:`countmin_sketch`
+    applies to tokens, usable on any key column (values hash via their
+    string form, so a BIGINT join key and its VARCHAR rendering sketch
+    identically — the engine-portable contract). This is the summary
+    :func:`relational.join_size_estimate` inner-products to predict an
+    equi-join's output size without running it. NULL values are
+    excluded (the SQL aggregate convention — and a NULL key joins
+    nothing, so it must not count toward a join-size estimate)."""
+    rows = df.where(F.col(col).isNotNull()).select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        F.col(col).cast("string").alias("__v"),
     ).select(
         "d",
         (
             F.conv(
                 F.substring(
                     F.md5(
-                        F.concat_ws(":", F.col("d").cast("string"), F.col("tok"))
+                        F.concat_ws(":", F.col("d").cast("string"), F.col("__v"))
                         .cast("binary")
                     ),
                     1, 8,

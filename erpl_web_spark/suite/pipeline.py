@@ -3998,6 +3998,72 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logbucket_quantiles(sk, _QSKETCH_QS)
 
 
+_SQL_RANGE_BOUNDS_ORACLE = """
+    WITH vals AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), sb AS (
+      SELECT v, greatest(length(format('{:b}', v)) - 1 - 4, 0) AS s
+      FROM vals WHERE v >= 0
+    ), sk AS (
+      SELECT ((v >> s) << s) AS edge, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sb GROUP BY 1
+    ), cum AS (
+      SELECT edge, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY edge) AS BIGINT) AS cum
+      FROM sk
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM sk
+    ), bounds AS (
+      SELECT k, MIN(edge) AS edge FROM
+        (SELECT unnest(range(1, 8)) AS k) ks JOIN cum c ON TRUE, tot
+      WHERE c.cum >= (CAST(ks.k AS BIGINT) * tot.n + 7) // 8
+      GROUP BY k
+    ), binfo AS (
+      SELECT b.k, b.edge, c.cum - c.cnt AS n_below
+      FROM bounds b JOIN cum c ON c.edge = b.edge
+    ), allb AS (
+      SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS edge,
+             CAST(0 AS BIGINT) AS n_below
+      UNION ALL SELECT k, edge, CAST(n_below AS BIGINT) FROM binfo
+      UNION ALL SELECT 8, 0, n FROM tot
+    ), parts AS (
+      SELECT k AS bucket, edge AS lo_edge,
+             LEAD(n_below) OVER (ORDER BY k) - n_below AS n_rows
+      FROM allb
+    )
+    SELECT CAST(bucket AS INT) AS bucket, CAST(lo_edge AS BIGINT) AS lo_edge,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(tot.n // 8 AS BIGINT) AS ideal_rows,
+           CAST(n_rows * 1000 // (tot.n // 8) AS BIGINT) AS balance_permille
+    FROM parts, tot WHERE bucket < 8
+    """
+
+
+@register("layout_range_bounds", oracle=_SQL_RANGE_BOUNDS_ORACLE)
+def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition planning from the quantile sketch
+    (operators.qsketch.logbucket_equidepth): the 7 boundaries an
+    8-way ``repartitionByRange`` of lineitem price cents should use
+    (each row's lo_edge; bucket 0 starts at 0, the last is open),
+    derived from ONE corpus pass instead of RangePartitioner's
+    sampling pass — WITH the balance audit for free: because
+    boundaries are bucket edges, each resulting partition's EXACT row
+    count (and its permille deviation from ideal) reads off the same
+    sketch's cumulative counts. The range-layout sibling of
+    layout_zorder_profile: one decides the split points, the other
+    the multi-dimension ordering inside them. All integer arithmetic
+    over the geometry-bounded sketch; value-hash-checked at every
+    SF."""
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_equidepth,
+        logbucket_sketch,
+    )
+
+    sk = logbucket_sketch(_lineitem_cents(spark, sf_dir), "v", sub_bits=4)
+    return logbucket_equidepth(sk, 8)
+
+
 @register("pipeline_qsketch_index_batches", oracle=_SQL_QSKETCH_ORACLE)
 def pipeline_qsketch_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_quantile_sketch routed through the ON-DISK incremental

@@ -1273,6 +1273,104 @@ def diag_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_est_oracle() -> str:
+    """Twin of operators.relational.join_size_estimate for three join
+    pairs: per-side 3x64 CMS over the stringified key (the
+    text_countmin_topk hash arithmetic), per-row inner product, MIN
+    over rows, next to the realized join counts."""
+    def sk(s: str, src: str) -> str:
+        return f"""
+    {s}_f AS (
+      SELECT g.d, t.k
+      FROM (SELECT CAST(k AS VARCHAR) AS k FROM {src} WHERE k IS NOT NULL) t,
+           (SELECT unnest(range(0, 3)) AS d) g
+    ),
+    {s}_sk AS (
+      SELECT d,
+             CAST(CAST('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || k), 1, 8)
+                  AS BIGINT) % 64 AS INT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {s}_f GROUP BY 1, 2
+    )"""
+
+    def est(s: str, a: str, b: str) -> str:
+        return f"""
+    {s}_est AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est FROM (
+        SELECT a.d, SUM(a.cnt * b.cnt) AS ip
+        FROM {a}_sk a JOIN {b}_sk b USING (d, w) GROUP BY a.d)
+    )"""
+
+    return f"""
+    WITH {sk('ok', '(SELECT o_orderkey AS k FROM orders)')},
+    {sk('lk', '(SELECT l_orderkey AS k FROM lineitem)')},
+    {sk('ck', '(SELECT c_custkey AS k FROM customer)')},
+    {sk('oc', '(SELECT o_custkey AS k FROM orders)')},
+    {sk('pk', '(SELECT l_partkey AS k FROM lineitem)')},
+    {est('p1', 'ok', 'lk')},
+    {est('p2', 'ck', 'oc')},
+    {est('p3', 'pk', 'pk')},
+    x1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact FROM orders
+           JOIN lineitem ON o_orderkey = l_orderkey),
+    x2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact FROM customer
+           JOIN orders ON c_custkey = o_custkey),
+    x3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact FROM lineitem a
+           JOIN lineitem b ON a.l_partkey = b.l_partkey)
+    SELECT 'orders_lineitem' AS pair, p1_est.est AS est_join_rows,
+           x1.exact AS exact_join_rows, p1_est.est - x1.exact AS overcount
+    FROM p1_est, x1
+    UNION ALL
+    SELECT 'customer_orders', p2_est.est, x2.exact, p2_est.est - x2.exact
+    FROM p2_est, x2
+    UNION ALL
+    SELECT 'lineitem_selfpart', p3_est.est, x3.exact, p3_est.est - x3.exact
+    FROM p3_est, x3
+    """
+
+
+@register("diag_join_size_estimate", oracle=_join_est_oracle())
+def diag_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-size prediction from Count-Min inner products
+    (operators.relational.join_size_estimate — the AMS/CM sketch
+    technique) audited against the realized counts for three shapes:
+    two FK joins (orders-lineitem, customer-orders) and the
+    many-to-many lineitem self-join on l_partkey whose quadratic
+    output is exactly what the estimator exists to flag BEFORE the
+    join runs. depth=3 x width=64 is deliberately undersized so hash
+    collisions produce VARYING positive overcounts, and the one-sided
+    est >= exact contract is value-hash-checked cross-engine (the
+    text_countmin_topk posture) — each sketch is one map-side-combined
+    pass over just the key column, reusable across every join
+    candidate that touches it."""
+    from erpl_web_spark.operators.relational import join_size_estimate
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    def pair(name, l, r, lk, rk):
+        est = join_size_estimate(l, r, lk, rk, depth=3, width=64)
+        exact = (
+            l.select(F.col(lk).alias("__k"))
+            .join(r.select(F.col(rk).alias("__k")), "__k")
+            .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+        )
+        return est.crossJoin(exact).select(
+            F.lit(name).alias("pair"),
+            "est_join_rows",
+            "exact_join_rows",
+            (F.col("est_join_rows") - F.col("exact_join_rows")).alias(
+                "overcount"
+            ),
+        )
+
+    return (
+        pair("orders_lineitem", orders, li, "o_orderkey", "l_orderkey")
+        .unionByName(pair("customer_orders", cust, orders, "c_custkey", "o_custkey"))
+        .unionByName(pair("lineitem_selfpart", li, li, "l_partkey", "l_partkey"))
+    )
+
+
 @register(
     "interval_join_bucketed",
     oracle="""

@@ -5466,6 +5466,68 @@ def test_countmin_index_rebuild(spark, tmp_path):
         countmin_index_rebuild(spark, other, dest2)
 
 
+def test_join_size_estimate_one_sided(spark):
+    """relational.join_size_estimate: with a collision-free width the
+    CMS inner product equals the exact join size; undersized widths
+    only ever OVERcount (the one-sided contract); NULL keys join
+    nothing and must not inflate the estimate."""
+    from erpl_web_spark.operators.relational import join_size_estimate
+
+    l = spark.createDataFrame([(1,), (1,), (2,), (3,), (None,)], "k long")
+    r = spark.createDataFrame([(1,), (2,), (2,), (4,), (None,)], "k long")
+    exact = l.join(r, "k").count()
+    assert exact == 4  # key1: 2x1, key2: 1x2
+
+    wide = join_size_estimate(l, r, "k", "k", depth=3, width=4096)
+    assert wide.collect()[0]["est_join_rows"] == exact
+    narrow = join_size_estimate(l, r, "k", "k", depth=3, width=2)
+    assert narrow.collect()[0]["est_join_rows"] >= exact
+
+    # a many-to-many self-join: exact = sum of squared key counts
+    m = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+    est = join_size_estimate(m, m, "k", "k", depth=3, width=4096)
+    assert est.collect()[0]["est_join_rows"] == 10 * 10 * 3
+
+
+def test_logbucket_equidepth_partitions_exactly(spark):
+    """qsketch.logbucket_equidepth: the reported per-partition counts
+    must equal what filtering the corpus at the returned bounds
+    actually yields (the audit IS exact, not an estimate), sum to N,
+    and be near-balanced on uniform data."""
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_equidepth,
+        logbucket_sketch,
+    )
+
+    df = spark.range(8000).select((F.col("id") * 17 % 40000).alias("v"))
+    sk = logbucket_sketch(df, "v", sub_bits=4)
+    parts = sorted(
+        logbucket_equidepth(sk, 8).collect(), key=lambda r: r["bucket"]
+    )
+    assert [p["bucket"] for p in parts] == list(range(8))
+    assert sum(p["n_rows"] for p in parts) == 8000
+    assert parts[0]["lo_edge"] == 0
+    vals = [r["v"] for r in df.collect()]
+    bounds = [p["lo_edge"] for p in parts] + [float("inf")]
+    # the docstring's granularity bound, asserted EXACTLY: a partition
+    # can miss ideal only by rows sharing its two boundary buckets
+    cnts = {r["edge"]: r["cnt"] for r in sk.collect()}
+    for i, p in enumerate(parts):
+        realized = sum(1 for v in vals if bounds[i] <= v < bounds[i + 1])
+        assert p["n_rows"] == realized
+        assert p["ideal_rows"] == 1000
+        slack = cnts.get(bounds[i], 0) + (
+            cnts.get(bounds[i + 1], 0) if i + 1 < len(parts) else 0
+        )
+        assert abs(p["n_rows"] - 1000) <= slack + 1
+        assert p["balance_permille"] == p["n_rows"] * 1000 // 1000
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        logbucket_equidepth(sk, 1)
+
+
 def test_skew_profile_hot_key_and_tiebreak(spark):
     """relational.skew_profile: a planted hot key must surface as
     hitter 1 with the exact integer share and the salted_join factor

@@ -68,6 +68,11 @@ REVIEWED: dict[str, dict[str, str]] = {
         "n_rows": "whole-table count, same for every profiled column",
         "n_nulls": "orders has no NULLs; the NULL path is covered by null_safe_funcs",
     },
+    "layout_range_bounds": {
+        "ideal_rows": "N div n_buckets — the same reference line for "
+        "every bucket by definition; the VARIATION is in n_rows and "
+        "balance_permille, both non-constant and pytest-pinned exact",
+    },
     "embedding_covariance": {"n": "whole-table count"},
     "funnel_stages": {
         "reached_click": "funnel keeps only complete sessions at this SF",
