@@ -1659,9 +1659,47 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("left_id", "right_id", F.round("cosine", 6).alias("cosine_r"))
 
 
-@register(
-    "text_redact_pii",
-    oracle=rf"""
+# One source of truth for the PII regex dialect shared by the Spark
+# operator (text.redact_pii mirrors these in order), the entry oracle,
+# and the randomized cross-engine property test
+# (tests/test_properties.py): (pattern, replacement tag) in chain order.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IPV4]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN_LIKE]"),
+    (r"\+?\d[\d\s()-]{7,}\d", "[PHONE]"),
+]
+
+
+def _pii_redact_sql(col: str = "text") -> str:
+    """DuckDB rendering of the full redaction CHAIN over ``col`` — the
+    redacted-text expression (hit counting needs the stepwise CTE form
+    in the entry oracle instead, because hits are counted on each
+    pattern's PRE-replacement intermediate)."""
+    expr = col
+    for pat, tag in _PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
+
+
+# the name the randomized property test imports
+_PII_SQL = _pii_redact_sql("text")
+
+
+def _pii_oracle() -> str:
+    """Entry oracle generated from _PII_PATTERNS: replacements chain in
+    order, and hit counts come from each pattern's PRE-replacement
+    intermediate (the operator contract: a literal '[EMAIL]' already
+    present in the input is not a redaction hit)."""
+    steps, counts = [], []
+    for i, (pat, tag) in enumerate(_PII_PATTERNS):
+        steps.append(
+            f"s{i + 1} AS (SELECT *, regexp_replace(r{i}, '{pat}', "
+            f"'{tag}', 'g') AS r{i + 1} FROM s{i})"
+        )
+        counts.append(f"len(regexp_extract_all(r{i}, '{pat}'))")
+    n = len(_PII_PATTERNS)
+    return f"""
     WITH aug AS (
       SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1670,32 +1708,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                   || repeat(' backup 10.9.8.7', CAST(doc_id % 3 AS INT))
                AS text
       FROM documents
-    ), steps AS (
-      -- hit counts come from each pattern's PRE-replacement intermediate
-      -- (the operator contract: a literal '[EMAIL]' already present in
-      -- the input is not a redaction hit), replacements chain in order
-      SELECT doc_id, text AS r0,
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g') AS r1
-      FROM aug
-    ), steps2 AS (
-      SELECT *, regexp_replace(r1,
-               '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '[IPV4]', 'g') AS r2
-      FROM steps
-    ), steps3 AS (
-      SELECT *, regexp_replace(r2,
-               '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN_LIKE]', 'g') AS r3
-      FROM steps2
-    )
-    SELECT doc_id,
-           regexp_replace(r3, '\+?\d[\d\s()-]{{7,}}\d', '[PHONE]', 'g') AS redacted,
-           CAST(len(regexp_extract_all(r0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
-              + len(regexp_extract_all(r1, '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b'))
-              + len(regexp_extract_all(r2, '\b\d{{3}}-\d{{2}}-\d{{4}}\b'))
-              + len(regexp_extract_all(r3, '\+?\d[\d\s()-]{{7,}}\d')) AS INT) AS redacted_n_hits
-    FROM steps3
-    """,
-)
+    ), s0 AS (SELECT doc_id, text AS r0 FROM aug),
+    {",".join(steps)}
+    SELECT doc_id, r{n} AS redacted,
+           CAST({" + ".join(counts)} AS INT) AS redacted_n_hits
+    FROM s{n}
+    """
+
+
+@register("text_redact_pii", oracle=_pii_oracle())
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails/IPs/phone-like runs/SSN shapes) as a
     map-only JVM regex chain; same RE dialect evaluates in DuckDB.
