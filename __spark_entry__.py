@@ -79,6 +79,7 @@ _SAMPLE_PRIORITY = [
     "diag_skew_profile",
     "diag_join_size_estimate",
     "layout_range_bounds",
+    "graph_kcore",
     # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
     "analytics_event_transitions",
     "analytics_market_basket",

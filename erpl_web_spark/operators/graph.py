@@ -471,3 +471,73 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983 cores; the standard
+    iterative peel): repeatedly delete nodes of degree < ``k`` — after
+    enough rounds the survivors are exactly the k-core, the maximal
+    subgraph where every node keeps >= k neighbors. In a curation
+    stack this is the dense-cluster detector a PAIRWISE dedup misses:
+    a template farm shows up as a dense near-dup neighborhood whose
+    members each have many duplicate-edges, and the k-core isolates it
+    from incidental one-off matches (which peel away).
+
+    ``rounds`` is a FIXED constant (the ``label_propagation`` posture:
+    a fixed round count keeps the unrolled SQL oracle exact, and each
+    round is one degree count + one semi-join — peeling converges when
+    a round deletes nothing). Returns every node of the (symmetrized)
+    input with its status after the peel:
+
+        (id, survived 1/0, deg_final)
+
+    ``deg_final`` = the node's degree in the surviving subgraph (>= k
+    for survivors once converged; 0 for peeled nodes). Pure integer
+    counting — bit-identical across engines and partitionings.
+
+    Scale shape per round: one groupBy degree count of the live edge
+    list and two broadcast-or-hash semi-joins to filter edges whose
+    endpoints died — skinny (src, dst) BIGINT rows, no driver-side
+    state; the live edge list only shrinks.
+    """
+    from erpl_web_spark.operators._cache import track_persist
+
+    if k < 1:
+        raise ValueError("kcore_peel: k must be >= 1")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    e = track_persist(e, "kcore_edges")
+    all_nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    live = e
+    for i in range(rounds):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
+        live = (
+            live.join(alive.select(F.col("id").alias("src")), "src", "semi")
+            .join(alive.select(F.col("id").alias("dst")), "dst", "semi")
+        )
+        live = live.localCheckpoint(eager=True)
+    fdeg = live.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg_final"))
+    return all_nodes.join(
+        fdeg.select(F.col("src").alias("id"), "deg_final"), "id", "left"
+    ).select(
+        "id",
+        F.col("deg_final").isNotNull().cast("int").alias("survived"),
+        F.coalesce(F.col("deg_final"), F.lit(0)).cast("long").alias("deg_final"),
+    )

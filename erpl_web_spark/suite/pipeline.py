@@ -6029,6 +6029,71 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _kcore_oracle(k: int = 90, rounds: int = 3) -> str:
+    """Unrolled twin of graph.kcore_peel over the part co-purchase
+    graph: each round keeps edges whose BOTH endpoints currently have
+    degree >= k (HAVING-IN renders the semi-joins), then the final
+    degrees left-join onto the full node set. Pure integer counting —
+    the iterative-oracle idiom (pagerank/labelprop) for the peeling
+    family."""
+    lvls = []
+    prev = "e"
+    for i in range(1, rounds + 1):
+        lvls.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT * FROM {prev}
+      WHERE s IN (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k})
+        AND t IN (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k})
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS MATERIALIZED (SELECT u AS s, v AS t FROM e0
+                       UNION ALL SELECT v, u FROM e0),
+    nodes AS (SELECT DISTINCT s AS id FROM e),
+    {",".join(lvls)},
+    fdeg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg_final
+             FROM {prev} GROUP BY s)
+    SELECT n.id,
+           CAST(CASE WHEN f.id IS NULL THEN 0 ELSE 1 END AS INT) AS survived,
+           COALESCE(f.deg_final, 0) AS deg_final
+    FROM nodes n LEFT JOIN fdeg f ON f.id = n.id
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (graph.kcore_peel, k=90, 3 rounds) over
+    the part co-purchase graph — the dense-cluster detector of the
+    graph family: pairwise dedup finds edges, connected components
+    finds reachability, the k-core finds the TEMPLATE-FARM-dense
+    neighborhoods where every member keeps >= 90 co-purchase partners
+    even after weakly-attached nodes peel away. k=90 sits between the
+    graph's min and median degree, so the peel CASCADES: at sf0.001
+    the whole graph unravels within two rounds (the collapse is the
+    hash), at sf0.01/0.1 each round removes a varying shell and
+    leaves a dense core. Pure integer counting, fixed round count —
+    the pagerank/labelprop unrolled-oracle posture; per round one
+    degree groupBy + two semi-joins on the shrinking edge list."""
+    from erpl_web_spark.operators.graph import kcore_peel
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "kk")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return kcore_peel(edges, k=90, rounds=3)
+
+
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-CTE twin of graph.pagerank_int over the symmetrized
     customer<->supplier co-order graph: every round is EXACT integer

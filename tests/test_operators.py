@@ -5466,6 +5466,65 @@ def test_countmin_index_rebuild(spark, tmp_path):
         countmin_index_rebuild(spark, other, dest2)
 
 
+def test_kcore_peel_model_and_cascade(spark):
+    """graph.kcore_peel: matches a Python model of bounded peeling on
+    a pseudo-random graph; on a K5 clique with a pendant chain the
+    chain peels (CASCADING — each removal exposes the next) while the
+    clique survives at full internal degree; k<1 raises."""
+    import pytest
+
+    from erpl_web_spark.operators.graph import kcore_peel
+
+    def model(edge_list, k, rounds):
+        edges = set()
+        for a, b in edge_list:
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+        nodes = {v for e in edges for v in e}
+        live = set(edges)
+        for _ in range(rounds):
+            deg = {}
+            for s, _t in live:
+                deg[s] = deg.get(s, 0) + 1
+            alive = {v for v, d in deg.items() if d >= k}
+            live = {(s, t) for (s, t) in live if s in alive and t in alive}
+        fdeg = {}
+        for s, _t in live:
+            fdeg[s] = fdeg.get(s, 0) + 1
+        return {
+            v: (1 if v in fdeg else 0, fdeg.get(v, 0)) for v in nodes
+        }
+
+    rand_edges = sorted(
+        {((i * 7919) % 31, (i * i * 104729 + 3) % 31) for i in range(90)}
+        - {(v, v) for v in range(31)}
+    )
+    df = spark.createDataFrame(rand_edges, "src long, dst long")
+    got = {
+        r["id"]: (r["survived"], r["deg_final"])
+        for r in kcore_peel(df, k=4, rounds=3).collect()
+    }
+    assert got == model(rand_edges, 4, 3)
+
+    # K5 clique (degrees 4) + pendant chain 5-6-7 (degrees <= 2):
+    # k=3 peels the chain over two cascading rounds, keeps the clique
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    cl = spark.createDataFrame(k5 + chain, "src long, dst long")
+    labs = {
+        r["id"]: (r["survived"], r["deg_final"])
+        for r in kcore_peel(cl, k=3, rounds=3).collect()
+    }
+    assert all(labs[v] == (1, 4) for v in range(4))
+    assert labs[4][0] == 1  # clique member keeps >= 4 after chain peels
+    assert labs[5] == (0, 0) and labs[6] == (0, 0) and labs[7] == (0, 0)
+    assert labs == model(k5 + chain, 3, 3)
+
+    with pytest.raises(ValueError, match="k must be"):
+        kcore_peel(cl, k=0)
+
+
 def test_join_size_estimate_one_sided(spark):
     """relational.join_size_estimate: with a collision-free width the
     CMS inner product equals the exact join size; undersized widths
