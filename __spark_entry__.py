@@ -80,6 +80,7 @@ _SAMPLE_PRIORITY = [
     "diag_join_size_estimate",
     "layout_range_bounds",
     "graph_kcore",
+    "quality_drift_quantiles",
     # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
     "analytics_event_transitions",
     "analytics_market_basket",

@@ -213,6 +213,56 @@ def hist_tolerances(
     return {f"hist:{col}:{b}": ("abs", limit) for b in range(nbins)}
 
 
+def quantile_metrics(
+    df: DataFrame,
+    col: str,
+    qs_permille: list[int],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Tall (metric, value) rows ``q:<col>:<permille>`` — log-bucket
+    quantile edges (``operators.qsketch``) of a NON-NEGATIVE BIGINT
+    column (quantize upstream: cents, bytes, token counts), the
+    distribution-drift profile for columns whose RANGE is unknown or
+    unbounded. ``hist_cols`` needs a fixed [lo, hi) domain chosen in
+    advance; the log buckets adapt to any magnitude, so a p99 that
+    quietly drifts 10x still lands a metric the gate can compare.
+    Values are integer bucket edges cast to double (exact below 2^53),
+    so a "rel" tolerance in :func:`drift_report` is bit-identical
+    cross-engine; bucket granularity means a shift below
+    ``2**-sub_bits`` can read as delta 0 — the tolerance should sit
+    above that quantization floor.
+
+    An EMPTY (or all-NULL/negative) batch emits NO rows — and the
+    ghost-metric rule in :func:`drift_report` then fails the
+    toleranced quantile loudly instead of letting an empty publish
+    slide through.
+
+    One geometry-bounded sketch pass next to batch_metrics' aggregate
+    pass; the quantile extraction windows over the ~1k-row sketch."""
+    from erpl_web_spark.operators.qsketch import (
+        logbucket_quantiles,
+        logbucket_sketch,
+    )
+
+    sk = logbucket_sketch(df.select(F.col(col)), col, sub_bits)
+    q = logbucket_quantiles(sk, qs_permille)
+    return q.select(
+        F.concat(
+            F.lit(f"q:{col}:"), F.col("q_permille").cast("string")
+        ).alias("metric"),
+        F.col("est_edge").cast("double").alias("value"),
+    )
+
+
+def quantile_tolerances(
+    col: str, qs_permille: list[int], limit: float
+) -> dict[str, tuple[str, float]]:
+    """Tolerance dict for one quantile-profiled column: every
+    ``q:<col>:<pm>`` edge compared with rel ``limit`` (set limit above
+    the 2**-sub_bits bucket-quantization floor)."""
+    return {f"q:{col}:{q}": ("rel", float(limit)) for q in qs_permille}
+
+
 def metrics_apply(
     batch_df: DataFrame,
     batch_id: int,
@@ -220,19 +270,24 @@ def metrics_apply(
     key_cols: list[str] | None = None,
     rate_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
+    quantile_cols: dict[str, list[int]] | None = None,
 ) -> None:
     """foreachBatch sink: persist this batch's :func:`batch_metrics`
-    as ``metrics=<batch_id>`` under the manifest commit protocol (the
-    HLL/CMS index discipline — manifest written strictly after the
-    parquet write, so a torn write is invisible and a replayed batch
-    id is a no-op). State is metrics-many rows per batch: the history
-    a publish gate needs for drift checks, at no corpus-scale cost."""
+    (plus :func:`quantile_metrics` rows for ``quantile_cols``: col ->
+    permille list) as ``metrics=<batch_id>`` under the manifest commit
+    protocol (the HLL/CMS index discipline — manifest written strictly
+    after the parquet write, so a torn write is invisible and a
+    replayed batch id is a no-op). State is metrics-many rows per
+    batch: the history a publish gate needs for drift checks, at no
+    corpus-scale cost."""
     from erpl_web_spark.core import manifests
 
     spark = batch_df.sparkSession
     if batch_id in manifests.committed_versions(spark, path, "metrics"):
         return  # replay: history must not gain a duplicate batch
     m = batch_metrics(batch_df, key_cols, rate_cols, hist_cols)
+    for c, qs in (quantile_cols or {}).items():
+        m = m.unionByName(quantile_metrics(batch_df, c, qs))
     m.write.mode("overwrite").parquet(f"{path}/metrics={batch_id}")
     manifests.commit_version(spark, path, "metrics", batch_id)
 

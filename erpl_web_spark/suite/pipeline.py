@@ -3413,6 +3413,106 @@ def quality_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_drift_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_orderkey % 2 AS BIGINT) AS bid,
+             CAST(floor((CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+                  THEN o_totalprice * 1.4 ELSE o_totalprice END) * 100)
+               AS BIGINT) AS v
+      FROM orders
+    ), sb AS (
+      SELECT bid, v, greatest(length(format('{:b}', v)) - 1 - 4, 0) AS s
+      FROM b WHERE v >= 0
+    ), sk AS (
+      SELECT bid, ((v >> s) << s) AS edge, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sb GROUP BY 1, 2
+    ), cum AS (
+      SELECT bid, edge,
+             CAST(SUM(cnt) OVER (PARTITION BY bid ORDER BY edge) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY bid) AS BIGINT) AS n
+      FROM sk
+    ), qs AS (SELECT unnest([500, 900, 990]) AS q),
+    est AS (
+      SELECT bid, q, MIN(edge) AS e
+      FROM qs JOIN cum
+        ON cum.cum >= (CAST(q AS BIGINT) * cum.n + 999) // 1000
+      GROUP BY 1, 2
+    ), d AS (
+      SELECT c.q, CAST(p.e AS DOUBLE) AS prev_value,
+             CAST(c.e AS DOUBLE) AS curr_value,
+             abs(CAST(c.e AS DOUBLE) / p.e - 1.0) AS raw_delta
+      FROM est p JOIN est c ON c.q = p.q AND p.bid = 0 AND c.bid = 1
+    )
+    SELECT CAST(1 AS BIGINT) AS curr_batch,
+           'q:v_cents:' || CAST(q AS VARCHAR) AS metric,
+           prev_value, curr_value,
+           ROUND(raw_delta, 6) AS delta_r, 'rel' AS mode,
+           0.2 AS max_delta,
+           CAST(raw_delta <= 0.2 AS INT) AS passed
+    FROM d
+    """,
+)
+def quality_drift_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-drift tier of the cross-batch gate (expectations.
+    quantile_metrics — the qsketch log-bucket edges as persisted
+    metrics): p50/p90/p99 of order price CENTS compared between two
+    batches under a 0.2 rel tolerance. Where quality_drift_histogram
+    needs a [lo, hi) domain fixed in advance, the log buckets adapt
+    to any magnitude — the check that catches a p99 quietly drifting
+    into a new decade. Batch 1 carries the SAME planted x1.4 shift as
+    the histogram entry: p50 and p90 move one-to-two buckets
+    (rel ~0.08-0.13, PASS) while p99 jumps ~0.35-0.39 (FAIL) at every
+    SF — both report paths in the value hash. Integer edges cast to
+    exact doubles make the rel arithmetic bit-identical cross-engine;
+    the oracle recomputes both batch sketches straight from the
+    table, proving the manifest metrics round-trip lossless."""
+    import shutil
+    import tempfile
+
+    from erpl_web_spark.operators.expectations import (
+        drift_report,
+        metrics_apply,
+        quantile_tolerances,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(floor((CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 3 = 0 "
+            "THEN o_totalprice * 1.4 ELSE o_totalprice END) * 100) AS BIGINT)"
+        ).alias("v_cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="driftq-suite-")
+    try:
+        for bid in (0, 1):
+            metrics_apply(
+                o.where(F.col("o_orderkey") % 2 == bid),
+                bid,
+                tmp,
+                quantile_cols={"v_cents": [500, 900, 990]},
+            )
+        rep = drift_report(
+            spark, tmp, quantile_tolerances("v_cents", [500, 900, 990], 0.2)
+        )
+        rows = (
+            rep.select(
+                "curr_batch", "metric", "prev_value", "curr_value",
+                F.round("delta", 6).alias("delta_r"), "mode", "max_delta",
+                "passed",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "curr_batch long, metric string, prev_value double, curr_value double, "
+        "delta_r double, mode string, max_delta double, passed int",
+    )
+
+
+@register(
     "dedup_cluster_minhash_md5",
     oracle=f"""
     WITH RECURSIVE {_SQL_TWIN_CTES}{_SQL_MINHASH_MD5_PAIRS},

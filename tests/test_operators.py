@@ -5466,6 +5466,49 @@ def test_countmin_index_rebuild(spark, tmp_path):
         countmin_index_rebuild(spark, other, dest2)
 
 
+def test_quantile_metrics_drift_tier(spark, tmp_path):
+    """expectations.quantile_metrics: the persisted q:<col>:<pm> edges
+    drift-compare exactly like any metric (a 2x scale shift fails a
+    0.2 rel tolerance, an identical batch passes with delta 0), and an
+    EMPTY batch emits NO quantile rows — which the ghost-metric rule
+    turns into a LOUD failure instead of a silently-passing publish."""
+    from erpl_web_spark.operators.expectations import (
+        drift_report,
+        metrics_apply,
+        quantile_metrics,
+        quantile_tolerances,
+    )
+
+    base = spark.range(2000).select((F.col("id") * 13 % 90000).alias("v"))
+    doubled = base.select((F.col("v") * 2).alias("v"))
+
+    # metric naming + values equal the direct sketch quantiles
+    qm = {r["metric"]: r["value"]
+          for r in quantile_metrics(base, "v", [500, 990]).collect()}
+    assert set(qm) == {"q:v:500", "q:v:990"}
+    assert all(float(v).is_integer() and v > 0 for v in qm.values())
+
+    tol = quantile_tolerances("v", [500, 990], 0.2)
+    p = str(tmp_path / "qdrift")
+    metrics_apply(base, 0, p, quantile_cols={"v": [500, 990]})
+    metrics_apply(base, 1, p, quantile_cols={"v": [500, 990]})
+    same = {r["metric"]: r for r in drift_report(spark, p, tol).collect()}
+    assert all(r["passed"] == 1 and r["delta"] == 0.0 for r in same.values())
+
+    metrics_apply(doubled, 2, p, quantile_cols={"v": [500, 990]})
+    shifted = {r["metric"]: r for r in drift_report(spark, p, tol).collect()}
+    # a 2x scale shift moves every log-bucket edge by ~1.0 rel
+    assert all(r["passed"] == 0 and r["delta"] > 0.5 for r in shifted.values())
+
+    # empty batch: no quantile rows -> toleranced metrics fail loudly
+    empty = base.where(F.lit(False))
+    metrics_apply(empty, 3, p, quantile_cols={"v": [500, 990]})
+    ghost = {r["metric"]: r for r in drift_report(spark, p, tol).collect()}
+    assert all(
+        r["passed"] == 0 and r["curr_value"] is None for r in ghost.values()
+    )
+
+
 def test_kcore_peel_model_and_cascade(spark):
     """graph.kcore_peel: matches a Python model of bounded peeling on
     a pseudo-random graph; on a K5 clique with a pendant chain the

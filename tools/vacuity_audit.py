@@ -46,6 +46,14 @@ REVIEWED: dict[str, dict[str, str]] = {
         "max_delta": "single planted tolerance; the pass/fail VARIATION "
         "is in delta_r and passed, both non-constant",
     },
+    "quality_drift_quantiles": {
+        "curr_batch": "one (prev, curr) pair by design — the "
+        "multi-pair path is hashed by quality_drift_report",
+        "mode": "quantile_tolerances emits rel-only; abs lives in the "
+        "histogram entry's hash",
+        "max_delta": "single planted tolerance; the pass/fail "
+        "VARIATION is in delta_r and passed, both non-constant",
+    },
     "q06_revenue_delta": {"*": "single-row TPC-H aggregate"},
     "q14_promo_revenue": {"*": "single-row TPC-H aggregate"},
     "q15_top_supplier": {"*": "single-row top-1 result"},
