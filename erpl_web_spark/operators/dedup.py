@@ -184,11 +184,29 @@ def hashed_shingles(
     (round-9 ``dedup_minhash_lsh_md5``); xxhash64 stays the production
     default (cheaper, 64-bit).
     """
+    # Single parsed expression (r14): the Column-API/lambda formulation
+    # cost ~0.25 s of py4j driver time per call; the SQL string is the
+    # identical plan (A/B value-equality in tests; md5-twin oracles pin
+    # the md5 family end-to-end).
+    q_text = "`" + text_col.replace("`", "``") + "`"
+    toks = f"filter(split(lower({q_text}), '\\\\s+'), t -> t != '')"
+    grams = (
+        f"CASE WHEN size({toks}) >= {shingle_k} THEN "
+        f"transform(sequence(1, size({toks}) - {shingle_k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {shingle_k}))) "
+        "ELSE cast(array() as array<string>) END"
+    )
     if hash_mode == "md5":
-        base = F.transform(grams_expr(text_col, shingle_k), lambda s: _md5_long48(s))
+        inner = (
+            "cast(conv(substring(md5(cast(concat_ws(':', cast(s as string)) "
+            "as binary)), 1, 12), 16, 10) as bigint)"
+        )
     else:
-        base = F.transform(grams_expr(text_col, shingle_k), lambda s: F.xxhash64(s))
-    return df.select(F.col(id_col), F.array_distinct(base).alias("hs"))
+        inner = "xxhash64(s)"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"array_distinct(transform({grams}, s -> {inner})) AS hs"),
+    )
 
 
 def _signatures_from_hashes(
@@ -206,18 +224,25 @@ def _signatures_from_hashes(
     """
     sh = hashed.select(F.col(id_col), F.explode("hs").alias("h"))
     if hash_mode == "md5":
+        # SQL rendering of _md5_long48(lit(str(i)), h): cast(i as string)
+        # renders identically to the str(i) literal, so the seeded hash
+        # family is byte-identical to the Column-API formulation
+        # (value-equality asserted in tests/test_operators.py).
         seeded = [
-            F.min(_md5_long48(F.lit(str(i)), F.col("h"))).alias(f"mh{i}")
+            "min(cast(conv(substring(md5(cast(concat_ws(':', "
+            f"cast({i} as string), cast(h as string)) as binary)), 1, 12), "
+            "16, 10) as bigint))"
             for i in range(num_hashes)
         ]
     else:
-        seeded = [
-            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    mins = sh.groupBy(id_col).agg(*seeded)
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("minhash")
+        seeded = [f"min(xxhash64({i}, h))" for i in range(num_hashes)]
+    # One parsed expression for all num_hashes aggregates: the
+    # per-aggregate Column API costs ~18 ms of py4j/Catalyst driver time
+    # per seed (~1.1 s at 64 hashes, paid per bench rep); a single
+    # array(...) aggregate string resolves to the IDENTICAL plan for
+    # ~0.01 s (r14 measurement, OPTIMIZATION_r14.md).
+    return sh.groupBy(id_col).agg(
+        F.expr("array(" + ", ".join(seeded) + ") as minhash")
     )
 
 
@@ -244,15 +269,16 @@ def band_keys_expr(num_hashes: int, bands: int) -> Column:
     slimmer shuffle key and a simpler grouping.
     """
     rows_per_band = num_hashes // bands
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
+    # Single parsed string (not per-band Column construction): identical
+    # expression tree, ~0.5 s -> ~0.002 s of driver time per call (r14).
+    keys = ", ".join(
+        "xxhash64({}, {})".format(
+            b,
+            ", ".join(f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
     )
+    return F.expr(f"array({keys})")
 
 
 def minhash_lsh_pairs(
@@ -351,24 +377,23 @@ def minhash_lsh_pairs(
     # Bucketize: sorted-distinct member ids per band key. sort+distinct
     # canonicalizes collect_list's nondeterministic order so the expanded
     # pairs are deterministic and strictly id_a < id_b.
+    q_id = "`" + id_col.replace("`", "``") + "`"
     buckets = (
         banded.groupBy("band_key")
-        .agg(F.array_distinct(F.array_sort(F.collect_list(F.col(id_col)))).alias("ids"))
+        .agg(F.expr(f"array_distinct(array_sort(collect_list({q_id}))) AS ids"))
         .where(F.size("ids") > 1)
     )
     # Ordered pairs within each bucket; bucket sizes are collision-bounded
     # so the interpreted lambda touches only actual candidate pairs.
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # (One parsed string — same plan as the nested-lambda Column form,
+    # a fraction of its py4j construction cost; r14.)
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
     )
     cand = track_persist(
-        buckets.select(F.explode(pair_expr).alias("p"))
+        buckets.select(F.expr(f"explode({pair_expr}) AS p"))
         .select("p.id_a", "p.id_b")
         .distinct(),
         "minhash_lsh_pairs",

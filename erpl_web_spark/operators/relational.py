@@ -54,91 +54,104 @@ def asof_join(
 
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
 
+    # The whole operator is built from parsed SQL strings rather than
+    # per-column Column objects: the Column-API formulation issued ~700
+    # py4j round trips per call (~0.25 s of driver time, paid per bench
+    # rep); the selectExpr form is the IDENTICAL logical plan in ~10
+    # calls (r14 measurement, OPTIMIZATION_r14.md). Identifiers are
+    # backtick-quoted so arbitrary column names survive the parser.
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    keys_q = [q(k) for k in keys]
+    payload_q = [q(c) for c in left_payload]
+
     # Tag order: right rows sort BEFORE left rows at equal ts, so a right
     # row at exactly left_ts is visible to that left row (<= semantics).
-    r = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r___match_ts"),
+    r = right.selectExpr(
+        *keys_q,
+        f"{q(right_ts)} AS __ts",
+        "0 AS __side",
+        *[
+            f"CAST(NULL AS {left.schema[c].dataType.simpleString()}) AS {q(c)}"
+            for c in left_payload
+        ],
+        *[f"{q(c)} AS {q('__r_' + c)}" for c in right_cols],
+        f"{q(right_ts)} AS __r___match_ts",
     )
-    l = left.select(
-        *[F.col(k) for k in keys],
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___match_ts"),
+    l = left.selectExpr(
+        *keys_q,
+        f"{q(left_ts)} AS __ts",
+        "1 AS __side",
+        *payload_q,
+        *[
+            f"CAST(NULL AS {right.schema[c].dataType.simpleString()}) AS {q('__r_' + c)}"
+            for c in right_cols
+        ],
+        f"CAST(NULL AS {right.schema[right_ts].dataType.simpleString()}) AS __r___match_ts",
     )
     unioned = r.unionByName(l)
     sides = {"backward": ["b"], "forward": ["f"], "nearest": ["b", "f"]}[direction]
-    filled_cols = []
+    filled_exprs = []
+    keys_csv = ", ".join(keys_q)
     for d in sides:
         # At equal ts the right row must sort BEFORE the left row in both
         # scan directions so <=/>= matches are visible; __side 0 < 1
         # handles that under asc and desc alike.
-        order = (
-            [F.col("__ts").asc(), F.col("__side").asc()]
-            if d == "b"
-            else [F.col("__ts").desc(), F.col("__side").asc()]
+        ts_dir = "ASC" if d == "b" else "DESC"
+        over = (
+            f"OVER (PARTITION BY {keys_csv} ORDER BY __ts {ts_dir}, __side ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled_cols += [
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__{d}_{c}")
+        filled_exprs += [
+            f"last({q('__r_' + c)}, true) {over} AS {q(f'__{d}_{c}')}"
             for c in right_cols
         ]
-        filled_cols.append(
-            F.last(F.col("__r___match_ts"), ignorenulls=True).over(w).alias(f"__{d}_mts")
-        )
-    filled = unioned.select(*keys, "__ts", "__side", *left_payload, *filled_cols)
+        filled_exprs.append(f"last(__r___match_ts, true) {over} AS __{d}_mts")
+    filled = unioned.selectExpr(
+        *keys_q, "__ts", "__side", *payload_q, *filled_exprs
+    )
 
-    def gap(d):
-        return (
-            F.col("__ts") - F.col(f"__{d}_mts")
-            if d == "b"
-            else F.col(f"__{d}_mts") - F.col("__ts")
-        )
+    def gap(d: str) -> str:
+        return f"(__ts - __{d}_mts)" if d == "b" else f"(__{d}_mts - __ts)"
 
     if tolerance is None:
-        tol_expr = None
+        tol_sql = None
     else:
         from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
         ts_type = left.schema[left_ts].dataType
         if isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
-            tol_expr = F.expr(f"INTERVAL {tolerance}")
-        else:  # numeric event time -> numeric tolerance
-            tol_expr = F.lit(float(tolerance))
+            tol_sql = f"INTERVAL {tolerance}"
+        else:  # numeric event time -> numeric tolerance (DOUBLE, as before)
+            tol_sql = f"CAST({float(tolerance)!r} AS DOUBLE)"
 
-    def valid(d):
-        has = F.col(f"__{d}_mts").isNotNull()
-        if tol_expr is None:
-            return has
-        return has & (gap(d) <= tol_expr)
+    def valid(d: str) -> str:
+        has = f"__{d}_mts IS NOT NULL"
+        if tol_sql is None:
+            return f"({has})"
+        return f"(({has}) AND ({gap(d)} <= {tol_sql}))"
 
     if direction in ("backward", "forward"):
         d = sides[0]
-        pick = {c: F.when(valid(d), F.col(f"__{d}_{c}")) for c in right_cols}
+        pick = {
+            c: f"CASE WHEN {valid(d)} THEN {q(f'__{d}_{c}')} END" for c in right_cols
+        }
     else:
         # nearest: the closer valid side wins; ties -> backward (pandas).
-        use_b = valid("b") & (~valid("f") | (gap("b") <= gap("f")))
+        use_b = f"({valid('b')} AND ((NOT {valid('f')}) OR ({gap('b')} <= {gap('f')})))"
         pick = {
-            c: F.when(use_b, F.col(f"__b_{c}")).otherwise(
-                F.when(valid("f"), F.col(f"__f_{c}"))
+            c: (
+                f"CASE WHEN {use_b} THEN {q(f'__b_{c}')} "
+                f"ELSE CASE WHEN {valid('f')} THEN {q(f'__f_{c}')} END END"
             )
             for c in right_cols
         }
-    out = filled.where(F.col("__side") == 1).select(
-        *keys,
-        F.col("__ts").alias(left_ts),
-        *left_payload,
-        *[pick[c].alias(c) for c in right_cols],
+    out = filled.where("__side = 1").selectExpr(
+        *keys_q,
+        f"__ts AS {q(left_ts)}",
+        *payload_q,
+        *[f"{pick[c]} AS {q(c)}" for c in right_cols],
     )
     return out
 

@@ -45,15 +45,24 @@ def tuned_conf() -> dict[str, str]:
 def get_spark(app_name: str = "erpl_web_spark", master: str | None = None) -> SparkSession:
     """Build (or get) a SparkSession with engine defaults applied."""
     builder = SparkSession.builder.appName(app_name)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER")
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         if master is None:
             master = f"local[{cpus}]"
     builder = builder.master(master)
-    builder = builder.config(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-    )
+    # Shuffle partitions follow the local core count (r14): the driver
+    # benches at several $SPARK_GRAFT_CPUS values, and a constant 32
+    # means 4x task over-provisioning at 8 cores (pure scheduling
+    # overhead on these data sizes). SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # still overrides for cluster tuning (a real cluster wants
+    # 100MB-1GB-sized partitions, not a core count); AQE coalescing
+    # remains the scale-side guard either way.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle_parts is None:
+        m = master[6:-1] if master.startswith("local[") and master.endswith("]") else ""
+        shuffle_parts = m if m.isdigit() else cpus
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     for k, v in _TUNED_CONF.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
@@ -71,4 +80,18 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — keep whatever it has
+    # Align shuffle width with the session's actual parallelism (r14):
+    # an externally-owned session arrives with the 200-partition default,
+    # which on a local[N] harness is pure task-scheduling overhead. Env
+    # override wins, mirroring get_spark.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                str(spark.sparkContext.defaultParallelism),
+            ),
+        )
+    except Exception:
+        pass
     return spark

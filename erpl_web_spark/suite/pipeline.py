@@ -895,7 +895,12 @@ def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the brute-force ``cosine_top_k`` baseline
     (pinned by test_blas_top_k_matches_brute_force)."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    probes = emb.where(F.col("vec_id") < 100)
+    # Probes from the UNspread read: the probe set is collected to the
+    # driver inside the operator, and collecting through the spread
+    # repartition pays a full corpus shuffle for a 100-row fetch (r14;
+    # plan: collect job Exchange removed). Same rows either way — only
+    # the corpus side needs the rebalance.
+    probes = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
     out = cosine_top_k_blas(emb, probes, "vec_id", "embedding", k=3)
     return out.select(
         "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")

@@ -6419,3 +6419,139 @@ def test_weighted_sample_threshold_path_matches_topk(spark):
     t = sorted(r["es_key"] for r in keyed.collect())[39]  # 40th smallest
     thr_ids = {r["doc_id"] for r in keyed.where(F.col("es_key") <= t).collect()}
     assert thr_ids == ids
+
+
+# --------------------------------------------------------------------------
+# Round-14 optimization pins: the construction rewrites (SQL-string
+# expression building) must stay value-identical to the Column-API
+# formulations they replaced, and the load() plan memo must stay
+# metadata-only.
+# --------------------------------------------------------------------------
+
+
+def test_asof_join_quoted_identifiers(spark):
+    """The r14 selectExpr-based asof_join must survive column names that
+    need quoting (spaces, backticks) — the Column API handled them
+    natively; the SQL path handles them via backtick escaping."""
+    from erpl_web_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")],
+        "`user id` int, `l ts` int, `pay``load` string",
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 1.5), (1, 20, 2.5), (2, 99, 3.5)],
+        "`user id` int, `r ts` int, `va l` double",
+    )
+    out = asof_join(
+        left, right, on="user id", left_ts="l ts", right_ts="r ts",
+        right_cols=["r ts", "va l"],
+    )
+    got = {(r["user id"], r["l ts"]): (r["r ts"], r["va l"]) for r in out.collect()}
+    assert got[(1, 10)] == (9, 1.5)
+    assert got[(1, 20)] == (20, 2.5)   # equal ts visible (<= semantics)
+    assert got[(2, 5)] == (None, None)
+
+
+def test_minhash_expr_rewrites_match_column_api(spark):
+    """r14 rewrote hashed_shingles / _signatures_from_hashes /
+    band_keys_expr from per-column Column construction to single parsed
+    SQL strings (~40x cheaper driver time). This pins value-identity
+    against the original Column-API formulation, both hash modes."""
+    from erpl_web_spark.operators.dedup import (
+        _md5_long48,
+        _signatures_from_hashes,
+        band_keys_expr,
+        grams_expr,
+        hashed_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} alpha beta gamma tok{i} delta epsilon") for i in range(40)]
+        + [(97, "a b"), (98, ""), (99, None)],  # sub-k / empty / NULL edges
+        "doc_id long, text string",
+    )
+
+    for mode in ("xxhash64", "md5"):
+        hashed = hashed_shingles(docs, "doc_id", "text", 3, hash_mode=mode)
+        # Column-API reference (the pre-r14 formulation, inlined).
+        if mode == "md5":
+            base = F.transform(grams_expr("text", 3), lambda s: _md5_long48(s))
+        else:
+            base = F.transform(grams_expr("text", 3), lambda s: F.xxhash64(s))
+        ref = docs.select(F.col("doc_id"), F.array_distinct(base).alias("hs"))
+        assert (
+            hashed.orderBy("doc_id").collect() == ref.orderBy("doc_id").collect()
+        ), f"hashed_shingles drifted from Column API ({mode})"
+
+        sigs = _signatures_from_hashes(hashed, "doc_id", 8, hash_mode=mode)
+        sh = hashed.select(F.col("doc_id"), F.explode("hs").alias("h"))
+        if mode == "md5":
+            seeded = [
+                F.min(_md5_long48(F.lit(str(i)), F.col("h"))).alias(f"mh{i}")
+                for i in range(8)
+            ]
+        else:
+            seeded = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(8)]
+        ref_sigs = (
+            sh.groupBy("doc_id")
+            .agg(*seeded)
+            .select(
+                F.col("doc_id"),
+                F.array(*[F.col(f"mh{i}") for i in range(8)]).alias("minhash"),
+            )
+        )
+        assert (
+            sigs.orderBy("doc_id").collect() == ref_sigs.orderBy("doc_id").collect()
+        ), f"signatures drifted from Column API ({mode})"
+
+    # band keys: string form vs Column-API reference
+    sigs = _signatures_from_hashes(
+        hashed_shingles(docs, "doc_id", "text", 3), "doc_id", 8
+    )
+    new = sigs.select("doc_id", band_keys_expr(8, 4).alias("bk"))
+    rpb = 2
+    ref = sigs.select(
+        "doc_id",
+        F.array(
+            *[
+                F.xxhash64(F.lit(b), *[F.col("minhash")[b * rpb + r] for r in range(rpb)])
+                for b in range(4)
+            ]
+        ).alias("bk"),
+    )
+    assert new.orderBy("doc_id").collect() == ref.orderBy("doc_id").collect()
+
+
+def test_load_memo_is_metadata_only(spark, tmp_path):
+    """load() memoizes the lazy PLAN per (session, path, mtime, size) —
+    same object back on a second call, fresh data after the file
+    changes (the memo must never cache results)."""
+    import shutil
+    import time as _time
+
+    from erpl_web_spark.suite import load
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    tgt = sf_dir / "orders.parquet"
+    spark.createDataFrame([(1, "a")], "o_orderkey long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "v1"))
+    part = next((tmp_path / "v1").glob("part-*.parquet"))
+    shutil.copy(part, tgt)
+
+    d1 = load(spark, str(sf_dir), "orders")
+    d2 = load(spark, str(sf_dir), "orders")
+    assert d1 is d2, "second load should hit the plan memo"
+    assert d1.count() == 1
+
+    # replace the file -> (mtime, size) key changes -> fresh plan + data
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "o_orderkey long, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "v2"))
+    part2 = next((tmp_path / "v2").glob("part-*.parquet"))
+    _time.sleep(0.01)
+    shutil.copy(part2, tgt)
+    d3 = load(spark, str(sf_dir), "orders")
+    assert d3.count() == 2, "memo must invalidate when the file changes"
