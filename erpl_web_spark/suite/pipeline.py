@@ -894,13 +894,18 @@ def similarity_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine), the exact JVM fold re-scores them — output
     bit-identical to the brute-force ``cosine_top_k`` baseline
     (pinned by test_blas_top_k_matches_brute_force)."""
-    emb = load(spark, sf_dir, "embeddings", spread=True)
-    # Probes from the UNspread read: the probe set is collected to the
-    # driver inside the operator, and collecting through the spread
-    # repartition pays a full corpus shuffle for a 100-row fetch (r14;
-    # plan: collect job Exchange removed). Same rows either way — only
-    # the corpus side needs the rebalance.
-    probes = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    # r14: corpus deliberately NOT spread. On this runtime every Python
+    # task is a fresh forked worker (~0.2-0.3 s tax regardless of work,
+    # measured in OPTIMIZATION_r14.md), so the spread repartition turned
+    # a trivial per-partition matmul into 32 concurrent fork storms:
+    # unspread 0.32 s vs spread 0.72 s (interleaved A/B, bit-identical
+    # output — the per-partition top-m union provably contains the
+    # global top-k under ANY partitioning). On real multi-split data the
+    # scan's natural splits parallelize the shortlist exactly as before;
+    # the probe side is collected by contract, so it never needed the
+    # rebalance either.
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 100)
     out = cosine_top_k_blas(emb, probes, "vec_id", "embedding", k=3)
     return out.select(
         "probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
