@@ -167,21 +167,37 @@ def contamination_report(
             .select(id_col, "h")
         )
         matched = possible.join(F.broadcast(bench_sh), "h", "left_semi")
-    else:
-        matched = doc_sh.join(F.broadcast(bench_sh), "h", "left_semi")
-    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = matched.groupBy(id_col).agg(F.count("*").alias("n_matched"))
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
+        totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+        hits = matched.groupBy(id_col).agg(F.count("*").alias("n_matched"))
+        report = totals.join(hits, id_col, "left").select(
             id_col,
             "n_shingles",
             F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-            (
-                F.coalesce("n_matched", F.lit(0)).cast("double")
-                / F.col("n_shingles").cast("double")
-            ).alias("contamination"),
         )
+    else:
+        # Single corpus pass (r14, guide §2.3): the old shape ran the
+        # shingle-hash+explode pipeline TWICE — once under the semi-join
+        # for n_matched, once for the n_shingles totals — then joined
+        # the two aggregates back together. A left join against the
+        # broadcast benchmark set (distinct, so multiplicity 1) lets ONE
+        # groupBy produce both counts: count(*) = shingles,
+        # count(match-marker) = non-null matches. Same integers, same
+        # report, half the text-processing work and no totals⨝hits join.
+        marked = doc_sh.join(
+            F.broadcast(bench_sh.withColumn("__m", F.lit(1))), "h", "left"
+        )
+        report = marked.groupBy(id_col).agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__m").alias("n_matched"),
+        )
+    return report.select(
+        id_col,
+        "n_shingles",
+        "n_matched",
+        (
+            F.col("n_matched").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination"),
     )
 
 

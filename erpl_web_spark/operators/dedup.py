@@ -454,37 +454,79 @@ def ngram_jaccard_pairs(
     data (join predicates in degenerate single-block plans may evaluate
     the division before the id guard).
 
-    Plan-shape caveat, measured at sf1 (round 9): the per-pair
-    ``array_intersect/array_union`` runs in the JOIN CONDITION, so the
-    chosen join strategy sets the constant factor. A file-scan input
-    with statistics plans as a codegen BroadcastHashJoin on the block
-    key; an input whose stats Catalyst cannot estimate (a union with a
-    crossJoin-broadcast plant, a freshly generated frame) degrades to
-    an interpreted SortMergeJoin — ~10-20x slower per candidate pair on
-    identical data. When feeding this verifier anything other than a
-    plain table scan, persist + materialize the input first so the join
-    children are simple cached scans.
+    Execution strategy (r14, guide §2.3/§3.1): the original formulation
+    self-joined whole shingle ARRAYS on the block key and evaluated
+    ``size(array_intersect)/size(array_union)`` per block pair — every
+    block contributed |block|² array-op evaluations, and because the
+    per-pair Jaccard lived in the JOIN CONDITION the chosen strategy set
+    the constant factor (a stats-less input — union with a planted
+    crossJoin, fresh generation — degraded to an interpreted
+    SortMergeJoin, measured 10-20x slower per pair at sf1, and 124 s
+    for dedup_keep_best at sf0.1). Now the shingles EXPLODE into skinny
+    (id, block, n, shingle) rows and self-equi-join on (block, shingle):
+    only pairs that actually SHARE a shingle are generated (Σ df² rows,
+    df = per-block shingle document frequency — 0.45M at sf0.1 vs 2.7M
+    array-op pairs), the join is a codegen hash/sort-merge equi-join on
+    any input shape, and one partial-aggregated groupBy counts each
+    pair's intersection. ``|union| = n_a + n_b - |∩|`` recovers the
+    exact Jaccard from distinct-shingle counts (``shingles_expr`` is
+    array_distinct), so output values are bit-identical to the array
+    formulation: same integer operands, same double division. Pairs
+    sharing zero shingles (Jaccard 0) cannot reach a positive
+    threshold; a non-positive threshold keeps the quadratic array path
+    since only that formulation emits zero-overlap pairs.
     """
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], shingles_expr(text_col, shingle_k).alias("sh")
     ).where(F.size("sh") > 0)
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if threshold <= 0:
+        a = base.alias("a")
+        b = base.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return (
+            a.join(b, cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (
+                    F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+                    / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    ex = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.size("sh").alias("__n"),
+        F.explode("sh").alias("__s"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.__s") == F.col("b.__s")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    inter = (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.__n").alias("__na"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (
-                F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-            ).alias("jaccard"),
+            F.col("b.__n").alias("__nb"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__inter")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def allpairs_jaccard_join(

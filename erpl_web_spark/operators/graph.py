@@ -82,6 +82,20 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence detection (r14): labels are elementwise NON-INCREASING
+    # (every update is a least(...) against the current label), so the
+    # exact label total strictly decreases iff ANY label changed. One
+    # single-row aggregate over the just-checkpointed frame replaces the
+    # old jumped⨝labels change-detection join — same fixpoint, same
+    # round count, one fewer join per round. DECIMAL(38,0) keeps the sum
+    # exact at any node count / id range (no bigint overflow).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+
     for _ in range(max_iter):
         # 1. Propagate: each node takes min(own label, neighbors' labels).
         nbr_min = (
@@ -111,18 +125,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(
-                labels.select(F.col("id").alias("o_id"), F.col("comp").alias("o_comp")),
-                jumped["id"] == F.col("o_id"),
-            )
-            .where(F.col("comp") != F.col("o_comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(jumped)
         labels = jumped
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         sym.unpersist()
         raise RuntimeError(
@@ -333,6 +340,12 @@ def pagerank_int(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
+    # e is read FOUR times downstream (both sides of the symmetrize
+    # union are inside it, then outdeg, the links join, and nodes) —
+    # without a persist the links cache build re-derives the input edge
+    # set once per reference (r14 plan audit: 4 repeated scan+distinct
+    # subtrees inside one broadcast-build stage).
+    e = track_persist(e, "pagerank_edges")
     outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     links = track_persist(e.join(outdeg, "src"), "pagerank_links")
     nodes = track_persist(
@@ -455,6 +468,18 @@ def label_propagation(
         .select("id", F.col("id").alias("label"))
     )
     for i in range(iterations):
+        # labels is referenced TWICE per round (neighbor join + the
+        # self-retention union), so without a materialization point each
+        # round DOUBLES the logical subtree: 4 unrolled rounds planned
+        # 2^4 copies of the edge-derivation lineage (measured r14: a
+        # 4,747-line physical plan with 384 scan nodes, 17 s of the 18 s
+        # wall). A lazy persist alone dedups EXECUTION but the analyzer/
+        # optimizer still walks the exponential logical tree (measured:
+        # 10.3 s); an eager per-round localCheckpoint truncates the
+        # lineage itself — one small job per round, constant-size plans
+        # (guide §3.3 "materialise an intermediate to truncate the
+        # plan"; the connected_components posture).
+        labels = labels.localCheckpoint(eager=True)
         votes = e.join(labels, e["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         ).unionByName(labels)  # self-retention vote

@@ -176,11 +176,22 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    # count_distinct is aggregated separately from the buffering
+    # aggregates and joined back on the 3-row group key (r14): combined,
+    # the distinct-rewrite (Expand) duplicates every row and makes the
+    # median buffer insert per expanded row — same Expand pathology as
+    # agg_approx_distinct, measured 2.9 s at sf0.1 vs 1.1 s split.
+    # Values identical: exact aggregates, deterministic either way.
+    exact = l.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
+    )
+    rest = l.groupBy("l_returnflag").agg(
         F.median("l_orderkey").cast("double").alias("median_key"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
+    )
+    return exact.join(rest, "l_returnflag").select(
+        "l_returnflag", "n_parts", "median_key", "first_ship", "last_ship"
     )
 
 
@@ -388,8 +399,17 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont, both linear interpolation over the sorted set)."""
     l = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile(price, F.lit(0.25)).alias("p25"),
-        F.percentile(price, F.lit(0.5)).alias("p50"),
-        F.percentile(price, F.lit(0.75)).alias("p75"),
+    # Feed the Percentile buffer (value, frequency) pairs from a codegen
+    # count pre-aggregation instead of raw rows (r14): the exact sorted
+    # multiset the interpolation walks is unchanged — same doubles,
+    # A/B pinned toPandas().equals — but the per-row OpenHashMap insert
+    # path moves from the ObjectAggregate into a codegen HashAggregate
+    # (measured 3.0 -> 1.9 s warm at sf0.1).
+    pre = l.groupBy("l_returnflag", price.alias("__p")).agg(
+        F.count(F.lit(1)).alias("__f")
+    )
+    return pre.groupBy("l_returnflag").agg(
+        F.percentile(F.col("__p"), F.lit(0.25), F.col("__f")).alias("p25"),
+        F.percentile(F.col("__p"), F.lit(0.5), F.col("__f")).alias("p50"),
+        F.percentile(F.col("__p"), F.lit(0.75), F.col("__f")).alias("p75"),
     )

@@ -295,10 +295,22 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically, HLL++ has no randomness). At 100 TB the sketch is
     mergeable map-side state instead of a distinct shuffle."""
     o = load(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
+    # The two aggregates run as SEPARATE single-pass aggregations joined
+    # on the 5-row group key (r14, guide §1.2): combined in one agg, the
+    # distinct-rewrite (Expand) makes the HLL++ sketch evaluate per
+    # (priority, custkey) group — ~100k 16KB-register sketch inits plus
+    # a 100k-sketch merge tree, measured 3.7 s warm at sf0.1 for a 150k
+    # row table. Split, the sketch sees one partial per task per group
+    # (32x5) and the whole query runs in one scan-bound pass per branch
+    # (0.5 s). Aggregate VALUES are identical — HLL++ is deterministic
+    # and merge-associative, count_distinct is exact either way.
+    exact = o.groupBy("o_orderpriority").agg(
         F.count_distinct("o_custkey").alias("n_exact"),
+    )
+    approx = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_approx"),
     )
+    agg = exact.join(approx, "o_orderpriority")
     ok = (
         F.abs(F.col("n_approx") - F.col("n_exact"))
         / F.col("n_exact").cast("double")
