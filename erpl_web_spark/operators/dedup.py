@@ -572,25 +572,45 @@ def allpairs_jaccard_join(
     Reference semantics: same exact-Jaccard contract as
     ``ngram_jaccard_pairs`` without its per-block confinement.
     """
+    from pyspark.sql import Window
+
+    # No size(sh) > 0 filter: explode() emits nothing for an empty
+    # array, so the filter is semantically redundant — and harmful:
+    # pushed into the parquet scan it evaluated the full shingle
+    # expression INSIDE the single-file scan task (7.9 s serial at
+    # sf0.1) before the spread repartition could parallelize anything.
     sh = df.select(
         F.col(id_col).alias("__id"), shingles_expr(text_col, shingle_k).alias("sh")
-    ).where(F.size("sh") > 0)
-    sh = track_persist(sh, "allpairs_jaccard_join", cache_sink)
-
-    ex = sh.select("__id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        ex.join(freq, "s")
-        .groupBy("__id", "n")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("os"))
     )
+    # The exploded skinny (id, n, shingle) table is the working surface
+    # for BOTH candidate generation and the exact verify; the shingle
+    # ARRAYS never leave this select. Persisting the exploded form (not
+    # the array form) means the downstream joins/windows re-read cheap
+    # skinny rows and the expensive shingles_expr computation runs once.
+    ex = sh.select("__id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    ex = track_persist(ex, "allpairs_jaccard_join", cache_sink)
+
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Canonical global shingle order = (document frequency, shingle).
+    # row_number over the per-document window selects exactly the same
+    # prefix rows as the former collect_list -> array_sort -> slice ->
+    # explode chain ((df, s) is unique within a document because sh is
+    # array_distinct), but stays in whole-stage codegen instead of an
+    # ObjectHashAggregate materializing a struct array per document —
+    # guide §4 (keep work in codegen) applied to a JVM-side boundary.
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + F.lit(1)
-    pre = ordered.select(
-        "__id", "n", F.explode(F.slice("os", F.lit(1), prefix_len)).alias("ps")
-    ).select("__id", "n", F.col("ps.s").alias("s"))
+    pre = (
+        ex.join(freq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("__id").orderBy("df", "s")),
+        )
+        .where(F.col("rk") <= prefix_len)
+        .select("__id", "n", "s")
+    )
     # both self-join sides read the prefix frame — without a persist the
-    # whole explode -> frequency-join -> per-doc-sort chain executes
-    # twice (visible as two ObjectHashAggregate chains in the plan)
+    # whole explode -> frequency-join -> per-doc-rank chain executes
+    # twice in the plan
     pre = track_persist(pre, "allpairs_jaccard_join", cache_sink)
 
     a, b = pre.alias("a"), pre.alias("b")
@@ -604,21 +624,38 @@ def allpairs_jaccard_join(
                 >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
             ),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .distinct()
     )
 
-    sa = sh.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Exact verify WITHOUT shipping shingle arrays: |A ∩ B| is the row
+    # count of the (id, shingle) equi-join restricted to the candidate
+    # pairs, and |A ∪ B| = n_a + n_b - |A ∩ B| (sh is distinct, so set
+    # sizes are exact). The former array verify joined the candidate
+    # pairs back to the ARRAY table — at a 64 MB broadcast threshold
+    # Spark shipped the full shingle-array corpus through TWO broadcast
+    # builds (17-24 s each at sf0.1) and ran the array_intersect work on
+    # the 2 AQE-coalesced candidate partitions; all three pathologies
+    # disappear when only skinny (id, s) rows flow and the intersection
+    # is a partial-aggregable count (guide §2.3/§3.1). Same integers,
+    # same double division, bit-identical jaccard.
+    ea = ex.select(F.col("__id").alias("id_a"), "s")
+    eb = ex.select(F.col("__id").alias("id_b"), "s")
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "s"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -35,6 +35,19 @@ _TUNED_CONF = {
     # suite.load converts to microsecond timestamps (matching DuckDB's
     # truncation of the same files).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` below every
+    # explode(); in this engine the exploded array is ALWAYS a computed
+    # expression (shingles/tokens from text), so the inferred filter is
+    # pushed through the projection into the parquet scan where it (a)
+    # evaluates the full array expression a second time and (b) runs it
+    # inside the scan task — serial when the input is one row group
+    # (measured: dedup_allpairs_prefix 18.5 -> 6.8 s warm at sf0.1 from
+    # this exclusion alone). Semantically a no-op: explode() emits
+    # nothing for empty or NULL arrays with or without the filter. On a
+    # stored-array table the inference could prune I/O, but no engine
+    # table stores arrays, so exclusion is the right engine-wide call.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
