@@ -476,12 +476,18 @@ def ngram_jaccard_pairs(
     threshold; a non-positive threshold keeps the quadratic array path
     since only that formulation emits zero-overlap pairs.
     """
+    # The empty-set guard lives on the ARRAY path only: pushed-down
+    # size(sh) > 0 evaluates the whole shingle expression inside the
+    # scan task (serial on a one-row-group file, and a second full
+    # evaluation besides the projection's). The equi-join path needs no
+    # guard — explode() emits nothing for an empty array, so empty sets
+    # never reach the join and every counted pair has n >= 1.
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], shingles_expr(text_col, shingle_k).alias("sh")
-    ).where(F.size("sh") > 0)
+    )
     if threshold <= 0:
-        a = base.alias("a")
-        b = base.alias("b")
+        a = base.where(F.size("sh") > 0).alias("a")
+        b = base.where(F.size("sh") > 0).alias("b")
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         for c in block_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -912,24 +918,69 @@ def containment_pairs(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         shingles_expr(text_col, shingle_k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if threshold <= 0:
+        # Zero-overlap pairs are only emitted by the array formulation;
+        # the guard also keeps least(|a|,|b|) > 0 (ANSI DIVIDE_BY_ZERO).
+        a = base.where(F.size("sh") > 0).alias("a")
+        b = base.where(F.size("sh") > 0).alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        return (
+            a.join(b, cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (
+                    inter
+                    / F.least(F.size(F.col("a.sh")), F.size(F.col("b.sh")))
+                ).alias("containment"),
+                (
+                    inter / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+                ).alias("jaccard"),
+            )
+            .where(F.col("containment") >= threshold)
+        )
+    # r14 (guide §2.3/§3.1): same skinny shingle equi-join as
+    # ngram_jaccard_pairs — explode to (id, block, n, shingle), self
+    # equi-join on (block, shingle), count shared shingles per pair.
+    # Only pairs sharing >= 1 shingle are generated (zero-overlap pairs
+    # have containment 0 and cannot reach a positive threshold);
+    # |A∪B| = n_a + n_b - |∩| and min(|A|,|B|) come from the exact
+    # distinct-shingle counts, so containment and jaccard are the same
+    # integer ratios in the same double division as the array form.
+    ex = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.size("sh").alias("__n"),
+        F.explode("sh").alias("__s"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.__s") == F.col("b.__s")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     return (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.__n").alias("__na"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__inter") / F.least(F.col("__na"), F.col("__nb"))).alias(
+                "containment"
+            ),
             (
-                inter
-                / F.least(F.size(F.col("a.sh")), F.size(F.col("b.sh")))
-            ).alias("containment"),
-            (
-                inter / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter"))
             ).alias("jaccard"),
         )
         .where(F.col("containment") >= threshold)

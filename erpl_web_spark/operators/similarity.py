@@ -18,7 +18,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_expr(a: Column, b: Column) -> Column:
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Fold-ordered dot product. With ``dim`` given, the fold is
+    unrolled into a left-associated chain of codegen arithmetic —
+    bit-identical to the HOF fold (same 0.0 seed, same element order,
+    same double adds) but without the per-pair array allocation and
+    interpreted lambda of zip_with/aggregate, which dominate O(n²)
+    pair frames (guide §4: keep hot expressions in codegen)."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + a[i].cast("double") * b[i].cast("double")
+        return acc
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -610,6 +621,7 @@ def ivf_point_profile(
     vec_col: str = "embedding",
     k: int = 10,
     radius_mult: float = 3.0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-point neighbor-radius profile — the row-level form of
     :func:`ivf_cell_profile` (same pair frame, same radius rule):
@@ -626,15 +638,34 @@ def ivf_point_profile(
     paying the quadratic cost once instead of three times."""
     from erpl_web_spark.operators._cache import track_persist
 
-    a = sample.select(F.col(id_col).alias("__pi"), F.col(vec_col).alias("va"))
-    b = sample.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    # Norms are hoisted out of the pair frame: computed once per POINT
+    # on each side instead of once per PAIR (2 of the 3 per-pair HOF
+    # aggregates gone), and the remaining dot is unrolled when ``dim``
+    # is known. Same expression tree per value — sqrt(Σx²) on a single
+    # row then dot/(na*nb) — so every double is bit-identical to the
+    # per-pair form; only where it is computed moves (guide §2.3:
+    # shrink work before the quadratic stage, not inside it).
+    a = sample.select(
+        F.col(id_col).alias("__pi"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("na"),
+    )
+    b = sample.select(
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("nb"),
+    )
     pairs = track_persist(
         a.crossJoin(F.broadcast(b))
         .where(F.col("__pi") != F.col("ib"))
         .select(
             "__pi",
             "ib",
-            (F.lit(1.0) - cosine_expr(F.col("va"), F.col("vb"))).alias("d"),
+            (
+                F.lit(1.0)
+                - dot_expr(F.col("va"), F.col("vb"), dim)
+                / (F.col("na") * F.col("nb"))
+            ).alias("d"),
         ),
         "ivf_point_profile",
     )

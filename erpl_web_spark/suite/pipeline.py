@@ -1633,7 +1633,9 @@ def similarity_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from erpl_web_spark.operators.similarity import ivf_point_profile
 
     corpus = _ivf_planted_corpus(spark, sf_dir)
-    pts = ivf_point_profile(corpus, "vec_id", "embedding", k=5, radius_mult=3.0)
+    pts = ivf_point_profile(
+        corpus, "vec_id", "embedding", k=5, radius_mult=3.0, dim=8
+    )
     sugg = pts.agg(
         F.greatest(
             F.lit(1).cast("bigint"),
