@@ -871,10 +871,18 @@ def winnow_targeted_scrub(
         df, id_col, text_col, k=char_k, w=w, min_shared=min_shared, max_df=max_df,
         cache_sink=cache_sink,
     )
-    involved = (
+    from erpl_web_spark.operators._cache import track_persist
+
+    # `involved` is consumed TWICE (the semi-join gating the scrubber
+    # and the anti-join selecting pass-through docs); unpersisted, each
+    # consumer re-ran the whole winnowing pair pipeline (r14, guide
+    # §2.1). The cached rows are one skinny id per flagged document.
+    involved = track_persist(
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+        .distinct(),
+        "winnow_targeted_scrub",
+        cache_sink,
     )
     flagged = df.join(involved, id_col, "left_semi")
     scrubbed = remove_duplicated_spans(
@@ -1081,10 +1089,16 @@ def simhash_near_dup_pairs(
     banded = sims.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")).select(
         F.col(id_col), F.col("simhash"), F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )
-    if max_bucket is not None:
-        from erpl_web_spark.operators._cache import track_persist
+    # The banded table feeds BOTH sides of the candidate self-join (and
+    # the hot-bucket count when capped): without a persist each side
+    # recomputes the simhash aggregate — the token explode + 48/64-bit
+    # vote pass over the whole corpus, the operator's dominant cost —
+    # from scratch (r14; guide §2.1 double-compute). Persisted rows are
+    # skinny (id, simhash, chunk, key) × n_bands per doc at any scale.
+    from erpl_web_spark.operators._cache import track_persist
 
-        banded = track_persist(banded, "simhash_near_dup_pairs", cache_sink)
+    banded = track_persist(banded, "simhash_near_dup_pairs", cache_sink)
+    if max_bucket is not None:
         hot = (
             banded.groupBy("chunk", "key")
             .agg(F.count("*").cast("bigint").alias("n_members"))

@@ -98,30 +98,33 @@ def connected_components(
 
     for _ in range(max_iter):
         # 1. Propagate: each node takes min(own label, neighbors' labels).
-        nbr_min = (
-            sym.join(labels, sym["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
+        # ONE aggregate does both the neighbor MIN and the own-label
+        # floor (r14): the node's current label rides into the groupBy
+        # as an extra union row, so min(own ∪ neighbors) needs no
+        # LEFT-JOIN re-attach afterwards (the pagerank_int zero-share
+        # idiom — one join per round instead of two).
         prop = (
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
-            .select(
-                labels["id"],
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+            sym.join(labels, sym["v"] == labels["id"])
+            .select("u", "comp")
+            .unionByName(labels.select(F.col("id").alias("u"), "comp"))
+            .groupBy("u")
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("u").alias("id"), "comp")
         )
         # 2. Pointer jump: L(u) := L(L(u)) — collapses label chains so
-        # convergence is logarithmic, not diameter-bounded.
+        # convergence is logarithmic, not diameter-bounded. INNER join
+        # (r14): every label IS some node's id (init floors at min(v),u
+        # — both node ids — and updates only take mins over labels), so
+        # the lookup always matches and the old left-join + coalesce
+        # was a no-op wider plan. least() kept: L(L(u)) <= L(u) by the
+        # non-increasing invariant, so it is free and guards the
+        # invariant explicitly.
         tgt = prop.select(F.col("id").alias("t_id"), F.col("comp").alias("t_comp"))
         jumped = (
-            prop.join(tgt, prop["comp"] == tgt["t_id"], "left")
+            prop.join(tgt, prop["comp"] == tgt["t_id"])
             .select(
                 prop["id"],
-                F.least(F.col("comp"), F.coalesce(F.col("t_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
+                F.least(F.col("comp"), F.col("t_comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
@@ -236,8 +239,19 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count("*").alias("d"))
     )
-    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    # shuffle_hash on the per-node degree sides (r14): Catalyst's size
+    # estimate for an aggregate over the cached edge set stays
+    # edge-sized, so these planned as SortMergeJoin — sorting the full
+    # edge list twice to attach two V-sized columns. A shuffled hash
+    # join builds from the degree side (V rows << E rows) and never
+    # sorts; scale-safe at any graph size (the build side is hashed
+    # per partition, not collected).
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du")).hint(
+        "shuffle_hash"
+    )
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv")).hint(
+        "shuffle_hash"
+    )
     ranked = ce.join(du, "u").join(dv, "v")
     fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
     o = track_persist(
@@ -250,7 +264,17 @@ def triangle_counts(
     x = o.select(F.col("a"), F.col("b").alias("b1"))
     y = o.select(F.col("a"), F.col("b").alias("b2"))
     wedges = x.join(y, "a").where(F.col("b1") < F.col("b2"))
-    closing = ce.select(F.col("u").alias("b1"), F.col("v").alias("b2"))
+    # The closing-edge probe is the plan's hot join: wedges (Σ deg_o²
+    # rows) against the canonical edge set. As a SortMergeJoin it
+    # SORTS the wedge stream — the single most expensive stage of the
+    # whole query (measured 4.7 s of a 10.5 s wall at sf0.1). A
+    # shuffled hash join builds the hash from the edge side (E rows,
+    # always ≤ wedges) and streams the wedges through unsorted;
+    # per-partition build keeps it scale-safe where a broadcast of an
+    # E-sized side would not be.
+    closing = ce.select(F.col("u").alias("b1"), F.col("v").alias("b2")).hint(
+        "shuffle_hash"
+    )
     tris = wedges.join(closing, ["b1", "b2"])
     per_node = (
         tris.select(F.explode(F.array("a", "b1", "b2")).alias("id"))
@@ -335,11 +359,16 @@ def pagerank_int(
     # asymmetry with the symmetrized path's distinct)
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    )
+    # ONE distinct either way (r14): distinct(union(e, swap(e))) ==
+    # distinct(union(distinct(e), swap(distinct(e)))), so the symmetrize
+    # path needs no pre-distinct — the old distinct->union->distinct
+    # shuffled the edge set twice for the same simple-graph result.
     if symmetrize:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        )
+    e = e.distinct()
     # e is read FOUR times downstream (both sides of the symmetrize
     # union are inside it, then outdeg, the links join, and nodes) —
     # without a persist the links cache build re-derives the input edge
@@ -372,24 +401,29 @@ def pagerank_int(
     base = (100 - damping_pct) * unit // 100
     ranks = nodes.select("id", F.lit(unit).cast("long").alias("rank_int"))
     rounds_run, final_delta = 0, None
+    zero = nodes.select("id", F.lit(0).cast("long").alias("share"))
     for i in range(iterations):
-        contrib = (
-            links.join(ranks, links["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("rank_int div deg").alias("share"),
-            )
-            .groupBy("id")
-            .agg(F.sum("share").alias("m"))
+        # One aggregate does both the in-mass SUM and the every-node
+        # completion (r14): a zero-share row per node unioned under the
+        # groupBy replaces the old groupBy + nodes-LEFT-JOIN pair —
+        # sum(shares ∪ {0}) == coalesce(sum(shares), 0) exactly in
+        # integer arithmetic, and nodes with no in-edges still get
+        # their row. Saves one join and one broadcast build per round
+        # (measured: each round ran 3 sequential stage jobs, one of
+        # them only to re-attach rank-less nodes).
+        shares = links.join(ranks, links["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"),
+            F.expr("rank_int div deg").alias("share"),
         )
-        new_ranks = nodes.join(contrib, "id", "left").select(
-            "id",
-            (
-                F.lit(base)
-                + F.expr(
-                    f"({damping_pct} * coalesce(m, 0L)) div 100"
-                )
-            ).cast("long").alias("rank_int"),
+        new_ranks = (
+            shares.unionByName(zero)
+            .groupBy("id")
+            .agg(
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * sum(share)) div 100 "
+                    "AS BIGINT)"
+                ).alias("rank_int")
+            )
         )
         if tol is not None or (i + 1) % checkpoint_every == 0:
             new_ranks = new_ranks.localCheckpoint(eager=True)
@@ -455,12 +489,14 @@ def label_propagation(
 
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    )
+    # one distinct covers both modes (the pagerank_int r14 rewrite):
+    # distinct(union(e, swap(e))) == distinct(union(distinct(e), ...)).
     if symmetrize:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-    e = track_persist(e, "labelprop_edges")
+        )
+    e = track_persist(e.distinct(), "labelprop_edges")
     labels = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -538,12 +574,14 @@ def kcore_peel(
         raise ValueError("kcore_peel: k must be >= 1")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    )
+    # one distinct covers both modes (the pagerank_int r14 rewrite):
+    # distinct(union(e, swap(e))) == distinct(union(distinct(e), ...)).
     if symmetrize:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-    e = track_persist(e, "kcore_edges")
+        )
+    e = track_persist(e.distinct(), "kcore_edges")
     all_nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

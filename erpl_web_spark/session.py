@@ -76,6 +76,19 @@ def get_spark(app_name: str = "erpl_web_spark", master: str | None = None) -> Sp
         m = master[6:-1] if master.startswith("local[") and master.endswith("]") else ""
         shuffle_parts = m if m.isdigit() else cpus
     builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+    # Driver heap (r14): local-mode Spark defaults to a 1 GiB JVM heap,
+    # which leaves ~0.4 GiB of unified execution+storage memory shared
+    # by all $SPARK_GRAFT_CPUS task slots — measured here as spill + GC
+    # pressure on every multi-MB shuffle and a broadcast-build OOM after
+    # long sessions (localCheckpoint blocks accumulate). 8g is sized for
+    # the harness (well under the sandbox's RAM even with the bench's
+    # lower-core runs); real clusters size executor memory separately
+    # and can override with SPARK_GRAFT_DRIVER_MEMORY. Static conf: only
+    # honored when the session is built here (the builder conf reaches
+    # the JVM launcher); an externally-owned session keeps its own.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g")
+    )
     for k, v in _TUNED_CONF.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

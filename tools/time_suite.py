@@ -17,6 +17,7 @@ Output: one JSON line per query on stdout:
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -63,6 +64,18 @@ def main() -> None:
             best_c = c if best_c is None or c < best_c else best_c
             best_e = e if best_e is None or e < best_e else best_e
         release_tracked()
+        # Long sweeps accumulate localCheckpoint RDD blocks and broadcast
+        # pieces that the ContextCleaner only reclaims once the JVM GCs
+        # the corresponding objects — which needs the py4j-side Python
+        # references dropped first. Without this, a 240-entry sweep in
+        # one JVM eventually fails a broadcast build with driver OOM
+        # (observed at entry 89). Python gc + a periodic JVM System.gc()
+        # keeps the storage footprint bounded; neither affects timings
+        # (both run after the measured window).
+        del df
+        gc.collect()
+        if len(rows) % 20 == 19:
+            spark.sparkContext._jvm.System.gc()
         row = {
             "name": name,
             "construct_sec": round(best_c, 3),
