@@ -111,13 +111,25 @@ def grams_expr(text: Column | str, k: int = 3) -> Column:
     """
     toks = tokens_expr(text)
     n = F.size(toks)
-    return F.when(
+    grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # coalesce with the non-nullable empty-array literal (r14): the
+    # CASE's VALUE is never null (null text fails the WHEN predicate
+    # and takes the ELSE []), but over a nullable text column Catalyst
+    # marks it statically nullable — and then a downstream comparison
+    # on size(grams) makes InferFiltersFromConstraints synthesize
+    # `isnotnull(size(<this whole expression>))`, which pushdown moves
+    # INTO the parquet scan: the full shingle computation ran serially
+    # inside the one-row-group scan task, then again post-spread
+    # (measured: a 5.3 s single-task stage on every ngram-pair
+    # consumer). The coalesce makes the non-nullness STATIC, so the
+    # inferred filter constant-folds away. Values are bit-identical.
+    return F.coalesce(grams, F.array().cast("array<string>"))
 
 
 def shingles_expr(text: Column | str, k: int = 3) -> Column:
@@ -509,7 +521,14 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("__n"),
         F.explode("sh").alias("__s"),
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    # shuffle_hash (r14, guide §3.1): Catalyst broadcast one side of
+    # this self-join (the exploded table's size estimate is small) — a
+    # SINGLE-THREADED multi-second hashed-relation build of a
+    # corpus-sized side at sf0.1, and an OOM at real scale. As a
+    # shuffled hash join both sides hash-partition on (block, shingle)
+    # and — being the SAME subtree with the same partitioning — the
+    # exchange is computed once and reused for both sides.
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a.__s") == F.col("b.__s")
     )
@@ -965,7 +984,14 @@ def containment_pairs(
         F.size("sh").alias("__n"),
         F.explode("sh").alias("__s"),
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    # shuffle_hash (r14, guide §3.1): Catalyst broadcast one side of
+    # this self-join (the exploded table's size estimate is small) — a
+    # SINGLE-THREADED multi-second hashed-relation build of a
+    # corpus-sized side at sf0.1, and an OOM at real scale. As a
+    # shuffled hash join both sides hash-partition on (block, shingle)
+    # and — being the SAME subtree with the same partitioning — the
+    # exchange is computed once and reused for both sides.
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a.__s") == F.col("b.__s")
     )
@@ -1153,8 +1179,16 @@ def embedding_near_dup_pairs(
     # quantizer (balanced cells, higher recall); default stays the
     # deterministic modulo rule so the suite query remains
     # oracle-checkable.
+    from erpl_web_spark.operators._cache import track_persist
+
     cents = centroids if centroids is not None else ivf_centroids(df, id_col, vec_col, stride)
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    # Both sides of the in-cell self-join read the assignment;
+    # unpersisted, the nearest-centroid argmin over every vector ran
+    # twice (r14, guide §2.1). Skinny add-on columns (cell, nrm) over
+    # the input rows; released via the module registry.
+    assigned = track_persist(
+        ivf_assign(df, cents, id_col, vec_col), "embedding_near_dup_pairs"
+    )
     a = assigned.select(
         F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"),
         F.col("nrm").alias("ln"), "cell",

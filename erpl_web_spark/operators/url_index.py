@@ -145,9 +145,17 @@ def url_index_apply(
     from erpl_web_spark.core import manifests
     from erpl_web_spark.operators.text import canonicalize_url_expr
 
-    canon = batch_df.withColumn(
+    # Persisted (r14): the canonicalized batch is read by TWO branches
+    # (the election/claim path and the NULL-url pass-through inside the
+    # kept write) and the canonicalizer is the batch's dominant map
+    # cost (a deep regex chain) — unpersisted, every downstream action
+    # re-ran it plus the caller's batch derivation (guide §2.1;
+    # measured: one full 65-task derivation chain per write). Batch-
+    # sized MEMORY_AND_DISK cache, released in the finally below.
+    canon_cached = batch_df.withColumn(
         "canonical_url", canonicalize_url_expr(url_col)
-    ).withColumn("digest", F.md5(F.col("canonical_url").cast("binary")))
+    ).withColumn("digest", F.md5(F.col("canonical_url").cast("binary"))).persist()
+    canon = canon_cached
     # rows WITHOUT a URL cannot be URL-deduped: they bypass the
     # election and the claim set entirely (kept as-is, claiming
     # nothing). Without this split, all of a batch's NULL-url rows
@@ -248,6 +256,7 @@ def url_index_apply(
         manifests.commit_version(spark, path, "kept", batch_id)
     finally:
         kept.unpersist()
+        canon_cached.unpersist()
         if elected is not None:  # crash before kept.count() finished
             elected.unpersist()
 

@@ -414,11 +414,18 @@ _SQL_URL_CANON_CTES = f"""
 
 def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + the planted url column (the shared fixture fragment,
-    evaluated by Spark via F.expr — byte-identical to the oracle's)."""
-    return (
+    evaluated by Spark via F.expr — byte-identical to the oracle's).
+    Registry-persisted (r14): the url_index entries slice this frame
+    into 2-3 batch filters, each of whose apply-side actions evaluated
+    the scan + URL-expr chain from scratch; the natural_docs() idiom
+    (released by release_tracked) makes it one evaluation."""
+    from erpl_web_spark.operators._cache import track_persist
+
+    return track_persist(
         load(spark, sf_dir, "documents", spread=True)
         .withColumn("g", F.expr(_SQL_URL_G))
-        .withColumn("url", F.expr(_SQL_URL))
+        .withColumn("url", F.expr(_SQL_URL)),
+        "_planted_urls",
     )
 
 

@@ -1358,10 +1358,26 @@ def diag_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pair(name, l, r, lk, rk):
         est = join_size_estimate(l, r, lk, rk, depth=3, width=64)
+        # Exact |l ⋈ r| via sufficient statistics (r14): the realized
+        # count of an equi-join is Σ_k n_l(k)·n_r(k), so two map-side-
+        # combined per-key counts and a key-sized join replace the
+        # materialized join (the lineitem self-join on l_partkey alone
+        # produced ~18M rows just to count them). Same integer.
         exact = (
-            l.select(F.col(lk).alias("__k"))
-            .join(r.select(F.col(rk).alias("__k")), "__k")
-            .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+            l.groupBy(F.col(lk).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__cl"))
+            .join(
+                r.groupBy(F.col(rk).alias("__k"))
+                .agg(F.count(F.lit(1)).alias("__cr")),
+                "__k",
+            )
+            .agg(
+                # coalesce: an EMPTY join must still report 0 (the old
+                # count() formulation's value), not a NULL sum
+                F.coalesce(
+                    F.sum(F.col("__cl") * F.col("__cr")), F.lit(0).cast("bigint")
+                ).alias("exact_join_rows")
+            )
         )
         return est.crossJoin(exact).select(
             F.lit(name).alias("pair"),
