@@ -587,15 +587,33 @@ def kcore_peel(
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    live = e
-    for i in range(rounds):
-        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        alive = deg.where(F.col("deg") >= k).select(F.col("src").alias("id"))
-        live = (
-            live.join(alive.select(F.col("id").alias("src")), "src", "semi")
-            .join(alive.select(F.col("id").alias("dst")), "dst", "semi")
+    # Frontier formulation (r14): the alive sets are MONOTONE
+    # (deg only decreases as edges are removed, so alive_i ⊆
+    # alive_{i-1}), hence the live edge set after round i is exactly
+    # the PERSISTED original filtered by the LATEST alive set on both
+    # endpoints — no cumulative edge state needed. Per round the
+    # V-sized alive set is checkpointed instead of the E-sized edge
+    # list (the old loop materialized the full live edge list every
+    # round: 1000× the checkpoint I/O at any scale, and the block
+    # accumulation that pressured long sessions). Identical fixpoint
+    # and identical per-round semantics (delete nodes of degree < k),
+    # so the unrolled SQL oracle is unchanged.
+    def _filtered(alive_set):
+        return (
+            e.join(alive_set.select(F.col("id").alias("src")), "src", "semi")
+            .join(alive_set.select(F.col("id").alias("dst")), "dst", "semi")
         )
-        live = live.localCheckpoint(eager=True)
+
+    alive = None
+    for i in range(rounds):
+        live = e if alive is None else _filtered(alive)
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+    live = e if alive is None else _filtered(alive)
     fdeg = live.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg_final"))
     return all_nodes.join(
         fdeg.select(F.col("src").alias("id"), "deg_final"), "id", "left"
