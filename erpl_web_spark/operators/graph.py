@@ -75,11 +75,17 @@ def connected_components(
     # lineage, keeping analysis/optimization cost CONSTANT per round —
     # persisted-but-unpersistable lineage grows exponentially across
     # iterative self-joins and OOMs the driver long before the data does.
+    # eager=False (r15): the checkpoint call still truncates the plan
+    # and (under AQE) materializes the shuffle stages, but the result
+    # stage is deferred into the convergence aggregate below — one
+    # driver action per round instead of checkpoint + sum (guide §1.2
+    # per-round action count; verified value-identical, the sum action
+    # computes and pins the checkpoint blocks).
     labels = (
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("comp"))
         .select(F.col("u").alias("id"), "comp")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # Convergence detection (r14): labels are elementwise NON-INCREASING
@@ -126,7 +132,7 @@ def connected_components(
                 prop["id"],
                 F.least(F.col("comp"), F.col("t_comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(jumped)
         labels = jumped
@@ -373,15 +379,21 @@ def pagerank_int(
     # union are inside it, then outdeg, the links join, and nodes) —
     # without a persist the links cache build re-derives the input edge
     # set once per reference (r14 plan audit: 4 repeated scan+distinct
-    # subtrees inside one broadcast-build stage).
-    e = track_persist(e, "pagerank_edges")
+    # subtrees inside one broadcast-build stage). The persists are
+    # OPERATOR-INTERNAL (r15): the returned frame is checkpoint-
+    # materialized before return, so they are released here instead of
+    # riding the module registry until release_tracked() — a long-lived
+    # driver calling this per batch no longer accumulates them.
+    _sink: list = []
+    e = track_persist(e, "pagerank_edges", _sink)
     outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    links = track_persist(e.join(outdeg, "src"), "pagerank_links")
+    links = track_persist(e.join(outdeg, "src"), "pagerank_links", _sink)
     nodes = track_persist(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct(),
         "pagerank_nodes",
+        _sink,
     )
     # Overflow precondition, checked exactly: total mass never exceeds
     # N * unit (induction: M_{k+1} <= N*base + d/100*M_k <= N*unit), so
@@ -392,6 +404,8 @@ def pagerank_int(
     # every round, so the count() materializes work we need anyway.
     n_nodes = nodes.count()
     if damping_pct * n_nodes * unit >= 2**63:
+        for _df in _sink:
+            _df.unpersist()
         raise ValueError(
             f"pagerank_int: damping_pct*N*unit = {damping_pct}*{n_nodes}*"
             f"{unit} exceeds BIGINT — lower `unit` (precision trades off "
@@ -426,7 +440,12 @@ def pagerank_int(
             )
         )
         if tol is not None or (i + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # eager=False (r15): the checkpoint call truncates the plan
+            # and runs the shuffle stages; the result stage is deferred
+            # into the NEXT action (the delta aggregate below in tol
+            # mode, the final materialization after the loop otherwise)
+            # — one driver action per round instead of two.
+            new_ranks = new_ranks.localCheckpoint(eager=False)
         rounds_run = i + 1
         if tol is not None:
             prev = ranks.select(
@@ -445,6 +464,14 @@ def pagerank_int(
     if stats is not None:
         stats["rounds"] = rounds_run
         stats["final_delta"] = final_delta
+    if tol is None:
+        # Materialize the final state once (the tol path's delta action
+        # already did) so the internal edge/link/node caches can be
+        # released before return — the returned frame reads its own
+        # checkpoint blocks, never the caches.
+        ranks = ranks.localCheckpoint(eager=True)
+    for _df in _sink:
+        _df.unpersist()
     return ranks
 
 
@@ -496,7 +523,8 @@ def label_propagation(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = track_persist(e.distinct(), "labelprop_edges")
+    _sink: list = []
+    e = track_persist(e.distinct(), "labelprop_edges", _sink)
     labels = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -511,11 +539,14 @@ def label_propagation(
         # 4,747-line physical plan with 384 scan nodes, 17 s of the 18 s
         # wall). A lazy persist alone dedups EXECUTION but the analyzer/
         # optimizer still walks the exponential logical tree (measured:
-        # 10.3 s); an eager per-round localCheckpoint truncates the
-        # lineage itself — one small job per round, constant-size plans
-        # (guide §3.3 "materialise an intermediate to truncate the
-        # plan"; the connected_components posture).
-        labels = labels.localCheckpoint(eager=True)
+        # 10.3 s); a per-round localCheckpoint truncates the lineage
+        # itself — constant-size plans (guide §3.3 "materialise an
+        # intermediate to truncate the plan"; the connected_components
+        # posture). eager=False (r15): the call still truncates the
+        # plan and runs the shuffle stages, but each round's result
+        # stage is deferred into the final materialization below — one
+        # result-stage job for the whole loop instead of one per round.
+        labels = labels.localCheckpoint(eager=False)
         votes = e.join(labels, e["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         ).unionByName(labels)  # self-retention vote
@@ -530,7 +561,12 @@ def label_propagation(
             ).alias("label")
         )
         if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.localCheckpoint(eager=False)
+    # Materialize once so the internal edge cache can be released before
+    # return (r15): the returned frame reads its own checkpoint blocks.
+    labels = labels.localCheckpoint(eager=True)
+    for _df in _sink:
+        _df.unpersist()
     return labels
 
 
@@ -581,7 +617,8 @@ def kcore_peel(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = track_persist(e.distinct(), "kcore_edges")
+    _sink: list = []
+    e = track_persist(e.distinct(), "kcore_edges", _sink)
     all_nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -608,17 +645,28 @@ def kcore_peel(
     for i in range(rounds):
         live = e if alive is None else _filtered(alive)
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # eager=False (r15): each round's checkpoint call truncates the
+        # plan and runs the shuffle stages; the V-sized result stages
+        # chain into the final materialization below — one result-stage
+        # job for the whole peel instead of one per round.
         alive = (
             deg.where(F.col("deg") >= k)
             .select(F.col("src").alias("id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     live = e if alive is None else _filtered(alive)
     fdeg = live.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg_final"))
-    return all_nodes.join(
+    out = all_nodes.join(
         fdeg.select(F.col("src").alias("id"), "deg_final"), "id", "left"
     ).select(
         "id",
         F.col("deg_final").isNotNull().cast("int").alias("survived"),
         F.coalesce(F.col("deg_final"), F.lit(0)).cast("long").alias("deg_final"),
     )
+    # Materialize the V-sized result once so the internal edge cache can
+    # be released before return (r15) — the returned frame reads its own
+    # checkpoint blocks, never the cache.
+    out = out.localCheckpoint(eager=True)
+    for _df in _sink:
+        _df.unpersist()
+    return out
