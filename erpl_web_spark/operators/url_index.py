@@ -173,39 +173,75 @@ def url_index_apply(
             else None
         )
         if bloom is not None:
-            from erpl_web_spark.operators.text import bloom_probe
+            # the election output feeds both sides of the fresh/maybe
+            # split — persist it so the canonicalize map and the
+            # election shuffle run once per batch, not once per branch;
+            # released after the kept rows materialize below.
+            # The probe itself (r15) inlines the committed Bloom words
+            # as ONE literal array when the filter is driver-sized
+            # (word count is ceil(m_bits/48) REGARDLESS of corpus
+            # size): membership becomes a map-side expression on the
+            # election output — no broadcast build, no k-way position
+            # explode, no per-digest re-aggregation (was: explode +
+            # broadcast join + groupBy, three extra plan stages per
+            # batch). Values identical to text.bloom_probe: present
+            # iff all k positions set, absent words read as mask 0.
+            # Filters beyond _BLOOM_INLINE_MAX_BITS keep the broadcast
+            # join (a literal array of 2^32/48 longs would not fit a
+            # plan; the join never needed the masks on the driver).
+            masks = (
+                _collect_bloom_masks(bloom, bloom_m_bits)
+                if bloom_m_bits <= _BLOOM_INLINE_MAX_BITS
+                else None
+            )
+            if masks is not None:
+                from erpl_web_spark.operators.text import _bloom_positions
 
-            # the election output feeds three consumers here (the probe
-            # side plus the fresh/maybe split) — persist it so the
-            # canonicalize map and the election shuffle run once per
-            # batch, not once per branch; released after `kept`
-            # materializes below. Post-election digests are unique BY
-            # CONSTRUCTION (one winner per digest), so the probe skips
-            # its defensive distinct — one exchange fewer per batch.
-            elected = own.persist()
-            probed = bloom_probe(
-                elected.select("digest"), bloom, k=bloom_k,
-                m_bits=bloom_m_bits, token_col="digest",
-                assume_distinct=True,
-            ).select("digest", "present")
-            own = elected.join(probed, "digest")
-            fresh = own.where(~F.col("present")).drop("present")
-            maybe = own.where(F.col("present")).drop("present")
+                arr = F.lit(masks)
+                probe = F.forall(
+                    _bloom_positions(F.col("digest"), bloom_k, bloom_m_bits),
+                    # call_function: the Python shiftrightunsigned
+                    # wrapper only takes a literal int shift; the SQL
+                    # function itself accepts a column.
+                    lambda p: (
+                        F.call_function(
+                            "shiftrightunsigned",
+                            F.element_at(arr, F.floor(p / 48).cast("int") + 1),
+                            (p % 48).cast("int"),
+                        ).bitwiseAND(F.lit(1))
+                        == 1
+                    ),
+                )
+                elected = own.withColumn("__present", probe).persist()
+                fresh = elected.where(~F.col("__present")).drop("__present")
+                maybe = elected.where(F.col("__present")).drop("__present")
+            else:
+                from erpl_web_spark.operators.text import bloom_probe
+
+                # Post-election digests are unique BY CONSTRUCTION (one
+                # winner per digest), so the probe skips its defensive
+                # distinct — one exchange fewer per batch.
+                elected = own.persist()
+                probed = bloom_probe(
+                    elected.select("digest"), bloom, k=bloom_k,
+                    m_bits=bloom_m_bits, token_col="digest",
+                    assume_distinct=True,
+                ).select("digest", "present")
+                own = elected.join(probed, "digest")
+                fresh = own.where(~F.col("present")).drop("present")
+                maybe = own.where(F.col("present")).drop("present")
             own = fresh.unionByName(
                 maybe.join(prior.select("digest"), "digest", "left_anti")
             )
         else:
             own = own.join(prior.select("digest"), "digest", "left_anti")
-    # one materialization feeds BOTH publishes: the claim set and the
-    # kept rows must be the same rows even under speculative re-reads
+    # one materialization feeds ALL publishes: the claim set and the
+    # kept rows must be the same rows even under speculative re-reads.
+    # The urls write below is the materializing action (r15 — the
+    # separate kept.count() priming job is gone); the later writes read
+    # the populated cache.
     kept = own.persist()
     try:
-        kept.count()
-        # the intermediate election cache only needs to live until the
-        # kept rows are materialized one line above
-        if elected is not None:
-            elected.unpersist()
-            elected = None
         # publish: replay guard on ALL kinds first, then urls
         # (data-first, manifest-last), then bloomw, then kept. A crash
         # between the commits leaves urls-without-bloomw (detected: the
@@ -223,7 +259,20 @@ def url_index_apply(
             .parquet(f"{path}/urls={batch_id}")
         )
         manifests.commit_version(spark, path, "urls", batch_id)
-        if bloom_m_bits is not None:
+        # the intermediate election cache only needs to live until the
+        # kept rows are materialized by the urls write above
+        if elected is not None:
+            elected.unpersist()
+            elected = None
+        # The remaining kinds are independent projections of the now-
+        # cached kept rows: write their data directories CONCURRENTLY
+        # (guide §2.6 — actions are only sequential because the driver
+        # calls them sequentially), then commit in protocol order
+        # urls -> bloomw -> kept. Every manifest is still written
+        # strictly after its own data write returned, and a crash
+        # anywhere leaves a prefix of the commit order — the same
+        # states the fault-injection suite pins.
+        def _write_bloomw() -> None:
             from erpl_web_spark.operators.text import _bloom_positions
 
             (
@@ -246,19 +295,56 @@ def url_index_apply(
                 .write.mode("overwrite")
                 .parquet(f"{path}/bloomw={batch_id}")
             )
+
+        def _write_kept() -> None:
+            kept.drop("digest").unionByName(no_url.drop("digest")).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/kept={batch_id}")
+
+        if bloom_m_bits is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fb = pool.submit(_write_bloomw)
+                fk = pool.submit(_write_kept)
+                # result() re-raises (incl. BaseException): no commit
+                # happens unless BOTH data writes fully returned.
+                fb.result()
+                fk.result()
             manifests.commit_version(
                 spark, path, "bloomw", batch_id,
                 payload={"m_bits": bloom_m_bits, "k": bloom_k},
             )
-        kept.drop("digest").unionByName(no_url.drop("digest")).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/kept={batch_id}")
+        else:
+            _write_kept()
         manifests.commit_version(spark, path, "kept", batch_id)
     finally:
         kept.unpersist()
         canon_cached.unpersist()
-        if elected is not None:  # crash before kept.count() finished
+        if elected is not None:  # crash before the urls write finished
             elected.unpersist()
+
+
+# Inline (collect-to-literal) probe gate: a filter of m_bits needs
+# ceil(m_bits/48) literal longs in the plan — 1 MiB of plan at 2^20
+# bits is fine, 2^32 bits is not. Above the gate the probe keeps the
+# broadcast-join form, which never materializes masks on the driver.
+_BLOOM_INLINE_MAX_BITS = 1 << 20
+
+
+def _collect_bloom_masks(bloom, m_bits: int) -> list[int]:
+    """The committed Bloom union as a dense driver-side word list
+    (index = word, value = 48-bit mask; absent words read as 0 — the
+    ``coalesce(mask, 0)`` of the join-form probe). Bounded by
+    ceil(m_bits/48) entries REGARDLESS of corpus size, so collecting it
+    is driver-safe exactly when the caller's inline gate admits it."""
+    n_words = (m_bits + 47) // 48
+    masks = [0] * n_words
+    for r in bloom.collect():
+        w = int(r["word"])
+        if 0 <= w < n_words:
+            masks[w] = int(r["mask"])
+    return masks
 
 
 def _committed_bloom(
