@@ -125,8 +125,10 @@ def logbucket_quantiles(
         sketch.withColumn("cum", F.sum("cnt").over(w))
         .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
     )
-    qdf = spark.createDataFrame(
-        [(int(q),) for q in qs_permille], "q_permille int"
+    from erpl_web_spark.core.localframe import local_rows
+
+    qdf = local_rows(
+        spark, [(int(q),) for q in qs_permille], "q_permille int"
     )
     # integer ceil division: ceil(q*n/1000) = (q*n + 999) div 1000
     r = F.expr("(CAST(q_permille AS BIGINT) * n + 999) div 1000")
@@ -260,8 +262,10 @@ def logbucket_equidepth(
         sketch.withColumn("cum", F.sum("cnt").over(w))
         .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
     )
-    kdf = spark.createDataFrame(
-        [(int(k),) for k in range(1, n_buckets)], "k int"
+    from erpl_web_spark.core.localframe import local_rows
+
+    kdf = local_rows(
+        spark, [(int(k),) for k in range(1, n_buckets)], "k int"
     )
     bounds = (
         cum.crossJoin(F.broadcast(kdf))

@@ -603,18 +603,42 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     """Greedy left-to-right non-overlapping application of one merge:
     fold over the symbols, joining the current symbol onto the
     accumulator's tail when (tail, current) == (left, right). Pure JVM
-    higher-order function — no Python touches a row."""
+    higher-order function — no Python touches a row.
+
+    The fold rebuilds the accumulator array per element (O(len²) per
+    word), so it is guarded by a cheap O(len) containment pre-check
+    (r15): a word missing either symbol cannot contain the adjacent
+    pair, and the fold is the identity on it — most dictionary words
+    skip the quadratic path entirely as the vocabulary grows. Value-
+    identical by construction (the fold without a (left, right)
+    adjacency is already the identity).
+
+    The guard references the symbol array FOUR times, so the input is
+    bound ONCE through a single-element ``transform`` lambda: chained
+    merges (bpe_train applies one per round) then grow the expression
+    tree linearly — substituting ``syms`` into four references per
+    round would grow it 4^rounds and hang the optimizer (measured:
+    12 chained rounds never finished planning)."""
     merged = F.lit(left + right)
-    return F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+
+    def _guarded(s: Column) -> Column:
+        folded = F.aggregate(
+            s,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        return F.when(
+            F.array_contains(s, F.lit(left))
+            & F.array_contains(s, F.lit(right)),
+            folded,
+        ).otherwise(s)
+
+    return F.element_at(F.transform(F.array(syms), _guarded), 1)
 
 
 def bpe_pair_counts(words: DataFrame) -> DataFrame:
@@ -680,36 +704,55 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
-        top = (
-            bpe_pair_counts(words)
-            .orderBy(
-                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    # AQE is disabled around each round's top-1 action (restored after
+    # the loop): the round aggregate is one exchange whose key space is
+    # the symbol-pair VOCABULARY (never corpus-sized) feeding a driver-
+    # sized TakeOrderedAndProject — AQE's per-exchange stage
+    # materialization doubles the round's job count (measured: 2 jobs/
+    # round -> 1) and can re-plan nothing useful on a vocabulary-bounded
+    # shuffle. Conf is runtime-mutable and scoped to the collects below.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_before = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    try:
+        for rank in range(1, num_merges + 1):
+            top = (
+                bpe_pair_counts(words)
+                .orderBy(
+                    F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["pair_count"] < min_pair_count:
-            break
-        left, right, cnt = (
-            top[0]["left_sym"],
-            top[0]["right_sym"],
-            int(top[0]["pair_count"]),
-        )
-        merges.append((rank, left, right, cnt))
-        words = words.select(
-            "n", _apply_merge(F.col("syms"), left, right).alias("syms")
-        )
-        # checkpoint every few rounds, not every round: bounded-depth
-        # lineage between checkpoints, and far fewer pinned dictionary
-        # copies in block storage. Dereferenced checkpoints are
-        # reclaimed asynchronously by Spark's ContextCleaner as the
-        # Python references drop; at very large vocab sizes also lower
-        # spark.cleaner.periodicGC.interval so reclamation keeps pace.
-        if rank % _CHECKPOINT_EVERY == 0:
-            words = words.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+            if not top or top[0]["pair_count"] < min_pair_count:
+                break
+            left, right, cnt = (
+                top[0]["left_sym"],
+                top[0]["right_sym"],
+                int(top[0]["pair_count"]),
+            )
+            merges.append((rank, left, right, cnt))
+            words = words.select(
+                "n", _apply_merge(F.col("syms"), left, right).alias("syms")
+            )
+            # checkpoint every few rounds, not every round: bounded-depth
+            # lineage between checkpoints, and far fewer pinned dictionary
+            # copies in block storage. Dereferenced checkpoints are
+            # reclaimed asynchronously by Spark's ContextCleaner as the
+            # Python references drop; at very large vocab sizes also lower
+            # spark.cleaner.periodicGC.interval so reclamation keeps pace.
+            if rank % _CHECKPOINT_EVERY == 0:
+                words = words.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(aqe_key, aqe_before)
+    from erpl_web_spark.core.localframe import local_rows
+
+    # local_rows: the merge table is driver-sized — build it as a JVM
+    # local relation instead of defaultParallelism pickle partitions
+    # whose every action forks a Python worker apiece (r15).
+    return local_rows(
+        spark, merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
     )
 
 

@@ -154,6 +154,11 @@ def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> 
     return df
 
 
+# Re-export: suite entries build their collect-then-rebuild results
+# through this (see core/localframe.py for the why and the guards).
+from erpl_web_spark.core.localframe import local_rows  # noqa: E402, F401
+
+
 def all_queries() -> dict[str, Query]:
     # Import side-effect registers everything.
     from erpl_web_spark.suite import (  # noqa: F401

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from erpl_web_spark.operators.dedup import _md5_long48
-from erpl_web_spark.suite import load, register
+from erpl_web_spark.suite import load, local_rows, register
 
 # 40 consonant-vowel syllables; identical list in tools/corpus_gen.py
 _SYL = [c + v for c in "bdklmnrs" for v in "aeiou"]
@@ -755,7 +755,7 @@ def pipeline_hll_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "g long, n_exact bigint, n_zero_regs long, hll_est_r double"
     )
 
