@@ -124,7 +124,18 @@ def asof_join(
         if isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
             tol_sql = f"INTERVAL {tolerance}"
         else:  # numeric event time -> numeric tolerance (DOUBLE, as before)
-            tol_sql = f"CAST({float(tolerance)!r} AS DOUBLE)"
+            tol_f = float(tolerance)
+            if tol_f != tol_f:  # NaN
+                # repr() renders nan/inf as unquoted tokens the SQL
+                # parser rejects; the quoted Java forms cast to the
+                # same doubles F.lit() used to produce (ADVICE r14).
+                tol_sql = "CAST('NaN' AS DOUBLE)"
+            elif tol_f == float("inf"):
+                tol_sql = "CAST('Infinity' AS DOUBLE)"
+            elif tol_f == float("-inf"):
+                tol_sql = "CAST('-Infinity' AS DOUBLE)"
+            else:
+                tol_sql = f"CAST({tol_f!r} AS DOUBLE)"
 
     def valid(d: str) -> str:
         has = f"__{d}_mts IS NOT NULL"

@@ -29,7 +29,11 @@ def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
         acc: Column = F.lit(0.0)
         for i in range(dim):
             acc = acc + a[i].cast("double") * b[i].cast("double")
-        return acc
+        # Guard (ADVICE r14): a wrong ``dim`` would silently truncate
+        # (vector longer) or NULL single terms (vector shorter) — make
+        # the mismatch an unambiguous NULL result instead of a wrong
+        # number. Cheap: two size() calls against codegen arithmetic.
+        return F.when((F.size(a) == dim) & (F.size(b) == dim), acc)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 

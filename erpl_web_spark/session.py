@@ -109,15 +109,18 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
     # Align shuffle width with the session's actual parallelism (r14):
     # an externally-owned session arrives with the 200-partition default,
     # which on a local[N] harness is pure task-scheduling overhead. Env
-    # override wins, mirroring get_spark.
+    # override wins, mirroring get_spark. Guard (ADVICE r14): only the
+    # untouched 200 default is replaced — a session whose owner set a
+    # deliberate value keeps it.
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            os.environ.get(
-                "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", env_parts)
+        elif str(spark.conf.get("spark.sql.shuffle.partitions", "200")) == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
                 str(spark.sparkContext.defaultParallelism),
-            ),
-        )
+            )
     except Exception:
         pass
     return spark

@@ -103,12 +103,16 @@ def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> 
     mtime, size, spread) key is therefore memoized and returned on
     later calls. This caches METADATA ONLY: the returned plan is lazy,
     every action re-reads the parquet bytes from disk (results never
-    cached), and the file-identity key (mtime_ns, size) drops the memo
-    the moment the file changes. Self-joins of one memoized relation
+    cached), and the file-identity key (mtime_ns, size — plus
+    per-part-file identity for directory tables, whose own mtime does
+    not change on an in-place part rewrite; ADVICE r14) drops the memo
+    the moment the data changes. Self-joins of one memoized relation
     resolve exactly like any ``df.join(df, ...)`` — Spark's
     DeduplicateRelations rewrites the duplicate side (the suite's
     double-load queries use the documented ``.alias()`` pattern and are
-    oracle-checked under the memo)."""
+    oracle-checked under the memo). Non-suite callers joining two
+    load() results of the same table should ``.alias()`` the sides,
+    exactly as with two references to one DataFrame."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
@@ -116,11 +120,24 @@ def load(spark: SparkSession, sf_dir: str, table: str, spread: bool = False) -> 
     key = None
     try:
         st = os.stat(path)
+        if os.path.isdir(path):
+            # Directory-shaped table (ADVICE r14): an in-place rewrite
+            # of a part file keeps the directory's own mtime/size, so
+            # the identity key folds in the part files' (name, mtime,
+            # size) — any rewrite, add, or delete changes the key and
+            # drops the stale memoized file index.
+            parts = []
+            for r, _, fs in os.walk(path):
+                for f in fs:
+                    pst = os.stat(os.path.join(r, f))
+                    parts.append((f, pst.st_mtime_ns, pst.st_size))
+            ident: tuple = (st.st_mtime_ns, st.st_size, tuple(sorted(parts)))
+        else:
+            ident = (st.st_mtime_ns, st.st_size)
         key = (
             spark.sparkContext.applicationId,
             path,
-            st.st_mtime_ns,
-            st.st_size,
+            ident,
             spread,
         )
     except OSError:

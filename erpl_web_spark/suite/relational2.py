@@ -190,6 +190,11 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+    # Schema contract note (ADVICE r14): the inner join on the group key
+    # drops a NULL group — NOT equivalent to the one-aggregate form in
+    # general. Sound here because l_returnflag is a TPC-H NOT NULL
+    # column (a NULL group cannot exist on either side); a nullable
+    # group key would need eqNullSafe.
     return exact.join(rest, "l_returnflag").select(
         "l_returnflag", "n_parts", "median_key", "first_ship", "last_ship"
     )

@@ -310,6 +310,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_approx"),
     )
+    # Schema contract note (ADVICE r14): the inner join on the group key
+    # drops a NULL group — sound because o_orderpriority is a TPC-H NOT
+    # NULL column; a nullable group key would need eqNullSafe.
     agg = exact.join(approx, "o_orderpriority")
     ok = (
         F.abs(F.col("n_approx") - F.col("n_exact"))
