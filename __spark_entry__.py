@@ -31,67 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sample-rotation order for the driver's prefix-based per-round check.
-# Round 14 (VERDICT r13 Next #1): latest-row histogram over the
-# CORRECTNESS_r*.json union is r09x28 / r10x50 / r11x50 / r12x50 /
-# r13x50 — the 28 r09-stale names lead (judge-listed burn-down set),
-# then the round-14 additions (need their first driver rows), then the
-# alphabetically-first r10-band names to fill the 50-slot prefix; the
-# remaining r10 names queue behind them for round 15. Names are
-# stable; unlisted entries keep registration order after these.
+# Round 15 (VERDICT r14 Next #8): latest-row histogram over the
+# CORRECTNESS_r*.json union is r10x40 / r11x50 / r12x50 / r13x50 /
+# r14x50 -- the 40 r10-stale names lead (the band the r14 rotation
+# left), then the alphabetically-first r11 names fill the 50-slot
+# prefix; the remaining r11 names queue behind them for round 16.
+# Names are stable; unlisted entries keep registration order after
+# these.
 _SAMPLE_PRIORITY = [
-    # -- latest driver row is r09 (the r13-verdict burn-down list) --
-    "dedup_cluster_minhash",
-    "multimodal_audio_chunks",
-    "null_safe_funcs",
-    "odata_apply_groupby",
-    "pipeline_corpus_report",
-    "pipeline_line_index_repave",
-    "pipeline_split_leak_safe",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_idle_cohorts",
-    "sequence_funcs",
-    "set_except_all",
-    "set_intersect_all",
-    "similarity_recall_at_k",
-    "similarity_threshold_sweep",
-    "stat_corr_matrix",
-    "string_distance_funcs",
-    "text_bigram_topk",
-    "text_bpe_pairs",
-    "text_lang_confusion",
-    "text_tfidf_topk",
-    "unpivot_part_attrs",
-    # -- new in round 14 (need their first driver rows) --
-    "quality_drift_report",
-    "quality_drift_histogram",
-    "pipeline_cms_index_rebuild",
-    "agg_quantile_sketch",
-    "pipeline_qsketch_index_batches",
-    "retrieval_hybrid_rrf",
-    "graph_labelprop",
-    "diag_skew_profile",
-    "diag_join_size_estimate",
-    "layout_range_bounds",
-    "graph_kcore",
-    "quality_drift_quantiles",
-    # -- stalest of the r10 band (alphabetical) fills the 50-slot prefix --
-    "analytics_event_transitions",
-    "analytics_market_basket",
-    "analytics_rfm_segments",
-    "array_funcs",
-    "asof_join_events",
-    "cdc_delta_batch",
-    "date_funcs",
-    "dedup_cluster_minhash_md5",
-    "dedup_simhash_md5",
-    "dedup_url_canonical",
+    # -- latest driver row is r10 (the band the r14 rotation left; 40) --
     "dedup_winnow_overlap",
     "dedup_winnow_scrub",
     "distinct_projection",
@@ -103,7 +51,6 @@ _SAMPLE_PRIORITY = [
     "join_semi",
     "join_theta_pairs",
     "json_funcs",
-    # -- remainder of the r10 band queues for round 15 --
     "map_funcs",
     "math_funcs",
     "multimodal_dhash_pairs",
@@ -133,6 +80,58 @@ _SAMPLE_PRIORITY = [
     "text_chunk_windows",
     "text_hashed_features",
     "text_url_canonicalize",
+    # -- alphabetically-first r11-band names fill the 50-slot prefix --
+    "agg_avg_int",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats_exact",
+    "curation_dsir_natural",
+    "curation_quality_probe",
+    "dedup_embedding",
+    # -- remainder of the r11 band queues for round 16 --
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_natural",
+    "embedding_centroid",
+    "embedding_covariance",
+    "embedding_pca_planted",
+    "embedding_pca_project",
+    "events_window_rollup",
+    "explode_words",
+    "having_groups",
+    "join_left_counts",
+    "join_salted_skew",
+    "multimodal_decode",
+    "multimodal_dhash_pairs_d7",
+    "pipeline_hash_split",
+    "pipeline_length_buckets",
+    "pipeline_url_index_bloom",
+    "pivot_status_counts",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_delta",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_cosine_top3",
+    "similarity_hard_negatives",
+    "struct_funcs",
+    "text_bigram_natural",
+    "text_bpe_natural",
+    "text_html_strip",
+    "text_winnow_fingerprints",
+    "text_winnow_natural",
+    "window_lag_lead",
+    "window_moving_frame",
+    "window_rank_orders",
+    "window_sessionize",
 ]
 
 
