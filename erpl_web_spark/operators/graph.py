@@ -231,6 +231,10 @@ def triangle_counts(
 
     u = F.col(src).cast("long")
     v = F.col(dst).cast("long")
+    # Operator-internal persists (r15): the returned frame is
+    # checkpoint-materialized before return, so both caches are
+    # released here instead of riding the module registry.
+    _sink: list = []
     ce = track_persist(
         edges.select(
             F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
@@ -238,6 +242,7 @@ def triangle_counts(
         .where(F.col("u") != F.col("v"))
         .distinct(),
         "triangle_edges",
+        _sink,
     )
     deg = (
         ce.select(F.col("u").alias("id"))
@@ -266,6 +271,7 @@ def triangle_counts(
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         ),
         "triangle_oriented",
+        _sink,
     )
     x = o.select(F.col("a"), F.col("b").alias("b1"))
     y = o.select(F.col("a"), F.col("b").alias("b2"))
@@ -287,6 +293,12 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+    # Materialize the V-sized result once so the internal edge/oriented
+    # caches can be released before return (r15) — the returned frame
+    # reads its own checkpoint blocks, never the caches.
+    per_node = per_node.localCheckpoint(eager=True)
+    for _df in _sink:
+        _df.unpersist()
     return per_node
 
 
