@@ -123,3 +123,34 @@ def test_component_best_picks_highest_score(spark):
     # WindowGroupLimit prunes the rank: plan must not sort whole clusters globally
     plan = component_best(comp, scores, "doc_id", "quality_score")._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_graph_operators_release_internal_caches(spark):
+    """r15: the iterative graph operators materialize their result via
+    localCheckpoint and release every operator-internal persist before
+    returning — the module cache registry must stay empty (no
+    accumulation RuntimeWarning on long-lived drivers), and the
+    returned frames must still be fully consumable afterwards."""
+    from erpl_web_spark.operators import release_tracked, tracked_count
+    from erpl_web_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+        pagerank_int,
+        triangle_counts,
+    )
+
+    release_tracked()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)], "src long, dst long"
+    )
+    results = [
+        pagerank_int(edges, iterations=3, symmetrize=True),
+        pagerank_int(edges, iterations=3, tol=0),
+        label_propagation(edges, iterations=2),
+        kcore_peel(edges, k=2, rounds=2),
+        triangle_counts(edges),
+    ]
+    assert tracked_count() == 0, "graph-internal persists leaked to the registry"
+    # the returned frames read their own checkpoint blocks
+    for df in results:
+        assert df.count() > 0
