@@ -37,7 +37,13 @@ def local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
 
     if not rows or not all(_safe(v) for r in rows for v in r):
         return spark.createDataFrame(rows, schema)
-    import pandas as pd
+    try:
+        import pandas as pd
 
-    pdf = pd.DataFrame([tuple(r) for r in rows], dtype=object)
-    return spark.createDataFrame(pdf, schema=schema)
+        pdf = pd.DataFrame([tuple(r) for r in rows], dtype=object)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        # The fast path is an optimization, never a dependency: any
+        # pandas/Arrow conversion surprise falls back to the classic
+        # (value-defining) path.
+        return spark.createDataFrame(rows, schema)
